@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** The fixed 7-level granularity ladder of the reference engine.
+  *
+  * Semantics reconstructed from the reference
+  * [ds :: datastream/api.py :: Granularity] (SURVEY.md §1.1, confidence H):
+  * `round_timestamp` floors epoch-seconds to a multiple of the duration, so
+  * Hours6 buckets start at 00/06/12/18 UTC and Days at UTC midnight. Buckets
+  * are half-open `[start, start + duration)` and labeled by their start.
+  */
+sealed abstract class Granularity(val name: String, val durationSeconds: Long)
+    extends Serializable {
+  /** Spark interval string for `window(ts, duration)`. */
+  def interval: String = s"$durationSeconds seconds"
+  override def toString: String = name
+}
+
+object Granularity {
+  case object Seconds   extends Granularity("seconds", 1L)
+  case object Seconds10 extends Granularity("seconds10", 10L)
+  case object Minutes   extends Granularity("minutes", 60L)
+  case object Minutes10 extends Granularity("minutes10", 600L)
+  case object Hours     extends Granularity("hours", 3600L)
+  case object Hours6    extends Granularity("hours6", 21600L)
+  case object Days      extends Granularity("days", 86400L)
+
+  /** Finest → coarsest. Every level's duration divides the next, which is
+    * what makes the cascade a pure re-aggregation (rollup) — SURVEY.md §1.3.
+    */
+  val ladder: Vector[Granularity] =
+    Vector(Seconds, Seconds10, Minutes, Minutes10, Hours, Hours6, Days)
+
+  private val byName: Map[String, Granularity] =
+    ladder.map(g => g.name -> g).toMap
+
+  def apply(name: String): Granularity =
+    byName.getOrElse(
+      name,
+      throw new IllegalArgumentException(
+        s"UnsupportedGranularity: $name (expected one of ${ladder.map(_.name).mkString(", ")})"))
+
+  /** All granularities strictly coarser than `g`, finest first. */
+  def coarserThan(g: Granularity): Vector[Granularity] =
+    ladder.dropWhile(_ != g).drop(1)
+
+  def isCoarserOrEqual(a: Granularity, b: Granularity): Boolean =
+    a.durationSeconds >= b.durationSeconds
+}
+
+/** Value types supported by the reference — numeric gets the full downsampler
+  * set; nominal and graph are count-only (SURVEY.md §1.1 value types, H).
+  */
+object ValueType {
+  val Numeric = "numeric"
+  val Nominal = "nominal"
+  val Graph   = "graph"
+  val all: Set[String] = Set(Numeric, Nominal, Graph)
+
+  /** Downsamplers valid for a value type. */
+  def valueDownsamplers(valueType: String): Set[String] = valueType match {
+    case Numeric => Downsamplers.allValue
+    case Nominal | Graph => Set(Downsamplers.Count)
+    case other => throw new IllegalArgumentException(s"Unsupported value type: $other")
+  }
+}
+
+/** Downsampler names (full names; the reference's one-letter BSON
+  * abbreviations are a row-store byte optimization that is irrelevant in
+  * columnar parquet — SURVEY.md §2.2 P4).
+  */
+object Downsamplers {
+  val Mean       = "mean"
+  val Sum        = "sum"
+  val Min        = "min"
+  val Max        = "max"
+  val SumSquares = "sum_squares"
+  val StdDev     = "std_dev"
+  val Count      = "count"
+  val allValue: Set[String] = Set(Mean, Sum, Min, Max, SumSquares, StdDev, Count)
+
+  val TimeFirst = "first"
+  val TimeLast  = "last"
+  val TimeMean  = "mean"
+  val allTime: Set[String] = Set(TimeFirst, TimeLast, TimeMean)
+}
+
+/** Stream metadata row — SURVEY.md §1.3 normative schema. Small dimension
+  * side: always broadcastable against the datapoint fact table.
+  */
+case class StreamMeta(
+    stream_id: String,
+    tags: Map[String, String],
+    value_type: String,
+    value_downsamplers: Seq[String],
+    time_downsamplers: Seq[String],
+    highest_granularity: String,
+    derive_op: Option[String] = None,
+    derive_args: Option[String] = None,
+    derived_from: Seq[String] = Seq.empty)
+
+object Schemas {
+  /** Raw datapoints fact table (the 100 TB side). At cluster scale this is
+    * partitioned by `date(ts)` and bucketed by `stream_id`.
+    */
+  val rawDatapoints: StructType = StructType(Seq(
+    StructField("stream_id", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = true),
+    StructField("value_json", StringType, nullable = true)))
+
+  /** Downsampled (rollup) fact table: re-aggregable partial state. mean and
+    * std_dev are derived at read time from (sum, count, sum_squares) so that
+    * ladder merges stay exact — SURVEY.md §1.3.
+    */
+  val downsampled: StructType = StructType(Seq(
+    StructField("stream_id", StringType, nullable = false),
+    StructField("bucket_start", TimestampType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("vsum", DoubleType, nullable = true),
+    StructField("vmin", DoubleType, nullable = true),
+    StructField("vmax", DoubleType, nullable = true),
+    StructField("vsumsq", DoubleType, nullable = true),
+    StructField("tfirst", TimestampType, nullable = false),
+    StructField("tlast", TimestampType, nullable = false),
+    StructField("tsum_us", DecimalType(38, 0), nullable = false)))
+}
+
+/** Exception types mirroring the reference API surface (SURVEY.md §2). */
+object errors {
+  final class UnsupportedGranularity(msg: String) extends IllegalArgumentException(msg)
+  final class UnsupportedDownsampler(msg: String) extends IllegalArgumentException(msg)
+  final class InvalidTimestamp(msg: String) extends IllegalArgumentException(msg)
+  final class StreamNotFound(msg: String) extends IllegalArgumentException(msg)
+  final class AppendToDerivedStreamNotAllowed(msg: String) extends IllegalArgumentException(msg)
+  final class IncompatibleGranularities(msg: String) extends IllegalArgumentException(msg)
+  final class InvalidOperatorArguments(msg: String) extends IllegalArgumentException(msg)
+  final class OutstandingDependenciesError(msg: String) extends IllegalArgumentException(msg)
+}
