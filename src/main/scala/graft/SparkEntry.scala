@@ -1,13 +1,302 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is implemented is registered here
+  * twice: once as a Spark query, once as a DuckDB oracle twin. Exactness
+  * strategy (so hash-compare passes bit-for-bit):
+  *
+  *  - all value sums accumulate in DECIMAL(38,10) on BOTH sides (exact,
+  *    associative, order-independent) and are cast to DOUBLE only at the end;
+  *  - derived doubles (mean, std_dev, derivative) are produced by the SAME
+  *    sequence of IEEE double ops on both sides;
+  *  - everything else in comparisons is integers, strings, or timestamps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The minutes-granularity downsample of events — the reference's core
+    * maintenance product [ds :: backends/mongodb.py :: downsample_streams].
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.downsampleAt(spark, "/root/testdata/sf0.001", Granularity.Minutes)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 downsampling cascade (A1–A7, T2)
+    "q_downsample_minutes" -> ((s, d) => Queries.downsampleAt(s, d, Granularity.Minutes)),
+    "q_downsample_hours" -> ((s, d) => Queries.downsampleCascade(s, d, Granularity.Hours)),
+    "q_downsample_days" -> ((s, d) => Queries.downsampleCascade(s, d, Granularity.Days)),
+    // §2.1 S3 get_data (P1 bounds, O1 reverse, P3 projection)
+    "q_getdata_range" -> Queries.getDataRange _,
+    "q_getdata_reverse" -> Queries.getDataReverse _,
+    // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join
+    "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
+    // §2.5 derive operators W1–W4
+    "q_derivative" -> Queries.derivative _,
+    "q_counter_reset" -> Queries.counterReset _,
+    "q_counter_derivative" -> Queries.counterDerivative _,
+    "q_derive_sum" -> Queries.deriveSum _,
+    // §2.11 X1–X5 extensions
+    "q_dedup_exact" -> Queries.dedupExact _,
+    "q_props_json" -> Queries.propsJson _,
+    "q_token_count" -> Queries.tokenCount _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_downsample_minutes" -> Oracles.downsample(60L),
+    "q_downsample_hours" -> Oracles.downsample(3600L),
+    "q_downsample_days" -> Oracles.downsample(86400L),
+    "q_getdata_range" -> Oracles.getDataRange,
+    "q_getdata_reverse" -> Oracles.getDataReverse,
+    "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
+    "q_derivative" -> Oracles.derivative,
+    "q_counter_reset" -> Oracles.counterReset,
+    "q_counter_derivative" -> Oracles.counterDerivative,
+    "q_derive_sum" -> Oracles.deriveSum,
+    "q_dedup_exact" -> Oracles.dedupExact,
+    "q_props_json" -> Oracles.propsJson,
+    "q_token_count" -> Oracles.tokenCount
+  )
+}
+
+/** The registered query bodies. Each is a declarative DataFrame plan — no
+  * collect(), no driver-side loops — so Catalyst handles pushdown/pruning
+  * and the same plan scales from sf0.001 to a 1000-executor cluster.
+  */
+object Queries {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  val streamKeys: Seq[String] = Seq("user_id", "event_type")
+
+  /** Direct single-shuffle downsample of events at granularity `g`. */
+  def downsampleAt(spark: SparkSession, sfDir: String, g: Granularity): DataFrame = {
+    val raw = Sources.events(spark, sfDir)
+    Downsample.finalizeView(Downsample.aggregateRaw(raw, g, streamKeys), streamKeys)
+  }
+
+  /** Full ladder cascade seconds→`g`, re-aggregating each level from the
+    * next-finer one. The oracle aggregates raw directly — a green hash here
+    * proves the rollup is exactly associative (decimal partials).
+    */
+  def downsampleCascade(spark: SparkSession, sfDir: String, g: Granularity): DataFrame = {
+    val raw = Sources.events(spark, sfDir)
+    Downsample.finalizeView(
+      Downsample.cascade(raw, Granularity.Seconds, g, streamKeys)(g), streamKeys)
+  }
+
+  /** S3 raw range scan: one stream, [start, end) half-open, forward order. */
+  def getDataRange(spark: SparkSession, sfDir: String): DataFrame =
+    GetData.raw(Sources.eventsAsDatapoints(spark, sfDir), "7:click",
+      start = Some(ts("2024-01-10T00:00:00Z")), end = Some(ts("2024-01-20T00:00:00Z")),
+      endExclusive = true)
+
+  /** S3 downsampled fetch at hours, reversed, projecting a downsampler
+    * subset (mean, count) — P3 struct pruning + O1 reverse.
+    */
+  def getDataReverse(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val hours = Downsample.aggregateRaw(dp, Granularity.Hours)
+    GetData.downsampled(hours, "3:view",
+      start = Some(ts("2024-01-05T00:00:00Z")), end = Some(ts("2024-01-25T00:00:00Z")),
+      endExclusive = true, reverse = true,
+      valueDownsamplers = Seq(Downsamplers.Mean, Downsamplers.Count),
+      timeDownsamplers = Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast))
+  }
+
+  /** S4+J1: tag query on the registry, broadcast semi-join into the fact
+    * table, then a per-stream rollup of the selected datapoints.
+    */
+  def findStreamsSemijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val registry = StreamRegistry.fromEvents(dp)
+    val matched = StreamRegistry.findStreams(registry, Map("type" -> "click"))
+    StreamRegistry.selectDatapoints(dp, matched)
+      .groupBy(col("stream_id"))
+      .agg(count(lit(1)).as("n_datapoints"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
+  def derivative(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
+
+  def counterReset(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.counterReset(Sources.eventsAsDatapoints(spark, sfDir))
+
+  /** W4 over the wrapping-counter fixture (cumulative integer counter mod
+    * 1000) with max_value=1000, so every wrap exercises the wraparound arm.
+    */
+  def counterDerivative(spark: SparkSession, sfDir: String): DataFrame = {
+    val counter = Derive.wrappingCounter(
+      Sources.eventsAsDatapoints(spark, sfDir), 1000L)
+    Derive.counterDerivative(counter, Some(1000.0), valueCol = "counter")
+  }
+
+  /** W1: sum the 15 per-user `click` streams into one derived stream at
+    * minutes granularity.
+    */
+  def deriveSum(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.sumStreams(
+      Sources.eventsAsDatapoints(spark, sfDir).where(col("event_type") === "click"),
+      Granularity.Minutes, Seq("event_type"))
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Dedup.exact(Sources.documents(spark, sfDir))
+
+  /** X5: typed projection out of the JSON `props` column, aggregated per
+    * event_type — all-integer output.
+    */
+  def propsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum("k").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"))
+
+  /** X4: whitespace token counts per language over documents. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.documents(spark, sfDir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"),
+        sum("n_chars").as("chars_sum"), max("n_tokens").as("tokens_max"))
+}
+
+/** DuckDB twins. Each mirrors its Spark query's arithmetic exactly — same
+  * decimal partials, same final double ops — so hashes match bit-for-bit.
+  */
+object Oracles {
+
+  /** The exact-partials downsample CTE at bucket duration `durSeconds`. */
+  def downsample(durSeconds: Long): String = {
+    val durUs = durSeconds * 1000000L
+    s"""WITH part AS (
+  SELECT user_id, event_type,
+    make_timestamp((epoch_us(ts) // $durUs) * $durUs) AS bucket_start,
+    count(*) AS cnt,
+    sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(value) AS vmin, max(value) AS vmax,
+    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    min(ts) AS tfirst, max(ts) AS tlast,
+    sum(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS tsum_us
+  FROM events GROUP BY 1, 2, 3)
+SELECT user_id, event_type, bucket_start,
+  CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean",
+  CAST(vsum AS DOUBLE) AS "sum",
+  vmin AS "min", vmax AS "max",
+  CAST(vsumsq AS DOUBLE) AS sum_squares,
+  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
+    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  cnt AS "count",
+  tfirst AS t_first,
+  make_timestamp(CAST(CAST(tsum_us AS HUGEINT) // cnt AS BIGINT)) AS t_mean,
+  tlast AS t_last
+FROM part"""
+  }
+
+  val getDataRange: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+FROM events
+WHERE user_id = 7 AND event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+ORDER BY ts"""
+
+  val getDataReverse: String =
+    """WITH part AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt, sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(ts) AS t_first, max(ts) AS t_last
+  FROM events GROUP BY 1, 2)
+SELECT stream_id, bucket_start,
+  CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean", cnt AS "count",
+  t_first, t_last
+FROM part
+WHERE stream_id = '3:view'
+  AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
+  AND bucket_start < TIMESTAMP '2024-01-25 00:00:00'
+ORDER BY bucket_start DESC"""
+
+  val findStreamsSemijoin: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+  count(*) AS n_datapoints,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events WHERE event_type = 'click'
+GROUP BY 1"""
+
+  /** Shared lag CTE: per-stream previous value/timestamp, ties broken by
+    * event_id — mirrors Derive's window spec exactly.
+    */
+  private val lagCte: String =
+    """WITH lagged AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value,
+    lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))"""
+
+  val derivative: String =
+    lagCte + """
+SELECT stream_id, ts,
+  (value - pv) / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1000000.0) AS derivative
+FROM lagged WHERE pv IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
+
+  val counterReset: String =
+    lagCte + """
+SELECT stream_id, ts, CAST(1 AS BIGINT) AS reset
+FROM lagged WHERE pv IS NOT NULL AND value < pv"""
+
+  val counterDerivative: String =
+    """WITH counter AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, event_id,
+    CAST(sum(CAST(floor(value * 100) AS BIGINT))
+      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 1000 AS BIGINT) AS c
+  FROM events),
+lagged AS (
+  SELECT stream_id, ts, c, lag(c) OVER w AS pc, lag(ts) OVER w AS pt
+  FROM counter
+  WINDOW w AS (PARTITION BY stream_id ORDER BY ts, event_id))
+SELECT stream_id, ts,
+  (CASE WHEN c >= pc THEN CAST(c - pc AS DOUBLE)
+        ELSE CAST(c AS DOUBLE) + (1000.0 - CAST(pc AS DOUBLE)) END)
+    / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1000000.0) AS counter_derivative
+FROM lagged WHERE pc IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
+
+  val deriveSum: String =
+    """SELECT event_type,
+  make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS bucket_start,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
+  count(*) AS contributing
+FROM events WHERE event_type = 'click'
+GROUP BY 1, 2"""
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1"""
+
+  val propsJson: String =
+    """SELECT event_type,
+  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY 1"""
+
+  val tokenCount: String =
+    """SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_sum,
+  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,
+  max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens_max
+FROM documents GROUP BY 1"""
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Derived streams — the reference's derive operators
+  * [ds :: backends/mongodb.py :: DERIVE_OPERATORS
+  *  {sum, derivative, counter_reset, counter_derivative}] (SURVEY.md §2.5).
+  *
+  * The reference updates derived streams point-at-a-time at append; the
+  * batch-native shape is a per-stream ordered window (`lag` over
+  * `partitionBy(stream_id).orderBy(ts, ...)`) — one shuffle keyed by
+  * stream, no driver-side iteration, arbitrarily many streams in parallel.
+  * The streaming flavor keeps `(prev_ts, prev_value)` per stream in
+  * `flatMapGroupsWithState` (see streaming/).
+  *
+  * All window specs use explicit ROWS frames and a total order
+  * (`ts, tieBreak`) so results are deterministic under ties.
+  */
+object Derive {
+
+  private def w(partition: Seq[String], order: Seq[String]) =
+    Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+
+  /** Seconds between a timestamp and its predecessor, as exact µs → double. */
+  private def dtSeconds(tsCol: Column, prevTs: Column): Column =
+    (unix_micros(tsCol) - unix_micros(prevTs)).cast("double") / 1000000.0
+
+  /** W2 `derivative`: (vᵢ − vᵢ₋₁) / Δt_seconds for consecutive datapoints of
+    * one stream; the first datapoint emits nothing. Reference timestamps are
+    * strictly increasing (monotone append), so Δt=0 rows are dropped too.
+    */
+  def derivative(df: DataFrame,
+                 partition: Seq[String] = Seq("stream_id"),
+                 order: Seq[String] = Seq("ts", "event_id"),
+                 valueCol: String = "value"): DataFrame = {
+    val win = w(partition, order)
+    val v = col(valueCol)
+    df.withColumn("_pv", lag(v, 1).over(win))
+      .withColumn("_pt", lag(col("ts"), 1).over(win))
+      .where(col("_pv").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("_pt")))
+      .select(partition.map(col) :+ col("ts") :+
+        ((v - col("_pv")) / dtSeconds(col("ts"), col("_pt"))).as("derivative"): _*)
+  }
+
+  /** W3 `counter_reset`: emit datapoint `1` at tᵢ whenever vᵢ < vᵢ₋₁ (a
+    * monotone counter restarted).
+    */
+  def counterReset(df: DataFrame,
+                   partition: Seq[String] = Seq("stream_id"),
+                   order: Seq[String] = Seq("ts", "event_id"),
+                   valueCol: String = "value"): DataFrame = {
+    val win = w(partition, order)
+    val v = col(valueCol)
+    df.withColumn("_pv", lag(v, 1).over(win))
+      .where(col("_pv").isNotNull && v < col("_pv"))
+      .select(partition.map(col) :+ col("ts") :+ lit(1L).as("reset"): _*)
+  }
+
+  /** W4 `counter_derivative`: like W2 for wrap-around counters. On decrease,
+    * delta = v + (maxValue − prev) when `maxValue` is given; without
+    * `maxValue` a decrease is treated as a reset and the sample is skipped
+    * (the reference's behavior with its auxiliary reset stream).
+    */
+  def counterDerivative(df: DataFrame,
+                        maxValue: Option[Double],
+                        partition: Seq[String] = Seq("stream_id"),
+                        order: Seq[String] = Seq("ts", "event_id"),
+                        valueCol: String = "value"): DataFrame = {
+    maxValue.foreach { m =>
+      if (m <= 0) throw new errors.InvalidOperatorArguments(
+        s"counter_derivative max_value must be positive, got $m")
+    }
+    val win = w(partition, order)
+    val v = col(valueCol)
+    val base = df
+      .withColumn("_pv", lag(v, 1).over(win))
+      .withColumn("_pt", lag(col("ts"), 1).over(win))
+      .where(col("_pv").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("_pt")))
+    val delta = maxValue match {
+      case Some(m) => when(v >= col("_pv"), v - col("_pv"))
+        .otherwise(v + (lit(m) - col("_pv")))
+      case None => when(v >= col("_pv"), v - col("_pv")) // decrease ⇒ null ⇒ dropped
+    }
+    base.withColumn("_delta", delta)
+      .where(col("_delta").isNotNull)
+      .select(partition.map(col) :+ col("ts") :+
+        (col("_delta").cast("double") / dtSeconds(col("ts"), col("_pt")))
+          .as("counter_derivative"): _*)
+  }
+
+  /** W1 `sum` (multi-stream): align the datapoints of N source streams on
+    * their rounded timestamp and emit the per-bucket sum (J2). All sources
+    * must share a granularity — enforced by the caller/facade via
+    * `IncompatibleGranularities` (see api.scala).
+    *
+    * Implemented as union → single `groupBy(derivedKeys, bucket)`: one
+    * shuffle total, regardless of source-stream count. Decimal sums keep
+    * the result exact and identical to any per-stream pre-aggregation.
+    */
+  def sumStreams(sources: DataFrame, g: Granularity,
+                 derivedKeys: Seq[String]): DataFrame =
+    sources
+      .groupBy(derivedKeys.map(col) :+
+        Downsample.bucketStart(col("ts"), g).as("bucket_start"): _*)
+      .agg(
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("sum"),
+        count(lit(1)).as("contributing"))
+
+  /** The integer "wrapping counter" fixture used by the oracle-twin queries
+    * (FIXTURES.md §B): an exact cumulative counter per stream, wrapped at
+    * `modulus`. floor(value·100) makes it integer (exact in both engines);
+    * the running sum uses an explicit ROWS frame.
+    */
+  def wrappingCounter(df: DataFrame, modulus: Long,
+                      partition: Seq[String] = Seq("stream_id"),
+                      order: Seq[String] = Seq("ts", "event_id"),
+                      valueCol: String = "value"): DataFrame = {
+    val win = w(partition, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("counter",
+      sum(floor(col(valueCol) * 100).cast("long")).over(win) % modulus)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication over a document corpus (SURVEY.md §2.11 X1/X2).
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - exact dedup is one hash-groupBy — a single shuffle on a uniform key;
+  *  - near-dup NEVER does all-pairs: candidates come either from an
+  *    inverted shingle index (pairs must share ≥1 shingle) or from MinHash
+  *    LSH banding (pairs must collide in ≥1 band). Both are
+  *    `explode → groupBy/join on a compact key`, so cost tracks the number
+  *    of *colliding* pairs, not n².
+  */
+object Dedup {
+
+  /** X1 exact dedup: group by content hash; keeper = min(doc_id). */
+  def exact(docs: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of `textCol` (default 3-word shingles). */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val w = split(textCol, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws("_", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("long")
+    i.cast("double") / (size(a).cast("long") + size(b).cast("long") - i)
+  }
+
+  /** X2a shingle-index near-dup: candidate pairs share ≥1 shingle (inverted
+    * index), verified by exact Jaccard ≥ `threshold`. Output (a, b, jac),
+    * a < b. At 100 TB the hot shingles would be frequency-capped (drop
+    * shingles appearing in >F docs) to bound the index fan-out; the driver
+    * corpus needs no cap.
+    */
+  def nearDupJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+    val sized = sh.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+    val inv = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val pairs = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sz").as("sa"), col("y.sz").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    pairs
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod p
+    * over xxhash64'd shingles, p = 2⁶¹−1. Pure codegen'd array expressions —
+    * no UDF.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val p = 2305843009213693951L // 2^61 - 1
+    transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), lit(p - 1)) + 1
+      val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), lit(p))
+      array_min(transform(shingleCol,
+        s => pmod(a * pmod(xxhash64(s), lit(p)) + b, lit(p))))
+    })
+  }
+
+  /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
+    * → band-hash collision join → exact-Jaccard verification ≥ `threshold`.
+    * With rowsPerBand=2, bands=64: P(miss | j=0.5) = (1−0.25)⁶⁴ ≈ 1e−8, so
+    * on the driver corpus the verified output equals the exact shingle-index
+    * result (same oracle); at scale the banding join is what survives when
+    * the inverted shingle index would fan out too far.
+    */
+  def nearDupMinhash(docs: DataFrame, threshold: Double, n: Int = 3,
+                     bands: Int = 64, rowsPerBand: Int = 2,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "band_hash")
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val withSets = candidates
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+    withSets
+      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** X2c SimHash: 64-bit signature; bit j is set when Σ_tokens ±1 > 0,
+    * where the ±1 is bit j of the token's xxhash64. Shift amounts must be
+    * literals in Spark's `shiftright`, so the 64 per-bit votes are built by
+    * a Scala-level unroll — still one codegen'd projection, no UDF.
+    */
+  def simhash(tokenCol: Column): Column = {
+    val hashes = transform(tokenCol, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: docs whose signatures collide on one of
+    * four 16-bit bands (⇒ Hamming distance ≤ 48 guaranteed caught; in
+    * practice catches hamming ≲ 3 pairs with high probability).
+    */
+  def simhashCandidates(docs: DataFrame, n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+      simhash(shingles(col(textCol), n)).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "sig", "band", "band_bits")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The read path — the reference's `get_data`
+  * [ds :: api.py + backends/mongodb.py :: get_data] (SURVEY.md §2.1 S3).
+  *
+  * Range scan of one stream at one granularity with inclusive/exclusive
+  * bounds, optional descending order, and projection of a subset of
+  * downsampler fields. In Spark this is a pure filter+project+sort plan:
+  * the time predicate and `stream_id` equality push down to the parquet
+  * scan (partition pruning + row-group min/max stand in for the
+  * reference's `_id`-range index scans, SURVEY.md §4), and struct-field
+  * projection rides Catalyst's nested-schema pruning (P3). No shuffle.
+  */
+object GetData {
+
+  /** Inclusive/exclusive time-range predicate on `tsCol` (P1). */
+  def rangePredicate(tsCol: Column,
+                     start: Option[Timestamp], end: Option[Timestamp],
+                     startExclusive: Boolean = false,
+                     endExclusive: Boolean = false): Column = {
+    val lower = start.map(s => if (startExclusive) tsCol > lit(s) else tsCol >= lit(s))
+    val upper = end.map(e => if (endExclusive) tsCol < lit(e) else tsCol <= lit(e))
+    (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  private def validate(requested: Seq[String], supported: Set[String],
+                       kind: String): Unit = {
+    val bad = requested.filterNot(supported)
+    if (bad.nonEmpty)
+      throw new errors.UnsupportedDownsampler(
+        s"unsupported $kind downsampler(s): ${bad.mkString(", ")} " +
+          s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** Datapoint fetch at the stream's highest granularity: raw
+    * `(stream_id, ts, value)` rows in the range, optionally reversed.
+    */
+  def raw(datapoints: DataFrame, streamId: String,
+          start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+          startExclusive: Boolean = false, endExclusive: Boolean = false,
+          reverse: Boolean = false): DataFrame = {
+    val filtered = datapoints
+      .where(col("stream_id") === streamId)
+      .where(rangePredicate(col("ts"), start, end, startExclusive, endExclusive))
+      .select("stream_id", "ts", "value")
+    if (reverse) filtered.orderBy(col("ts").desc) else filtered.orderBy(col("ts"))
+  }
+
+  /** Downsampled fetch: `partial` is the rollup table at the requested
+    * granularity (its `bucket_start` is the datapoint timestamp, matching
+    * the reference's bucket-start labeling). Projects the requested
+    * downsampler fields, validating names like the reference's API layer
+    * (`UnsupportedDownsampler`).
+    */
+  def downsampled(partial: DataFrame,
+                  streamId: String,
+                  start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+                  startExclusive: Boolean = false, endExclusive: Boolean = false,
+                  reverse: Boolean = false,
+                  valueDownsamplers: Seq[String] = Downsamplers.allValue.toSeq.sorted,
+                  timeDownsamplers: Seq[String] = Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast))
+      : DataFrame = {
+    validate(valueDownsamplers, Downsamplers.allValue, "value")
+    validate(timeDownsamplers, Downsamplers.allTime, "time")
+    val view = Downsample.finalizeView(
+        partial.where(col("stream_id") === streamId)
+          .where(rangePredicate(col("bucket_start"), start, end, startExclusive, endExclusive)))
+    val valueCols = valueDownsamplers.map(view.col)
+    val timeCols = timeDownsamplers.map {
+      case Downsamplers.TimeFirst => view.col("t_first")
+      case Downsamplers.TimeMean  => view.col("t_mean")
+      case Downsamplers.TimeLast  => view.col("t_last")
+    }
+    val projected = view.select(
+      col("stream_id") +: col("bucket_start") +: (valueCols ++ timeCols): _*)
+    if (reverse) projected.orderBy(col("bucket_start").desc)
+    else projected.orderBy(col("bucket_start"))
+  }
+}
