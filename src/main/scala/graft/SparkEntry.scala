@@ -46,7 +46,14 @@ object SparkEntry {
     // §2.11 X1–X5 extensions
     "q_dedup_exact" -> Queries.dedupExact _,
     "q_props_json" -> Queries.propsJson _,
-    "q_token_count" -> Queries.tokenCount _
+    "q_token_count" -> Queries.tokenCount _,
+    "q_neardup_minhash" -> Queries.nearDupMinhash _,
+    "q_similarity_topk" -> Queries.similarityTopK _,
+    "q_similarity_ann" -> Queries.similarityAnn _,
+    "q_neardup_embedding" -> Queries.nearDupEmbedding _,
+    "q_quality" -> Queries.quality _,
+    "q_lang_report" -> Queries.langReport _,
+    "q_fingerprint" -> Queries.fingerprint _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,7 +71,14 @@ object SparkEntry {
     "q_derive_sum" -> Oracles.deriveSum,
     "q_dedup_exact" -> Oracles.dedupExact,
     "q_props_json" -> Oracles.propsJson,
-    "q_token_count" -> Oracles.tokenCount
+    "q_token_count" -> Oracles.tokenCount,
+    "q_neardup_minhash" -> Oracles.nearDupJaccard,
+    "q_similarity_topk" -> Oracles.similarityTopK,
+    // q_similarity_ann, q_neardup_embedding: approximate (LSH) results by
+    // design — not SQL-expressible as an exact twin; rows-only check.
+    "q_quality" -> Oracles.quality,
+    "q_lang_report" -> Oracles.langReport,
+    "q_fingerprint" -> Oracles.fingerprint
   )
 }
 
@@ -162,6 +176,46 @@ object Queries {
       .groupBy("event_type")
       .agg(count(col("k")).as("n_with_k"), sum("k").as("k_sum"),
         min("k").as("k_min"), max("k").as("k_max"))
+
+  /** X2: near-dup text dedup via MinHash LSH banding (16 bands × 4 rows —
+    * P(candidate | jaccard j) = 1−(1−j⁴)¹⁶, steep around the 0.8
+    * threshold), verified by exact Jaccard. The oracle computes the exact
+    * pair set; banding recall at j ≥ 0.8 makes them equal on this corpus.
+    */
+  def nearDupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Dedup.nearDupMinhash(Sources.documents(spark, sfDir),
+      threshold = 0.8, bands = 16, rowsPerBand = 4)
+
+  private def queryVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    emb.groupBy(col("label")).agg(min("vec_id").as("vec_id"))
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+  }
+
+  /** X3 exactness baseline: brute-force cosine top-10 for one query vector
+    * per label (broadcast queries × one corpus scan).
+    */
+  def similarityTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Similarity.topK(Sources.embeddings(spark, sfDir),
+      queryVectors(spark, sfDir), k = 10)
+
+  /** X3 scale path: same top-k through random-hyperplane LSH buckets. */
+  def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Similarity.annTopK(Sources.embeddings(spark, sfDir),
+      queryVectors(spark, sfDir), k = 10)
+
+  /** Embedding-cosine near-dup candidates through LSH bands. */
+  def nearDupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Similarity.nearDupPairs(Sources.embeddings(spark, sfDir), threshold = 0.4)
+
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.quality(Sources.documents(spark, sfDir))
+
+  def langReport(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.languageReport(Sources.documents(spark, sfDir))
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.fingerprint(Sources.documents(spark, sfDir))
 
   /** X4: whitespace token counts per language over documents. */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -299,4 +353,100 @@ FROM events GROUP BY 1"""
   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,
   max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens_max
 FROM documents GROUP BY 1"""
+
+  /** Exact 3-shingle Jaccard pairs ≥ 0.8 via inverted index — the exact twin
+    * the LSH-banded Spark query must reproduce.
+    */
+  val nearDupJaccard: String =
+    """WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT a, b, jaccard FROM (
+  SELECT a, b, CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard FROM pairs)
+WHERE jaccard >= 0.8"""
+
+  /** Cosine = sequential double fold / (norm·norm) — mirrors Similarity.dot
+    * exactly (list_reduce's first step equals Spark aggregate's 0.0 init).
+    */
+  val similarityTopK: String =
+    """WITH q AS (SELECT label, min(vec_id) AS query_vec_id FROM embeddings GROUP BY label),
+qv AS (SELECT q.label, q.query_vec_id, e.embedding AS qvec
+       FROM q JOIN embeddings e ON e.vec_id = q.query_vec_id),
+scored AS (
+  SELECT qv.label, qv.query_vec_id, e.vec_id,
+    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(range(1, len(qvec) + 1),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), (a, b) -> a + b))
+     * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+    AS cosine
+  FROM qv, embeddings e WHERE e.vec_id <> qv.query_vec_id)
+SELECT label, query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 10"""
+
+  private val stopIn = "('the', 'a', 'of', 'and', 'is', 'to', 'in', 'that')"
+
+  val quality: String =
+    s"""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopIn)) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopIn)) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+  CAST(length(text) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+FROM documents"""
+
+  val langReport: String = {
+    val m = graft.ext.Text.markers
+    def lst(lang: String) = m(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH s AS (
+  SELECT lang,
+    CAST(len(w) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+      + length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_bpeish,
+    len(list_filter(w, t -> t IN ${lst("de")})) AS s_de,
+    len(list_filter(w, t -> t IN ${lst("en")})) AS s_en,
+    len(list_filter(w, t -> t IN ${lst("es")})) AS s_es,
+    len(list_filter(w, t -> t IN ${lst("fr")})) AS s_fr,
+    len(list_filter(w, t -> t IN ${lst("zh")})) AS s_zh
+  FROM (SELECT lang, text, string_split(text, ' ') AS w FROM documents)),
+p AS (
+  SELECT lang, n_tokens, n_bpeish,
+    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted
+  FROM s)
+SELECT lang, predicted, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+  CAST(sum(n_bpeish) AS BIGINT) AS bpeish_sum
+FROM p GROUP BY 1, 2"""
+  }
+
+  val fingerprint: String =
+    """WITH g AS (
+  SELECT doc_id, list_transform(range(1, length(text) - 6), i ->
+    list_reduce(list_transform(range(0, 8), o -> CAST(ascii(text[i+o]) AS BIGINT)),
+      (acc, c) -> (acc * 131 + c) % 2147483647)) AS hs
+  FROM documents),
+s AS (SELECT doc_id, hs, list_filter(hs, h -> h % 16 = 0) AS sel FROM g)
+SELECT doc_id,
+  CAST(len(hs) AS BIGINT) AS n_grams,
+  CAST(len(sel) AS BIGINT) AS n_selected,
+  list_min(sel) AS fp_min,
+  CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_sum
+FROM s"""
 }

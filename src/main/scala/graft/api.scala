@@ -1,0 +1,267 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's API facade re-expressed over a parquet warehouse
+  * [ds :: datastream/api.py :: Datastream] (SURVEY.md §2.1, §7.1).
+  *
+  * Layout under `warehouse/`:
+  *   streams/                         — metadata table (small, broadcast side)
+  *   raw/                             — raw datapoints (100 TB side; at cluster
+  *                                      scale partitioned by date(ts), bucketed
+  *                                      by stream_id — flat here)
+  *   rollup/granularity=<name>/       — downsample partials per ladder level
+  *   state/downsampled_until.json     — per-granularity maintenance watermark
+  *
+  * Semantics kept from the reference: monotone-append enforcement
+  * (`InvalidTimestamp`, opt-out via checkTimestamp=false drops stale rows),
+  * append-to-derived rejection, granularity compatibility at ensure, delete
+  * dependency check, and the `downsampled_until` incremental-maintenance
+  * watermark (only buckets wholly ≤ `until` are finalized, exactly once).
+  */
+class Datastream(spark: SparkSession, warehouse: String) {
+  import spark.implicits._
+
+  private val streamsPath = s"$warehouse/streams"
+  private val rawPath = s"$warehouse/raw"
+  private def rollupPath(g: Granularity) = s"$warehouse/rollup/granularity=${g.name}"
+  private val statePath = s"$warehouse/state/downsampled_until.json"
+
+  // ---- registry -----------------------------------------------------------
+
+  private def hasStreams: Boolean = new java.io.File(streamsPath).exists()
+
+  def streams: DataFrame =
+    if (hasStreams) spark.read.parquet(streamsPath)
+    else Seq.empty[StreamMeta].toDF()
+
+  def streamMeta(streamId: String): StreamMeta = {
+    val hit = streams.where(col("stream_id") === streamId).as[StreamMeta].collect()
+    if (hit.isEmpty) throw new errors.StreamNotFound(s"no such stream: $streamId")
+    hit.head
+  }
+
+  /** Idempotent stream creation; re-ensure with same id returns existing
+    * metadata. Derived streams must share their sources' granularity.
+    */
+  def ensureStream(streamId: String,
+                   tags: Map[String, String] = Map.empty,
+                   valueType: String = ValueType.Numeric,
+                   highestGranularity: Granularity = Granularity.Seconds,
+                   deriveOp: Option[String] = None,
+                   deriveArgs: Option[String] = None,
+                   derivedFrom: Seq[String] = Seq.empty): StreamMeta = {
+    require(ValueType.all(valueType), s"unsupported value type $valueType")
+    val existing = streams.where(col("stream_id") === streamId).as[StreamMeta].collect()
+    if (existing.nonEmpty) return existing.head
+    derivedFrom.foreach { src =>
+      val meta = streamMeta(src) // throws StreamNotFound
+      if (meta.highest_granularity != highestGranularity.name)
+        throw new errors.IncompatibleGranularities(
+          s"derived stream $streamId at ${highestGranularity.name} from " +
+            s"$src at ${meta.highest_granularity}")
+    }
+    val meta = StreamMeta(streamId, tags, valueType,
+      ValueType.valueDownsamplers(valueType).toSeq.sorted,
+      Downsamplers.allTime.toSeq.sorted,
+      highestGranularity.name, deriveOp, deriveArgs, derivedFrom)
+    Seq(meta).toDF().write.mode(SaveMode.Append).parquet(streamsPath)
+    meta
+  }
+
+  def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
+    StreamRegistry.findStreams(streams, tagQuery)
+
+  /** Refuses while surviving derived streams depend on doomed ones
+    * (`OutstandingDependenciesError`); deletes metadata + datapoints.
+    */
+  def deleteStreams(tagQuery: Map[String, String]): Long = {
+    val all = streams.cache()
+    try {
+      val doomed = StreamRegistry.findStreams(all, tagQuery).cache()
+      val viol = StreamRegistry.outstandingDependencies(all, doomed)
+      if (viol.count() > 0)
+        throw new errors.OutstandingDependenciesError(
+          viol.collect().take(5).mkString(", "))
+      val doomedIds = doomed.select("stream_id")
+      val survivors = all.join(doomedIds, Seq("stream_id"), "left_anti").as[StreamMeta]
+      val n = doomed.count()
+      val survivorRows = survivors.collect()
+      val keepRaw =
+        if (new java.io.File(rawPath).exists())
+          Some(spark.read.parquet(rawPath)
+            .join(broadcast(doomedIds), Seq("stream_id"), "left_anti").cache())
+        else None
+      keepRaw.foreach(_.count()) // materialize before overwrite
+      spark.createDataset(survivorRows).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(streamsPath)
+      keepRaw.foreach(_.write.mode(SaveMode.Overwrite).parquet(rawPath))
+      n
+    } finally all.unpersist()
+  }
+
+  // ---- ingest (S1/S2, T3) -------------------------------------------------
+
+  def append(streamId: String, value: Double, ts: Timestamp,
+             checkTimestamp: Boolean = true): Unit =
+    appendMultiple(Seq((streamId, ts, value)).toDF("stream_id", "ts", "value"),
+      checkTimestamp)
+
+  /** Bulk append of `(stream_id, ts, value)` rows. Monotonicity policy: every
+    * new point must be ≥ the stream's stored latest datapoint. Violations
+    * throw `InvalidTimestamp` when `checkTimestamp`, else the stale rows are
+    * dropped (the documented batch analog of the reference's opt-out).
+    * Appending to a derived stream is always an error.
+    */
+  def appendMultiple(points: DataFrame, checkTimestamp: Boolean = true): Unit = {
+    val meta = streams.select("stream_id", "derive_op").cache()
+    try {
+      val derived = points.join(broadcast(meta.where(col("derive_op").isNotNull)),
+        Seq("stream_id"), "left_semi")
+      if (derived.count() > 0)
+        throw new errors.AppendToDerivedStreamNotAllowed(
+          derived.select("stream_id").distinct().collect().map(_.getString(0)).mkString(", "))
+
+      val latest =
+        if (new java.io.File(rawPath).exists())
+          spark.read.parquet(rawPath).groupBy("stream_id").agg(max("ts").as("latest"))
+        else spark.emptyDataFrame.select(lit("").as("stream_id"), lit(null).cast("timestamp").as("latest"))
+      val joined = points.join(broadcast(latest), Seq("stream_id"), "left")
+      val stale = joined.where(col("latest").isNotNull && col("ts") < col("latest"))
+      if (checkTimestamp && stale.count() > 0) {
+        val ex = stale.select("stream_id", "ts", "latest").first()
+        throw new errors.InvalidTimestamp(
+          s"append ts ${ex.getTimestamp(1)} < latest ${ex.getTimestamp(2)} " +
+            s"for stream ${ex.getString(0)}")
+      }
+      joined.where(col("latest").isNull || col("ts") >= col("latest"))
+        .select("stream_id", "ts", "value")
+        .write.mode(SaveMode.Append).parquet(rawPath)
+    } finally meta.unpersist()
+  }
+
+  def rawDatapoints: DataFrame = spark.read.parquet(rawPath)
+
+  // ---- maintenance (§2.4, T1/T6) ------------------------------------------
+
+  private def readState(): Map[String, Long] =
+    if (new java.io.File(statePath).exists()) {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(statePath)), "UTF-8")
+      txt.split("\n").filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v.toLong
+      }.toMap
+    } else Map.empty
+
+  private def writeState(s: Map[String, Long]): Unit = {
+    val p = java.nio.file.Paths.get(statePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      s.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Incremental cascade maintenance: for each ladder level, aggregate the
+    * not-yet-finalized slice `[downsampled_until, until)` from the
+    * next-finer level (raw for the first), emit only buckets wholly ≤
+    * `until`, append them to the rollup table, and advance the watermark.
+    * One shuffle per granularity per run, no per-stream loops; cost ∝ new
+    * data — the Spark analog of the reference's `downsampled_until`
+    * bookkeeping [ds :: backends/mongodb.py :: downsample_streams].
+    */
+  def downsampleStreams(until: Timestamp): Unit = {
+    if (!new java.io.File(rawPath).exists()) return
+    val untilUs = until.toInstant.getEpochSecond * 1000000L +
+      until.toInstant.getNano / 1000L
+    var state = readState()
+    var finer: DataFrame = null // lazily bound per level below
+    Granularity.ladder.foreach { g =>
+      val durUs = g.durationSeconds * 1000000L
+      val hi = (untilUs / durUs) * durUs // first NOT-complete bucket start
+      val lo = state.getOrElse(g.name, Long.MinValue)
+      if (hi > lo) {
+        val sourceDf = finer match {
+          case null => spark.read.parquet(rawPath)
+            .where(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+          case f => f
+        }
+        val agg = finer match {
+          case null => Downsample.aggregateRaw(sourceDf, g)
+          case f => Downsample.rollup(f, g)
+        }
+        val complete = agg
+          .where(unix_micros(col("bucket_start")) >= lo &&
+            unix_micros(col("bucket_start")) + durUs <= untilUs)
+        complete.write.mode(SaveMode.Append).parquet(rollupPath(g))
+        state = state + (g.name -> hi)
+      }
+      // next level re-aggregates from THIS level's full persisted table slice
+      val nextDur = Granularity.coarserThan(g).headOption.map(_.durationSeconds * 1000000L)
+      finer = nextDur match {
+        case Some(nd) =>
+          val nextLo = state.getOrElse(Granularity.coarserThan(g).head.name, Long.MinValue)
+          val nextHi = (untilUs / nd) * nd
+          if (new java.io.File(rollupPath(g)).exists())
+            spark.read.parquet(rollupPath(g))
+              .where(unix_micros(col("bucket_start")) >= nextLo &&
+                unix_micros(col("bucket_start")) < nextHi)
+          else null
+        case None => null
+      }
+    }
+    writeState(state)
+  }
+
+  /** Finalized downsampled table at granularity `g` (read shape of S3). */
+  def rollup(g: Granularity): DataFrame =
+    spark.read.parquet(rollupPath(g))
+
+  // ---- read path (S3) -----------------------------------------------------
+
+  def getData(streamId: String, granularity: Granularity,
+              start: Option[Timestamp] = None, end: Option[Timestamp] = None,
+              startExclusive: Boolean = false, endExclusive: Boolean = false,
+              reverse: Boolean = false,
+              valueDownsamplers: Seq[String] = Downsamplers.allValue.toSeq.sorted,
+              timeDownsamplers: Seq[String] =
+                Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast)): DataFrame = {
+    val meta = streamMeta(streamId) // validates existence
+    if (granularity.name == meta.highest_granularity)
+      GetData.raw(rawDatapoints, streamId, start, end, startExclusive, endExclusive, reverse)
+    else {
+      if (!Granularity.isCoarserOrEqual(granularity, Granularity(meta.highest_granularity)))
+        throw new errors.UnsupportedGranularity(
+          s"${granularity.name} finer than stream's ${meta.highest_granularity}")
+      GetData.downsampled(rollup(granularity), streamId, start, end,
+        startExclusive, endExclusive, reverse, valueDownsamplers, timeDownsamplers)
+    }
+  }
+
+  /** Batch materialization of a derived stream's datapoints from its
+    * sources' raw data (the reference derives at append; batch recompute is
+    * the idempotent equivalent — T6).
+    */
+  def deriveDatapoints(streamId: String): DataFrame = {
+    val meta = streamMeta(streamId)
+    val op = meta.derive_op.getOrElse(
+      throw new errors.InvalidOperatorArguments(s"$streamId is not derived"))
+    val src = rawDatapoints
+      .join(broadcast(meta.derived_from.toDF("stream_id")), Seq("stream_id"), "left_semi")
+      .withColumn("event_id", monotonically_increasing_id())
+    val g = Granularity(meta.highest_granularity)
+    op match {
+      case "sum" =>
+        Derive.sumStreams(src.withColumn("derived", lit(streamId)), g, Seq("derived"))
+      case "derivative" => Derive.derivative(src)
+      case "counter_reset" => Derive.counterReset(src)
+      case "counter_derivative" =>
+        val maxV = meta.derive_args.flatMap { s =>
+          "max_value\"?\\s*[:=]\\s*([0-9.eE+-]+)".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+        }
+        Derive.counterDerivative(src, maxV)
+      case other => throw new errors.InvalidOperatorArguments(s"unknown derive op $other")
+    }
+  }
+}

@@ -21,12 +21,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles of `textCol` (default 3-word shingles). */
+  /** Distinct word n-gram shingles of `textCol` (default 3-word shingles).
+    * Docs shorter than `n` tokens yield an empty array (Spark's `sequence`
+    * would otherwise run descending and fabricate positions).
+    */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val w = split(textCol, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws("_", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+    when(size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws("_", (0 until n).map(o => element_at(w, i + o + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
@@ -58,37 +63,57 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod p
-    * over xxhash64'd shingles, p = 2⁶¹−1. Pure codegen'd array expressions —
-    * no UDF.
+    * over xxhash64'd shingles, p = 2³¹−1 (Mersenne prime — products of two
+    * values < p fit in 63 bits, so ANSI-mode long arithmetic never
+    * overflows). Pure codegen'd array expressions — no UDF.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val p = 2305843009213693951L // 2^61 - 1
+    val p = 2147483647L // 2^31 - 1
+    // hash each shingle string ONCE, then run the cheap integer
+    // permutations over the pre-hashed array
+    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
     transform(sequence(lit(0), lit(numHashes - 1)), i => {
       val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), lit(p - 1)) + 1
       val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), lit(p))
-      array_min(transform(shingleCol,
-        s => pmod(a * pmod(xxhash64(s), lit(p)) + b, lit(p))))
+      array_min(transform(hashed, h => pmod(a * h + b, lit(p))))
     })
   }
 
   /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
     * → band-hash collision join → exact-Jaccard verification ≥ `threshold`.
-    * With rowsPerBand=2, bands=64: P(miss | j=0.5) = (1−0.25)⁶⁴ ≈ 1e−8, so
-    * on the driver corpus the verified output equals the exact shingle-index
-    * result (same oracle); at scale the banding join is what survives when
-    * the inverted shingle index would fan out too far.
+    * With rowsPerBand=4, bands=16: P(candidate | j) = 1−(1−j⁴)¹⁶ — steep
+    * around j≈0.7, so near-orthogonal corpus pairs almost never collide
+    * while pairs at the 0.8 threshold are caught w.p. ≥ 0.9997; the
+    * verified output equals the exact shingle-index result (same oracle).
+    *
+    * Shape chosen for scale AND codegen: shingles are exploded to rows and
+    * hashed ONCE, then all `numHashes` permuted minima come from a single
+    * `groupBy(doc).agg(min…)` — one shuffle keyed by doc, flat codegen'd
+    * aggregates, no nested-lambda expression that projection collapse would
+    * duplicate per permutation (the array-lambda formulation measured 60×
+    * slower at sf0.1 for exactly that reason).
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double, n: Int = 3,
-                     bands: Int = 64, rowsPerBand: Int = 2,
+                     bands: Int = 16, rowsPerBand: Int = 4,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val p = 2147483647L // 2^31 − 1
+    val rnd = new scala.util.Random(8191)
+    val ab = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
     val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val sig = sh.select(col("doc_id"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(p)).as("h"))
+    val sig = hashed.groupBy("doc_id").agg(
+      min(pmod(col("h") * ab.head._1 + ab.head._2, lit(p))).as("m0"),
+      ab.tail.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("h") * a + b, lit(p))).as(s"m${i + 1}")
+      }: _*)
     val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(array((0 until bands).map { b =>
+        hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      }: _*)))
       .toDF("doc_id", "band", "band_hash")
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&

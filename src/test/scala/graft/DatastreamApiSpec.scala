@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+class DatastreamApiSpec extends SparkSpec {
+
+  private def freshDs(): Datastream =
+    new Datastream(spark, Files.createTempDirectory("graft-ds").toString)
+
+  test("ensure + append + getData raw roundtrip; re-ensure is idempotent") {
+    val ds = freshDs()
+    ds.ensureStream("s1", Map("kind" -> "test"))
+    ds.ensureStream("s1") // idempotent
+    assert(ds.streams.count() == 1)
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:01Z"))
+    ds.append("s1", 2.0, ts("2024-01-01T00:00:05Z"))
+    val out = ds.getData("s1", Granularity.Seconds).collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("non-monotone append rejected with InvalidTimestamp; opt-out drops stale rows") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:01:00Z"))
+    assertThrows[errors.InvalidTimestamp](
+      ds.append("s1", 2.0, ts("2024-01-01T00:00:30Z")))
+    ds.append("s1", 2.0, ts("2024-01-01T00:00:30Z"), checkTimestamp = false)
+    assert(ds.getData("s1", Granularity.Seconds).count() == 1) // stale row dropped
+  }
+
+  test("append to a derived stream is not allowed") {
+    val ds = freshDs()
+    ds.ensureStream("src")
+    ds.ensureStream("d", deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    assertThrows[errors.AppendToDerivedStreamNotAllowed](
+      ds.append("d", 1.0, ts("2024-01-01T00:00:00Z")))
+  }
+
+  test("derived stream granularity must match sources") {
+    val ds = freshDs()
+    ds.ensureStream("src", highestGranularity = Granularity.Seconds)
+    assertThrows[errors.IncompatibleGranularities](
+      ds.ensureStream("d", highestGranularity = Granularity.Minutes,
+        deriveOp = Some("sum"), derivedFrom = Seq("src")))
+  }
+
+  test("delete_streams refuses while dependents survive, then succeeds") {
+    val ds = freshDs()
+    ds.ensureStream("src", Map("role" -> "source"))
+    ds.ensureStream("d", Map("role" -> "derived"),
+      deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    assertThrows[errors.OutstandingDependenciesError](
+      ds.deleteStreams(Map("role" -> "source")))
+    assert(ds.deleteStreams(Map("role" -> "derived")) == 1)
+    assert(ds.deleteStreams(Map("role" -> "source")) == 1)
+    assert(ds.streams.count() == 0)
+  }
+
+  test("downsampleStreams finalizes only complete buckets and is incremental") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:10Z", 1.0),
+      ("s1", "2024-01-01T00:00:40Z", 3.0),
+      ("s1", "2024-01-01T00:01:10Z", 5.0))).select("stream_id", "ts", "value"))
+    // until mid-minute-1: only minute 0 is complete at minutes level
+    ds.downsampleStreams(ts("2024-01-01T00:01:30Z"))
+    val m1 = ds.getData("s1", Granularity.Minutes).collect()
+    assert(m1.map(r => (r.getAs[java.sql.Timestamp]("bucket_start"),
+      r.getAs[Long]("count"))).toSeq == Seq((ts("2024-01-01T00:00:00Z"), 2L)))
+    assert(m1.head.getAs[Double]("mean") == 2.0)
+    // later data + later watermark: minute 1 appears exactly once
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:01:50Z", 7.0)))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-01T00:05:00Z"))
+    val m2 = ds.getData("s1", Granularity.Minutes).collect()
+    assert(m2.map(r => (r.getAs[java.sql.Timestamp]("bucket_start"),
+      r.getAs[Long]("count"), r.getAs[Double]("mean"))).toSeq == Seq(
+      (ts("2024-01-01T00:00:00Z"), 2L, 2.0),
+      (ts("2024-01-01T00:01:00Z"), 2L, 6.0)))
+    // cascade reached coarser levels from the finer rollup
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    val d = ds.getData("s1", Granularity.Days).collect()
+    assert(d.length == 1 && d.head.getAs[Long]("count") == 4L)
+    assert(d.head.getAs[Double]("sum") == 16.0)
+  }
+
+  test("getData at a finer granularity than the stream's highest is an error") {
+    val ds = freshDs()
+    ds.ensureStream("s1", highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    assertThrows[errors.UnsupportedGranularity](
+      ds.getData("s1", Granularity.Seconds))
+  }
+
+  test("derived datapoints: batch materialization of derivative from source") {
+    val ds = freshDs()
+    ds.ensureStream("src")
+    ds.ensureStream("d", deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    ds.appendMultiple(dp(Seq(
+      ("src", "2024-01-01T00:00:00Z", 10.0),
+      ("src", "2024-01-01T00:00:10Z", 30.0))).select("stream_id", "ts", "value"))
+    val out = ds.deriveDatapoints("d").collect()
+    assert(out.map(_.getAs[Double]("derivative")).toSeq == Seq(2.0))
+  }
+}

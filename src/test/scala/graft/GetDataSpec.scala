@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GetDataSpec extends SparkSpec {
+
+  private def fixture = dp(Seq(
+    ("a", "2024-01-01T00:00:00Z", 1.0),
+    ("a", "2024-01-01T00:01:00Z", 2.0),
+    ("a", "2024-01-01T00:02:00Z", 3.0),
+    ("b", "2024-01-01T00:01:00Z", 9.0)))
+
+  test("inclusive/exclusive bounds at exact edges") {
+    val f = fixture
+    def vals(se: Boolean, ee: Boolean): Seq[Double] =
+      GetData.raw(f, "a",
+        start = Some(ts("2024-01-01T00:00:00Z")), end = Some(ts("2024-01-01T00:02:00Z")),
+        startExclusive = se, endExclusive = ee)
+        .collect().map(_.getAs[Double]("value")).toSeq
+    assert(vals(false, false) == Seq(1.0, 2.0, 3.0))
+    assert(vals(true, false) == Seq(2.0, 3.0))
+    assert(vals(false, true) == Seq(1.0, 2.0))
+    assert(vals(true, true) == Seq(2.0))
+  }
+
+  test("reverse equals reversed forward scan") {
+    val f = fixture
+    val fwd = GetData.raw(f, "a").collect().map(_.getAs[Double]("value")).toSeq
+    val rev = GetData.raw(f, "a", reverse = true).collect().map(_.getAs[Double]("value")).toSeq
+    assert(rev == fwd.reverse)
+  }
+
+  test("only the requested stream's datapoints are returned") {
+    assert(GetData.raw(fixture, "b").collect().map(_.getAs[Double]("value")).toSeq == Seq(9.0))
+  }
+
+  test("downsampled projection returns only requested downsamplers") {
+    val partial = Downsample.aggregateRaw(fixture, Granularity.Minutes)
+    val out = GetData.downsampled(partial, "a",
+      valueDownsamplers = Seq(Downsamplers.Mean, Downsamplers.Count),
+      timeDownsamplers = Seq(Downsamplers.TimeLast))
+    assert(out.columns.toSeq == Seq("stream_id", "bucket_start", "mean", "count", "t_last"))
+    assert(out.count() == 3)
+  }
+
+  test("unsupported downsampler name raises UnsupportedDownsampler") {
+    val partial = Downsample.aggregateRaw(fixture, Granularity.Minutes)
+    assertThrows[errors.UnsupportedDownsampler](
+      GetData.downsampled(partial, "a", valueDownsamplers = Seq("median")))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points: Seq[Streaming.Point] = Seq(
+    Streaming.Point("a", ts("2024-01-01T00:00:00Z"), 10.0),
+    Streaming.Point("a", ts("2024-01-01T00:00:10Z"), 30.0),
+    Streaming.Point("b", ts("2024-01-01T00:00:05Z"), 5.0),
+    Streaming.Point("a", ts("2024-01-01T00:00:15Z"), 20.0),
+    Streaming.Point("b", ts("2024-01-01T00:00:25Z"), 2.0),
+    Streaming.Point("a", ts("2024-01-01T00:01:30Z"), 50.0))
+
+  test("streaming derivative across micro-batches equals batch derivative") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val out = Streaming.derive(mem.toDS(), "derivative")
+    val q = out.writeStream.format("memory").queryName("sderiv")
+      .outputMode("append").start()
+    try {
+      mem.addData(points.take(3): _*); q.processAllAvailable()
+      mem.addData(points.drop(3): _*); q.processAllAvailable()
+      val streamed = spark.table("sderiv")
+        .select("stream_id", "ts", "value")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+      val batch = Derive.derivative(
+        points.toDF("stream_id", "ts", "value").withColumn("event_id", lit(0L)))
+        .select(col("stream_id"), col("ts"), col("derivative"))
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming counter_derivative handles wraparound like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val wrap = Seq(
+      Streaming.Point("s", ts("2024-01-01T00:00:00Z"), 90.0),
+      Streaming.Point("s", ts("2024-01-01T00:00:10Z"), 95.0),
+      Streaming.Point("s", ts("2024-01-01T00:00:20Z"), 3.0))
+    val out = Streaming.derive(mem.toDS(), "counter_derivative", Some(100.0))
+    val q = out.writeStream.format("memory").queryName("scd")
+      .outputMode("append").start()
+    try {
+      mem.addData(wrap: _*); q.processAllAvailable()
+      val got = spark.table("scd").orderBy("ts").select("value").as[Double].collect().toSeq
+      assert(got == Seq(0.5, 0.8))
+    } finally q.stop()
+  }
+
+  test("watermarked streaming downsample emits exactly the finalized complete buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val out = Streaming.downsample(mem.toDF(), Granularity.Minutes, "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sdown")
+      .outputMode("append").start()
+    try {
+      mem.addData(points: _*); q.processAllAvailable()
+      // watermark = max(ts) - 30s = 00:01:00 → minute-0 bucket is final
+      mem.addData(Streaming.Point("a", ts("2024-01-01T00:05:00Z"), 1.0))
+      q.processAllAvailable() // advance watermark past minute 1
+      val emitted = spark.table("sdown")
+        .select("stream_id", "bucket_start", "cnt")
+        .as[(String, java.sql.Timestamp, Long)].collect().toSet
+      val batchEquiv = Downsample.aggregateRaw(
+        points.toDF("stream_id", "ts", "value"), Granularity.Minutes)
+        .where(col("bucket_start") < ts("2024-01-01T00:02:00Z"))
+        .select("stream_id", "bucket_start", "cnt")
+        .as[(String, java.sql.Timestamp, Long)].collect().toSet
+      assert(emitted == batchEquiv)
+      assert(emitted.map(_._2).contains(ts("2024-01-01T00:00:00Z")))
+    } finally q.stop()
+  }
+}
