@@ -53,7 +53,10 @@ object SparkEntry {
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
-    "q_fingerprint" -> Queries.fingerprint _
+    "q_fingerprint" -> Queries.fingerprint _,
+    "q_downsample_nominal" -> Queries.downsampleNominal _,
+    "q_multimodal_decode" -> Queries.multimodalDecode _,
+    "q_frame_sample" -> Queries.frameSample _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,7 +81,10 @@ object SparkEntry {
     // design — not SQL-expressible as an exact twin; rows-only check.
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
-    "q_fingerprint" -> Oracles.fingerprint
+    "q_fingerprint" -> Oracles.fingerprint,
+    "q_downsample_nominal" -> Oracles.downsampleNominal,
+    "q_multimodal_decode" -> Oracles.multimodalDecode,
+    "q_frame_sample" -> Oracles.frameSample
   )
 }
 
@@ -216,6 +222,41 @@ object Queries {
 
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.fingerprint(Sources.documents(spark, sfDir))
+
+  /** A1-for-nominal: count-only downsample of events treated as a nominal
+    * stream (value = the props JSON), hours granularity — the reference's
+    * nominal/graph value types downsample with `count` only (SURVEY §1.1).
+    */
+  def downsampleNominal(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"),
+        Downsample.bucketStart(col("ts"), Granularity.Hours).as("bucket_start"))
+      .agg(count(col("props")).as("count"),
+        min("ts").as("t_first"), max("ts").as("t_last"))
+
+  /** X5: stub-decoded multimodal metadata per kind (typed mapPartitions
+    * plumbing; deterministic fake codec — see Multimodal scaladoc).
+    */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ext.Multimodal.decode(
+        ext.Multimodal.assetsFromDocuments(Sources.documents(spark, sfDir))
+          .as[ext.Multimodal.Asset])
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_bytes").as("bytes_sum"),
+        sum(col("width").cast("long")).as("width_sum"),
+        sum(col("height").cast("long")).as("height_sum"),
+        sum("duration_ms").as("duration_sum"))
+  }
+
+  /** X5: frame-sampling layout over video-like binary payloads. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.sampleFrames(
+        ext.Multimodal.assetsFromDocuments(Sources.documents(spark, sfDir)))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("asset_id")).as("n_assets"))
 
   /** X4: whitespace token counts per language over documents. */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -449,4 +490,40 @@ SELECT doc_id,
   list_min(sel) AS fp_min,
   CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_sum
 FROM s"""
+
+  val downsampleNominal: String =
+    """SELECT user_id, event_type,
+  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+  count(props) AS "count", min(ts) AS t_first, max(ts) AS t_last
+FROM events GROUP BY 1, 2, 3"""
+
+  /** Mirrors Multimodal.decodeOne's deterministic stub arithmetic. */
+  val multimodalDecode: String =
+    """WITH d AS (
+  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents)
+SELECT kind, count(*) AS n_assets,
+  CAST(sum(n) AS BIGINT) AS bytes_sum,
+  CAST(sum(16 + n % 512) AS BIGINT) AS width_sum,
+  CAST(sum(16 + (n * 7) % 512) AS BIGINT) AS height_sum,
+  CAST(sum(CASE WHEN kind = 'image' THEN 0 ELSE n * 20 END) AS BIGINT) AS duration_sum
+FROM d GROUP BY 1"""
+
+  /** frames(n) = least(greatest(1, n // 4096), ceil(n / 4096)) for n > 0 —
+    * the closed form of sampleFrames' sequence+substring layout.
+    */
+  val frameSample: String =
+    """WITH d AS (
+  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+    doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents),
+f AS (
+  SELECT kind, doc_id,
+    CASE WHEN n = 0 THEN 0
+         ELSE least(greatest(1, n // 4096), (n + 4095) // 4096) END AS frames
+  FROM d)
+SELECT kind, CAST(sum(frames) AS BIGINT) AS n_frames,
+  count(DISTINCT CASE WHEN frames > 0 THEN doc_id END) AS n_assets
+FROM f GROUP BY 1"""
 }

@@ -110,20 +110,34 @@ class Datastream(spark: SparkSession, warehouse: String) {
     appendMultiple(Seq((streamId, ts, value)).toDF("stream_id", "ts", "value"),
       checkTimestamp)
 
-  /** Bulk append of `(stream_id, ts, value)` rows. Monotonicity policy: every
-    * new point must be ≥ the stream's stored latest datapoint. Violations
-    * throw `InvalidTimestamp` when `checkTimestamp`, else the stale rows are
-    * dropped (the documented batch analog of the reference's opt-out).
-    * Appending to a derived stream is always an error.
+  /** Bulk append of `(stream_id, ts, value[, value_json])` rows — numeric
+    * streams carry `value`, nominal/graph streams carry JSON in `value_json`
+    * (F3). Monotonicity policy: every new point must be ≥ the stream's
+    * stored latest datapoint. Violations throw `InvalidTimestamp` when
+    * `checkTimestamp`, else the stale rows are dropped (the documented batch
+    * analog of the reference's opt-out). Appending to a derived stream or a
+    * null value to a numeric stream is always an error.
     */
-  def appendMultiple(points: DataFrame, checkTimestamp: Boolean = true): Unit = {
-    val meta = streams.select("stream_id", "derive_op").cache()
+  def appendMultiple(points0: DataFrame, checkTimestamp: Boolean = true): Unit = {
+    val points =
+      if (points0.columns.contains("value_json")) points0
+      else points0.withColumn("value_json", lit(null).cast("string"))
+    val meta = streams.select("stream_id", "derive_op", "value_type").cache()
     try {
       val derived = points.join(broadcast(meta.where(col("derive_op").isNotNull)),
         Seq("stream_id"), "left_semi")
       if (derived.count() > 0)
         throw new errors.AppendToDerivedStreamNotAllowed(
           derived.select("stream_id").distinct().collect().map(_.getString(0)).mkString(", "))
+      val badNumeric = points
+        .join(broadcast(meta.where(col("value_type") === ValueType.Numeric)),
+          Seq("stream_id"), "left_semi")
+        .where(col("value").isNull)
+      if (badNumeric.count() > 0)
+        throw new IllegalArgumentException(
+          s"null value appended to numeric stream(s): " +
+            badNumeric.select("stream_id").distinct().collect()
+              .map(_.getString(0)).mkString(", "))
 
       val latest =
         if (new java.io.File(rawPath).exists())
@@ -138,7 +152,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
             s"for stream ${ex.getString(0)}")
       }
       joined.where(col("latest").isNull || col("ts") >= col("latest"))
-        .select("stream_id", "ts", "value")
+        .select("stream_id", "ts", "value", "value_json")
         .write.mode(SaveMode.Append).parquet(rawPath)
     } finally meta.unpersist()
   }
@@ -220,22 +234,36 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   // ---- read path (S3) -----------------------------------------------------
 
+  /** S3 read path. Requested downsamplers are validated against the
+    * STREAM'S declared set (nominal/graph streams are count-only), not just
+    * the global name space — `UnsupportedDownsampler` otherwise.
+    */
   def getData(streamId: String, granularity: Granularity,
               start: Option[Timestamp] = None, end: Option[Timestamp] = None,
               startExclusive: Boolean = false, endExclusive: Boolean = false,
               reverse: Boolean = false,
-              valueDownsamplers: Seq[String] = Downsamplers.allValue.toSeq.sorted,
+              valueDownsamplers: Option[Seq[String]] = None,
               timeDownsamplers: Seq[String] =
-                Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast)): DataFrame = {
+                Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast),
+              limit: Option[Int] = None, offset: Int = 0): DataFrame = {
     val meta = streamMeta(streamId) // validates existence
-    if (granularity.name == meta.highest_granularity)
-      GetData.raw(rawDatapoints, streamId, start, end, startExclusive, endExclusive, reverse)
-    else {
+    if (granularity.name == meta.highest_granularity) {
+      val vcols = if (meta.value_type == ValueType.Numeric) Seq("value") else Seq("value_json")
+      GetData.raw(rawDatapoints, streamId, start, end, startExclusive,
+        endExclusive, reverse, limit, offset, vcols)
+    } else {
       if (!Granularity.isCoarserOrEqual(granularity, Granularity(meta.highest_granularity)))
         throw new errors.UnsupportedGranularity(
           s"${granularity.name} finer than stream's ${meta.highest_granularity}")
-      GetData.downsampled(rollup(granularity), streamId, start, end,
-        startExclusive, endExclusive, reverse, valueDownsamplers, timeDownsamplers)
+      val requested = valueDownsamplers.getOrElse(meta.value_downsamplers)
+      val undeclared = requested.filterNot(meta.value_downsamplers.contains)
+      if (undeclared.nonEmpty)
+        throw new errors.UnsupportedDownsampler(
+          s"stream $streamId does not declare: ${undeclared.mkString(", ")}")
+      GetData.paginate(
+        GetData.downsampled(rollup(granularity), streamId, start, end,
+          startExclusive, endExclusive, reverse, requested, timeDownsamplers),
+        limit, offset)
     }
   }
 

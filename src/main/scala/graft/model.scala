@@ -101,6 +101,17 @@ case class StreamMeta(
     derived_from: Seq[String] = Seq.empty)
 
 object Schemas {
+  /** Graph value wire format [ds :: value_type "graph"]: vertex list `v`
+    * (ids `i`) and edge list `e` (`f`→`t`). Stored as JSON in `value_json`;
+    * parse with `from_json(col, Schemas.graph)` (F3).
+    */
+  val graph: StructType = StructType(Seq(
+    StructField("v", ArrayType(StructType(Seq(
+      StructField("i", StringType)))), nullable = true),
+    StructField("e", ArrayType(StructType(Seq(
+      StructField("f", StringType),
+      StructField("t", StringType)))), nullable = true)))
+
   /** Raw datapoints fact table (the 100 TB side). At cluster scale this is
     * partitioned by `date(ts)` and bucketed by `stream_id`.
     */

@@ -36,19 +36,40 @@ object GetData {
           s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
   }
 
+  /** Tastypie-style pagination (O2): `limit`+`offset` over the ordered scan.
+    * Spark 4's `offset` composes with `limit` into a single
+    * TakeOrderedAndProject-like plan — no full materialization.
+    */
+  def paginate(df: DataFrame, limit: Option[Int], offset: Int): DataFrame = {
+    val off = if (offset > 0) df.offset(offset) else df
+    limit.map(off.limit).getOrElse(off)
+  }
+
   /** Datapoint fetch at the stream's highest granularity: raw
     * `(stream_id, ts, value)` rows in the range, optionally reversed.
     */
   def raw(datapoints: DataFrame, streamId: String,
           start: Option[Timestamp] = None, end: Option[Timestamp] = None,
           startExclusive: Boolean = false, endExclusive: Boolean = false,
-          reverse: Boolean = false): DataFrame = {
+          reverse: Boolean = false,
+          limit: Option[Int] = None, offset: Int = 0,
+          valueCols: Seq[String] = Seq("value")): DataFrame = {
     val filtered = datapoints
       .where(col("stream_id") === streamId)
       .where(rangePredicate(col("ts"), start, end, startExclusive, endExclusive))
-      .select("stream_id", "ts", "value")
-    if (reverse) filtered.orderBy(col("ts").desc) else filtered.orderBy(col("ts"))
+      .select((Seq("stream_id", "ts") ++ valueCols).map(col): _*)
+    paginate(
+      if (reverse) filtered.orderBy(col("ts").desc) else filtered.orderBy(col("ts")),
+      limit, offset)
   }
+
+  /** ISO-8601 rendering of datapoint timestamps — the facade's wire format
+    * (F5) [dds :: serializers.py :: DatastreamSerializer].
+    */
+  def renderIso(df: DataFrame, tsCols: Seq[String]): DataFrame =
+    tsCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, date_format(col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    }
 
   /** Downsampled fetch: `partial` is the rollup table at the requested
     * granularity (its `bucket_start` is the datapoint timestamp, matching

@@ -41,13 +41,17 @@ object StreamRegistry {
         col("n_datapoints"))
 
   /** Tag-equality query over the registry — the reference's
-    * `find_streams(query_tags)`. Flat tags match via `element_at`; nested
-    * JSON tags would match via `get_json_object` on a `tags_json` column
-    * (SURVEY.md §2.2 P2).
+    * `find_streams(query_tags)` (SURVEY.md §2.2 P2). Flat tags match via
+    * `element_at` on the tags map; nested paths (the HTTP layer's
+    * `tags__a__b=c`, expressed here as "a.b" keys) match via
+    * `get_json_object` on a `tags_json` column when present.
     */
   def findStreams(registry: DataFrame, tagQuery: Map[String, String]): DataFrame =
     tagQuery.foldLeft(registry) { case (df, (k, v)) =>
-      df.where(element_at(col("tags"), k) === v)
+      if (k.contains(".") && df.columns.contains("tags_json"))
+        df.where(get_json_object(col("tags_json"), s"$$.$k") === v)
+      else
+        df.where(element_at(col("tags"), k) === v)
     }
 
   /** Stream-selection semi-join (J1): restrict the fact table to datapoints

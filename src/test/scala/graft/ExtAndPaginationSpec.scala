@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class ExtAndPaginationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("limit/offset pagination over ordered getData") {
+    val f = dp((0 until 10).map(i => ("a", f"2024-01-01T00:00:$i%02dZ", i.toDouble)))
+    val page = GetData.raw(f, "a", limit = Some(3), offset = 4)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(page == Seq(4.0, 5.0, 6.0))
+    val lastPage = GetData.raw(f, "a", reverse = true, limit = Some(2))
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(lastPage == Seq(9.0, 8.0))
+  }
+
+  test("nested tag query matches via tags_json") {
+    val reg = Seq(
+      ("s1", Map("flat" -> "x"), """{"a":{"b":"c"}}"""),
+      ("s2", Map("flat" -> "x"), """{"a":{"b":"OTHER"}}"""))
+      .toDF("stream_id", "tags", "tags_json")
+    val hit = StreamRegistry.findStreams(reg, Map("a.b" -> "c"))
+    assert(hit.select("stream_id").as[String].collect().toSeq == Seq("s1"))
+    assert(StreamRegistry.findStreams(reg, Map("flat" -> "x")).count() == 2)
+  }
+
+  test("nominal stream: append value_json, count-only downsample, raw read returns JSON") {
+    val ds = new Datastream(spark, Files.createTempDirectory("graft-nom").toString)
+    ds.ensureStream("n1", valueType = ValueType.Nominal)
+    assert(ds.streamMeta("n1").value_downsamplers == Seq("count"))
+    ds.appendMultiple(Seq(
+      ("n1", ts("2024-01-01T00:00:10Z"), null.asInstanceOf[java.lang.Double], """{"state":"up"}"""),
+      ("n1", ts("2024-01-01T00:00:20Z"), null.asInstanceOf[java.lang.Double], """{"state":"down"}"""))
+      .toDF("stream_id", "ts", "value", "value_json"))
+    val raw = ds.getData("n1", Granularity.Seconds).collect()
+    assert(raw.map(_.getAs[String]("value_json")).toSeq ==
+      Seq("""{"state":"up"}""", """{"state":"down"}"""))
+    ds.downsampleStreams(ts("2024-01-01T01:00:00Z"))
+    val m = ds.getData("n1", Granularity.Minutes, valueDownsamplers = Some(Seq("count")))
+      .collect()
+    assert(m.length == 1 && m.head.getAs[Long]("count") == 2L)
+    // numeric downsamplers are undeclared for a nominal stream
+    assertThrows[errors.UnsupportedDownsampler](
+      ds.getData("n1", Granularity.Minutes, valueDownsamplers = Some(Seq("mean"))))
+  }
+
+  test("graph value JSON parses against the graph schema") {
+    val g = Seq("""{"v":[{"i":"a"},{"i":"b"}],"e":[{"f":"a","t":"b"}]}""").toDF("value_json")
+      .select(from_json(col("value_json"), Schemas.graph).as("g"))
+    val row = g.select(size(col("g.v")).as("nv"), size(col("g.e")).as("ne")).collect().head
+    assert((row.getAs[Int]("nv"), row.getAs[Int]("ne")) == ((2, 1)))
+  }
+
+  test("numeric stream rejects null value appends") {
+    val ds = new Datastream(spark, Files.createTempDirectory("graft-num").toString)
+    ds.ensureStream("s1")
+    assertThrows[IllegalArgumentException](
+      ds.appendMultiple(Seq(
+        ("s1", ts("2024-01-01T00:00:00Z"), null.asInstanceOf[java.lang.Double], "{}"))
+        .toDF("stream_id", "ts", "value", "value_json")))
+  }
+
+  test("multimodal decode keeps one row per asset with deterministic stub metadata") {
+    val assets = Seq(
+      ext.Multimodal.Asset(0L, "image", "abcd".getBytes("UTF-8"), "{}"),
+      ext.Multimodal.Asset(1L, "audio", "x".getBytes("UTF-8"), "{}"))
+    val out = ext.Multimodal.decode(spark.createDataset(assets)).collect()
+      .map(d => d.asset_id -> d).toMap
+    assert(out(0L).width == 20 && out(0L).n_bytes == 4L && out(0L).duration_ms == 0L)
+    assert(out(1L).duration_ms == 20L && out(1L).channels == 3)
+  }
+
+  test("multimodal features have fixed dim and preserve byte counts") {
+    val assets = spark.createDataset(Seq(
+      ext.Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"), "{}")))
+    val f = ext.Multimodal.features(assets, dim = 16).collect().head
+    val vec = f.getSeq[Float](f.fieldIndex("embedding"))
+    assert(vec.length == 16)
+    assert(vec.sum == 11.0f) // one vote per payload byte
+  }
+
+  test("frame sampling emits every stride-th chunk") {
+    val payload = Array.fill[Byte](4096 * 2 + 100)(65)
+    val assets = Seq((1L, "video", payload)).toDF("asset_id", "kind", "payload")
+    val frames = ext.Multimodal.sampleFrames(assets).collect()
+    assert(frames.length == 2) // offsets 0 and 4096
+    assert(frames.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1))
+  }
+}
