@@ -61,12 +61,14 @@ object Text {
     */
   def quality(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("long")
+    // bind the token array once — lambda bodies (filter/transform) are
+    // interpreted without CSE, so an inline split would re-run per reference
+    val bound = docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("w"))
+    val nTok = size(col("w")).cast("long")
     val nChars = length(col(textCol)).cast("long")
-    val nStop = langScore(toks, "en")
+    val nStop = langScore(col("w"), "en")
     val nPunct = punctCount(col(textCol)).cast("long")
-    docs.select(
+    bound.select(
       col(idCol),
       nTok.as("n_tokens"),
       nChars.as("n_chars"),
@@ -110,11 +112,11 @@ object Text {
     * sums, marker-score sums, predicted-language distribution.
     */
   def languageReport(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.select(col("lang"),
-        size(toks).cast("long").as("n_tokens"),
+    docs.select(col("lang"), col(textCol), tokens(col(textCol)).as("w"))
+      .select(col("lang"),
+        size(col("w")).cast("long").as("n_tokens"),
         bpeishTokenCount(col(textCol)).as("n_bpeish"),
-        langId(toks).as("predicted"))
+        langId(col("w")).as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("tokens_sum"),

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object GetData {
 
+  private def us(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
   /** Inclusive/exclusive time-range predicate on `tsCol` (P1). */
   def rangePredicate(tsCol: Column,
                      start: Option[Timestamp], end: Option[Timestamp],
@@ -54,8 +57,19 @@ object GetData {
           reverse: Boolean = false,
           limit: Option[Int] = None, offset: Int = 0,
           valueCols: Seq[String] = Seq("value")): DataFrame = {
+    // When the source kept its raw ns-long timestamp (ts_ns), add redundant
+    // bounds on it: the derived `ts` hides the range from parquet pushdown,
+    // while the ts_ns bounds reach row-group min/max pruning. Exclusivity is
+    // safe to relax here — the exact µs predicate still applies on top.
+    val pushable: Column =
+      if (!datapoints.columns.contains("ts_ns")) lit(true)
+      else Seq(
+        start.map(s => col("ts_ns") >= lit(us(s) * 1000L)),
+        end.map(e => col("ts_ns") < lit((us(e) + 1) * 1000L)))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
     val filtered = datapoints
       .where(col("stream_id") === streamId)
+      .where(pushable)
       .where(rangePredicate(col("ts"), start, end, startExclusive, endExclusive))
       .select((Seq("stream_id", "ts") ++ valueCols).map(col): _*)
     paginate(

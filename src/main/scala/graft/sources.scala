@@ -19,10 +19,16 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Raw events with µs-precision timestamps (ns truncated, like DuckDB). */
+  /** Raw events with µs-precision timestamps (ns truncated, like DuckDB).
+    * The original ns long survives as `ts_ns`: predicates on the derived
+    * `ts` cannot reach the parquet scan (the conversion hides them from
+    * pushdown), so range scans add equivalent bounds on `ts_ns`, which DO
+    * push into row-group min/max pruning — see GetData.raw.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -35,7 +41,7 @@ object Sources {
   def eventsAsDatapoints(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir).select(
       concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-      col("ts"), col("value"),
+      col("ts"), col("ts_ns"), col("value"),
       col("user_id"), col("event_type"), col("event_id"), col("props"))
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
