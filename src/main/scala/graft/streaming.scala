@@ -38,6 +38,32 @@ object Streaming {
         Seq("cnt", "vsum", "vmin", "vmax", "vsumsq", "tfirst", "tlast", "tsum_us")
           .map(col): _*)
 
+  /** S1 streaming flavor: continuous ingest of `(stream_id, ts, value)`
+    * rows into the raw datapoint table. Any streaming source DataFrame
+    * works (file/Kafka/rate/Memory); exactly-once via the checkpoint.
+    */
+  def ingest(points: DataFrame, rawPath: String, checkpoint: String) =
+    points.select(col("stream_id"), col("ts"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", rawPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** T1/T2 streaming maintenance: the watermarked cascade of ONE granularity
+    * written append-mode to its rollup table. One StreamingQuery per ladder
+    * level owns that level's state — the reference's maintenance-lock role
+    * is played by the checkpoint (SURVEY.md §2.9 T5).
+    */
+  def maintain(raw: DataFrame, g: Granularity, delay: String,
+               rollupPath: String, checkpoint: String) =
+    downsample(raw, g, delay)
+      .writeStream
+      .format("parquet")
+      .option("path", rollupPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** One raw datapoint on the wire. */
   case class Point(stream_id: String, ts: Timestamp, value: Double)
   /** Per-stream derive state: last seen datapoint (epoch-µs, value). */

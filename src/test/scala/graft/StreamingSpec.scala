@@ -75,4 +75,26 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.map(_._2).contains(ts("2024-01-01T00:00:00Z")))
     } finally q.stop()
   }
+
+  test("streaming ingest + maintenance write parquet tables a batch reader can query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[Streaming.Point]
+    val qIngest = Streaming.ingest(mem.toDF(), s"$dir/raw", s"$dir/ck-ingest").start()
+    val qMaint = Streaming.maintain(mem.toDF(), Granularity.Minutes, "30 seconds",
+      s"$dir/rollup", s"$dir/ck-maint").start()
+    try {
+      mem.addData(points: _*)
+      qIngest.processAllAvailable(); qMaint.processAllAvailable()
+      mem.addData(Streaming.Point("a", ts("2024-01-01T00:05:00Z"), 1.0))
+      qIngest.processAllAvailable(); qMaint.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/raw").count() == 7)
+      val finalized = Downsample.finalizeView(spark.read.parquet(s"$dir/rollup"))
+      val minute0 = finalized
+        .where(col("stream_id") === "a" &&
+          col("bucket_start") === ts("2024-01-01T00:00:00Z")).collect()
+      assert(minute0.length == 1 && minute0.head.getAs[Long]("count") == 3L)
+      assert(minute0.head.getAs[Double]("mean") == 20.0)
+    } finally { qIngest.stop(); qMaint.stop() }
+  }
 }
