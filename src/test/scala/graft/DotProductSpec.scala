@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom codegen dot product is bit-identical to the declarative fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        ext.Similarity.dot(col("a"), col("b")).as("native"),
+        ext.Similarity.dotFold(col("a"), col("b")).as("fold"))
+      .where(col("native") =!= col("fold")) // bitwise-equal doubles compare equal
+      .count()
+    assert(diff == 0)
+  }
+
+  test("dot product of double arrays and null-array propagation") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0, 2.0, 3.0))))
+      .toDF("a", "b")
+    val out = df.select(ext.Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(32.0), None))
+  }
+
+  test("type mismatch is rejected at analysis") {
+    val df = Seq((Seq(1, 2), Seq(1.0, 2.0))).toDF("a", "b")
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      df.select(ext.Similarity.dot(col("a"), col("b"))).collect())
+  }
+}
