@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the first timed query doesn't absorb ~4s of
+    // session + JIT start-up (measured; data itself is not cached)
+    spark.range(1000).selectExpr("sum(id)").collect()
     // optional comma-separated subset for local diagnosis (driver leaves unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

@@ -185,6 +185,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * data — the Spark analog of the reference's `downsampled_until`
     * bookkeeping [ds :: backends/mongodb.py :: downsample_streams].
     */
+  /** Timestamp literal from epoch-µs — foldable, so comparisons against it
+    * push down to parquet scans (an `unix_micros(col)` rewrite would not).
+    */
+  private def tsLit(us: Long): org.apache.spark.sql.Column =
+    lit(Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L)))
+
   def downsampleStreams(until: Timestamp): Unit = {
     if (!new java.io.File(rawPath).exists()) return
     val untilUs = until.toInstant.getEpochSecond * 1000000L +
@@ -197,31 +204,43 @@ class Datastream(spark: SparkSession, warehouse: String) {
       val lo = state.getOrElse(g.name, Long.MinValue)
       if (hi > lo) {
         val sourceDf = finer match {
-          case null => spark.read.parquet(rawPath)
-            .where(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < hi)
+          case null =>
+            val base = spark.read.parquet(rawPath).where(col("ts") < tsLit(hi))
+            if (lo != Long.MinValue) base.where(col("ts") >= tsLit(lo)) else base
           case f => f
         }
         val agg = finer match {
           case null => Downsample.aggregateRaw(sourceDf, g)
           case f => Downsample.rollup(f, g)
         }
-        val complete = agg
-          .where(unix_micros(col("bucket_start")) >= lo &&
-            unix_micros(col("bucket_start")) + durUs <= untilUs)
-        complete.write.mode(SaveMode.Append).parquet(rollupPath(g))
+        // aligned buckets: start < hi ⟺ bucket wholly ≤ until
+        val complete = agg.where(col("bucket_start") < tsLit(hi))
+        val bounded =
+          if (lo != Long.MinValue) complete.where(col("bucket_start") >= tsLit(lo))
+          else complete
+        // partitioned by bucket date — the 100 TB layout; maintenance and
+        // reads prune partitions by date before row-group pruning kicks in
+        bounded.withColumn("bucket_date", to_date(col("bucket_start")))
+          .write.mode(SaveMode.Append).partitionBy("bucket_date")
+          .parquet(rollupPath(g))
         state = state + (g.name -> hi)
       }
       // next level re-aggregates from THIS level's full persisted table slice
-      val nextDur = Granularity.coarserThan(g).headOption.map(_.durationSeconds * 1000000L)
-      finer = nextDur match {
-        case Some(nd) =>
-          val nextLo = state.getOrElse(Granularity.coarserThan(g).head.name, Long.MinValue)
-          val nextHi = (untilUs / nd) * nd
-          if (new java.io.File(rollupPath(g)).exists())
-            spark.read.parquet(rollupPath(g))
-              .where(unix_micros(col("bucket_start")) >= nextLo &&
-                unix_micros(col("bucket_start")) < nextHi)
-          else null
+      val next = Granularity.coarserThan(g).headOption
+      finer = next match {
+        case Some(ng) =>
+          val nextLo = state.getOrElse(ng.name, Long.MinValue)
+          val nextHi = (untilUs / (ng.durationSeconds * 1000000L)) *
+            (ng.durationSeconds * 1000000L)
+          if (new java.io.File(rollupPath(g)).exists()) {
+            val base = spark.read.schema(Schemas.downsampledPartitioned)
+              .parquet(rollupPath(g))
+              .where(col("bucket_start") < tsLit(nextHi))
+            val sliced =
+              if (nextLo != Long.MinValue) base.where(col("bucket_start") >= tsLit(nextLo))
+              else base
+            sliced.drop("bucket_date")
+          } else null
         case None => null
       }
     }
@@ -230,7 +249,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   /** Finalized downsampled table at granularity `g` (read shape of S3). */
   def rollup(g: Granularity): DataFrame =
-    spark.read.parquet(rollupPath(g))
+    spark.read.schema(Schemas.downsampledPartitioned)
+      .parquet(rollupPath(g)).drop("bucket_date")
 
   // ---- read path (S3) -----------------------------------------------------
 
@@ -260,8 +280,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (undeclared.nonEmpty)
         throw new errors.UnsupportedDownsampler(
           s"stream $streamId does not declare: ${undeclared.mkString(", ")}")
+      // partition pruning first (bucket_date bounds), then row-group pruning
+      // and the exact bucket_start predicate inside GetData
+      val pruned = Seq(
+        start.map(s => col("bucket_date") >= to_date(lit(s))),
+        end.map(e => col("bucket_date") <= to_date(lit(e))))
+        .flatten
+        .foldLeft(spark.read.schema(Schemas.downsampledPartitioned)
+          .parquet(rollupPath(granularity)))(_.where(_))
+        .drop("bucket_date")
       GetData.paginate(
-        GetData.downsampled(rollup(granularity), streamId, start, end,
+        GetData.downsampled(pruned, streamId, start, end,
           startExclusive, endExclusive, reverse, requested, timeDownsamplers),
         limit, offset)
     }

@@ -121,21 +121,27 @@ object Schemas {
     StructField("value", DoubleType, nullable = true),
     StructField("value_json", StringType, nullable = true)))
 
-  /** Downsampled (rollup) fact table: re-aggregable partial state. mean and
-    * std_dev are derived at read time from (sum, count, sum_squares) so that
-    * ladder merges stay exact — SURVEY.md §1.3.
+  /** Downsampled (rollup) fact table: re-aggregable partial state, exactly
+    * as `Downsample.aggregateRaw` produces it — decimal sums so ladder
+    * merges are exact; mean and std_dev are derived at read time from
+    * (sum, count, sum_squares) — SURVEY.md §1.3. Load-bearing: the facade
+    * passes this schema on rollup reads (robust to empty partition dirs).
     */
   val downsampled: StructType = StructType(Seq(
     StructField("stream_id", StringType, nullable = false),
     StructField("bucket_start", TimestampType, nullable = false),
     StructField("cnt", LongType, nullable = false),
-    StructField("vsum", DoubleType, nullable = true),
+    StructField("vsum", DecimalType(38, 10), nullable = true),
     StructField("vmin", DoubleType, nullable = true),
     StructField("vmax", DoubleType, nullable = true),
-    StructField("vsumsq", DoubleType, nullable = true),
+    StructField("vsumsq", DecimalType(38, 10), nullable = true),
     StructField("tfirst", TimestampType, nullable = false),
     StructField("tlast", TimestampType, nullable = false),
-    StructField("tsum_us", DecimalType(38, 0), nullable = false)))
+    StructField("tsum_us", DecimalType(38, 0), nullable = true)))
+
+  /** `downsampled` plus the physical date partition column. */
+  val downsampledPartitioned: StructType =
+    StructType(downsampled.fields :+ StructField("bucket_date", DateType, nullable = true))
 }
 
 /** Exception types mirroring the reference API surface (SURVEY.md §2). */

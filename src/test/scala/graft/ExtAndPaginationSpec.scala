@@ -54,6 +54,22 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert((row.getAs[Int]("nv"), row.getAs[Int]("ne")) == ((2, 1)))
   }
 
+  test("graph stream end-to-end: JSON append, count-only rollup, parseable payload") {
+    val ds = new Datastream(spark, Files.createTempDirectory("graft-graph").toString)
+    ds.ensureStream("g1", valueType = ValueType.Graph)
+    assert(ds.streamMeta("g1").value_downsamplers == Seq("count"))
+    ds.appendMultiple(Seq(
+      ("g1", ts("2024-01-01T00:00:10Z"), null.asInstanceOf[java.lang.Double],
+        """{"v":[{"i":"a"},{"i":"b"}],"e":[{"f":"a","t":"b"}]}"""))
+      .toDF("stream_id", "ts", "value", "value_json"))
+    val raw = ds.getData("g1", Granularity.Seconds)
+      .select(from_json(col("value_json"), Schemas.graph).as("g"))
+    assert(raw.select(size(col("g.v"))).collect().head.getInt(0) == 2)
+    ds.downsampleStreams(ts("2024-01-01T01:00:00Z"))
+    val m = ds.getData("g1", Granularity.Minutes, valueDownsamplers = Some(Seq("count")))
+    assert(m.collect().head.getAs[Long]("count") == 1L)
+  }
+
   test("numeric stream rejects null value appends") {
     val ds = new Datastream(spark, Files.createTempDirectory("graft-num").toString)
     ds.ensureStream("s1")
