@@ -247,6 +247,23 @@ class Datastream(spark: SparkSession, warehouse: String) {
     writeState(state)
   }
 
+  /** T6 backfill/reprocess: drop all rollup state and recompute the whole
+    * cascade up to `until` — the batch analog of the reference's
+    * `backprocess_streams`. Exactness of the decimal partials guarantees the
+    * reprocessed tables are bit-identical to the incrementally-built ones.
+    */
+  def reprocessStreams(until: Timestamp): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val rollupRoot = new java.io.File(s"$warehouse/rollup")
+    if (rollupRoot.exists()) rm(rollupRoot)
+    val state = new java.io.File(statePath)
+    if (state.exists()) state.delete()
+    downsampleStreams(until)
+  }
+
   /** Finalized downsampled table at granularity `g` (read shape of S3). */
   def rollup(g: Granularity): DataFrame =
     spark.read.schema(Schemas.downsampledPartitioned)

@@ -85,6 +85,19 @@ object GetData {
       d.withColumn(c, date_format(col(c), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
     }
 
+  /** The reference's HTTP wire shape for datapoints: one JSON object per
+    * row, `{"t": <iso ts>, "v": <value|aggregate object>}` (F5). `tsCol`
+    * becomes `t`; every other column folds into `v` (scalar if one column,
+    * object otherwise).
+    */
+  def renderWire(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val valueCols = df.columns.filterNot(c => c == tsCol || c == "stream_id")
+    val v = if (valueCols.length == 1) col(valueCols.head)
+    else struct(valueCols.map(col): _*)
+    renderIso(df.select(col(tsCol), v.as("v")), Seq(tsCol))
+      .select(to_json(struct(col(tsCol).as("t"), col("v"))).as("datapoint"))
+  }
+
   /** Downsampled fetch: `partial` is the rollup table at the requested
     * granularity (its `bucket_start` is the datapoint timestamp, matching
     * the reference's bucket-start labeling). Projects the requested

@@ -85,6 +85,47 @@ class DatastreamApiSpec extends SparkSpec {
     assert(d.head.getAs[Double]("sum") == 16.0)
   }
 
+  test("reprocess rebuilds rollups identical to the incremental build") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:10Z", 1.0),
+      ("s1", "2024-01-01T00:03:40Z", 3.0),
+      ("s1", "2024-01-01T02:01:10Z", 5.0))).select("stream_id", "ts", "value"))
+    // incremental in two steps, then full reprocess — must agree exactly
+    ds.downsampleStreams(ts("2024-01-01T01:00:00Z"))
+    ds.downsampleStreams(ts("2024-01-02T00:30:00Z"))
+    val incremental = ds.getData("s1", Granularity.Hours).collect().toSeq
+    ds.reprocessStreams(ts("2024-01-02T00:30:00Z"))
+    val reprocessed = ds.getData("s1", Granularity.Hours).collect().toSeq
+    assert(incremental == reprocessed)
+    assert(incremental.nonEmpty)
+  }
+
+  test("salted W1 sum equals the unsalted derive op exactly") {
+    val src = dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.5),
+      ("b", "2024-01-01T00:00:50Z", 2.25),
+      ("a", "2024-01-01T00:01:10Z", 5.0),
+      ("c", "2024-01-01T00:01:20Z", -1.75)))
+      .withColumn("group", org.apache.spark.sql.functions.lit("g"))
+    val plain = Derive.sumStreams(src, Granularity.Minutes, Seq("group"))
+      .select("group", "bucket_start", "sum", "contributing")
+    val salted = Skew.sumStreamsSalted(src, Granularity.Minutes, Seq("group"))
+      .select("group", "bucket_start", "sum", "contributing")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("wire rendering emits the reference's {t, v} JSON shape") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    ds.append("s1", 4.25, ts("2024-01-01T00:00:01Z"))
+    val wire = GetData.renderWire(ds.getData("s1", Granularity.Seconds))
+      .collect().map(_.getString(0))
+    assert(wire.toSeq == Seq("""{"t":"2024-01-01T00:00:01.000000Z","v":4.25}"""))
+  }
+
   test("getData at a finer granularity than the stream's highest is an error") {
     val ds = freshDs()
     ds.ensureStream("s1", highestGranularity = Granularity.Minutes)
