@@ -54,6 +54,7 @@ object SparkEntry {
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_fingerprint" -> Queries.fingerprint _,
+    "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
     "q_frame_sample" -> Queries.frameSample _
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_fingerprint" -> Oracles.fingerprint,
+    "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
     "q_frame_sample" -> Oracles.frameSample
@@ -216,6 +218,9 @@ object Queries {
 
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
+
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.tfIdfTopTerms(Sources.documents(spark, sfDir))
 
   def langReport(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.languageReport(Sources.documents(spark, sfDir))
@@ -490,6 +495,18 @@ SELECT doc_id,
   list_min(sel) AS fp_min,
   CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_sum
 FROM s"""
+
+  val tfidfTopTerms: String =
+    """WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, rank, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS BIGINT) AS rank
+  FROM tf JOIN df USING (term))
+WHERE rank <= 5"""
 
   val downsampleNominal: String =
     """SELECT user_id, event_type,

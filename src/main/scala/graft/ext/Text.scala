@@ -108,6 +108,27 @@ object Text {
       aggregate(selected, lit(0L), _ + _).as("fp_sum"))
   }
 
+  /** X4 tf-idf machinery: term frequency per (doc, term), document frequency
+    * over the corpus, top-`k` terms per doc ranked by `(tf desc, df asc,
+    * term)`. All-integer outputs — the ranking IS tf-idf's ordering for a
+    * fixed corpus (idf is monotone-decreasing in df), without a
+    * cross-engine-fragile `ln`. Shuffle shape: explode → two groupBys +
+    * one broadcast-friendly join on term.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df")
+  }
+
   /** Per-language corpus analysis: doc counts, whitespace + BPE-ish token
     * sums, marker-score sums, predicted-language distribution.
     */
