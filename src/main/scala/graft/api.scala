@@ -139,10 +139,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
             badNumeric.select("stream_id").distinct().collect()
               .map(_.getString(0)).mkString(", "))
 
-      val latest =
-        if (new java.io.File(rawPath).exists())
-          spark.read.parquet(rawPath).groupBy("stream_id").agg(max("ts").as("latest"))
-        else spark.emptyDataFrame.select(lit("").as("stream_id"), lit(null).cast("timestamp").as("latest"))
+      // monotonicity against the registry's latest_datapoint bookkeeping —
+      // a broadcast of the (small) metadata table, never a fact-table scan
+      val latest = streams.select(col("stream_id"),
+        col("latest_datapoint").as("latest"))
       val joined = points.join(broadcast(latest), Seq("stream_id"), "left")
       val stale = joined.where(col("latest").isNotNull && col("ts") < col("latest"))
       if (checkTimestamp && stale.count() > 0) {
@@ -151,9 +151,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
           s"append ts ${ex.getTimestamp(1)} < latest ${ex.getTimestamp(2)} " +
             s"for stream ${ex.getString(0)}")
       }
-      joined.where(col("latest").isNull || col("ts") >= col("latest"))
+      val kept = joined.where(col("latest").isNull || col("ts") >= col("latest"))
         .select("stream_id", "ts", "value", "value_json")
-        .write.mode(SaveMode.Append).parquet(rawPath)
+      kept.write.mode(SaveMode.Append).parquet(rawPath)
+      // advance the per-stream earliest/latest bookkeeping (small table),
+      // from the KEPT rows only (dropped stale rows must not lower earliest)
+      val bounds = kept.groupBy("stream_id")
+        .agg(min("ts").as("lo"), max("ts").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getTimestamp(1), r.getTimestamp(2))).toMap
+      val updated = streams.as[StreamMeta].collect().map { m =>
+        bounds.get(m.stream_id) match {
+          case Some((lo, hi)) => m.copy(
+            earliest_datapoint = Some(m.earliest_datapoint.fold(lo)(e =>
+              if (e.before(lo)) e else lo)),
+            latest_datapoint = Some(m.latest_datapoint.fold(hi)(l =>
+              if (l.after(hi)) l else hi)))
+          case None => m
+        }
+      }
+      spark.createDataset(updated.toSeq).toDF()
+        .write.mode(SaveMode.Overwrite).parquet(streamsPath)
     } finally meta.unpersist()
   }
 

@@ -98,7 +98,11 @@ case class StreamMeta(
     highest_granularity: String,
     derive_op: Option[String] = None,
     derive_args: Option[String] = None,
-    derived_from: Seq[String] = Seq.empty)
+    derived_from: Seq[String] = Seq.empty,
+    // reserved bookkeeping tags [ds :: api.py :: RESERVED_TAGS]: maintained
+    // at append so monotonicity checks never scan the fact table
+    earliest_datapoint: Option[java.sql.Timestamp] = None,
+    latest_datapoint: Option[java.sql.Timestamp] = None)
 
 object Schemas {
   /** Graph value wire format [ds :: value_type "graph"]: vertex list `v`
