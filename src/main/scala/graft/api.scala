@@ -355,4 +355,37 @@ class Datastream(spark: SparkSession, warehouse: String) {
       case other => throw new errors.InvalidOperatorArguments(s"unknown derive op $other")
     }
   }
+
+  /** `deriveDatapoints` in the fact table's `(stream_id, ts, value)` shape,
+    * carrying the DERIVED stream's id.
+    */
+  private def derivedAsDatapoints(streamId: String): DataFrame = {
+    val out = deriveDatapoints(streamId)
+    val valueCol = out.columns
+      .find(Set("derivative", "reset", "counter_derivative", "sum").contains)
+      .getOrElse(throw new errors.InvalidOperatorArguments(
+        s"unrecognized derive output shape: ${out.columns.mkString(",")}"))
+    val tsCol = if (out.columns.contains("ts")) "ts" else "bucket_start"
+    out.select(lit(streamId).as("stream_id"), col(tsCol).as("ts"),
+      col(valueCol).cast("double").as("value"),
+      lit(null).cast("string").as("value_json"))
+  }
+
+  /** The reference updates derived streams at append
+    * [ds :: backends/mongodb.py :: append → _process_contributes_to]; the
+    * batch-native equivalent recomputes every derived stream's datapoints
+    * and replaces them in the fact table, so `getData` serves derived
+    * streams exactly like ordinary ones. Idempotent.
+    */
+  def updateDerivedStreams(): Unit = {
+    val derivedIds = streams.where(col("derive_op").isNotNull)
+      .select("stream_id").as[String].collect().toSeq
+    if (derivedIds.isEmpty || !new java.io.File(rawPath).exists()) return
+    val keep = rawDatapoints
+      .join(broadcast(derivedIds.toDF("stream_id")), Seq("stream_id"), "left_anti")
+    val all = derivedIds.map(derivedAsDatapoints).foldLeft(keep)(_.unionByName(_)).cache()
+    all.count() // materialize before overwriting the path being read
+    all.write.mode(SaveMode.Overwrite).parquet(rawPath)
+    all.unpersist()
+  }
 }

@@ -145,4 +145,25 @@ class DatastreamApiSpec extends SparkSpec {
     val out = ds.deriveDatapoints("d").collect()
     assert(out.map(_.getAs[Double]("derivative")).toSeq == Seq(2.0))
   }
+
+  test("updateDerivedStreams makes getData serve derived streams; idempotent; downsample-able") {
+    val ds = freshDs()
+    ds.ensureStream("src")
+    ds.ensureStream("d", deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    ds.appendMultiple(dp(Seq(
+      ("src", "2024-01-01T00:00:00Z", 10.0),
+      ("src", "2024-01-01T00:00:10Z", 30.0),
+      ("src", "2024-01-01T00:00:20Z", 90.0))).select("stream_id", "ts", "value"))
+    ds.updateDerivedStreams()
+    ds.updateDerivedStreams() // idempotent: recompute replaces, never duplicates
+    val got = ds.getData("d", Granularity.Seconds).collect()
+    assert(got.map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"))).toSeq
+      == Seq((ts("2024-01-01T00:00:10Z"), 2.0), (ts("2024-01-01T00:00:20Z"), 6.0)))
+    // source untouched
+    assert(ds.getData("src", Granularity.Seconds).count() == 3)
+    // and the derived stream rides the ordinary downsample cascade
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    val m = ds.getData("d", Granularity.Minutes).collect()
+    assert(m.length == 1 && m.head.getAs[Double]("mean") == 4.0)
+  }
 }
