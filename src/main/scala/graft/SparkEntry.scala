@@ -50,6 +50,7 @@ object SparkEntry {
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
     "q_similarity_topk" -> Queries.similarityTopK _,
     "q_similarity_ann" -> Queries.similarityAnn _,
+    "q_similarity_ivf" -> Queries.similarityIvf _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
@@ -210,6 +211,11 @@ object Queries {
   /** X3 scale path: same top-k through random-hyperplane LSH buckets. */
   def similarityAnn(spark: SparkSession, sfDir: String): DataFrame =
     ext.Similarity.annTopK(Sources.embeddings(spark, sfDir),
+      queryVectors(spark, sfDir), k = 10)
+
+  /** X3 second scale path: IVF cells + probe re-rank. */
+  def similarityIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir),
       queryVectors(spark, sfDir), k = 10)
 
   /** Embedding-cosine near-dup candidates through LSH bands. */

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * next to random-hyperplane LSH (builder brief: "an IVF or LSH-bucketed
+  * variant"). Shape:
+  *
+  *  1. centroids: a deterministic hash-ordered sample of the corpus
+  *     (k-means-free "IVF-flat on sampled seeds" — at 100 TB a periodic
+  *     k-means job would refine these; the pipeline is identical);
+  *  2. cell assignment: per-partition argmax-cosine loop against the
+  *     broadcast centroid matrix (narrow map, no shuffle);
+  *  3. queries probe their `nProbe` nearest cells; candidates = corpus
+  *     vectors in probed cells (a join on `cell`, moving only ids);
+  *  4. exact cosine re-rank, top-k per query.
+  *
+  * With `nProbe == nCells` the search is exhaustive and equals brute force
+  * exactly (asserted in tests); recall/cost trades via `nProbe`.
+  */
+object Ivf {
+
+  private def dotLoop(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def nearestCells(vec: Array[Float], cents: Array[(Int, Array[Float], Double)],
+                           n: Int): Seq[Int] = {
+    val vn = math.sqrt(dotLoop(vec, vec))
+    cents.map { case (cell, cv, cn) => (cell, dotLoop(vec, cv) / (cn * vn)) }
+      .sortBy { case (cell, cos) => (-cos, cell) }
+      .take(n).map(_._1).toSeq
+  }
+
+  /** Deterministic centroid sample: the `nCells` corpus vectors with the
+    * smallest xxhash64(vec_id) — stable across runs and partitionings.
+    */
+  def centroids(corpus: DataFrame, nCells: Int,
+                vecCol: String = "embedding", idCol: String = "vec_id"): Array[(Int, Array[Float])] = {
+    import corpus.sparkSession.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .withColumn("_h", xxhash64(col(idCol)))
+      .orderBy("_h").limit(nCells)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 64, nProbe: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cents = centroids(corpus, nCells, vecCol, idCol)
+      .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val centB = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    // corpus side: one cell per vector (narrow map)
+    val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (id, v) => (id, nearestCells(v, cs, 1).head) }
+      }.toDF("vec_id", "cell")
+
+    // query side: nProbe probed cells per query (small, broadcast)
+    val probes = broadcast(queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.flatMap { case (qid, v) => nearestCells(v, cs, nProbe).map(c => (qid, c)) }
+      }.toDF("query_vec_id", "cell"))
+
+    val cands = assigned.join(probes, "cell")
+      .where(col("vec_id") =!= col("query_vec_id"))
+      .select("query_vec_id", "vec_id").distinct()
+
+    val qvecs = broadcast(queries.select(col(idCol).cast("long").as("query_vec_id"),
+      col(vecCol).as("qvec")))
+    val scored = cands
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec")), "vec_id")
+      .join(qvecs, "query_vec_id")
+      .select(col("query_vec_id"), col("vec_id"),
+        Similarity.cosine(col("qvec"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("query_vec_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

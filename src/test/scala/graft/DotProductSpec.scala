@@ -29,6 +29,31 @@ class DotProductSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(32.0), None))
   }
 
+  test("IVF with nProbe == nCells is exhaustive and equals brute-force top-k") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") < 3)
+    val exhaustive = ext.Ivf.ivfTopK(corpus, queries, k = 5, nCells = 16, nProbe = 16)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(exhaustive == brute)
+    assert(exhaustive.size == 15) // 3 queries × k
+  }
+
+  test("IVF probing fewer cells returns k well-formed results per query") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = ext.Ivf.ivfTopK(corpus, corpus.where(col("vec_id") === 0), k = 5,
+      nCells = 16, nProbe = 4).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val cosines = out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
   test("type mismatch is rejected at analysis") {
     val df = Seq((Seq(1, 2), Seq(1.0, 2.0))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException](
