@@ -66,6 +66,41 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** The streaming LADDER stitch: maintain granularity `g` by stream-reading
+    * the next-finer level's rollup table (append-only parquet is a valid
+    * file source) and merging partials under a watermark on `bucket_start`.
+    * Chaining one such query per level gives the full cascade with each
+    * level reading only the level below — the same dataflow as the batch
+    * `Datastream.downsampleStreams`, but continuous.
+    */
+  def maintainFromRollup(spark: org.apache.spark.sql.SparkSession,
+                         finerPath: String, g: Granularity, delay: String,
+                         rollupPath: String, checkpoint: String) = {
+    val finer = spark.readStream
+      .schema(Schemas.downsampledPartitioned)
+      .parquet(finerPath)
+      .drop("bucket_date")
+    finer.withWatermark("bucket_start", delay)
+      .groupBy(col("stream_id"), window(col("bucket_start"), g.interval).as("w"))
+      .agg(
+        sum("cnt").as("cnt"),
+        sum("vsum").as("vsum"),
+        min("vmin").as("vmin"),
+        max("vmax").as("vmax"),
+        sum("vsumsq").as("vsumsq"),
+        min("tfirst").as("tfirst"),
+        max("tlast").as("tlast"),
+        sum("tsum_us").as("tsum_us"))
+      .select(col("stream_id"), col("w.start").as("bucket_start"),
+        col("cnt"), col("vsum"), col("vmin"), col("vmax"), col("vsumsq"),
+        col("tfirst"), col("tlast"), col("tsum_us"))
+      .writeStream
+      .format("parquet")
+      .option("path", rollupPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+  }
+
   /** One raw datapoint on the wire. */
   case class Point(stream_id: String, ts: Timestamp, value: Double)
   /** Per-stream derive state: last seen datapoint (epoch-µs, value). */

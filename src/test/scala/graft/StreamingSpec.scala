@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ladder: minutes rollup stream-read into hours matches batch rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ladder").toString
+    // build a minutes-level rollup table with the batch facade
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:10:00Z", 2.0),
+      ("s1", "2024-01-01T00:40:00Z", 4.0),
+      ("s1", "2024-01-01T01:20:00Z", 6.0),
+      ("s1", "2024-01-01T05:00:00Z", 8.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-01T06:00:00Z"))
+    // stream the minutes table up to hours
+    val q = Streaming.maintainFromRollup(spark,
+      s"$dir/rollup/granularity=minutes", Granularity.Hours, "0 seconds",
+      s"$dir/stream-hours", s"$dir/ck-ladder").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Downsample.finalizeView(spark.read.parquet(s"$dir/stream-hours"))
+      .where(col("bucket_start") < ts("2024-01-01T05:00:00Z")) // watermark-final buckets
+      .select("stream_id", "bucket_start", "count", "sum")
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+    val batch = Downsample.finalizeView(
+        Downsample.rollup(ds.rollup(Granularity.Minutes)
+          .select("stream_id", "bucket_start", "cnt", "vsum", "vmin", "vmax",
+            "vsumsq", "tfirst", "tlast", "tsum_us"), Granularity.Hours))
+      .where(col("bucket_start") < ts("2024-01-01T05:00:00Z"))
+      .select("stream_id", "bucket_start", "count", "sum")
+      .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming ingest + maintenance write parquet tables a batch reader can query") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
