@@ -145,18 +145,37 @@ object Dedup {
     // persisted: referenced by the signature path AND both verify joins —
     // without it every branch would recompute the shingling
     val sh = shingled(docs, n, textCol, idCol).where(size(col("sh")) > 0).persist()
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(p)).as("h"))
-    val sig = hashed.groupBy("doc_id").agg(
-      min(pmod(col("h") * ab.head._1 + ab.head._2, lit(p))).as("m0"),
-      ab.tail.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("h") * a + b, lit(p))).as(s"m${i + 1}")
-      }: _*)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        hash((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-      }: _*)))
-      .toDF("doc_id", "band", "band_hash")
+    // signatures are ROW-LOCAL: one loop per doc computes all permuted
+    // minima and band hashes — no explode + 64-agg groupBy shuffle (which
+    // moves |docs|·|shingles| rows for a per-row computation)
+    val abArr = ab.toArray
+    val banded = {
+      import sh.sparkSession.implicits._
+      sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, shingles) =>
+            val mins = Array.fill(abArr.length)(Long.MaxValue)
+            shingles.foreach { s =>
+              val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, p)
+              var i = 0
+              while (i < abArr.length) {
+                val (a, b) = abArr(i)
+                val v = math.floorMod(h * a + b, p)
+                if (v < mins(i)) mins(i) = v
+                i += 1
+              }
+            }
+            (0 until bands).map { b =>
+              var bh = 1125899906842597L // simple polynomial band hash
+              var r = 0
+              while (r < rowsPerBand) {
+                bh = bh * 31 + mins(b * rowsPerBand + r); r += 1
+              }
+              (id, b, bh)
+            }
+          }
+        }.toDF("doc_id", "band", "band_hash")
+    }
     // pair generation INSIDE each (band, bucket): one shuffle, no self-join
     // (which would recompute the signature pipeline once per side). Buckets
     // hold near-identical docs, so expanding pairs bucket-locally is the
