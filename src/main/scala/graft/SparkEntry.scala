@@ -48,6 +48,7 @@ object SparkEntry {
     "q_props_json" -> Queries.propsJson _,
     "q_token_count" -> Queries.tokenCount _,
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
+    "q_simhash" -> ((s, d) => ext.Dedup.simhashCandidates(Sources.documents(s, d))),
     "q_similarity_topk" -> Queries.similarityTopK _,
     "q_similarity_ann" -> Queries.similarityAnn _,
     "q_similarity_ivf" -> Queries.similarityIvf _,

@@ -103,23 +103,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod p
-    * over xxhash64'd shingles, p = 2³¹−1 (Mersenne prime — products of two
-    * values < p fit in 63 bits, so ANSI-mode long arithmetic never
-    * overflows). Pure codegen'd array expressions — no UDF.
-    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val p = 2147483647L // 2^31 - 1
-    // hash each shingle string ONCE, then run the cheap integer
-    // permutations over the pre-hashed array
-    val hashed = transform(shingleCol, s => pmod(xxhash64(s), lit(p)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = pmod(xxhash64(concat(lit("a"), i.cast("string"))), lit(p - 1)) + 1
-      val b = pmod(xxhash64(concat(lit("b"), i.cast("string"))), lit(p))
-      array_min(transform(hashed, h => pmod(a * h + b, lit(p))))
-    })
-  }
-
   /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
     * → band-hash collision join → exact-Jaccard verification ≥ `threshold`.
     * With rowsPerBand=4, bands=16: P(candidate | j) = 1−(1−j⁴)¹⁶ — steep
@@ -198,38 +181,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** X2c SimHash: 64-bit signature; bit j is set when Σ_tokens ±1 > 0,
-    * where the ±1 is bit j of the token's xxhash64. Shift amounts must be
-    * literals in Spark's `shiftright`, so the 64 per-bit votes are built by
-    * a Scala-level unroll — still one codegen'd projection, no UDF.
+  /** X2c SimHash 64-bit signature of a shingle set, computed row-locally:
+    * bit j is set when Σ_shingles ±1 > 0, the ±1 being bit j of the
+    * shingle's 64-bit hash. (64 per-bit interpreted array folds — the
+    * expression formulation — paid the same interpreted-lambda tax the
+    * minhash path did; signatures are per-row work.)
     */
-  def simhash(tokenCol: Column): Column = {
-    val hashes = transform(tokenCol, t => xxhash64(t))
-    (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private[ext] def simhash64(shingles: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    shingles.foreach { s =>
+      val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
   }
 
   /** SimHash near-dup candidates: docs whose signatures collide on one of
-    * four 16-bit bands (⇒ Hamming distance ≤ 48 guaranteed caught; in
-    * practice catches hamming ≲ 3 pairs with high probability).
+    * four 16-bit bands, with the pair's Hamming distance attached. Pair
+    * generation is bucket-local (collect_list), like the minhash path.
     */
   def simhashCandidates(docs: DataFrame, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sig = shingled(docs, n, textCol, idCol)
-      .select(col("doc_id"), simhash(col("sh")).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("doc_id", "sig", "band", "band_bits")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+    import docs.sparkSession.implicits._
+    val banded = shingled(docs, n, textCol, idCol)
+      .select(col("doc_id"), col("sh")).as[(Long, Array[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, sh) =>
+          val sig = simhash64(sh)
+          (0 until 4).map(b => (id, sig, b, (sig >>> (b * 16)) & 0xffffL))
+        }
+      }.toDF("doc_id", "sig", "band", "band_bits")
+    banded.groupBy("band", "band_bits")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("members")) - 2),
+        i => transform(
+          slice(col("members"), i + 2, size(col("members")) - i - 1),
+          y => struct(
+            element_at(col("members"), i + 1)("doc_id").as("a"),
+            y("doc_id").as("b"),
+            bit_count(element_at(col("members"), i + 1)("sig")
+              .bitwiseXOR(y("sig"))).as("hamming")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
       .distinct()
   }
 }
