@@ -38,6 +38,9 @@ object SparkEntry {
     "q_getdata_reverse" -> Queries.getDataReverse _,
     // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
+    // full facade path through real warehouse storage: S1 ingest →
+    // downsample_streams maintenance (T1) → S3 read
+    "q_warehouse_e2e" -> Queries.warehouseE2E _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
     "q_counter_reset" -> Queries.counterReset _,
@@ -71,6 +74,7 @@ object SparkEntry {
     "q_getdata_range" -> Oracles.getDataRange,
     "q_getdata_reverse" -> Oracles.getDataReverse,
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
+    "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_derivative" -> Oracles.derivative,
     "q_counter_reset" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
@@ -148,6 +152,24 @@ object Queries {
       .groupBy(col("stream_id"))
       .agg(count(lit(1)).as("n_datapoints"),
         sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
+  /** The whole facade lifecycle against real (temp) warehouse storage:
+    * ensure → batch append (monotonicity checked) → incremental
+    * `downsampleStreams` cascade → `getData` at hours. One stream keeps the
+    * bench cost proportional; the oracle recomputes the same buckets
+    * straight from events.
+    */
+  def warehouseE2E(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.getData("7:click", Granularity.Hours)
   }
 
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
@@ -311,6 +333,30 @@ SELECT user_id, event_type, bucket_start,
   tlast AS t_last
 FROM part"""
   }
+
+  /** Same exact-partials hours rollup, restricted to the one warehoused
+    * stream — every bucket is complete before the query's `until`.
+    */
+  val warehouseE2E: String =
+    """WITH part AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt,
+    sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(value) AS vmin, max(value) AS vmax,
+    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    min(ts) AS tfirst, max(ts) AS tlast
+  FROM events WHERE user_id = 7 AND event_type = 'click'
+  GROUP BY 1)
+SELECT '7:click' AS stream_id, bucket_start,
+  cnt AS "count", vmax AS "max",
+  CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean",
+  vmin AS "min",
+  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
+    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  CAST(vsum AS DOUBLE) AS "sum",
+  CAST(vsumsq AS DOUBLE) AS sum_squares,
+  tfirst AS t_first, tlast AS t_last
+FROM part ORDER BY bucket_start"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value

@@ -122,36 +122,35 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val points =
       if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
-    val meta = streams.select("stream_id", "derive_op", "value_type").cache()
+    // ONE broadcast of the (small) metadata table carries all three checks
+    // and the monotonicity bound: a single validation job, never a fact scan
+    val meta = streams.select(col("stream_id"), col("derive_op"),
+      col("value_type"), col("latest_datapoint").as("latest"))
+    val joined = points.join(broadcast(meta), Seq("stream_id"), "left").cache()
     try {
-      val derived = points.join(broadcast(meta.where(col("derive_op").isNotNull)),
-        Seq("stream_id"), "left_semi")
-      if (derived.count() > 0)
+      val isDerived = col("derive_op").isNotNull
+      val isBadNumeric = col("value_type") === ValueType.Numeric && col("value").isNull
+      val isStale = col("latest").isNotNull && col("ts") < col("latest")
+      val flags = joined.agg(
+        sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
+        sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric"),
+        sum(when(isStale, 1L).otherwise(0L)).as("stale")).first()
+      if (flags.getLong(0) > 0)
         throw new errors.AppendToDerivedStreamNotAllowed(
-          derived.select("stream_id").distinct().collect().map(_.getString(0)).mkString(", "))
-      val badNumeric = points
-        .join(broadcast(meta.where(col("value_type") === ValueType.Numeric)),
-          Seq("stream_id"), "left_semi")
-        .where(col("value").isNull)
-      if (badNumeric.count() > 0)
+          joined.where(isDerived).select("stream_id").distinct()
+            .collect().map(_.getString(0)).mkString(", "))
+      if (flags.getLong(1) > 0)
         throw new IllegalArgumentException(
           s"null value appended to numeric stream(s): " +
-            badNumeric.select("stream_id").distinct().collect()
-              .map(_.getString(0)).mkString(", "))
-
-      // monotonicity against the registry's latest_datapoint bookkeeping —
-      // a broadcast of the (small) metadata table, never a fact-table scan
-      val latest = streams.select(col("stream_id"),
-        col("latest_datapoint").as("latest"))
-      val joined = points.join(broadcast(latest), Seq("stream_id"), "left")
-      val stale = joined.where(col("latest").isNotNull && col("ts") < col("latest"))
-      if (checkTimestamp && stale.count() > 0) {
-        val ex = stale.select("stream_id", "ts", "latest").first()
+            joined.where(isBadNumeric).select("stream_id").distinct()
+              .collect().map(_.getString(0)).mkString(", "))
+      if (checkTimestamp && flags.getLong(2) > 0) {
+        val ex = joined.where(isStale).select("stream_id", "ts", "latest").first()
         throw new errors.InvalidTimestamp(
           s"append ts ${ex.getTimestamp(1)} < latest ${ex.getTimestamp(2)} " +
             s"for stream ${ex.getString(0)}")
       }
-      val kept = joined.where(col("latest").isNull || col("ts") >= col("latest"))
+      val kept = joined.where(!isStale)
         .select("stream_id", "ts", "value", "value_json")
       kept.write.mode(SaveMode.Append).parquet(rawPath)
       // advance the per-stream earliest/latest bookkeeping (small table),
@@ -171,7 +170,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       }
       spark.createDataset(updated.toSeq).toDF()
         .write.mode(SaveMode.Overwrite).parquet(streamsPath)
-    } finally meta.unpersist()
+    } finally joined.unpersist()
   }
 
   def rawDatapoints: DataFrame = spark.read.parquet(rawPath)
@@ -214,8 +213,15 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val untilUs = until.toInstant.getEpochSecond * 1000000L +
       until.toInstant.getNano / 1000L
     var state = readState()
+    // the reference never materializes levels finer than a stream's highest
+    // granularity; levels finer than the finest registered stream are
+    // skipped entirely (the first active level aggregates from raw)
+    val finest = {
+      val hgs = streams.select("highest_granularity").as[String].collect()
+      if (hgs.isEmpty) 1L else hgs.map(Granularity(_).durationSeconds).min
+    }
     var finer: DataFrame = null // lazily bound per level below
-    Granularity.ladder.foreach { g =>
+    Granularity.ladder.filter(_.durationSeconds >= finest).foreach { g =>
       val durUs = g.durationSeconds * 1000000L
       val hi = (untilUs / durUs) * durUs // first NOT-complete bucket start
       val lo = state.getOrElse(g.name, Long.MinValue)

@@ -101,6 +101,22 @@ object Streaming {
       .outputMode("append")
   }
 
+  /** W1/J2 streaming flavor: multi-stream `sum` alignment under a
+    * watermark — a bucket's sum is emitted once event time passes the
+    * bucket end + delay, the streaming answer to "wait until all sources
+    * have contributed" [ds :: derive op "sum"] (late sources are the T3
+    * drop policy, as with appends).
+    */
+  def deriveSum(sources: DataFrame, g: Granularity, delay: String,
+                derivedKeys: Seq[String]): DataFrame =
+    sources.withWatermark("ts", delay)
+      .groupBy(derivedKeys.map(col) :+ window(col("ts"), g.interval).as("w"): _*)
+      .agg(
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("sum"),
+        count(lit(1)).as("contributing"))
+      .select(derivedKeys.map(col) :+ col("w.start").as("bucket_start") :+
+        col("sum") :+ col("contributing"): _*)
+
   /** One raw datapoint on the wire. */
   case class Point(stream_id: String, ts: Timestamp, value: Double)
   /** Per-stream derive state: last seen datapoint (epoch-µs, value). */

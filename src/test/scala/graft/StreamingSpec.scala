@@ -99,6 +99,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multi-stream sum emits finalized buckets equal to the batch derive op") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val out = Streaming.deriveSum(
+      mem.toDF().withColumn("group", lit("g")),
+      Granularity.Minutes, "30 seconds", Seq("group"))
+    val q = out.writeStream.format("memory").queryName("ssum")
+      .outputMode("append").start()
+    try {
+      mem.addData(points: _*); q.processAllAvailable()
+      mem.addData(Streaming.Point("a", ts("2024-01-01T00:10:00Z"), 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("ssum")
+        .select("bucket_start", "sum", "contributing")
+        .as[(java.sql.Timestamp, Double, Long)].collect().toSet
+      val batch = Derive.sumStreams(
+          points.toDF("stream_id", "ts", "value").withColumn("group", lit("g")),
+          Granularity.Minutes, Seq("group"))
+        .where(col("bucket_start") < ts("2024-01-01T00:02:00Z"))
+        .select("bucket_start", "sum", "contributing")
+        .as[(java.sql.Timestamp, Double, Long)].collect().toSet
+      assert(emitted == batch)
+      assert(emitted.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ladder: minutes rollup stream-read into hours matches batch rollup") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ladder").toString
     // build a minutes-level rollup table with the batch facade
