@@ -128,7 +128,11 @@ object Downsample {
         col("vmin").as("min"),
         col("vmax").as("max"),
         q.as("sum_squares"),
-        sqrt(greatest(lit(0.0), q / n - (s / n) * (s / n))).as("std_dev"),
+        // explicit null guard: Spark's greatest IGNORES nulls, so an
+        // all-null bucket (nominal/graph) would otherwise yield 0.0 here
+        // while mean correctly stays null
+        when(col("vsumsq").isNotNull && col("vsum").isNotNull,
+          sqrt(greatest(lit(0.0), q / n - (s / n) * (s / n)))).as("std_dev"),
         col("cnt").as("count"),
         col("tfirst").as("t_first"),
         timestamp_micros(expr("tsum_us div cnt")).as("t_mean"),

@@ -71,6 +71,20 @@ class DownsampleSpec extends SparkSpec {
     assert(direct.exceptAll(viaLadder).count() == 0)
   }
 
+  test("all-null values (nominal): count populated, value aggregates all null") {
+    import spark.implicits._
+    val raw = Seq(
+      ("s", ts("2024-01-01T00:00:01Z"), null.asInstanceOf[java.lang.Double]),
+      ("s", ts("2024-01-01T00:00:02Z"), null.asInstanceOf[java.lang.Double]))
+      .toDF("stream_id", "ts", "value")
+    val row = Downsample.cascadeTo(raw, Granularity.Minutes).collect().head
+    assert(row.getAs[Long]("count") == 2L)
+    Seq("mean", "sum", "min", "max", "sum_squares", "std_dev").foreach { c =>
+      assert(row.isNullAt(row.fieldIndex(c)), s"$c should be null")
+    }
+    assert(row.getAs[java.sql.Timestamp]("t_first") == ts("2024-01-01T00:00:01Z"))
+  }
+
   test("unknown granularity name raises") {
     assertThrows[IllegalArgumentException](Granularity("fortnights"))
   }

@@ -43,6 +43,24 @@ class GetDataSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("downsampled bounds: incl/excl at exact bucket edges; reverse reverses") {
+    val partial = Downsample.aggregateRaw(fixture, Granularity.Minutes)
+    def buckets(se: Boolean, ee: Boolean): Seq[java.sql.Timestamp] =
+      GetData.downsampled(partial, "a",
+        start = Some(ts("2024-01-01T00:00:00Z")), end = Some(ts("2024-01-01T00:02:00Z")),
+        startExclusive = se, endExclusive = ee,
+        valueDownsamplers = Seq(Downsamplers.Count))
+        .collect().map(_.getAs[java.sql.Timestamp]("bucket_start")).toSeq
+    assert(buckets(false, false) ==
+      Seq(ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:01:00Z"), ts("2024-01-01T00:02:00Z")))
+    assert(buckets(true, false) == Seq(ts("2024-01-01T00:01:00Z"), ts("2024-01-01T00:02:00Z")))
+    assert(buckets(false, true) == Seq(ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:01:00Z")))
+    val rev = GetData.downsampled(partial, "a", reverse = true,
+      valueDownsamplers = Seq(Downsamplers.Count))
+      .collect().map(_.getAs[java.sql.Timestamp]("bucket_start")).toSeq
+    assert(rev == buckets(false, false).reverse)
+  }
+
   test("unsupported downsampler name raises UnsupportedDownsampler") {
     val partial = Downsample.aggregateRaw(fixture, Granularity.Minutes)
     assertThrows[errors.UnsupportedDownsampler](
