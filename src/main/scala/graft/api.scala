@@ -76,7 +76,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
     StreamRegistry.findStreams(streams, tagQuery)
 
   /** Refuses while surviving derived streams depend on doomed ones
-    * (`OutstandingDependenciesError`); deletes metadata + datapoints.
+    * (`OutstandingDependenciesError`); deletes metadata AND all datapoints —
+    * raw and every rollup level, like the reference's delete of all
+    * per-granularity collections [ds :: backends/mongodb.py ::
+    * delete_streams]. At Delta/Iceberg scale these rewrites become
+    * `DELETE WHERE stream_id IN (...)`; plain parquet rewrites here.
     */
   def deleteStreams(tagQuery: Map[String, String]): Long = {
     val all = streams.cache()
@@ -86,19 +90,32 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (viol.count() > 0)
         throw new errors.OutstandingDependenciesError(
           viol.collect().take(5).mkString(", "))
-      val doomedIds = doomed.select("stream_id")
-      val survivors = all.join(doomedIds, Seq("stream_id"), "left_anti").as[StreamMeta]
-      val n = doomed.count()
-      val survivorRows = survivors.collect()
-      val keepRaw =
-        if (new java.io.File(rawPath).exists())
-          Some(spark.read.parquet(rawPath)
-            .join(broadcast(doomedIds), Seq("stream_id"), "left_anti").cache())
-        else None
-      keepRaw.foreach(_.count()) // materialize before overwrite
-      spark.createDataset(survivorRows).toDF()
+      // pin the doomed ids on the DRIVER before any overwrite: rewriting a
+      // parquet path invalidates every cached plan that reads it, so a
+      // doomed-ids DataFrame would silently recompute against the
+      // already-rewritten registry and match nothing
+      val doomedIdSeq = doomed.select("stream_id").as[String].collect().toSeq
+      val survivorRows = all
+        .join(doomed.select("stream_id"), Seq("stream_id"), "left_anti")
+        .as[StreamMeta].collect()
+      val n = doomedIdSeq.size.toLong
+      def purge(path: String, schema: Option[org.apache.spark.sql.types.StructType],
+                partitionCols: Seq[String]): Unit =
+        if (new java.io.File(path).exists()) {
+          val reader = schema.fold(spark.read)(spark.read.schema)
+          val keep = reader.parquet(path)
+            .join(broadcast(doomedIdSeq.toDF("stream_id")), Seq("stream_id"), "left_anti")
+            .cache()
+          keep.count() // materialize before overwriting the path being read
+          keep.write.mode(SaveMode.Overwrite)
+            .partitionBy(partitionCols: _*).parquet(path)
+          keep.unpersist()
+        }
+      spark.createDataset(survivorRows.toSeq).toDF()
         .write.mode(SaveMode.Overwrite).parquet(streamsPath)
-      keepRaw.foreach(_.write.mode(SaveMode.Overwrite).parquet(rawPath))
+      purge(rawPath, None, Seq.empty)
+      Granularity.ladder.foreach(g =>
+        purge(rollupPath(g), Some(Schemas.downsampledPartitioned), Seq("bucket_date")))
       n
     } finally all.unpersist()
   }

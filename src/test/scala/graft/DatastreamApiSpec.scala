@@ -56,6 +56,22 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.streams.count() == 0)
   }
 
+  test("deleteStreams also purges rollup tables, keeping other streams' buckets") {
+    val ds = freshDs()
+    ds.ensureStream("keep", Map("fate" -> "keep"))
+    ds.ensureStream("doomed", Map("fate" -> "doomed"))
+    ds.appendMultiple(dp(Seq(
+      ("keep", "2024-01-01T00:00:10Z", 1.0),
+      ("doomed", "2024-01-01T00:00:20Z", 2.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    assert(ds.rollup(Granularity.Minutes).select("stream_id").distinct().count() == 2)
+    ds.deleteStreams(Map("fate" -> "doomed"))
+    import spark.implicits._
+    assert(ds.rollup(Granularity.Minutes).select("stream_id").as[String]
+      .collect().toSet == Set("keep"))
+    assert(ds.rawDatapoints.select("stream_id").as[String].collect().toSet == Set("keep"))
+  }
+
   test("downsampleStreams finalizes only complete buckets and is incremental") {
     val ds = freshDs()
     ds.ensureStream("s1")
