@@ -14,7 +14,6 @@ import org.apache.spark.sql.functions._
   *                                      scale partitioned by date(ts), bucketed
   *                                      by stream_id — flat here)
   *   rollup/granularity=<name>/       — downsample partials per ladder level
-  *   state/downsampled_until.json     — per-granularity maintenance watermark
   *
   * Semantics kept from the reference: monotone-append enforcement
   * (`InvalidTimestamp`, opt-out via checkTimestamp=false drops stale rows),
@@ -28,7 +27,6 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val streamsPath = s"$warehouse/streams"
   private val rawPath = s"$warehouse/raw"
   private def rollupPath(g: Granularity) = s"$warehouse/rollup/granularity=${g.name}"
-  private val statePath = s"$warehouse/state/downsampled_until.json"
 
   // ---- registry -----------------------------------------------------------
 
@@ -194,30 +192,6 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   // ---- maintenance (§2.4, T1/T6) ------------------------------------------
 
-  private def readState(): Map[String, Long] =
-    if (new java.io.File(statePath).exists()) {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(statePath)), "UTF-8")
-      txt.split("\n").filter(_.contains("=")).map { l =>
-        val Array(k, v) = l.split("=", 2); k -> v.toLong
-      }.toMap
-    } else Map.empty
-
-  private def writeState(s: Map[String, Long]): Unit = {
-    val p = java.nio.file.Paths.get(statePath)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
-      s.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
-  }
-
-  /** Incremental cascade maintenance: for each ladder level, aggregate the
-    * not-yet-finalized slice `[downsampled_until, until)` from the
-    * next-finer level (raw for the first), emit only buckets wholly ≤
-    * `until`, append them to the rollup table, and advance the watermark.
-    * One shuffle per granularity per run, no per-stream loops; cost ∝ new
-    * data — the Spark analog of the reference's `downsampled_until`
-    * bookkeeping [ds :: backends/mongodb.py :: downsample_streams].
-    */
   /** Timestamp literal from epoch-µs — foldable, so comparisons against it
     * push down to parquet scans (an `unix_micros(col)` rewrite would not).
     */
@@ -225,66 +199,96 @@ class Datastream(spark: SparkSession, warehouse: String) {
     lit(Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L,
       (us % 1000000L) * 1000L)))
 
-  def downsampleStreams(until: Timestamp): Unit = {
-    if (!new java.io.File(rawPath).exists()) return
+  /** Incremental cascade maintenance with PER-STREAM watermarks — the
+    * reference's `downsample_streams(query_tags, until)` semantics
+    * [ds :: backends/mongodb.py :: downsample_streams]:
+    *
+    *  - each stream carries `downsampled_until` per granularity in its
+    *    metadata (SURVEY §1.3), so a stream ensured or backfilled AFTER
+    *    other streams advanced still gets its full history downsampled
+    *    (a single global watermark would silently skip it);
+    *  - `filterTags` restricts maintenance to matching streams
+    *    (`filter_stream`); others keep their watermarks untouched;
+    *  - per level: ONE shuffle for all selected streams. The per-stream
+    *    lower bound rides a broadcast join; the GLOBAL min bound is applied
+    *    as a pushable literal so the scan still prunes;
+    *  - returns the newly finalized buckets per granularity
+    *    (`return_datapoints=True`) as lazy reads of the written slices.
+    *
+    * Watermarks are g-aligned previous `hi`s, so every source row ≥ its
+    * stream's lo lands in a bucket ≥ lo: written buckets are exactly the
+    * new, complete ones — append-once, no retraction.
+    */
+  def downsampleStreams(until: Timestamp,
+                        filterTags: Map[String, String] = Map.empty)
+      : Map[Granularity, DataFrame] = {
+    if (!new java.io.File(rawPath).exists()) return Map.empty
     val untilUs = until.toInstant.getEpochSecond * 1000000L +
       until.toInstant.getNano / 1000L
-    var state = readState()
-    // the reference never materializes levels finer than a stream's highest
-    // granularity; levels finer than the finest registered stream are
-    // skipped entirely (the first active level aggregates from raw)
-    val finest = {
-      val hgs = streams.select("highest_granularity").as[String].collect()
-      if (hgs.isEmpty) 1L else hgs.map(Granularity(_).durationSeconds).min
-    }
-    var finer: DataFrame = null // lazily bound per level below
-    Granularity.ladder.filter(_.durationSeconds >= finest).foreach { g =>
+    var metas = streams.as[StreamMeta].collect()
+    if (metas.isEmpty) return Map.empty
+    val selected: Set[String] =
+      if (filterTags.isEmpty) metas.map(_.stream_id).toSet
+      else StreamRegistry.findStreams(streams, filterTags)
+        .select("stream_id").as[String].collect().toSet
+    val finest = metas.map(m => Granularity(m.highest_granularity).durationSeconds).min
+    val levels = Granularity.ladder.filter(_.durationSeconds >= finest)
+    var produced = Map.empty[Granularity, DataFrame]
+    levels.zipWithIndex.foreach { case (g, idx) =>
       val durUs = g.durationSeconds * 1000000L
       val hi = (untilUs / durUs) * durUs // first NOT-complete bucket start
-      val lo = state.getOrElse(g.name, Long.MinValue)
-      if (hi > lo) {
-        val sourceDf = finer match {
-          case null =>
-            val base = spark.read.parquet(rawPath).where(col("ts") < tsLit(hi))
-            if (lo != Long.MinValue) base.where(col("ts") >= tsLit(lo)) else base
-          case f => f
-        }
-        val agg = finer match {
-          case null => Downsample.aggregateRaw(sourceDf, g)
-          case f => Downsample.rollup(f, g)
-        }
-        // aligned buckets: start < hi ⟺ bucket wholly ≤ until
-        val complete = agg.where(col("bucket_start") < tsLit(hi))
+      def loOf(m: StreamMeta): Long =
+        m.downsampled_until.getOrElse(g.name, Long.MinValue)
+      val work = metas.filter(m => selected(m.stream_id) && loOf(m) < hi)
+      if (work.nonEmpty) {
+        val loDf = broadcast(work.toSeq
+          .map(m => (m.stream_id, loOf(m))).toDF("stream_id", "_lo"))
+        val tsCol = if (idx == 0) "ts" else "bucket_start"
+        val source =
+          if (idx == 0) spark.read.parquet(rawPath)
+          else {
+            val p = rollupPath(levels(idx - 1))
+            if (!new java.io.File(p).exists()) return produced
+            spark.read.schema(Schemas.downsampledPartitioned).parquet(p)
+              .drop("bucket_date")
+          }
+        // pushable global bounds first, exact per-stream bound via the join
+        val globalLo = work.map(loOf).min
+        val bounded0 = source.where(col(tsCol) < tsLit(hi))
         val bounded =
-          if (lo != Long.MinValue) complete.where(col("bucket_start") >= tsLit(lo))
-          else complete
+          if (globalLo != Long.MinValue) bounded0.where(col(tsCol) >= tsLit(globalLo))
+          else bounded0
+        val sliced = bounded.join(loDf, "stream_id")
+          .where(col("_lo") === Long.MinValue || unix_micros(col(tsCol)) >= col("_lo"))
+          .drop("_lo")
+        val agg =
+          if (idx == 0) Downsample.aggregateRaw(sliced, g)
+          else Downsample.rollup(sliced, g)
         // partitioned by bucket date — the 100 TB layout; maintenance and
         // reads prune partitions by date before row-group pruning kicks in
-        bounded.withColumn("bucket_date", to_date(col("bucket_start")))
+        agg.withColumn("bucket_date", to_date(col("bucket_start")))
           .write.mode(SaveMode.Append).partitionBy("bucket_date")
           .parquet(rollupPath(g))
-        state = state + (g.name -> hi)
-      }
-      // next level re-aggregates from THIS level's full persisted table slice
-      val next = Granularity.coarserThan(g).headOption
-      finer = next match {
-        case Some(ng) =>
-          val nextLo = state.getOrElse(ng.name, Long.MinValue)
-          val nextHi = (untilUs / (ng.durationSeconds * 1000000L)) *
-            (ng.durationSeconds * 1000000L)
-          if (new java.io.File(rollupPath(g)).exists()) {
-            val base = spark.read.schema(Schemas.downsampledPartitioned)
-              .parquet(rollupPath(g))
-              .where(col("bucket_start") < tsLit(nextHi))
-            val sliced =
-              if (nextLo != Long.MinValue) base.where(col("bucket_start") >= tsLit(nextLo))
-              else base
-            sliced.drop("bucket_date")
-          } else null
-        case None => null
+        val doneIds = work.map(_.stream_id).toSet
+        produced = produced + (g -> {
+          val read = spark.read.schema(Schemas.downsampledPartitioned)
+            .parquet(rollupPath(g)).drop("bucket_date")
+            .where(col("bucket_start") < tsLit(hi))
+          read.join(loDf, "stream_id")
+            .where(col("_lo") === Long.MinValue ||
+              unix_micros(col("bucket_start")) >= col("_lo"))
+            .drop("_lo")
+        })
+        metas = metas.map { m =>
+          if (doneIds(m.stream_id))
+            m.copy(downsampled_until = m.downsampled_until + (g.name -> hi))
+          else m
+        }
       }
     }
-    writeState(state)
+    spark.createDataset(metas.toSeq).toDF()
+      .write.mode(SaveMode.Overwrite).parquet(streamsPath)
+    produced
   }
 
   /** T6 backfill/reprocess: drop all rollup state and recompute the whole
@@ -299,9 +303,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
     val rollupRoot = new java.io.File(s"$warehouse/rollup")
     if (rollupRoot.exists()) rm(rollupRoot)
-    val state = new java.io.File(statePath)
-    if (state.exists()) state.delete()
+    // reset every stream's per-granularity watermark
+    val reset = streams.as[StreamMeta].collect()
+      .map(_.copy(downsampled_until = Map.empty))
+    spark.createDataset(reset.toSeq).toDF()
+      .write.mode(SaveMode.Overwrite).parquet(streamsPath)
     downsampleStreams(until)
+    ()
   }
 
   /** Finalized downsampled table at granularity `g` (read shape of S3). */

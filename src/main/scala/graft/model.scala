@@ -102,7 +102,11 @@ case class StreamMeta(
     // reserved bookkeeping tags [ds :: api.py :: RESERVED_TAGS]: maintained
     // at append so monotonicity checks never scan the fact table
     earliest_datapoint: Option[java.sql.Timestamp] = None,
-    latest_datapoint: Option[java.sql.Timestamp] = None)
+    latest_datapoint: Option[java.sql.Timestamp] = None,
+    // per-granularity maintenance watermark in epoch-µs (g-aligned), the
+    // reference's per-stream `downsampled_until` — a late-ensured stream
+    // starts from scratch instead of inheriting a global watermark
+    downsampled_until: Map[String, Long] = Map.empty)
 
 object Schemas {
   /** Graph value wire format [ds :: value_type "graph"]: vertex list `v`

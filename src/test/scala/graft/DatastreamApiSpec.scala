@@ -101,6 +101,68 @@ class DatastreamApiSpec extends SparkSpec {
     assert(d.head.getAs[Double]("sum") == 16.0)
   }
 
+  test("per-stream watermarks: a stream ensured late still gets its full history downsampled") {
+    val ds = freshDs()
+    ds.ensureStream("early")
+    ds.appendMultiple(dp(Seq(("early", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z")) // advances early's watermark
+    // now a NEW stream arrives with data entirely BEFORE that watermark
+    ds.ensureStream("late")
+    ds.appendMultiple(dp(Seq(("late", "2024-01-01T00:00:20Z", 7.0)))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    val m = ds.getData("late", Granularity.Minutes).collect()
+    assert(m.length == 1 && m.head.getAs[Double]("sum") == 7.0)
+    // and early's buckets were not duplicated by the second run
+    assert(ds.getData("early", Granularity.Minutes).count() == 1)
+  }
+
+  test("filterTags maintains only matching streams; others catch up later") {
+    val ds = freshDs()
+    ds.ensureStream("a1", Map("team" -> "a"))
+    ds.ensureStream("b1", Map("team" -> "b"))
+    ds.appendMultiple(dp(Seq(
+      ("a1", "2024-01-01T00:00:10Z", 1.0),
+      ("b1", "2024-01-01T00:00:20Z", 2.0))).select("stream_id", "ts", "value"))
+    val produced = ds.downsampleStreams(ts("2024-01-02T00:00:00Z"), Map("team" -> "a"))
+    import spark.implicits._
+    assert(produced(Granularity.Minutes).select("stream_id").as[String]
+      .collect().toSet == Set("a1"))
+    assert(ds.rollup(Granularity.Minutes).select("stream_id").as[String]
+      .collect().toSet == Set("a1"))
+    // unfiltered run later: b1 catches up from ITS watermark, a1 unchanged
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    assert(ds.rollup(Granularity.Minutes).select("stream_id").as[String]
+      .collect().toSet == Set("a1", "b1"))
+    assert(ds.rollup(Granularity.Minutes).count() == 2)
+  }
+
+  test("downsampleStreams returns only newly finalized buckets; late data below the watermark never retracts") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    val first = ds.downsampleStreams(ts("2024-01-01T01:00:00Z"))
+    assert(first(Granularity.Minutes).count() == 1)
+    // one point BELOW the advanced watermark (legal append: ≥ latest), one above
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:30:00Z", 2.0),
+      ("s1", "2024-01-01T01:30:00Z", 3.0))).select("stream_id", "ts", "value"))
+    val second = ds.downsampleStreams(ts("2024-01-01T02:00:00Z"))
+    // the reference's T3 policy: finalized regions never retract, so only the
+    // 01:30 bucket materializes — and only IT is returned as new
+    assert(second(Granularity.Minutes)
+      .collect().map(_.getAs[java.sql.Timestamp]("bucket_start")).toSeq
+      == Seq(ts("2024-01-01T01:30:00Z")))
+    assert(ds.getData("s1", Granularity.Minutes).collect()
+      .map(_.getAs[java.sql.Timestamp]("bucket_start")).toSeq
+      == Seq(ts("2024-01-01T00:00:00Z"), ts("2024-01-01T01:30:00Z")))
+    // a reprocess DOES pick the late point up (T6 backfill)
+    ds.reprocessStreams(ts("2024-01-01T02:00:00Z"))
+    assert(ds.getData("s1", Granularity.Minutes).count() == 3)
+  }
+
   test("reprocess rebuilds rollups identical to the incremental build") {
     val ds = freshDs()
     ds.ensureStream("s1")
