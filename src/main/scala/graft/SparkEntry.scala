@@ -52,6 +52,7 @@ object SparkEntry {
     "q_token_count" -> Queries.tokenCount _,
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
     "q_simhash" -> ((s, d) => ext.Dedup.simhashCandidates(Sources.documents(s, d))),
+    "q_dedup_corpus" -> Queries.dedupCorpus _,
     "q_similarity_topk" -> Queries.similarityTopK _,
     "q_similarity_ann" -> Queries.similarityAnn _,
     "q_similarity_ivf" -> Queries.similarityIvf _,
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_props_json" -> Oracles.propsJson,
     "q_token_count" -> Oracles.tokenCount,
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
+    "q_dedup_corpus" -> Oracles.dedupCorpus,
     "q_similarity_topk" -> Oracles.similarityTopK,
     // q_similarity_ann, q_neardup_embedding: approximate (LSH) results by
     // design — not SQL-expressible as an exact twin; rows-only check.
@@ -197,6 +199,16 @@ object Queries {
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     ext.Dedup.exact(Sources.documents(spark, sfDir))
+
+  /** X1+X2 composed into the pipeline's real deliverable: the deduplicated
+    * corpus (near-dup clusters collapsed to their smallest doc_id), counted
+    * per language.
+    */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    ext.Dedup.keepOnePerCluster(docs, ext.Dedup.nearDupMinhash(docs, 0.8))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  }
 
   /** X5: typed projection out of the JSON `props` column, aggregated per
     * event_type — all-integer output.
@@ -469,6 +481,33 @@ pairs AS (
 SELECT a, b, jaccard FROM (
   SELECT a, b, CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard FROM pairs)
 WHERE jaccard >= 0.8"""
+
+  /** Connected components over the exact near-dup pairs via recursive
+    * transitive closure; kept = docs that are not a non-minimal member of
+    * any cluster.
+    */
+  val dedupCorpus: String =
+    """WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4),
+dup AS (SELECT a, b FROM cand WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.8),
+edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+reach(id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+doomed AS (
+  SELECT id FROM (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+  WHERE cluster <> id)
+SELECT lang, count(*) AS n_docs
+FROM documents WHERE doc_id NOT IN (SELECT id FROM doomed)
+GROUP BY 1"""
 
   /** Cosine = sequential double fold / (norm·norm) — mirrors Similarity.dot
     * exactly (list_reduce's first step equals Spark aggregate's 0.0 init).

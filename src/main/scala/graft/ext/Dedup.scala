@@ -181,6 +181,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list via iterative min-label propagation (the small-star/
+    * large-star pattern — each round is one shuffle; rounds ≈ cluster
+    * diameter, which for dedup clusters is tiny). Returns
+    * `(doc_id, cluster)` where `cluster` is the smallest doc_id reachable.
+    * This is the step that turns pairwise candidates into "keep one doc
+    * per duplicate group" at corpus scale — no driver-side union-find.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nbl"), "b")
+        .groupBy(col("a").as("id")).agg(min("nbl").as("nbl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Deduplicated corpus: drop every doc that shares a near-dup cluster
+    * with a smaller doc_id (exact + near duplicates collapse to one
+    * representative each).
+    */
+  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val doomed = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** X2c SimHash 64-bit signature of a shingle set, computed row-locally:
     * bit j is set when Σ_shingles ±1 > 0, the ±1 being bit j of the
     * shingle's 64-bit hash. (64 per-bit interpreted array folds — the

@@ -68,6 +68,31 @@ class RegistryAndDedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, singleton 20 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val clusters = ext.Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = ext.Dedup.keepOnePerCluster(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L))
+  }
+
+  test("keepOnePerCluster collapses exact duplicates found by minhash end-to-end") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (4L, "totally different content in this one here"))
+      .toDF("doc_id", "text")
+    val pairs = ext.Dedup.nearDupMinhash(docs, threshold = 0.8)
+    val kept = ext.Dedup.keepOnePerCluster(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("simhash: identical docs collide at hamming 0; unrelated docs are far") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
