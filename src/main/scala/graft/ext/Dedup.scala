@@ -83,24 +83,48 @@ object Dedup {
 
   /** X2a shingle-index near-dup: candidate pairs share ≥1 shingle (inverted
     * index), verified by exact Jaccard ≥ `threshold`. Output (a, b, jac),
-    * a < b. At 100 TB the hot shingles would be frequency-capped (drop
-    * shingles appearing in >F docs) to bound the index fan-out; the driver
-    * corpus needs no cap.
+    * a < b.
+    *
+    * `docFreqCap`: at 100 TB a stop-phrase shingle appearing in millions of
+    * docs makes the index self-join quadratic in that posting list. With a
+    * cap, shingles whose document frequency exceeds it are dropped from the
+    * INDEX ONLY — Jaccard is still computed over the full shingle sets, so
+    * surviving pairs score exactly; only candidate recall can drop (a pair
+    * sharing exclusively ultra-common shingles is a non-duplicate anyway).
+    * Default `None` keeps the exact candidate set (the oracle contract).
     */
   def nearDupJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     docFreqCap: Option[Int] = None): DataFrame = {
     val sh = shingled(docs, n, textCol, idCol)
     val sized = sh.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
-    val inv = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val inv0 = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val inv = docFreqCap.fold(inv0) { cap =>
+      // one extra shuffle keyed by shingle; the surviving posting lists are
+      // each ≤ cap, bounding the pair join's fan-out per key
+      inv0.withColumn("_df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+        .where(col("_df") <= cap).drop("_df")
+    }
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.sz").as("sa"), col("y.sz").as("sb"))
       .agg(count(lit(1)).as("i"))
-    pairs
-      .select(col("a"), col("b"),
-        (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    if (docFreqCap.isEmpty)
+      // uncapped: the collision count IS the intersection size — score from it
+      pairs
+        .select(col("a"), col("b"),
+          (col("i").cast("double") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    else
+      // capped: collisions undercount the intersection (capped shingles are
+      // absent from the index), so re-score candidates from the FULL sets
+      pairs.select(col("a"), col("b"))
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
   }
 
   /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
@@ -119,15 +143,20 @@ object Dedup {
     */
   def nearDupMinhash(docs: DataFrame, threshold: Double, n: Int = 3,
                      bands: Int = 16, rowsPerBand: Int = 4,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
     val p = 2147483647L // 2^31 − 1
     val rnd = new scala.util.Random(8191)
     val ab = Seq.fill(numHashes)(
       (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
     // persisted: referenced by the signature path AND both verify joins —
-    // without it every branch would recompute the shingling
+    // without it every branch would recompute the shingling. Released in the
+    // finally below: the verified pair set is materialized eagerly, so the
+    // returned DataFrame no longer pins these blocks (round-2 leak: repeated
+    // invocations accumulated cached shingle blocks forever).
     val sh = shingled(docs, n, textCol, idCol).where(size(col("sh")) > 0).persist()
+    try {
     // signatures are ROW-LOCAL: one loop per doc computes all permuted
     // minima and band hashes — no explode + 64-agg groupBy shuffle (which
     // moves |docs|·|shingles| rows for a per-row computation)
@@ -163,22 +192,48 @@ object Dedup {
     // (which would recompute the signature pipeline once per side). Buckets
     // hold near-identical docs, so expanding pairs bucket-locally is the
     // candidate set by construction; ids are sorted so a < b.
-    val candidates = banded.groupBy("band", "band_hash")
+    //
+    // Hot-bucket bound: a degenerate bucket of k identical docs has k²/2
+    // candidate pairs by definition, but expanding them inside ONE row (the
+    // flatten/transform below) holds all k²/2 structs in a single Tungsten
+    // row. Buckets larger than `maxBucket` therefore route through a
+    // join-based expansion instead: k slim rows self-joined bucket-locally,
+    // so the inherent k² output streams through tasks instead of
+    // materializing in one buffer. The candidate SET is identical either
+    // way (both expand exactly {(a,b) : a<b in bucket}).
+    val buckets = banded.groupBy("band", "band_hash")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
+      .persist()
+    val small = buckets.where(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ids")) - 2),
         i => transform(
           slice(col("ids"), i + 2, size(col("ids")) - i - 1),
           b => struct(element_at(col("ids"), i + 1).as("a"), b.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val bigIds = buckets.where(size(col("ids")) > maxBucket)
+      .select(col("band"), col("band_hash"), explode(col("ids")).as("doc_id"))
+    val big = bigIds.as("x").join(bigIds.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val candidates = small.unionByName(big).distinct()
     val withSets = candidates
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
-    withSets
+    val verified = withSets
       .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // Eager materialization: the verified pair set is tiny relative to the
+    // corpus (only true near-dups), and checkpointing it here (a) frees the
+    // shingle cache immediately, (b) hands downstream consumers
+    // (duplicateClusters' iterations) a flat plan instead of lineage chaining
+    // through the whole LSH pipeline.
+    val out = verified.localCheckpoint(true)
+    buckets.unpersist()
+    out
+    } finally { sh.unpersist(); () }
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -192,27 +247,36 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      .localCheckpoint(true)
+    // Each round is ONE materializing job: the `_changed` flag rides the
+    // same pass that computes the new labels, and the eager localCheckpoint
+    // both runs that job and truncates lineage (without it round i's plan
+    // chains through every previous round back into the pair pipeline — the
+    // round-2 bench paid 22s here). The convergence probe below then scans
+    // checkpointed blocks, not a recomputation.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label per node: min of own and neighbors' labels
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nbl"), "b")
+        .join(labels.select(col("id").as("b"), col("label").as("nbl")), "b")
         .groupBy(col("a").as("id")).agg(min("nbl").as("nbl"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
+          (coalesce(col("nbl"), col("label")) < col("label")).as("_changed"))
+        .localCheckpoint(true)
+      converged = next.where(col("_changed")).limit(1).count() == 0L
+      labels = next.drop("_changed")
       i += 1
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: min-label propagation did not converge in $maxIter " +
+          "rounds (cluster diameter > maxIter) — raise maxIter; refusing to " +
+          "return incorrect cluster labels")
     labels.withColumnRenamed("label", "cluster")
   }
 

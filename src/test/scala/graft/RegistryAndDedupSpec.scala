@@ -93,6 +93,57 @@ class RegistryAndDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("hot bucket: 500 identical docs expand via the join route, pairs complete") {
+    // 500 identical docs put all ids in ONE bucket of every band — the
+    // degenerate case the one-row flatten expansion must not absorb. With
+    // maxBucket=16 they route through the bucket-local self-join; the pair
+    // set must still be exactly all C(500,2) pairs.
+    val docs = (1L to 500L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = ext.Dedup.nearDupMinhash(docs, threshold = 0.8, maxBucket = 16)
+    assert(pairs.count() == 500L * 499L / 2L)
+    val kept = ext.Dedup.keepOnePerCluster(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("maxBucket routing does not change the candidate/verified pair set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val viaArray = ext.Dedup.nearDupMinhash(docs, threshold = 0.5, maxBucket = 64)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val viaJoin = ext.Dedup.nearDupMinhash(docs, threshold = 0.5, maxBucket = 1)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(viaJoin == viaArray && viaArray.nonEmpty)
+  }
+
+  test("docFreqCap drops hot shingles from the index but scores full-set jaccard") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this document here now"))
+      .toDF("doc_id", "text")
+    val uncapped = ext.Dedup.nearDupJaccard(docs, threshold = 0.5)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // cap of 2 keeps every shingle shared by the dup pair (df ≤ 2) → same result
+    val capped = ext.Dedup.nearDupJaccard(docs, threshold = 0.5, docFreqCap = Some(2))
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+  }
+
+  test("duplicateClusters throws instead of returning unconverged labels") {
+    // a path graph of 64 nodes has diameter 63 > maxIter=3 rounds of
+    // min-label propagation → must refuse, not silently mislabel
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ext.Dedup.duplicateClusters(chain, maxIter = 3).collect()
+    }
+  }
+
   test("simhash: identical docs collide at hamming 0; unrelated docs are far") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
