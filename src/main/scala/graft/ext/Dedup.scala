@@ -100,11 +100,13 @@ object Dedup {
     val sized = sh.select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
     val inv0 = sized.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     val inv = docFreqCap.fold(inv0) { cap =>
-      // one extra shuffle keyed by shingle; the surviving posting lists are
-      // each ≤ cap, bounding the pair join's fan-out per key
-      inv0.withColumn("_df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-        .where(col("_df") <= cap).drop("_df")
+      // df via groupBy + anti-join, NOT a Window.partitionBy("s"): the
+      // partial-aggregating groupBy combines hot shingles map-side, where a
+      // window would route a hot shingle's entire posting list through one
+      // task — recreating the very skew hotspot the cap exists to bound
+      val hot = inv0.groupBy("s").agg(count(lit(1)).as("_df"))
+        .where(col("_df") > cap).select("s")
+      inv0.join(hot, Seq("s"), "left_anti")
     }
     val pairs = inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -129,6 +131,14 @@ object Dedup {
 
   /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
     * → band-hash collision join → exact-Jaccard verification ≥ `threshold`.
+    *
+    * EAGER + VOLATILE: the verified pair set is materialized at call time
+    * via `localCheckpoint(true)` (runs the whole LSH pipeline immediately)
+    * and lives in non-replicated executor storage — it is not recomputable
+    * from lineage after an executor loss. Callers composing it lazily or
+    * expecting fault-tolerant recomputation should persist the result to
+    * storage; the trade buys a flat plan for downstream iteration
+    * (duplicateClusters) and lets the shingle cache release at return.
     * With rowsPerBand=4, bands=16: P(candidate | j) = 1−(1−j⁴)¹⁶ — steep
     * around j≈0.7, so near-orthogonal corpus pairs almost never collide
     * while pairs at the 0.8 threshold are caught w.p. ≥ 0.9997; the
@@ -152,10 +162,12 @@ object Dedup {
       (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
     // persisted: referenced by the signature path AND both verify joins —
     // without it every branch would recompute the shingling. Released in the
-    // finally below: the verified pair set is materialized eagerly, so the
-    // returned DataFrame no longer pins these blocks (round-2 leak: repeated
+    // finally below (buckets too — a mid-pipeline throw must not leak either
+    // cache): the verified pair set is materialized eagerly, so the returned
+    // DataFrame no longer pins these blocks (round-2 leak: repeated
     // invocations accumulated cached shingle blocks forever).
     val sh = shingled(docs, n, textCol, idCol).where(size(col("sh")) > 0).persist()
+    var buckets: DataFrame = null
     try {
     // signatures are ROW-LOCAL: one loop per doc computes all permuted
     // minima and band hashes — no explode + 64-agg groupBy shuffle (which
@@ -201,7 +213,7 @@ object Dedup {
     // so the inherent k² output streams through tasks instead of
     // materializing in one buffer. The candidate SET is identical either
     // way (both expand exactly {(a,b) : a<b in bucket}).
-    val buckets = banded.groupBy("band", "band_hash")
+    buckets = banded.groupBy("band", "band_hash")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) > 1)
       .persist()
@@ -230,10 +242,12 @@ object Dedup {
     // shingle cache immediately, (b) hands downstream consumers
     // (duplicateClusters' iterations) a flat plan instead of lineage chaining
     // through the whole LSH pipeline.
-    val out = verified.localCheckpoint(true)
-    buckets.unpersist()
-    out
-    } finally { sh.unpersist(); () }
+    verified.localCheckpoint(true)
+    } finally {
+      sh.unpersist()
+      if (buckets != null) buckets.unpersist()
+      ()
+    }
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -243,19 +257,45 @@ object Dedup {
     * `(doc_id, cluster)` where `cluster` is the smallest doc_id reachable.
     * This is the step that turns pairwise candidates into "keep one doc
     * per duplicate group" at corpus scale — no driver-side union-find.
+    *
+    * Convergence is observed via a zero-change round, so detection takes
+    * diameter+1 rounds: `maxIter` must EXCEED the largest cluster diameter
+    * (a component reaching fixpoint exactly on round maxIter still throws —
+    * conservative, never wrong). The default of 20 covers dedup clusters,
+    * whose diameter is bounded by near-identical-text transitivity.
+    *
+    * Storage discipline: each round's labels are eagerly checkpointed (one
+    * materializing job, truncated lineage); the PREVIOUS round's checkpoint
+    * blocks are unpersisted as soon as the new round supersedes them, so
+    * executor storage holds O(1) label generations however many rounds run
+    * (round-3 advice: GC-only release pinned up to maxIter snapshots).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint registers exactly the new persistent RDD(s) backing
+    // the checkpoint; diffing the registry around the call captures them so
+    // superseded generations can be freed explicitly (the public-API way —
+    // Dataset.localCheckpoint does not expose its backing RDD)
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val fresh = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) => rdd
+      }.toSeq
+      (out, fresh)
+    }
+    val (edges, edgeRdds) = checkpointTracked(
+      pairs.select(col("a"), col("b"))
+        .union(pairs.select(col("b").as("a"), col("a").as("b"))))
     // Each round is ONE materializing job: the `_changed` flag rides the
     // same pass that computes the new labels, and the eager localCheckpoint
     // both runs that job and truncates lineage (without it round i's plan
     // chains through every previous round back into the pair pipeline — the
     // round-2 bench paid 22s here). The convergence probe below then scans
     // checkpointed blocks, not a recomputation.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    var (labels, labelRdds) = checkpointTracked(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -263,15 +303,21 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("b"), col("label").as("nbl")), "b")
         .groupBy(col("a").as("id")).agg(min("nbl").as("nbl"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
-          (coalesce(col("nbl"), col("label")) < col("label")).as("_changed"))
-        .localCheckpoint(true)
+      val (next, nextRdds) = checkpointTracked(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbl"), col("label"))).as("label"),
+            (coalesce(col("nbl"), col("label")) < col("label")).as("_changed")))
       converged = next.where(col("_changed")).limit(1).count() == 0L
+      // `next` is checkpointed — the old labels are no longer referenced
+      labelRdds.foreach(_.unpersist(blocking = false))
       labels = next.drop("_changed")
+      labelRdds = nextRdds
       i += 1
     }
+    // the returned labels are self-contained checkpoint data; the
+    // doubled-edge set is only needed while iterating
+    edgeRdds.foreach(_.unpersist(blocking = false))
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters: min-label propagation did not converge in $maxIter " +
