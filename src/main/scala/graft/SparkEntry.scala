@@ -33,14 +33,22 @@ object SparkEntry {
     "q_downsample_minutes" -> ((s, d) => Queries.downsampleAt(s, d, Granularity.Minutes)),
     "q_downsample_hours" -> ((s, d) => Queries.downsampleCascade(s, d, Granularity.Hours)),
     "q_downsample_days" -> ((s, d) => Queries.downsampleCascade(s, d, Granularity.Days)),
-    // §2.1 S3 get_data (P1 bounds, O1 reverse, P3 projection)
+    // §2.1 S3 get_data (P1 bounds, O1 reverse, P3 projection, O2 pagination)
     "q_getdata_range" -> Queries.getDataRange _,
     "q_getdata_reverse" -> Queries.getDataReverse _,
-    // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join
+    "q_getdata_paginated" -> Queries.getDataPaginated _,
+    // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join (P2 flat+nested)
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
+    "q_find_streams_nested" -> Queries.findStreamsNested _,
     // full facade path through real warehouse storage: S1 ingest →
-    // downsample_streams maintenance (T1) → S3 read
+    // downsample_streams maintenance (T1) → S3 read; S5 delete lifecycle;
+    // T6 reprocess ≡ incremental; T1–T3 as a real streaming query
     "q_warehouse_e2e" -> Queries.warehouseE2E _,
+    "q_delete_streams" -> Queries.deleteStreamsE2E _,
+    "q_reprocess_equiv" -> Queries.reprocessEquiv _,
+    "q_streaming_cascade" -> Queries.streamingCascade _,
+    // §2.8 F3 graph value type round trip
+    "q_graph_downsample" -> Queries.graphDownsample _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
     "q_counter_reset" -> Queries.counterReset _,
@@ -56,6 +64,7 @@ object SparkEntry {
     "q_similarity_topk" -> Queries.similarityTopK _,
     "q_similarity_ann" -> Queries.similarityAnn _,
     "q_similarity_ivf" -> Queries.similarityIvf _,
+    "q_similarity_ivf_probe" -> Queries.similarityIvfProbe _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
@@ -74,8 +83,14 @@ object SparkEntry {
     "q_downsample_days" -> Oracles.downsample(86400L),
     "q_getdata_range" -> Oracles.getDataRange,
     "q_getdata_reverse" -> Oracles.getDataReverse,
+    "q_getdata_paginated" -> Oracles.getDataPaginated,
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
+    "q_find_streams_nested" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
+    "q_delete_streams" -> Oracles.deleteStreamsE2E,
+    "q_reprocess_equiv" -> Oracles.reprocessEquiv,
+    "q_streaming_cascade" -> Oracles.streamingCascade,
+    "q_graph_downsample" -> Oracles.graphDownsample,
     "q_derivative" -> Oracles.derivative,
     "q_counter_reset" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
@@ -86,8 +101,12 @@ object SparkEntry {
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
     "q_dedup_corpus" -> Oracles.dedupCorpus,
     "q_similarity_topk" -> Oracles.similarityTopK,
-    // q_similarity_ann, q_neardup_embedding: approximate (LSH) results by
-    // design — not SQL-expressible as an exact twin; rows-only check.
+    // exhaustive IVF (nProbe = nCells) equals brute force bit-for-bit, so it
+    // shares the brute-force oracle; the probe config stays rows-only
+    "q_similarity_ivf" -> Oracles.similarityTopK,
+    // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
+    // approximate (LSH/IVF) results by design — not SQL-expressible as an
+    // exact twin; rows-only check.
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_fingerprint" -> Oracles.fingerprint,
@@ -107,6 +126,21 @@ object Queries {
   private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
   val streamKeys: Seq[String] = Seq("user_id", "event_type")
+
+  /** Temp dir for the lifecycle queries' throwaway warehouses, deleted on
+    * JVM exit so repeated invocations don't accumulate orphan directories.
+    */
+  private def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
+    }))
+    dir.toString
+  }
 
   /** Direct single-shuffle downsample of events at granularity `g`. */
   def downsampleAt(spark: SparkSession, sfDir: String, g: Granularity): DataFrame = {
@@ -163,7 +197,7 @@ object Queries {
     * straight from events.
     */
   def warehouseE2E(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val dir = tempDir("graft-wh")
     val ds = new Datastream(spark, dir)
     ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
       highestGranularity = Granularity.Minutes)
@@ -172,6 +206,136 @@ object Queries {
       .select("stream_id", "ts", "value"))
     ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     ds.getData("7:click", Granularity.Hours)
+  }
+
+  /** O2 pagination: limit+offset over the ordered downsampled fetch. The
+    * hourly bucket_start is unique per stream, so the selected page is
+    * deterministic — the property Tastypie pagination relies on
+    * [dds :: resources.py :: paginator].
+    */
+  def getDataPaginated(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val hours = Downsample.aggregateRaw(dp, Granularity.Hours)
+    // page 3..8 of the stream's full history: an interior page (both edges
+    // exercised) that is non-empty at every test SF — streams are sparse
+    // (~10-18 hourly buckets), so deep offsets would select nothing
+    GetData.paginate(
+      GetData.downsampled(hours, "3:view",
+        valueDownsamplers = Seq(Downsamplers.Mean, Downsamplers.Count),
+        timeDownsamplers = Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast)),
+      limit = Some(5), offset = 3)
+  }
+
+  /** P2 nested tag query: `meta.parity=odd` resolves through the registry's
+    * `tags_json` document (the HTTP layer's `tags__meta__parity` path) AND a
+    * flat tag in the same query, then the usual broadcast semi-join rollup.
+    */
+  def findStreamsNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val registry = StreamRegistry.fromEvents(dp)
+    val matched = StreamRegistry.findStreams(registry,
+      Map("meta.parity" -> "odd", "type" -> "click"))
+    StreamRegistry.selectDatapoints(dp, matched)
+      .groupBy(col("stream_id"))
+      .agg(count(lit(1)).as("n_datapoints"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
+  /** S5 delete_streams end-to-end: two streams live the full lifecycle
+    * (ensure → bulk append → cascade), then one is deleted by tag query.
+    * Output = per-table surviving row counts, so any 3:view row left in raw,
+    * derived, or ANY rollup level — or any lost 7:click row — breaks the
+    * oracle match.
+    */
+  def deleteStreamsE2E(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-del")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.deleteStreams(Map("type" -> "view"))
+    val raw = ds.rawDatapoints.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("raw").as("level"), col("stream_id"), col("n_rows"))
+    val levels = Seq(Granularity.Minutes, Granularity.Minutes10, Granularity.Hours,
+      Granularity.Hours6, Granularity.Days).map(g =>
+      ds.rollup(g).groupBy("stream_id").agg(count(lit(1)).as("n_rows"))
+        .select(lit(g.name).as("level"), col("stream_id"), col("n_rows")))
+    (raw +: levels).reduce(_.unionByName(_))
+  }
+
+  /** T6 reprocess ≡ incremental: build the cascade in two incremental
+    * maintenance calls, snapshot it, rebuild from scratch with
+    * `reprocessStreams`, and report per-level (rows before, rows after,
+    * symmetric-difference rows). n_diff = 0 proves the rebuild is
+    * bit-identical across every partial column including the decimal sums —
+    * the exactness claim behind the incremental design.
+    */
+  def reprocessEquiv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-rep")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-15T00:00:00Z"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    // snapshots must be materialized: reprocess overwrites the files a lazy
+    // plan would re-read
+    val beforeM = ds.rollup(Granularity.Minutes).localCheckpoint(true)
+    val beforeD = ds.rollup(Granularity.Days).localCheckpoint(true)
+    ds.reprocessStreams(ts("2024-02-01T00:00:00Z"))
+    def report(level: String, before: DataFrame, after: DataFrame): DataFrame = {
+      val diff = before.exceptAll(after).unionByName(after.exceptAll(before))
+      before.agg(count(lit(1)).as("n_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
+        .select(lit(level).as("level"), col("n_before"), col("n_after"), col("n_diff"))
+    }
+    report("minutes", beforeM, ds.rollup(Granularity.Minutes))
+      .unionByName(report("days", beforeD, ds.rollup(Granularity.Days)))
+  }
+
+  /** T1–T3 on the oracle gate: the watermarked minutes downsample runs as a
+    * real Structured Streaming query (`Trigger.AvailableNow`, append mode,
+    * delay 0) over the events file, lands in a parquet sink, and is read
+    * back finalized. The oracle is the batch downsample restricted to
+    * buckets the watermark finalized (bucket end ≤ ms-floored max event
+    * time) — green means the streaming engine's emit-once watermark
+    * semantics match the reference's `downsampled_until` contract.
+    */
+  def streamingCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-stream")
+    // the file stream source only accepts directories; stream from a temp
+    // dir holding a symlink to the single events file (no data copy — and
+    // the same shape as a real deployment's drop-directory ingest)
+    val srcDir = tempDir("graft-stream-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streaming.downsample(src, Granularity.Minutes, "0 seconds", streamKeys)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/rollup")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // sink dir is non-empty and Spark-written — inference keeps the decimals
+    Downsample.finalizeView(spark.read.parquet(s"$dir/rollup"), streamKeys)
   }
 
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
@@ -248,8 +412,25 @@ object Queries {
     ext.Similarity.annTopK(Sources.embeddings(spark, sfDir),
       queryVectors(spark, sfDir), k = 10)
 
-  /** X3 second scale path: IVF cells + probe re-rank. */
-  def similarityIvf(spark: SparkSession, sfDir: String): DataFrame =
+  /** X3 second scale path, exhaustive configuration: `nProbe = nCells`
+    * probes every cell, so the result equals brute force bit-for-bit (same
+    * sequential-double cosine, same tiebreak) — which puts the IVF pipeline
+    * under the exact brute-force oracle. Labels ride a broadcast join like
+    * the brute path carries them.
+    */
+  def similarityIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
+    ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir), qv, k = 10,
+        nCells = 64, nProbe = 64)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** The production IVF configuration (nProbe ≪ nCells): approximate by
+    * design, rows-only checked — recall/cost trades via nProbe.
+    */
+  def similarityIvfProbe(spark: SparkSession, sfDir: String): DataFrame =
     ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir),
       queryVectors(spark, sfDir), k = 10)
 
@@ -279,6 +460,34 @@ object Queries {
         Downsample.bucketStart(col("ts"), Granularity.Hours).as("bucket_start"))
       .agg(count(col("props")).as("count"),
         min("ts").as("t_first"), max("ts").as("t_last"))
+
+  /** F3 graph value type end-to-end: events are rendered to the reference's
+    * graph wire JSON (`{"v":[{"i":..}],"e":[{"f":..,"t":..}]}`), parsed back
+    * through `from_json(…, Schemas.graph)`, and count-only downsampled with
+    * vertex/edge totals — the full store→parse→aggregate round trip the
+    * reference applies to graph streams [ds :: value_type "graph"]. The
+    * oracle recomputes the totals from the source columns independently, so
+    * a wire-format or parse defect breaks the match.
+    */
+  def graphDownsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val wire = Sources.events(spark, sfDir).select(
+      col("user_id"), col("event_type"), col("ts"),
+      to_json(struct(
+        array(
+          struct(col("user_id").cast("string").as("i")),
+          struct(col("event_type").as("i"))).as("v"),
+        when(get_json_object(col("props"), "$.k").isNotNull,
+          array(struct(col("user_id").cast("string").as("f"),
+            col("event_type").as("t"))))
+          .otherwise(array().cast("array<struct<f:string,t:string>>"))
+          .as("e"))).as("value_json"))
+    wire.withColumn("g", from_json(col("value_json"), Schemas.graph))
+      .groupBy(col("user_id"), col("event_type"),
+        Downsample.bucketStart(col("ts"), Granularity.Hours).as("bucket_start"))
+      .agg(count(col("g")).as("count"),
+        sum(size(col("g.v"))).as("n_vertices"),
+        sum(size(col("g.e"))).as("n_edges"))
+  }
 
   /** X5: stub-decoded multimodal metadata per kind (typed mapPartitions
     * plumbing; deterministic fake codec — see Multimodal scaladoc).
@@ -319,8 +528,11 @@ object Queries {
   */
 object Oracles {
 
-  /** The exact-partials downsample CTE at bucket duration `durSeconds`. */
-  def downsample(durSeconds: Long): String = {
+  /** The exact-partials downsample CTE at bucket duration `durSeconds`.
+    * `finalWhere` optionally restricts the emitted buckets (e.g. to the
+    * watermark-finalized set for the streaming twin).
+    */
+  def downsample(durSeconds: Long, finalWhere: String = ""): String = {
     val durUs = durSeconds * 1000000L
     s"""WITH part AS (
   SELECT user_id, event_type,
@@ -343,8 +555,16 @@ SELECT user_id, event_type, bucket_start,
   tfirst AS t_first,
   make_timestamp(CAST(CAST(tsum_us AS HUGEINT) // cnt AS BIGINT)) AS t_mean,
   tlast AS t_last
-FROM part"""
+FROM part$finalWhere"""
   }
+
+  /** Streaming twin: the minutes downsample restricted to buckets the
+    * watermark finalized — append mode with delay 0 emits a window once the
+    * ms-floored max event time reaches its end.
+    */
+  val streamingCascade: String = downsample(60L,
+    "\nWHERE epoch_us(bucket_start) + 60000000 <= " +
+      "(SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events)")
 
   /** Same exact-partials hours rollup, restricted to the one warehoused
     * stream — every bucket is complete before the query's `until`.
@@ -399,6 +619,76 @@ ORDER BY bucket_start DESC"""
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM events WHERE event_type = 'click'
 GROUP BY 1"""
+
+  /** Nested-path tag query twin: `meta.parity=odd` ⇔ odd user_id (how the
+    * registry derives the nested tag document), plus the flat type tag.
+    */
+  val findStreamsNested: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+  count(*) AS n_datapoints,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events WHERE event_type = 'click' AND user_id % 2 = 1
+GROUP BY 1"""
+
+  /** Forward-ordered downsampled fetch with limit 5 / offset 3 —
+    * bucket_start is unique per stream, so the page is a deterministic set
+    * even under the gate's order-insensitive hash.
+    */
+  val getDataPaginated: String =
+    """WITH part AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt, sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(ts) AS t_first, max(ts) AS t_last
+  FROM events GROUP BY 1, 2)
+SELECT stream_id, bucket_start,
+  CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean", cnt AS "count",
+  t_first, t_last
+FROM part
+WHERE stream_id = '3:view'
+ORDER BY bucket_start LIMIT 5 OFFSET 3"""
+
+  /** Survivor counts after deleting 3:view: raw + every rollup level of the
+    * remaining 7:click stream, recomputed straight from events. Until
+    * 2024-02-01 is aligned to every ladder duration and past all events, so
+    * each level's row count is its distinct-bucket count.
+    */
+  val deleteStreamsE2E: String =
+    """WITH pts AS (SELECT ts FROM events WHERE user_id = 7 AND event_type = 'click')
+SELECT 'raw' AS level, '7:click' AS stream_id, count(*) AS n_rows FROM pts
+UNION ALL SELECT 'minutes', '7:click', count(DISTINCT epoch_us(ts) // 60000000) FROM pts
+UNION ALL SELECT 'minutes10', '7:click', count(DISTINCT epoch_us(ts) // 600000000) FROM pts
+UNION ALL SELECT 'hours', '7:click', count(DISTINCT epoch_us(ts) // 3600000000) FROM pts
+UNION ALL SELECT 'hours6', '7:click', count(DISTINCT epoch_us(ts) // 21600000000) FROM pts
+UNION ALL SELECT 'days', '7:click', count(DISTINCT epoch_us(ts) // 86400000000) FROM pts"""
+
+  /** Reprocess-equivalence twin: per level, the expected rollup row count
+    * before AND after a from-scratch rebuild, with zero symmetric-difference
+    * rows — the Spark side computes n_diff by exceptAll over every partial
+    * column, so 0 here certifies a bit-identical rebuild.
+    */
+  val reprocessEquiv: String =
+    """WITH pts AS (SELECT ts FROM events WHERE user_id = 7 AND event_type = 'click')
+SELECT 'minutes' AS level,
+  count(DISTINCT epoch_us(ts) // 60000000) AS n_before,
+  count(DISTINCT epoch_us(ts) // 60000000) AS n_after,
+  CAST(0 AS BIGINT) AS n_diff FROM pts
+UNION ALL SELECT 'days',
+  count(DISTINCT epoch_us(ts) // 86400000000),
+  count(DISTINCT epoch_us(ts) // 86400000000),
+  CAST(0 AS BIGINT) FROM pts"""
+
+  /** Graph round-trip twin: totals recomputed from the source columns the
+    * wire JSON was built from — 2 vertices per point, one edge when props.k
+    * exists.
+    */
+  val graphDownsample: String =
+    """SELECT user_id, event_type,
+  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+  count(*) AS "count",
+  CAST(2 * count(*) AS BIGINT) AS n_vertices,
+  CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_edges
+FROM events GROUP BY 1, 2, 3"""
 
   /** Shared lag CTE: per-stream previous value/timestamp, ties broken by
     * event_id — mirrors Derive's window spec exactly.

@@ -31,6 +31,13 @@ object StreamRegistry {
         map(
           lit("user"), col("user_id").cast("string"),
           lit("type"), col("event_type")).as("tags"),
+        // nested tag document (P2): the HTTP layer's `tags__meta__parity`
+        // path queries resolve against this JSON column via get_json_object
+        to_json(struct(
+          col("user_id").cast("string").as("user"),
+          col("event_type").as("type"),
+          struct(when(col("user_id") % 2 === 1, "odd").otherwise("even")
+            .as("parity")).as("meta"))).as("tags_json"),
         lit(ValueType.Numeric).as("value_type"),
         typedLit(Downsamplers.allValue.toSeq.sorted).as("value_downsamplers"),
         typedLit(Downsamplers.allTime.toSeq.sorted).as("time_downsamplers"),
