@@ -47,8 +47,10 @@ object SparkEntry {
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
     "q_streaming_cascade" -> Queries.streamingCascade _,
-    // §2.8 F3 graph value type round trip
+    // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
+    "q_wire_render" -> Queries.wireRender _,
+    "q_validation" -> Queries.validationErrors _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
     "q_counter_reset" -> Queries.counterReset _,
@@ -91,6 +93,8 @@ object SparkEntry {
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
     "q_streaming_cascade" -> Oracles.streamingCascade,
     "q_graph_downsample" -> Oracles.graphDownsample,
+    "q_wire_render" -> Oracles.wireRender,
+    "q_validation" -> Oracles.validationErrors,
     "q_derivative" -> Oracles.derivative,
     "q_counter_reset" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
@@ -336,6 +340,60 @@ object Queries {
     q.awaitTermination()
     // sink dir is non-empty and Spark-written — inference keeps the decimals
     Downsample.finalizeView(spark.read.parquet(s"$dir/rollup"), streamKeys)
+  }
+
+  /** F5 wire rendering: the downsampled count-only fetch rendered to the
+    * reference's HTTP datapoint shape `{"t": <iso-µs>, "v": <value>}`
+    * [dds :: serializers.py :: DatastreamSerializer]. Integer value + the
+    * fixed 6-digit ISO format keep the JSON byte-deterministic, so the
+    * DuckDB twin can rebuild the exact strings.
+    */
+  def wireRender(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val hours = Downsample.aggregateRaw(dp, Granularity.Hours)
+    GetData.renderWire(
+      GetData.downsampled(hours, "3:view",
+        valueDownsamplers = Seq(Downsamplers.Count),
+        timeDownsamplers = Seq.empty),
+      tsCol = "bucket_start")
+  }
+
+  /** F4 validation surface: every documented error path of the facade,
+    * exercised against a real (temp) warehouse and reported as
+    * (check_case, error-class) rows. The oracle pins the exact error class
+    * per case, so a silently-succeeding invalid operation (or a wrong
+    * error) breaks the match.
+    */
+  def validationErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-val")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1", Map("t" -> "a"), highestGranularity = Granularity.Minutes)
+    ds.ensureStream("d1", Map.empty, ValueType.Numeric, Granularity.Minutes,
+      deriveOp = Some("sum"), derivedFrom = Seq("s1"))
+    ds.append("s1", 1.0, ts("2024-01-10T00:00:00Z"))
+    def attempt(name: String)(f: => Any): (String, String) =
+      name -> (try { f; "ok" } catch { case e: Throwable => e.getClass.getSimpleName })
+    Seq(
+      attempt("granularity_unknown")(Granularity("fortnight")),
+      attempt("value_type_unknown")(
+        ds.ensureStream("s2", valueType = "fancy")),
+      attempt("stream_not_found")(ds.streamMeta("nope")),
+      attempt("derived_granularity_mismatch")(
+        ds.ensureStream("d2", Map.empty, ValueType.Numeric, Granularity.Hours,
+          deriveOp = Some("sum"), derivedFrom = Seq("s1"))),
+      attempt("getdata_finer_than_highest")(ds.getData("s1", Granularity.Seconds)),
+      attempt("undeclared_downsampler")(
+        ds.getData("s1", Granularity.Hours, valueDownsamplers = Some(Seq("p99")))),
+      attempt("append_to_derived")(ds.append("d1", 1.0, ts("2024-01-11T00:00:00Z"))),
+      attempt("non_monotone_append")(ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))),
+      attempt("delete_with_dependents")(ds.deleteStreams(Map("t" -> "a"))),
+      attempt("unknown_derive_op")(ds.ensureStream("d3", Map.empty,
+        ValueType.Numeric, Granularity.Minutes,
+        deriveOp = Some("median"), derivedFrom = Seq("s1")) match {
+        case _ => ds.deriveDatapoints("d3")
+      })
+    ).toDF("check_case", "error")
   }
 
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
@@ -677,6 +735,34 @@ UNION ALL SELECT 'days',
   count(DISTINCT epoch_us(ts) // 86400000000),
   count(DISTINCT epoch_us(ts) // 86400000000),
   CAST(0 AS BIGINT) FROM pts"""
+
+  /** Wire-shape twin: rebuilds the exact `{"t": …, "v": …}` JSON bytes —
+    * DuckDB strftime `%f` is the same zero-padded 6-digit microsecond field
+    * as the engine's ISO pattern.
+    */
+  val wireRender: String =
+    """WITH part AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt
+  FROM events WHERE user_id = 3 AND event_type = 'view' GROUP BY 1)
+SELECT '{"t":"' || strftime(bucket_start, '%Y-%m-%dT%H:%M:%S.%f') || 'Z","v":' || cnt || '}'
+  AS datapoint
+FROM part"""
+
+  /** F4 twin: the exact error class each invalid operation must raise. */
+  val validationErrors: String =
+    """SELECT * FROM (VALUES
+  ('granularity_unknown', 'IllegalArgumentException'),
+  ('value_type_unknown', 'IllegalArgumentException'),
+  ('stream_not_found', 'StreamNotFound'),
+  ('derived_granularity_mismatch', 'IncompatibleGranularities'),
+  ('getdata_finer_than_highest', 'UnsupportedGranularity'),
+  ('undeclared_downsampler', 'UnsupportedDownsampler'),
+  ('append_to_derived', 'AppendToDerivedStreamNotAllowed'),
+  ('non_monotone_append', 'InvalidTimestamp'),
+  ('delete_with_dependents', 'OutstandingDependenciesError'),
+  ('unknown_derive_op', 'InvalidOperatorArguments')
+) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the
     * wire JSON was built from — 2 vertices per point, one edge when props.k
