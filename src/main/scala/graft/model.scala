@@ -152,6 +152,27 @@ object Schemas {
     StructType(downsampled.fields :+ StructField("bucket_date", DateType, nullable = true))
 }
 
+/** Plan utilities shared by the facade. */
+object Plans {
+  /** Eager `localCheckpoint` that also returns the persistent RDD(s) backing
+    * it (registry diff around the call — `Dataset.localCheckpoint` does not
+    * expose its RDD), so callers can free the blocks explicitly once the
+    * checkpointed data is no longer referenced. The checkpoint is
+    * lineage-free: immune to later overwrites of the paths it was computed
+    * from (the cached-plan-recompute hazard), and resident on executors —
+    * the driver holds nothing proportional to the data.
+    */
+  def checkpointTracked(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.collect {
+      case (id, r) if !before.contains(id) => r
+    }.toSeq)
+  }
+}
+
 /** Exception types mirroring the reference API surface (SURVEY.md §2). */
 object errors {
   final class UnsupportedGranularity(msg: String) extends IllegalArgumentException(msg)
