@@ -36,6 +36,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   private def exists(path: String): Boolean = new java.io.File(path).exists()
 
+  /** Overwrite the (small) registry path with a plan that READS that same
+    * path: write to a sibling temp dir, then swap directories. One Spark job
+    * — no cache+count materialization round-trip — and the source files stay
+    * intact until the write commits. Plain-parquet local-fs rename; on an
+    * object store this swap is what a Delta/Iceberg commit does
+    * transactionally.
+    */
+  private def overwriteSwap(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".swap-" + System.nanoTime()
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val dst = new java.io.File(path)
+    rm(dst)
+    new java.io.File(tmp).renameTo(dst)
+    ()
+  }
+
   // ---- registry -----------------------------------------------------------
 
   private def hasStreams: Boolean = exists(streamsPath)
@@ -103,8 +123,6 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // collect the delete path holds nothing O(streams) on the driver.
     val (doomedIds, doomedRdds) =
       Plans.checkpointTracked(doomed0.select("stream_id"))
-    val (survivors, survRdds) =
-      Plans.checkpointTracked(all.join(doomedIds, Seq("stream_id"), "left_anti"))
     try {
       val n = doomedIds.count()
       def purge(path: String, schema: Option[org.apache.spark.sql.types.StructType],
@@ -119,13 +137,25 @@ class Datastream(spark: SparkSession, warehouse: String) {
             .partitionBy(partitionCols: _*).parquet(path)
           keep.unpersist()
         }
-      survivors.write.mode(SaveMode.Overwrite).parquet(streamsPath)
-      purge(rawPath, None, Seq.empty)
-      purge(derivedPath, None, Seq("stream_id"))
-      Granularity.ladder.foreach(g =>
-        purge(rollupPath(g), Some(Schemas.downsampledPartitioned), Seq("bucket_date")))
+      // survivors read the pre-swap registry during the temp write (doomed
+      // ids come from the checkpoint), so no separate materialization needed
+      overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
+        streamsPath)
+      // the per-path purges are independent read→rewrite pipelines; submit
+      // them as concurrent Spark jobs (thread-safe on one SparkContext) —
+      // the scheduler interleaves their stages instead of serializing
+      // 9 × (materialize + write) round-trips
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val purges =
+        Seq(Future(purge(rawPath, None, Seq.empty)),
+          Future(purge(derivedPath, None, Seq("stream_id")))) ++
+          Granularity.ladder.map(g => Future(
+            purge(rollupPath(g), Some(Schemas.downsampledPartitioned),
+              Seq("bucket_date"))))
+      Await.result(Future.sequence(purges), scala.concurrent.duration.Duration.Inf)
       n
-    } finally (doomedRdds ++ survRdds).foreach(_.unpersist(blocking = false))
+    } finally doomedRdds.foreach(_.unpersist(blocking = false))
   }
 
   // ---- ingest (S1/S2, T3) -------------------------------------------------
@@ -197,11 +227,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
             greatest(coalesce(col("latest_datapoint"), col("_hi")), col("_hi")))
             .otherwise(col("latest_datapoint")))
         .drop("_lo", "_hi")
-        .cache()
-      updated.count() // materialize before overwriting the path being read
-      updated.write.mode(SaveMode.Overwrite).parquet(streamsPath)
-      updated.unpersist()
-      ()
+      // registry is the small dimension table: one single-file swap write
+      // keeps the many re-reads across a maintenance session from listing
+      // and scheduling 32 shards of a few-KB table (shard only at true
+      // millions-of-streams scale)
+      overwriteSwap(updated, streamsPath)
     } finally joined.unpersist()
   }
 
@@ -276,32 +306,41 @@ class Datastream(spark: SparkSession, warehouse: String) {
       streams.select(col("stream_id"), col("downsampled_until"),
           col("highest_granularity"))
         .join(selectedIds.withColumn("_sel", lit(true)), Seq("stream_id"), "left")
-        .withColumn("_sel", coalesce(col("_sel"), lit(false))))
+        .withColumn("_sel", coalesce(col("_sel"), lit(false)))
+        .coalesce(1)) // metadata-sized: single-partition snapshot
     import spark.implicits._
-    // finest granularity over ALL streams (one metadata-sized job)
-    val durByName = broadcast(Granularity.ladder
-      .map(g => (g.name, g.durationSeconds))
-      .toDF("highest_granularity", "_dur"))
-    val finestRow = regSnap.join(durByName, "highest_granularity")
-      .agg(min("_dur")).first()
-    if (finestRow.isNullAt(0)) return Map.empty // empty registry
-    val levels = Granularity.ladder.filter(_.durationSeconds >= finestRow.getLong(0))
     def hiOf(g: Granularity): Long = {
       val durUs = g.durationSeconds * 1000000L
       (untilUs / durUs) * durUs // first NOT-complete bucket start
     }
-    // per-level work stats — (streams with lo < hi, min such lo) — in ONE
-    // job over the snapshot × the 7-row level table; collect is ≤ |ladder|
-    val levelsDf = broadcast(levels.map(g => (g.name, hiOf(g))).toDF("_g", "_hi"))
-    val stats: Map[String, Long] = regSnap.where(col("_sel"))
-      .crossJoin(levelsDf)
+    // ONE metadata-sized job answers every driver-side question: the finest
+    // highest-granularity over ALL streams (sentinel row) and, per ladder
+    // level, the min watermark among selected streams with work (lo < hi).
+    // The collect is ≤ |ladder| + 1 rows — never O(streams).
+    val durByName = broadcast(Granularity.ladder
+      .map(g => (g.name, g.durationSeconds))
+      .toDF("highest_granularity", "_dur"))
+    val levelsAllDf = broadcast(Granularity.ladder
+      .map(g => (g.name, hiOf(g))).toDF("_g", "_hi"))
+    val statRows = regSnap.where(col("_sel"))
+      .crossJoin(levelsAllDf)
       .select(col("_g"),
         coalesce(element_at(col("downsampled_until"), col("_g")),
           lit(Long.MinValue)).as("_lo"),
         col("_hi"))
       .where(col("_lo") < col("_hi"))
-      .groupBy("_g").agg(min("_lo").as("_globalLo"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy("_g").agg(min("_lo").as("_v"))
+      .unionByName(regSnap.join(durByName, "highest_granularity")
+        .agg(min("_dur").as("_v")).select(lit("__finest").as("_g"), col("_v"))
+        .where(col("_v").isNotNull))
+      .collect()
+    val finestOpt = statRows.find(_.getString(0) == "__finest").map(_.getLong(1))
+    if (finestOpt.isEmpty) return Map.empty // empty registry
+    val levels = Granularity.ladder.filter(_.durationSeconds >= finestOpt.get)
+    val levelNames = levels.map(_.name).toSet
+    val stats: Map[String, Long] = statRows
+      .filter(r => levelNames(r.getString(0)))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     def loDfOf(g: Granularity): DataFrame =
       regSnap.where(col("_sel"))
         .select(col("stream_id"),
@@ -375,11 +414,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 .otherwise(greatest(coalesce(o, lit(Long.MinValue)), u))))
             .otherwise(col("downsampled_until")))
         .drop("_sel")
-        .cache()
-      updated.count() // materialize before overwriting the path being read
-      updated.write.mode(SaveMode.Overwrite).parquet(streamsPath)
-      updated.unpersist()
-      ()
+      overwriteSwap(updated, streamsPath)
     }
     produced
   }
