@@ -47,6 +47,8 @@ object SparkEntry {
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
     "q_streaming_cascade" -> Queries.streamingCascade _,
+    // T4: stateful streaming derive as a real streaming query
+    "q_streaming_derive" -> Queries.streamingDerive _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
@@ -92,6 +94,8 @@ object SparkEntry {
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
     "q_streaming_cascade" -> Oracles.streamingCascade,
+    // the stateful streaming derive must equal the batch window-lag twin
+    "q_streaming_derive" -> Oracles.derivative,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_validation" -> Oracles.validationErrors,
@@ -394,6 +398,40 @@ object Queries {
         case _ => ds.deriveDatapoints("d3")
       })
     ).toDF("check_case", "error")
+  }
+
+  /** T4 on the gate: the stateful streaming derive (flatMapGroupsWithState,
+    * last-point state per stream) runs the derivative operator as a real
+    * streaming query over the events file and must reproduce the batch
+    * window-lag oracle exactly — per-stream µs timestamps are unique in the
+    * fixture, so the in-batch event-time sort is deterministic.
+    */
+  def streamingDerive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-sderive")
+    val srcDir = tempDir("graft-sderive-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val pts = spark.readStream.schema(schema).parquet(srcDir)
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+      .as[Streaming.Point]
+    val q = Streaming.derive(pts, "derivative")
+      .toDF()
+      .withColumnRenamed("value", "derivative")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
   }
 
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
