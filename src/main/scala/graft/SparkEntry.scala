@@ -76,6 +76,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
+    "q_multimodal_resize" -> Queries.multimodalResize _,
     "q_frame_sample" -> Queries.frameSample _
   )
 
@@ -121,6 +122,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
+    "q_multimodal_resize" -> Oracles.multimodalResize,
     "q_frame_sample" -> Oracles.frameSample
   )
 }
@@ -601,6 +603,21 @@ object Queries {
         sum("duration_ms").as("duration_sum"))
   }
 
+  /** X5: aspect-preserving resize geometry over the decoded assets,
+    * aggregated per kind — integer math end to end, mirrored by the oracle.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ext.Multimodal.resizePlan(
+        ext.Multimodal.decode(
+          ext.Multimodal.assetsFromDocuments(Sources.documents(spark, sfDir))
+            .as[ext.Multimodal.Asset]))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum("out_w").as("out_w_sum"), sum("out_h").as("out_h_sum"),
+        max("out_w").as("out_w_max"), max("out_h").as("out_h_max"))
+  }
+
   /** X5: frame-sampling layout over video-like binary payloads. */
   def frameSample(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.sampleFrames(
@@ -1032,6 +1049,27 @@ SELECT kind, count(*) AS n_assets,
   CAST(sum(16 + (n * 7) % 512) AS BIGINT) AS height_sum,
   CAST(sum(CASE WHEN kind = 'image' THEN 0 ELSE n * 20 END) AS BIGINT) AS duration_sum
 FROM d GROUP BY 1"""
+
+  /** Resize twin: the stub decode dims (16 + n%512, 16 + 7n%512) fit into
+    * 224×224 with the same integer floor-division geometry.
+    */
+  val multimodalResize: String =
+    """WITH d AS (
+  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+    16 + octet_length(encode(text)) % 512 AS w,
+    16 + (octet_length(encode(text)) * 7) % 512 AS h
+  FROM documents),
+r AS (
+  SELECT kind,
+    CASE WHEN w * 224 >= h * 224 THEN 224 ELSE (w * 224) // h END AS out_w,
+    CASE WHEN w * 224 >= h * 224 THEN (h * 224) // w ELSE 224 END AS out_h
+  FROM d)
+SELECT kind, count(*) AS n_assets,
+  CAST(sum(out_w) AS BIGINT) AS out_w_sum,
+  CAST(sum(out_h) AS BIGINT) AS out_h_sum,
+  CAST(max(out_w) AS BIGINT) AS out_w_max,
+  CAST(max(out_h) AS BIGINT) AS out_h_max
+FROM r GROUP BY 1"""
 
   /** frames(n) = least(greatest(1, n // 4096), ceil(n / 4096)) for n > 0 —
     * the closed form of sampleFrames' sequence+substring layout.

@@ -335,6 +335,10 @@ object Dedup {
     val doomed = duplicateClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
+    // deliberately NO broadcast hint: doomed is O(duplicate count) — often
+    // 30-50% of a web corpus, far past broadcastable — so the shuffled
+    // anti-join on the uniform doc_id key is the plan that survives 100 TB;
+    // when doomed IS small, AQE converts it to a broadcast join at runtime
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 

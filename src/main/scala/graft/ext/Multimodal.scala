@@ -64,6 +64,27 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize plan: fit each decoded asset into a
+    * `targetW × targetH` box. The geometry is PURE INTEGER arithmetic
+    * (floor division, no float scale factor) so the DuckDB oracle mirrors
+    * it exactly; a real deployment resizes the pixel buffer with the same
+    * output dims inside the partition-batched decode. Narrow map — the
+    * 100 TB shape is scan → project, no shuffle.
+    */
+  def resizePlan(decoded: Dataset[Decoded],
+                 targetW: Int = 224, targetH: Int = 224): DataFrame = {
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    // fit: if w/h wider than target box, clamp width; else clamp height
+    val wide = w * targetH >= h * targetW
+    decoded.toDF().select(
+      col("asset_id"), col("kind"), col("width"), col("height"),
+      when(wide, lit(targetW.toLong))
+        .otherwise(expr(s"(cast(width as bigint) * $targetH) div height")).as("out_w"),
+      when(wide, expr(s"(cast(height as bigint) * $targetW) div width"))
+        .otherwise(lit(targetH.toLong)).as("out_h"))
+  }
+
   /** STUB feature extraction: fixed-dim float vector from payload bytes
     * (byte-histogram projection — deterministic, exact). Real extractor
     * replaces the fold; the output schema `array<float>` feeds
