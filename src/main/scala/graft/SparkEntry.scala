@@ -49,6 +49,8 @@ object SparkEntry {
     "q_streaming_cascade" -> Queries.streamingCascade _,
     // T4: stateful streaming derive as a real streaming query
     "q_streaming_derive" -> Queries.streamingDerive _,
+    // S1 streaming ingest: checkpointed exactly-once parquet sink
+    "q_streaming_ingest" -> Queries.streamingIngest _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_streaming_cascade" -> Oracles.streamingCascade,
     // the stateful streaming derive must equal the batch window-lag twin
     "q_streaming_derive" -> Oracles.derivative,
+    "q_streaming_ingest" -> Oracles.streamingIngest,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_validation" -> Oracles.validationErrors,
@@ -436,6 +439,33 @@ object Queries {
     spark.read.parquet(s"$dir/out")
   }
 
+  /** S1 streaming flavor on the gate: events stream through the
+    * `Streaming.ingest` parquet sink (checkpointed, exactly-once) and the
+    * landed table is re-aggregated per stream — any duplicated or dropped
+    * row breaks the count/sum/bounds match against the source-side oracle.
+    */
+  def streamingIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-singest")
+    val srcDir = tempDir("graft-singest-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val pts = spark.readStream.schema(schema).parquet(srcDir)
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val q = Streaming.ingest(pts, s"$dir/raw", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/raw").groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"),
+        min("ts").as("t_min"), max("ts").as("t_max"))
+  }
+
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
     Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
 
@@ -732,6 +762,16 @@ ORDER BY bucket_start DESC"""
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM events WHERE event_type = 'click'
 GROUP BY 1"""
+
+  /** Ingest twin: per-stream count/sum/bounds straight from the source —
+    * equal iff the streaming sink delivered every row exactly once.
+    */
+  val streamingIngest: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+  count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+  min(ts) AS t_min, max(ts) AS t_max
+FROM events GROUP BY 1"""
 
   /** Nested-path tag query twin: `meta.parity=odd` ⇔ odd user_id (how the
     * registry derives the nested tag document), plus the flat type tag.
