@@ -71,6 +71,7 @@ object SparkEntry {
     "q_similarity_ann" -> Queries.similarityAnn _,
     "q_similarity_ivf" -> Queries.similarityIvf _,
     "q_similarity_ivf_probe" -> Queries.similarityIvfProbe _,
+    "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
@@ -113,9 +114,11 @@ object SparkEntry {
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
     "q_dedup_corpus" -> Oracles.dedupCorpus,
     "q_similarity_topk" -> Oracles.similarityTopK,
-    // exhaustive IVF (nProbe = nCells) equals brute force bit-for-bit, so it
-    // shares the brute-force oracle; the probe config stays rows-only
+    // exhaustive IVF (nProbe = nCells) equals brute force bit-for-bit —
+    // with seed or k-means-refined centroids alike — so both share the
+    // brute-force oracle; the probe config stays rows-only
     "q_similarity_ivf" -> Oracles.similarityTopK,
+    "q_similarity_ivf_refined" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
     // exact twin; rows-only check.
@@ -561,6 +564,20 @@ object Queries {
   def similarityIvfProbe(spark: SparkSession, sfDir: String): DataFrame =
     ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir),
       queryVectors(spark, sfDir), k = 10)
+
+  /** IVF with k-means-refined centroids, exhaustive probing: the Lloyd
+    * maintenance job reshapes the cells, and because every cell is probed
+    * the result STILL equals brute force bit-for-bit — the refinement
+    * pipeline rides the same brute-force oracle.
+    */
+  def similarityIvfRefined(spark: SparkSession, sfDir: String): DataFrame = {
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
+    ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir), qv, k = 10,
+        nCells = 64, nProbe = 64, refineIters = 2)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
 
   /** Embedding-cosine near-dup candidates through LSH bands. */
   def nearDupEmbedding(spark: SparkSession, sfDir: String): DataFrame =

@@ -51,11 +51,59 @@ object Ivf {
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
   }
 
+  /** Lloyd (k-means) refinement of the IVF centroids — the periodic
+    * maintenance job that tightens cells after the seed sample. Each
+    * iteration is one narrow assignment map against the broadcast centroid
+    * matrix plus ONE partial-aggregating shuffle of `(cell, pos, component)`
+    * rows (map-side combine reduces every partition to ≤ nCells×dim rows
+    * before the exchange); the driver only ever holds the nCells×dim
+    * centroid matrix. Empty cells keep their previous centroid.
+    */
+  def refineCentroids(corpus: DataFrame, init: Array[(Int, Array[Float])],
+                      iters: Int = 3,
+                      vecCol: String = "embedding", idCol: String = "vec_id")
+      : Array[(Int, Array[Float])] = {
+    import corpus.sparkSession.implicits._
+    val sc = corpus.sparkSession.sparkContext
+    var cents = init
+    (0 until iters).foreach { _ =>
+      val centB = sc.broadcast(cents.map { case (c, v) =>
+        (c, v, math.sqrt(dotLoop(v, v))) })
+      val assigned = corpus.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = centB.value
+          it.map { case (_, v) => (nearestCells(v, cs, 1).head, v) }
+        }.toDF("cell", "vec")
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .collect() // ≤ nCells × dim rows
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.map { case (c, old) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val v = new Array[Float](old.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            (c, v)
+          case None => (c, old) // empty cell: keep previous centroid
+        }
+      }
+      centB.destroy()
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 64, nProbe: Int = 8,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              refineIters: Int = 0): DataFrame = {
     import corpus.sparkSession.implicits._
-    val cents = centroids(corpus, nCells, vecCol, idCol)
+    val seeds = centroids(corpus, nCells, vecCol, idCol)
+    val refined =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol, idCol)
+      else seeds
+    val cents = refined
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
     val centB = corpus.sparkSession.sparkContext.broadcast(cents)
 

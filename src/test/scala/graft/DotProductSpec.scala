@@ -59,4 +59,34 @@ class DotProductSpec extends SparkSpec {
     assertThrows[org.apache.spark.sql.AnalysisException](
       df.select(ext.Similarity.dot(col("a"), col("b"))).collect())
   }
+
+  test("k-means refinement keeps exhaustive IVF ≡ brute and does not worsen inertia") {
+    val rnd = new scala.util.Random(17)
+    // two gaussian blobs so refinement has structure to find
+    val corpus = (0 until 400).map { i =>
+      val center = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq.fill(8)(center + rnd.nextFloat() * 0.3f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    def inertia(cents: Array[(Int, Array[Float])]): Double = {
+      val rows = corpus.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      rows.map { case (_, v) =>
+        cents.map { case (_, c) =>
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+        }.min
+      }.sum
+    }
+    val seeds = ext.Ivf.centroids(corpus, nCells = 4)
+    val refined = ext.Ivf.refineCentroids(corpus, seeds, iters = 3)
+    assert(inertia(refined) <= inertia(seeds) + 1e-6)
+    // exhaustive probing is partition-independent: refined cells still
+    // reproduce brute force exactly
+    val queries = corpus.where(col("vec_id") < 2)
+    val viaRefined = ext.Ivf.ivfTopK(corpus, queries, k = 5,
+        nCells = 4, nProbe = 4, refineIters = 2)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(viaRefined == brute)
+  }
 }
