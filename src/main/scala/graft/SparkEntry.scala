@@ -60,6 +60,7 @@ object SparkEntry {
     "q_counter_reset" -> Queries.counterReset _,
     "q_counter_derivative" -> Queries.counterDerivative _,
     "q_derive_sum" -> Queries.deriveSum _,
+    "q_derive_sum_salted" -> Queries.deriveSumSalted _,
     // §2.11 X1–X5 extensions
     "q_dedup_exact" -> Queries.dedupExact _,
     "q_props_json" -> Queries.propsJson _,
@@ -108,6 +109,8 @@ object SparkEntry {
     "q_counter_reset" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
     "q_derive_sum" -> Oracles.deriveSum,
+    // salted two-phase aggregation must be bit-identical to the unsalted op
+    "q_derive_sum_salted" -> Oracles.deriveSum,
     "q_dedup_exact" -> Oracles.dedupExact,
     "q_props_json" -> Oracles.propsJson,
     "q_token_count" -> Oracles.tokenCount,
@@ -489,6 +492,16 @@ object Queries {
     */
   def deriveSum(spark: SparkSession, sfDir: String): DataFrame =
     Derive.sumStreams(
+      Sources.eventsAsDatapoints(spark, sfDir).where(col("event_type") === "click"),
+      Granularity.Minutes, Seq("event_type"))
+
+  /** The SALTED two-phase flavor of W1 under the same oracle: hot derived
+    * keys split across `(key, salt)` partials before the final merge, and
+    * the decimal partial state makes the result bit-identical — the skew
+    * machinery itself is on the gate, not just ScalaTest.
+    */
+  def deriveSumSalted(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.sumStreamsSalted(
       Sources.eventsAsDatapoints(spark, sfDir).where(col("event_type") === "click"),
       Granularity.Minutes, Seq("event_type"))
 
