@@ -76,6 +76,7 @@ object SparkEntry {
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
+    "q_lang_ngram" -> Queries.langNgram _,
     "q_fingerprint" -> Queries.fingerprint _,
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
@@ -127,6 +128,7 @@ object SparkEntry {
     // exact twin; rows-only check.
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
+    "q_lang_ngram" -> Oracles.langNgram,
     "q_fingerprint" -> Oracles.fingerprint,
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
@@ -605,6 +607,21 @@ object Queries {
   def langReport(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.languageReport(Sources.documents(spark, sfDir))
 
+  /** X4 second language-ID flavor: character-trigram profile scoring
+    * (Cavnar-Trenkle shape) — confusion counts of actual vs predicted
+    * language plus the summed winning score, all integer.
+    */
+  def langNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = ext.Text.charNgramProfiles.keys.toSeq.sorted
+    Sources.documents(spark, sfDir)
+      .select(col("lang"),
+        ext.Text.charNgramLangId(col("text")).as("predicted"),
+        greatest(langs.map(l => ext.Text.charNgramScore(col("text"), l)): _*)
+          .as("best_score"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"), sum("best_score").as("score_sum"))
+  }
+
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.fingerprint(Sources.documents(spark, sfDir))
 
@@ -1072,6 +1089,33 @@ p AS (
 SELECT lang, predicted, count(*) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
   CAST(sum(n_bpeish) AS BIGINT) AS bpeish_sum
+FROM p GROUP BY 1, 2"""
+  }
+
+  /** Char-trigram language-ID twin: occurrence counts via the replace-count
+    * identity, argmax with alphabetical tie-break — mirrors
+    * Text.charNgramLangId exactly.
+    */
+  val langNgram: String = {
+    val profiles = graft.ext.Text.charNgramProfiles
+    val langs = profiles.keys.toSeq.sorted
+    def esc(s: String) = s.replace("'", "''")
+    def score(lang: String) = profiles(lang)
+      .map(g => s"(length(text) - length(replace(text, '${esc(g)}', ''))) // ${g.length}")
+      .mkString(" + ")
+    val scoreCols = langs.map(l => s"CAST(${score(l)} AS BIGINT) AS s_$l").mkString(",\n    ")
+    val bestExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val predicted = langs.init.reverse.foldLeft(s"'${langs.last}'") {
+      case (acc, l) => s"CASE WHEN s_$l = best THEN '$l' ELSE $acc END"
+    }
+    s"""WITH s AS (
+  SELECT lang,
+    $scoreCols
+  FROM documents),
+b AS (SELECT *, $bestExpr AS best FROM s),
+p AS (SELECT lang, $predicted AS predicted, best FROM b)
+SELECT lang, predicted, count(*) AS n_docs,
+  CAST(sum(best) AS BIGINT) AS score_sum
 FROM p GROUP BY 1, 2"""
   }
 

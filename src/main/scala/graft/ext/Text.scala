@@ -42,6 +42,43 @@ object Text {
     }
   }
 
+  /** Character-n-gram profiles for the second language-ID flavor: per
+    * language, a few distinctive character trigrams (space-padded word
+    * edges included — the classic Cavnar-Trenkle shape, profile kept tiny
+    * and deterministic like `markers`).
+    */
+  val charNgramProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "ein", "sch", "ich", "und", "cht"),
+    "en" -> Seq("the", "ing", "and", " of", "ion", "tha"),
+    "es" -> Seq(" el", "los", "que", "ión", "ado", " la"),
+    "fr" -> Seq(" le", "les", "est", "ait", "une", "ans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** Occurrences of substring `g` in `text` via the replace-count identity
+    * `(len(t) − len(replace(t, g, ''))) / len(g)` — pure codegen'd string
+    * functions with an exact DuckDB twin (no regex, no lambda).
+    */
+  def substrCount(text: Column, g: String): Column =
+    ((length(text) - length(call_function("replace", text, lit(g), lit("")))) /
+      g.length).cast("long")
+
+  /** Char-n-gram score = Σ profile-trigram occurrence counts. */
+  def charNgramScore(text: Column, lang: String): Column =
+    charNgramProfiles(lang).map(g => substrCount(text, g))
+      .reduce(_ + _)
+
+  /** Char-n-gram language ID: argmax of profile scores, alphabetical
+    * tie-break — same decision shape as `langId`, different evidence.
+    */
+  def charNgramLangId(text: Column): Column = {
+    val langs = charNgramProfiles.keys.toSeq.sorted
+    val scores = langs.map(l => charNgramScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit(langs.head): Column) {
+      case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Number of ASCII word tokens ([A-Za-z0-9]+ runs) plus one per
     * non-ASCII char — a BPE-ish token-count estimate that behaves sanely
     * for both alphabetic and CJK text. ASCII regex semantics are identical
