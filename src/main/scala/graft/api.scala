@@ -148,7 +148,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
       val purges =
-        Seq(Future(purge(rawPath, None, Seq.empty)),
+        Seq(Future(purge(rawPath, Some(Schemas.rawDatapointsPartitioned),
+            Seq("dp_date"))),
           Future(purge(derivedPath, None, Seq("stream_id")))) ++
           Granularity.ladder.map(g => Future(
             purge(rollupPath(g), Some(Schemas.downsampledPartitioned),
@@ -207,7 +208,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
       }
       val kept = joined.where(!isStale)
         .select("stream_id", "ts", "value", "value_json")
-      kept.write.mode(SaveMode.Append).parquet(rawPath)
+      // the 100 TB fact-table layout: partitioned by date(ts), so
+      // maintenance slices and get_data range scans prune whole partitions
+      kept.withColumn("dp_date", to_date(col("ts")))
+        .write.mode(SaveMode.Append).partitionBy("dp_date").parquet(rawPath)
       // advance the per-stream earliest/latest bookkeeping from the KEPT
       // rows only (dropped stale rows must not lower earliest). Computed as
       // a JOIN against the registry — no driver-side collect of all stream
@@ -241,12 +245,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * maintenance cascade see one logical fact table; physically the two
     * sides never rewrite each other.
     */
-  def rawDatapoints: DataFrame = {
+  def rawDatapoints: DataFrame = rawDatapointsInRange(None, None)
+
+  /** `rawDatapoints` with optional time bounds applied as PARTITION-PRUNING
+    * `dp_date` predicates on the appended side (the derived side is
+    * stream_id-partitioned; its rows flow through unpruned and the caller's
+    * exact `ts` predicate still applies to both).
+    */
+  private def rawDatapointsInRange(start: Option[Timestamp],
+                                   end: Option[Timestamp]): DataFrame = {
     val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
     val raw =
-      if (exists(rawPath))
-        spark.read.schema(Schemas.rawDatapoints).parquet(rawPath).select(cols: _*)
-      else
+      if (exists(rawPath)) {
+        val bounds = Seq(
+          start.map(s => col("dp_date") >= to_date(lit(s))),
+          end.map(e => col("dp_date") <= to_date(lit(e)))).flatten
+        bounds.foldLeft(
+            spark.read.schema(Schemas.rawDatapointsPartitioned).parquet(rawPath))(
+            _.where(_))
+          .select(cols: _*)
+      } else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Schemas.rawDatapoints)
     if (!exists(derivedPath)) raw
@@ -258,12 +276,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   // ---- maintenance (§2.4, T1/T6) ------------------------------------------
 
+  private def tsOf(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L,
+      (us % 1000000L) * 1000L))
+
   /** Timestamp literal from epoch-µs — foldable, so comparisons against it
     * push down to parquet scans (an `unix_micros(col)` rewrite would not).
     */
-  private def tsLit(us: Long): org.apache.spark.sql.Column =
-    lit(Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L,
-      (us % 1000000L) * 1000L)))
+  private def tsLit(us: Long): org.apache.spark.sql.Column = lit(tsOf(us))
 
   /** Incremental cascade maintenance with PER-STREAM watermarks — the
     * reference's `downsample_streams(query_tags, until)` semantics
@@ -360,7 +380,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
         val loDf = broadcast(loDfOf(g))
         val tsCol = if (idx == 0) "ts" else "bucket_start"
         val source =
-          if (idx == 0) rawDatapoints
+          if (idx == 0)
+            // dp_date partition pruning on the maintenance slice [lo, hi)
+            rawDatapointsInRange(
+              if (globalLo != Long.MinValue) Some(tsOf(globalLo)) else None,
+              Some(tsOf(hi)))
           else {
             val p = rollupPath(levels(idx - 1))
             if (!exists(p)) halt.break()
@@ -462,8 +486,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val meta = streamMeta(streamId) // validates existence
     if (granularity.name == meta.highest_granularity) {
       val vcols = if (meta.value_type == ValueType.Numeric) Seq("value") else Seq("value_json")
-      GetData.raw(rawDatapoints, streamId, start, end, startExclusive,
-        endExclusive, reverse, limit, offset, vcols)
+      // dp_date partition pruning first (inclusive-date superset), exact µs
+      // predicate inside GetData.raw on top
+      GetData.raw(rawDatapointsInRange(start, end), streamId, start, end,
+        startExclusive, endExclusive, reverse, limit, offset, vcols)
     } else {
       if (!Granularity.isCoarserOrEqual(granularity, Granularity(meta.highest_granularity)))
         throw new errors.UnsupportedGranularity(

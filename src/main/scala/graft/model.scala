@@ -150,6 +150,13 @@ object Schemas {
   /** `downsampled` plus the physical date partition column. */
   val downsampledPartitioned: StructType =
     StructType(downsampled.fields :+ StructField("bucket_date", DateType, nullable = true))
+
+  /** `rawDatapoints` plus the physical date partition column the appended
+    * fact table is laid out by (`dp_date = date(ts)`), so time-range reads
+    * prune whole partitions before row-group stats are consulted.
+    */
+  val rawDatapointsPartitioned: StructType =
+    StructType(rawDatapoints.fields :+ StructField("dp_date", DateType, nullable = true))
 }
 
 /** Plan utilities shared by the facade. */
