@@ -57,6 +57,7 @@ object SparkEntry {
     "q_validation" -> Queries.validationErrors _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
+    "q_derivative_chunked" -> Queries.derivativeChunked _,
     "q_counter_reset" -> Queries.counterReset _,
     "q_counter_derivative" -> Queries.counterDerivative _,
     "q_derive_sum" -> Queries.deriveSum _,
@@ -107,6 +108,9 @@ object SparkEntry {
     "q_wire_render" -> Oracles.wireRender,
     "q_validation" -> Oracles.validationErrors,
     "q_derivative" -> Oracles.derivative,
+    // chunked formulation shares the window-lag twin: boundary stitching
+    // must be invisible in the result
+    "q_derivative_chunked" -> Oracles.derivative,
     "q_counter_reset" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
     "q_derive_sum" -> Oracles.deriveSum,
@@ -476,6 +480,13 @@ object Queries {
 
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
     Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
+
+  /** W2's unbounded-stream-length formulation under the SAME oracle:
+    * day-chunked lags + boundary stitching must reproduce the single-window
+    * result row for row.
+    */
+  def derivativeChunked(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.derivativeChunked(Sources.eventsAsDatapoints(spark, sfDir))
 
   def counterReset(spark: SparkSession, sfDir: String): DataFrame =
     Derive.counterReset(Sources.eventsAsDatapoints(spark, sfDir))

@@ -45,6 +45,44 @@ object Derive {
         ((v - col("_pv")) / dtSeconds(col("ts"), col("_pt"))).as("derivative"): _*)
   }
 
+  /** W2 for unbounded stream length: the single-window formulation above
+    * routes an ENTIRE stream's history through one task — fine for millions
+    * of modest streams, a straggler for one 10-year stream at 100 TB. This
+    * chunked formulation computes lags inside (stream, day) partitions
+    * (bounded tasks) and stitches chunk boundaries with a per-(stream, day)
+    * summary: the summary window orders DAYS per stream — days-per-stream
+    * cardinality, never datapoints — and each chunk's first row takes its
+    * predecessor from the previous chunk's last row via an equi-join.
+    * Row-for-row identical to `derivative` (shared oracle).
+    */
+  def derivativeChunked(df: DataFrame,
+                        partition: Seq[String] = Seq("stream_id"),
+                        order: Seq[String] = Seq("ts", "event_id"),
+                        valueCol: String = "value"): DataFrame = {
+    val withC = df.withColumn("_chunk", to_date(col("ts")))
+    val keys = partition :+ "_chunk"
+    val win = w(keys, order)
+    val intra = withC
+      .withColumn("_pv", lag(col(valueCol), 1).over(win))
+      .withColumn("_pt", lag(col("ts"), 1).over(win))
+    // last (value, ts) of each chunk under the same (ts, tieBreak) order
+    val summary = withC.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col(valueCol).as("v"), col("ts").as("t")),
+        struct(order.map(col): _*)).as("_last"))
+    val prev = summary
+      .withColumn("_prevLast",
+        lag(col("_last"), 1).over(w(partition, Seq("_chunk"))))
+      .select((keys.map(col) :+ col("_prevLast")): _*)
+    intra.join(prev, keys)
+      .withColumn("_pv", coalesce(col("_pv"), col("_prevLast.v")))
+      .withColumn("_pt", coalesce(col("_pt"), col("_prevLast.t")))
+      .where(col("_pv").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("_pt")))
+      .select(partition.map(col) :+ col("ts") :+
+        ((col(valueCol) - col("_pv")) / dtSeconds(col("ts"), col("_pt")))
+          .as("derivative"): _*)
+  }
+
   /** W3 `counter_reset`: emit datapoint `1` at tᵢ whenever vᵢ < vᵢ₋₁ (a
     * monotone counter restarted).
     */
