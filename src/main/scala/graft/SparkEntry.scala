@@ -51,6 +51,8 @@ object SparkEntry {
     "q_streaming_derive" -> Queries.streamingDerive _,
     // S1 streaming ingest: checkpointed exactly-once parquet sink
     "q_streaming_ingest" -> Queries.streamingIngest _,
+    // T2 full ladder: second streaming query stitches rollup→rollup
+    "q_streaming_ladder" -> Queries.streamingLadder _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
@@ -104,6 +106,7 @@ object SparkEntry {
     // the stateful streaming derive must equal the batch window-lag twin
     "q_streaming_derive" -> Oracles.derivative,
     "q_streaming_ingest" -> Oracles.streamingIngest,
+    "q_streaming_ladder" -> Oracles.streamingLadder,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_validation" -> Oracles.validationErrors,
@@ -478,6 +481,42 @@ object Queries {
         min("ts").as("t_min"), max("ts").as("t_max"))
   }
 
+  /** T2's full streaming LADDER on the gate: minutes partials stream from
+    * events into a rollup sink (level 1), then a SECOND streaming query
+    * stream-reads that rollup table and merges it to hours under its own
+    * watermark (`maintainFromRollup`, level 2). Emitted hours buckets are
+    * exactly those whose end ≤ M (the max finalized minutes bucket start),
+    * and each provably contains ALL its finalized minutes — so the oracle
+    * is the direct hourly aggregation restricted to that boundary, and a
+    * green hash proves the stitched rollup-of-rollups is exact.
+    */
+  def streamingLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-ladder")
+    val srcDir = tempDir("graft-ladder-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val lvl1 = Streaming.downsample(src, Granularity.Minutes, "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/minutes").option("checkpointLocation", s"$dir/ckpt1")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    lvl1.awaitTermination()
+    val lvl2 = Streaming.maintainFromRollup(spark, s"$dir/minutes",
+        Granularity.Hours, "0 seconds", s"$dir/hours", s"$dir/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    lvl2.awaitTermination()
+    Downsample.finalizeView(spark.read.parquet(s"$dir/hours"))
+  }
+
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
     Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
 
@@ -820,6 +859,41 @@ ORDER BY bucket_start DESC"""
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM events WHERE event_type = 'click'
 GROUP BY 1"""
+
+  /** Streaming-ladder twin: hours buckets whose end ≤ M (max finalized
+    * minutes bucket start — level 2's watermark after draining level 1's
+    * sink). Every such hour contains all its finalized minutes, so the
+    * direct hourly aggregation is the exact expected merge.
+    */
+  val streamingLadder: String =
+    """WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events),
+mfin AS (
+  SELECT max((epoch_us(ts) // 60000000) * 60000000) AS m
+  FROM events, wm
+  WHERE (epoch_us(ts) // 60000000) * 60000000 + 60000000 <= wm.w),
+part AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt,
+    sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(value) AS vmin, max(value) AS vmax,
+    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    min(ts) AS tfirst, max(ts) AS tlast,
+    sum(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS tsum_us
+  FROM events GROUP BY 1, 2)
+SELECT stream_id, bucket_start,
+  CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean",
+  CAST(vsum AS DOUBLE) AS "sum",
+  vmin AS "min", vmax AS "max",
+  CAST(vsumsq AS DOUBLE) AS sum_squares,
+  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
+    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  cnt AS "count",
+  tfirst AS t_first,
+  make_timestamp(CAST(CAST(tsum_us AS HUGEINT) // cnt AS BIGINT)) AS t_mean,
+  tlast AS t_last
+FROM part
+WHERE epoch_us(bucket_start) + 3600000000 <= (SELECT m FROM mfin)"""
 
   /** Ingest twin: per-stream count/sum/bounds straight from the source —
     * equal iff the streaming sink delivered every row exactly once.
