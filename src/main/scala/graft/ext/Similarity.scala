@@ -40,7 +40,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed form — the semantic reference the fused expression must
+    * match bit-for-bit (asserted in tests).
+    */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass cosine (custom codegen'd expression): identical
+    * arithmetic to `cosineComposed`, one array traversal instead of three.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Deterministic ±1 hyperplane for (band, plane), materialized at
     * PLAN-BUILD time as a literal array (a seeded driver-side draw) — the

@@ -54,6 +54,20 @@ class DotProductSpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("fused cosine is bit-identical to the composed dot/norm form") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(48)(rnd.nextFloat() * 2 - 1), Seq.fill(48)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        ext.Similarity.cosine(col("a"), col("b")).as("fused"),
+        ext.Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .where(col("fused") =!= col("composed")) // bitwise-equal doubles compare equal
+      .count()
+    assert(diff == 0)
+  }
+
   test("type mismatch is rejected at analysis") {
     val df = Seq((Seq(1, 2), Seq(1.0, 2.0))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException](
