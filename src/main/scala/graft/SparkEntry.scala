@@ -61,7 +61,9 @@ object SparkEntry {
     "q_derivative" -> Queries.derivative _,
     "q_derivative_chunked" -> Queries.derivativeChunked _,
     "q_counter_reset" -> Queries.counterReset _,
+    "q_counter_reset_chunked" -> Queries.counterResetChunked _,
     "q_counter_derivative" -> Queries.counterDerivative _,
+    "q_counter_derivative_chunked" -> Queries.counterDerivativeChunked _,
     "q_derive_sum" -> Queries.deriveSum _,
     "q_derive_sum_salted" -> Queries.deriveSumSalted _,
     // §2.11 X1–X5 extensions
@@ -115,7 +117,9 @@ object SparkEntry {
     // must be invisible in the result
     "q_derivative_chunked" -> Oracles.derivative,
     "q_counter_reset" -> Oracles.counterReset,
+    "q_counter_reset_chunked" -> Oracles.counterReset,
     "q_counter_derivative" -> Oracles.counterDerivative,
+    "q_counter_derivative_chunked" -> Oracles.counterDerivative,
     "q_derive_sum" -> Oracles.deriveSum,
     // salted two-phase aggregation must be bit-identical to the unsalted op
     "q_derive_sum_salted" -> Oracles.deriveSum,
@@ -529,6 +533,16 @@ object Queries {
 
   def counterReset(spark: SparkSession, sfDir: String): DataFrame =
     Derive.counterReset(Sources.eventsAsDatapoints(spark, sfDir))
+
+  /** W3/W4 bounded-task flavors under their originals' oracles. */
+  def counterResetChunked(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.counterResetChunked(Sources.eventsAsDatapoints(spark, sfDir))
+
+  def counterDerivativeChunked(spark: SparkSession, sfDir: String): DataFrame = {
+    val counter = Derive.wrappingCounter(
+      Sources.eventsAsDatapoints(spark, sfDir), 1000L)
+    Derive.counterDerivativeChunked(counter, Some(1000.0), valueCol = "counter")
+  }
 
   /** W4 over the wrapping-counter fixture (cumulative integer counter mod
     * 1000) with max_value=1000, so every wrap exercises the wraparound arm.

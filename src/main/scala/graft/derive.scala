@@ -55,10 +55,16 @@ object Derive {
     * predecessor from the previous chunk's last row via an equi-join.
     * Row-for-row identical to `derivative` (shared oracle).
     */
-  def derivativeChunked(df: DataFrame,
-                        partition: Seq[String] = Seq("stream_id"),
-                        order: Seq[String] = Seq("ts", "event_id"),
-                        valueCol: String = "value"): DataFrame = {
+  /** Each row plus its predecessor's `(_pv, _pt)` under (partition, order),
+    * computed with BOUNDED (partition, day) window tasks: intra-chunk lags,
+    * then each chunk's first row takes its predecessor from the previous
+    * chunk's last row (a per-(partition, day) summary whose window orders
+    * DAYS per partition — days-per-stream cardinality, never datapoints).
+    * The shared primitive behind every chunked derive flavor.
+    */
+  private def chunkedPrev(df: DataFrame,
+                          partition: Seq[String], order: Seq[String],
+                          valueCol: String): DataFrame = {
     val withC = df.withColumn("_chunk", to_date(col("ts")))
     val keys = partition :+ "_chunk"
     val win = w(keys, order)
@@ -76,11 +82,54 @@ object Derive {
     intra.join(prev, keys)
       .withColumn("_pv", coalesce(col("_pv"), col("_prevLast.v")))
       .withColumn("_pt", coalesce(col("_pt"), col("_prevLast.t")))
+  }
+
+  def derivativeChunked(df: DataFrame,
+                        partition: Seq[String] = Seq("stream_id"),
+                        order: Seq[String] = Seq("ts", "event_id"),
+                        valueCol: String = "value"): DataFrame =
+    chunkedPrev(df, partition, order, valueCol)
       .where(col("_pv").isNotNull &&
         unix_micros(col("ts")) > unix_micros(col("_pt")))
       .select(partition.map(col) :+ col("ts") :+
         ((col(valueCol) - col("_pv")) / dtSeconds(col("ts"), col("_pt")))
           .as("derivative"): _*)
+
+  /** W3's bounded-task flavor — same stitch, same result as `counterReset`. */
+  def counterResetChunked(df: DataFrame,
+                          partition: Seq[String] = Seq("stream_id"),
+                          order: Seq[String] = Seq("ts", "event_id"),
+                          valueCol: String = "value"): DataFrame =
+    chunkedPrev(df, partition, order, valueCol)
+      .where(col("_pv").isNotNull && col(valueCol) < col("_pv"))
+      .select(partition.map(col) :+ col("ts") :+ lit(1L).as("reset"): _*)
+
+  /** W4's bounded-task flavor — same stitch, same wraparound arithmetic as
+    * `counterDerivative`.
+    */
+  def counterDerivativeChunked(df: DataFrame,
+                               maxValue: Option[Double],
+                               partition: Seq[String] = Seq("stream_id"),
+                               order: Seq[String] = Seq("ts", "event_id"),
+                               valueCol: String = "value"): DataFrame = {
+    maxValue.foreach { m =>
+      if (m <= 0) throw new errors.InvalidOperatorArguments(
+        s"counter_derivative max_value must be positive, got $m")
+    }
+    val v = col(valueCol)
+    val base = chunkedPrev(df, partition, order, valueCol)
+      .where(col("_pv").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("_pt")))
+    val delta = maxValue match {
+      case Some(m) => when(v >= col("_pv"), v - col("_pv"))
+        .otherwise(v + (lit(m) - col("_pv")))
+      case None => when(v >= col("_pv"), v - col("_pv"))
+    }
+    base.withColumn("_delta", delta)
+      .where(col("_delta").isNotNull)
+      .select(partition.map(col) :+ col("ts") :+
+        (col("_delta").cast("double") / dtSeconds(col("ts"), col("_pt")))
+          .as("counter_derivative"): _*)
   }
 
   /** W3 `counter_reset`: emit datapoint `1` at tᵢ whenever vᵢ < vᵢ₋₁ (a
