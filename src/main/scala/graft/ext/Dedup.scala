@@ -167,7 +167,7 @@ object Dedup {
     // DataFrame no longer pins these blocks (round-2 leak: repeated
     // invocations accumulated cached shingle blocks forever).
     val sh = shingled(docs, n, textCol, idCol).where(size(col("sh")) > 0).persist()
-    var buckets: DataFrame = null
+    var pinned: DataFrame = null // the persisted slim (id, band, hash) rows
     try {
     // signatures are ROW-LOCAL: one loop per doc computes all permuted
     // minima and band hashes — no explode + 64-agg groupBy shuffle (which
@@ -205,27 +205,33 @@ object Dedup {
     // hold near-identical docs, so expanding pairs bucket-locally is the
     // candidate set by construction; ids are sorted so a < b.
     //
-    // Hot-bucket bound: a degenerate bucket of k identical docs has k²/2
-    // candidate pairs by definition, but expanding them inside ONE row (the
-    // flatten/transform below) holds all k²/2 structs in a single Tungsten
-    // row. Buckets larger than `maxBucket` therefore route through a
-    // join-based expansion instead: k slim rows self-joined bucket-locally,
-    // so the inherent k² output streams through tasks instead of
-    // materializing in one buffer. The candidate SET is identical either
+    // Hot-bucket bound, decided BEFORE any array materializes: bucket sizes
+    // come from a counting aggregation (constant-size state per bucket), and
+    // only buckets with 1 < size ≤ maxBucket are collect_list'ed — a
+    // degenerate bucket of k identical docs never builds a k-element array
+    // in one aggregation buffer, let alone the k²/2 pair structs of one
+    // in-row expansion. Oversize buckets route through a join-based
+    // expansion: k slim rows self-joined bucket-locally, the inherent k²
+    // output streaming through tasks. The candidate SET is identical either
     // way (both expand exactly {(a,b) : a<b in bucket}).
-    buckets = banded.groupBy("band", "band_hash")
+    pinned = banded.persist() // slim (id, band, hash) rows, read 3×
+    val sizes = pinned.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+    val small = pinned
+      .join(sizes.where(col("_n") <= maxBucket).select("band", "band_hash"),
+        Seq("band", "band_hash"), "left_semi")
+      .groupBy("band", "band_hash")
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .persist()
-    val small = buckets.where(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ids")) - 2),
         i => transform(
           slice(col("ids"), i + 2, size(col("ids")) - i - 1),
           b => struct(element_at(col("ids"), i + 1).as("a"), b.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val bigIds = buckets.where(size(col("ids")) > maxBucket)
-      .select(col("band"), col("band_hash"), explode(col("ids")).as("doc_id"))
+    val bigIds = pinned
+      .join(broadcast(sizes.where(col("_n") > maxBucket)
+        .select("band", "band_hash")), Seq("band", "band_hash"), "left_semi")
+      .select(col("band"), col("band_hash"), col("doc_id"))
     val big = bigIds.as("x").join(bigIds.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -245,7 +251,7 @@ object Dedup {
     verified.localCheckpoint(true)
     } finally {
       sh.unpersist()
-      if (buckets != null) buckets.unpersist()
+      if (pinned != null) pinned.unpersist()
       ()
     }
   }
@@ -368,10 +374,17 @@ object Dedup {
 
   /** SimHash near-dup candidates: docs whose signatures collide on one of
     * four 16-bit bands, with the pair's Hamming distance attached. Pair
-    * generation is bucket-local (collect_list), like the minhash path.
+    * generation is bucket-local like the minhash path, with the SAME
+    * hot-bucket discipline: sizes are counted first (constant-state agg),
+    * buckets ≤ `maxBucket` expand in-row from a collect_list'ed array, and
+    * oversize buckets (k near-identical docs ⇒ k²/2 inherent pairs) route
+    * through a streaming bucket-local self-join instead of materializing
+    * either the k-element array or the pair structs in one buffer. The
+    * pair set is identical on both routes.
     */
   def simhashCandidates(docs: DataFrame, n: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxBucket: Int = 64): DataFrame = {
     import docs.sparkSession.implicits._
     val banded = shingled(docs, n, textCol, idCol)
       .select(col("doc_id"), col("sh")).as[(Long, Array[String])]
@@ -381,19 +394,36 @@ object Dedup {
           (0 until 4).map(b => (id, sig, b, (sig >>> (b * 16)) & 0xffffL))
         }
       }.toDF("doc_id", "sig", "band", "band_bits")
-    banded.groupBy("band", "band_bits")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-      .where(size(col("members")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("members")) - 2),
-        i => transform(
-          slice(col("members"), i + 2, size(col("members")) - i - 1),
-          y => struct(
-            element_at(col("members"), i + 1)("doc_id").as("a"),
-            y("doc_id").as("b"),
-            bit_count(element_at(col("members"), i + 1)("sig")
-              .bitwiseXOR(y("sig"))).as("hamming")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
-      .distinct()
+      .persist()
+    try {
+      val sizes = banded.groupBy("band", "band_bits")
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+      val hamming = (x: Column, y: Column) =>
+        bit_count(x("sig").bitwiseXOR(y("sig")))
+      val small = banded
+        .join(sizes.where(col("_n") <= maxBucket).select("band", "band_bits"),
+          Seq("band", "band_bits"), "left_semi")
+        .groupBy("band", "band_bits")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+        .select(explode(flatten(transform(
+          sequence(lit(0), size(col("members")) - 2),
+          i => transform(
+            slice(col("members"), i + 2, size(col("members")) - i - 1),
+            y => struct(
+              element_at(col("members"), i + 1)("doc_id").as("a"),
+              y("doc_id").as("b"),
+              hamming(element_at(col("members"), i + 1), y).as("hamming")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
+      val bigRows = banded
+        .join(broadcast(sizes.where(col("_n") > maxBucket)
+          .select("band", "band_bits")), Seq("band", "band_bits"), "left_semi")
+      val big = bigRows.as("x").join(bigRows.as("y"),
+          col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      val out = small.unionByName(big).distinct().localCheckpoint(true)
+      out
+    } finally { banded.unpersist(); () }
   }
 }
