@@ -161,16 +161,25 @@ object Queries {
 
   /** Temp dir for the lifecycle queries' throwaway warehouses, deleted on
     * JVM exit so repeated invocations don't accumulate orphan directories.
+    * ONE shutdown hook drains a shared queue — per-call hook registration
+    * would pin a thread per invocation across a whole bench session.
     */
-  private def tempDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempDirHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(dir)
+      var d = tempDirs.poll()
+      while (d != null) { rm(d); d = tempDirs.poll() }
     }))
+    ()
+  }
+  private def tempDir(prefix: String): String = {
+    tempDirHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    tempDirs.add(dir)
     dir.toString
   }
 

@@ -50,10 +50,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
+    // move the live copy ASIDE (not away) before promoting the new one:
+    // every rename result is checked, and on failure the original is
+    // restored — a swap must never be able to silently lose the registry
     val dst = new java.io.File(path)
-    rm(dst)
-    new java.io.File(tmp).renameTo(dst)
-    ()
+    val bak = new java.io.File(path + ".bak-" + System.nanoTime())
+    val hadOld = dst.exists()
+    if (hadOld && !dst.renameTo(bak))
+      throw new IllegalStateException(s"overwriteSwap: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      if (hadOld) bak.renameTo(dst)
+      throw new IllegalStateException(s"overwriteSwap: cannot promote $tmp to $path")
+    }
+    if (hadOld) rm(bak)
   }
 
   // ---- registry -----------------------------------------------------------
@@ -147,10 +156,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // 9 × (materialize + write) round-trips
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
+      // schemas supplied for both partitioned tables: robust to a dir left
+      // with no data files (an all-empty derived refresh leaves _SUCCESS
+      // only), and the partition column keeps its declared type instead of
+      // value inference (an all-numeric stream_id would otherwise infer int
+      // and silently miss the string anti-join)
       val purges =
         Seq(Future(purge(rawPath, Some(Schemas.rawDatapointsPartitioned),
             Seq("dp_date"))),
-          Future(purge(derivedPath, None, Seq("stream_id")))) ++
+          Future(purge(derivedPath, Some(Schemas.rawDatapoints),
+            Seq("stream_id")))) ++
           Granularity.ladder.map(g => Future(
             purge(rollupPath(g), Some(Schemas.downsampledPartitioned),
               Seq("bucket_date"))))
@@ -455,11 +470,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
     val rollupRoot = new java.io.File(s"$warehouse/rollup")
     if (rollupRoot.exists()) rm(rollupRoot)
-    // reset every stream's per-granularity watermark
-    val reset = streams.as[StreamMeta].collect()
-      .map(_.copy(downsampled_until = Map.empty))
-    spark.createDataset(reset.toSeq).toDF()
-      .write.mode(SaveMode.Overwrite).parquet(streamsPath)
+    // reset every stream's per-granularity watermark — a column rewrite
+    // through the swap write, no driver-side collect of the registry
+    if (hasStreams)
+      overwriteSwap(
+        streams.withColumn("downsampled_until",
+          map().cast("map<string,bigint>")),
+        streamsPath)
     downsampleStreams(until)
     ()
   }
@@ -571,15 +588,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val derivedIds = streams.where(col("derive_op").isNotNull)
       .select("stream_id").as[String].collect().toSeq
     if (derivedIds.isEmpty || !exists(rawPath)) return
-    val derived = derivedIds.map(derivedAsDatapoints).reduce(_.unionByName(_)).cache()
-    // materialize first: a derived stream's sources may include OTHER derived
-    // streams, i.e. partitions this write is about to replace
-    derived.count()
-    derived.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("stream_id")
-      .parquet(derivedPath)
-    derived.unpersist()
-    ()
+    // checkpoint, not cache: a derived stream's sources may include OTHER
+    // derived streams — partitions this write is about to replace. A plain
+    // cache lost mid-write would silently recompute from lineage against
+    // the half-overwritten table; the lineage-free checkpoint cannot.
+    val (derived, rdds) = Plans.checkpointTracked(
+      derivedIds.map(derivedAsDatapoints).reduce(_.unionByName(_)))
+    try
+      derived.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("stream_id")
+        .parquet(derivedPath)
+    finally rdds.foreach(_.unpersist(blocking = false))
   }
 }

@@ -68,9 +68,14 @@ object Derive {
     val withC = df.withColumn("_chunk", to_date(col("ts")))
     val keys = partition :+ "_chunk"
     val win = w(keys, order)
+    // the predecessor rides as ONE struct: lag(struct) is null exactly for
+    // each chunk's first row (a predecessor row with a null VALUE still
+    // yields a non-null struct), so the boundary stitch can never pair a
+    // previous-day value with a same-day timestamp — coalescing _pv and _pt
+    // independently would do exactly that when a predecessor's value is null
     val intra = withC
-      .withColumn("_pv", lag(col(valueCol), 1).over(win))
-      .withColumn("_pt", lag(col("ts"), 1).over(win))
+      .withColumn("_prev",
+        lag(struct(col(valueCol).as("v"), col("ts").as("t")), 1).over(win))
     // last (value, ts) of each chunk under the same (ts, tieBreak) order
     val summary = withC.groupBy(keys.map(col): _*)
       .agg(max_by(struct(col(valueCol).as("v"), col("ts").as("t")),
@@ -80,8 +85,9 @@ object Derive {
         lag(col("_last"), 1).over(w(partition, Seq("_chunk"))))
       .select((keys.map(col) :+ col("_prevLast")): _*)
     intra.join(prev, keys)
-      .withColumn("_pv", coalesce(col("_pv"), col("_prevLast.v")))
-      .withColumn("_pt", coalesce(col("_pt"), col("_prevLast.t")))
+      .withColumn("_prev", coalesce(col("_prev"), col("_prevLast")))
+      .withColumn("_pv", col("_prev.v"))
+      .withColumn("_pt", col("_prev.t"))
   }
 
   def derivativeChunked(df: DataFrame,

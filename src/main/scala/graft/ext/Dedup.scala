@@ -277,19 +277,7 @@ object Dedup {
     * (round-3 advice: GC-only release pinned up to maxIter snapshots).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint registers exactly the new persistent RDD(s) backing
-    // the checkpoint; diffing the registry around the call captures them so
-    // superseded generations can be freed explicitly (the public-API way —
-    // Dataset.localCheckpoint does not expose its backing RDD)
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val fresh = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before.contains(id) => rdd
-      }.toSeq
-      (out, fresh)
-    }
+    import graft.Plans.checkpointTracked
     val (edges, edgeRdds) = checkpointTracked(
       pairs.select(col("a"), col("b"))
         .union(pairs.select(col("b").as("a"), col("a").as("b"))))
@@ -381,6 +369,10 @@ object Dedup {
     * through a streaming bucket-local self-join instead of materializing
     * either the k-element array or the pair structs in one buffer. The
     * pair set is identical on both routes.
+    *
+    * EAGER + VOLATILE like `nearDupMinhash`: the pair set materializes at
+    * call time via `localCheckpoint(true)` (frees the banded-signature
+    * cache at return; not recomputable after executor loss).
     */
   def simhashCandidates(docs: DataFrame, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",

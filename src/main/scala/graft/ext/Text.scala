@@ -37,7 +37,10 @@ object Text {
     val langs = markers.keys.toSeq.sorted
     val scores = langs.map(l => langScore(toks, l))
     val best = greatest(scores: _*)
-    langs.zip(scores).foldRight(lit(langs.head): Column) {
+    // fallback = LAST language, matching the oracle twins' CASE … ELSE arm:
+    // reachable only when every score is null (null text), where the SQL
+    // CASE also falls through to its ELSE — keep the two aligned
+    langs.zip(scores).foldRight(lit(langs.last): Column) {
       case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc)
     }
   }
@@ -74,7 +77,8 @@ object Text {
     val langs = charNgramProfiles.keys.toSeq.sorted
     val scores = langs.map(l => charNgramScore(text, l))
     val best = greatest(scores: _*)
-    langs.zip(scores).foldRight(lit(langs.head): Column) {
+    // fallback = LAST language — same null-text alignment as langId
+    langs.zip(scores).foldRight(lit(langs.last): Column) {
       case ((l, s), acc) => when(s === best, lit(l)).otherwise(acc)
     }
   }
