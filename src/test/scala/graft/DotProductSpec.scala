@@ -54,6 +54,23 @@ class DotProductSpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("SQL functions registered via GraftExtensions match the Column API") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    rows.toDF("id", "a", "b").createOrReplaceTempView("graft_ext_vecs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_dot_product(a, b) AS d, graft_cosine(a, b) AS c
+        |FROM graft_ext_vecs""".stripMargin)
+    val viaCols = rows.toDF("id", "a", "b").select(col("id"),
+      ext.Similarity.dot(col("a"), col("b")).as("d"),
+      ext.Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(viaSql.exceptAll(viaCols).count() == 0) // bitwise-equal doubles
+    assert(viaCols.exceptAll(viaSql).count() == 0)
+  }
+
   test("fused cosine is bit-identical to the composed dot/norm form") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 300).map { i =>
