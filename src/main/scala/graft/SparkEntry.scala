@@ -803,7 +803,7 @@ object Oracles {
     count(*) AS cnt,
     sum(CAST(value AS DECIMAL(38,10))) AS vsum,
     min(value) AS vmin, max(value) AS vmax,
-    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    sum(CAST(CAST(value*value AS VARCHAR) AS DECIMAL(38,10))) AS vsumsq,
     min(ts) AS tfirst, max(ts) AS tlast,
     sum(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS tsum_us
   FROM events GROUP BY 1, 2, 3)
@@ -812,13 +812,22 @@ SELECT user_id, event_type, bucket_start,
   CAST(vsum AS DOUBLE) AS "sum",
   vmin AS "min", vmax AS "max",
   CAST(vsumsq AS DOUBLE) AS sum_squares,
-  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
-    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  $stdDevSql,
   cnt AS "count",
   tfirst AS t_first,
   make_timestamp(CAST(CAST(tsum_us AS HUGEINT) // cnt AS BIGINT)) AS t_mean,
   tlast AS t_last
 FROM part$finalWhere"""
+  }
+
+  /** std_dev with the SAME cancellation clamp as `Downsample.finalizeView`:
+    * relative variance ≤ 1e-12·mean² is decimal→double conversion noise —
+    * zero on both sides, whatever each engine's cast rounding did.
+    */
+  private val stdDevSql: String = {
+    val m = "(CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE))"
+    val varRaw = s"greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE) - $m * $m)"
+    s"sqrt(CASE WHEN $varRaw <= $m * $m * 1e-12 THEN 0.0 ELSE $varRaw END) AS std_dev"
   }
 
   /** Streaming twin: the minutes downsample restricted to buckets the
@@ -838,7 +847,7 @@ FROM part$finalWhere"""
     count(*) AS cnt,
     sum(CAST(value AS DECIMAL(38,10))) AS vsum,
     min(value) AS vmin, max(value) AS vmax,
-    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    sum(CAST(CAST(value*value AS VARCHAR) AS DECIMAL(38,10))) AS vsumsq,
     min(ts) AS tfirst, max(ts) AS tlast
   FROM events WHERE user_id = 7 AND event_type = 'click'
   GROUP BY 1)
@@ -846,8 +855,7 @@ SELECT '7:click' AS stream_id, bucket_start,
   cnt AS "count", vmax AS "max",
   CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE) AS "mean",
   vmin AS "min",
-  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
-    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  """ + stdDevSql + """,
   CAST(vsum AS DOUBLE) AS "sum",
   CAST(vsumsq AS DOUBLE) AS sum_squares,
   tfirst AS t_first, tlast AS t_last
@@ -900,7 +908,7 @@ part AS (
     count(*) AS cnt,
     sum(CAST(value AS DECIMAL(38,10))) AS vsum,
     min(value) AS vmin, max(value) AS vmax,
-    sum(CAST(value*value AS DECIMAL(38,10))) AS vsumsq,
+    sum(CAST(CAST(value*value AS VARCHAR) AS DECIMAL(38,10))) AS vsumsq,
     min(ts) AS tfirst, max(ts) AS tlast,
     sum(CAST(epoch_us(ts) AS DECIMAL(38,0))) AS tsum_us
   FROM events GROUP BY 1, 2)
@@ -909,8 +917,7 @@ SELECT stream_id, bucket_start,
   CAST(vsum AS DOUBLE) AS "sum",
   vmin AS "min", vmax AS "max",
   CAST(vsumsq AS DOUBLE) AS sum_squares,
-  sqrt(greatest(0.0, CAST(vsumsq AS DOUBLE) / CAST(cnt AS DOUBLE)
-    - (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(vsum AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS std_dev,
+  """ + stdDevSql + """,
   cnt AS "count",
   tfirst AS t_first,
   make_timestamp(CAST(CAST(tsum_us AS HUGEINT) // cnt AS BIGINT)) AS t_mean,

@@ -120,6 +120,15 @@ object Downsample {
     val n = col("cnt").cast(DoubleType)
     val s = col("vsum").cast(DoubleType)
     val q = col("vsumsq").cast(DoubleType)
+    // cancellation guard, mirrored EXACTLY in the oracle SQL: for an
+    // all-equal bucket q/n − m² should be 0, but once the decimal sums are
+    // big enough their double conversions round differently across engines
+    // and the subtraction amplifies that ulp to ~1e-10 (observed at sf0.1:
+    // std_dev 7.6e-6 vs 0). Relative variance below 1e-12·m² is cancellation
+    // noise by construction — clamp it to zero on both sides.
+    val m = s / n
+    val varRaw = greatest(lit(0.0), q / n - m * m)
+    val varClamped = when(varRaw <= m * m * lit(1e-12), lit(0.0)).otherwise(varRaw)
     partial.select(
       keys.map(col) ++ Seq(
         col("bucket_start"),
@@ -132,7 +141,7 @@ object Downsample {
         // all-null bucket (nominal/graph) would otherwise yield 0.0 here
         // while mean correctly stays null
         when(col("vsumsq").isNotNull && col("vsum").isNotNull,
-          sqrt(greatest(lit(0.0), q / n - (s / n) * (s / n)))).as("std_dev"),
+          sqrt(varClamped)).as("std_dev"),
         col("cnt").as("count"),
         col("tfirst").as("t_first"),
         timestamp_micros(expr("tsum_us div cnt")).as("t_mean"),
