@@ -575,30 +575,134 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   /** The reference updates derived streams at append
     * [ds :: backends/mongodb.py :: append → _process_contributes_to]; the
-    * batch-native equivalent recomputes each derived stream's datapoints
-    * and replaces ONLY that stream's slice of the `derived/` sibling table
+    * batch-native equivalent recomputes every derived stream's datapoints
+    * and replaces ONLY those streams' slices of the `derived/` sibling table
     * (dynamic partition overwrite on `stream_id`). The appended fact table
     * is never rewritten — at 100 TB a derived-stream refresh costs
     * O(sources read + derived written), not a full fact-table round-trip.
     * `rawDatapoints` unions the slice back in, so `getData` and the
     * maintenance cascade serve derived streams exactly like ordinary ones.
     * Idempotent.
+    *
+    * ONE join-based pass per op class — never a per-stream driver loop: the
+    * registry's derived rows (derived id, op, parsed args, exploded sources)
+    * broadcast-join into the fact table, and each op class runs as a single
+    * window/groupBy keyed by (derived id, source id). N derived streams cost
+    * ~4 plans total (one per op class present), not 2N driver-side jobs —
+    * the reference's per-stream Python loop is exactly what SURVEY §7.4.5
+    * forbids at scale. Driver state is O(op classes) + O(empty recomputes),
+    * never O(derived streams).
     */
   def updateDerivedStreams(): Unit = {
-    val derivedIds = streams.where(col("derive_op").isNotNull)
-      .select("stream_id").as[String].collect().toSeq
-    if (derivedIds.isEmpty || !exists(rawPath)) return
+    val derivedMeta = streams.where(col("derive_op").isNotNull)
+      .select(col("stream_id").as("derived_id"), col("derive_op"),
+        col("derive_args"), col("derived_from"), col("highest_granularity"))
+    // op-class histogram: decides which per-class plans to build. The
+    // collect is O(|distinct ops|) ≤ 4 rows — never the derived ids.
+    val opCounts = derivedMeta.groupBy("derive_op").count().collect()
+      .map(r => r.getString(0)).toSet
+    if (opCounts.isEmpty || !exists(rawPath)) return
+    val known = Set("sum", "derivative", "counter_reset", "counter_derivative")
+    opCounts.find(!known(_)).foreach { op =>
+      throw new errors.InvalidOperatorArguments(s"unknown derive op $op")
+    }
+    // per-stream max_value parsed from derive_args as a COLUMN (same regex
+    // as the single-stream path); validation is a ≤1-row sample job
+    val maxvExpr = regexp_extract(col("derive_args"),
+      "max_value\"?\\s*[:=]\\s*([0-9.eE+-]+)", 1).cast("double")
+    if (opCounts("counter_derivative")) {
+      val bad = derivedMeta
+        .where(col("derive_op") === "counter_derivative" &&
+          maxvExpr.isNotNull && maxvExpr <= 0)
+        .select("derived_id").limit(1).collect()
+      if (bad.nonEmpty)
+        throw new errors.InvalidOperatorArguments(
+          s"counter_derivative max_value must be positive " +
+            s"(stream ${bad.head.getString(0)})")
+    }
+    // route every source row to every derived stream consuming it: one
+    // broadcast of the registry-sized derived metadata, one fact-table read
+    val routes = broadcast(derivedMeta
+      .withColumn("max_value", maxvExpr)
+      .select(col("derived_id"), col("derive_op"), col("max_value"),
+        col("highest_granularity"),
+        explode(col("derived_from")).as("stream_id")))
+    val src = rawDatapoints.join(routes, Seq("stream_id"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val part = Seq("derived_id", "stream_id")
+    def shape(out: DataFrame, valueCol: String, tsCol: String = "ts"): DataFrame =
+      out.select(col("derived_id").as("stream_id"), col(tsCol).as("ts"),
+        col(valueCol).cast("double").as("value"),
+        lit(null).cast("string").as("value_json"))
+    // per-row bucket duration from each derived stream's granularity —
+    // the same epoch-µs floor as Downsample.bucketStart, duration via the
+    // joined metadata instead of a plan-time literal
+    val durUs = element_at(
+      typedLit(Granularity.ladder
+        .map(g => g.name -> g.durationSeconds * 1000000L).toMap),
+      col("highest_granularity"))
+    val plans = opCounts.toSeq.sorted.map {
+      case "sum" =>
+        shape(src.where(col("derive_op") === "sum")
+          .groupBy(col("derived_id"),
+            timestamp_micros(unix_micros(col("ts")) -
+              pmod(unix_micros(col("ts")), durUs)).as("ts"))
+          .agg(sum(col("value").cast(Downsample.DecV)).cast("double").as("sum")),
+          "sum")
+      case "derivative" =>
+        shape(Derive.derivative(
+          src.where(col("derive_op") === "derivative"), part), "derivative")
+      case "counter_reset" =>
+        shape(Derive.counterReset(
+          src.where(col("derive_op") === "counter_reset"), part), "reset")
+      case "counter_derivative" =>
+        shape(Derive.counterDerivativeByCol(
+          src.where(col("derive_op") === "counter_derivative"),
+          col("max_value"), part), "counter_derivative")
+    }
     // checkpoint, not cache: a derived stream's sources may include OTHER
     // derived streams — partitions this write is about to replace. A plain
     // cache lost mid-write would silently recompute from lineage against
     // the half-overwritten table; the lineage-free checkpoint cannot.
-    val (derived, rdds) = Plans.checkpointTracked(
-      derivedIds.map(derivedAsDatapoints).reduce(_.unionByName(_)))
-    try
+    val (derived, rdds) = Plans.checkpointTracked(plans.reduce(_.unionByName(_)))
+    try {
       derived.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("stream_id")
         .parquet(derivedPath)
-    finally rdds.foreach(_.unpersist(blocking = false))
+      // dynamic overwrite writes nothing for a derived stream whose
+      // recompute came back EMPTY, which would leave its previous slice
+      // being served forever — drop those partitions explicitly. The
+      // anti-join collect is bounded by the number of empty recomputes
+      // (normally zero), not by the number of derived streams.
+      val stale = derivedMeta.select("derived_id")
+        .join(derived.select(col("stream_id").as("derived_id")).distinct(),
+          Seq("derived_id"), "left_anti")
+        .collect().map(_.getString(0)).toSet
+      if (stale.nonEmpty) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        // partition dir names carry Spark's URI-style %XX escaping (e.g.
+        // ':' → %3A); decode the value side rather than re-implementing the
+        // escape to pick the doomed dirs
+        def unescape(s: String): String = {
+          val sb = new StringBuilder
+          var i = 0
+          while (i < s.length) {
+            if (s.charAt(i) == '%' && i + 3 <= s.length) {
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+              i += 3
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          sb.toString
+        }
+        Option(new java.io.File(derivedPath).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("stream_id="))
+          .filter(f => stale(unescape(f.getName.stripPrefix("stream_id="))))
+          .foreach(rm)
+      }
+    } finally rdds.foreach(_.unpersist(blocking = false))
   }
 }

@@ -185,6 +185,33 @@ object Derive {
           .as("counter_derivative"): _*)
   }
 
+  /** W4 with a PER-ROW `max_value` column instead of a global option — the
+    * shape the facade's join-based derived-stream refresh needs, where ONE
+    * window evaluates counter_derivative for every derived stream at once
+    * and each stream's parsed `max_value` rides the joined metadata. A null
+    * `maxValue` cell reproduces the Option-None arm (decrease ⇒ dropped);
+    * arithmetic is identical to `counterDerivative`.
+    */
+  def counterDerivativeByCol(df: DataFrame, maxValue: Column,
+                             partition: Seq[String] = Seq("stream_id"),
+                             order: Seq[String] = Seq("ts", "event_id"),
+                             valueCol: String = "value"): DataFrame = {
+    val win = w(partition, order)
+    val v = col(valueCol)
+    val base = df
+      .withColumn("_pv", lag(v, 1).over(win))
+      .withColumn("_pt", lag(col("ts"), 1).over(win))
+      .where(col("_pv").isNotNull &&
+        unix_micros(col("ts")) > unix_micros(col("_pt")))
+    val delta = when(v >= col("_pv"), v - col("_pv"))
+      .otherwise(when(maxValue.isNotNull, v + (maxValue - col("_pv"))))
+    base.withColumn("_delta", delta)
+      .where(col("_delta").isNotNull)
+      .select(partition.map(col) :+ col("ts") :+
+        (col("_delta").cast("double") / dtSeconds(col("ts"), col("_pt")))
+          .as("counter_derivative"): _*)
+  }
+
   /** W1 `sum` (multi-stream): align the datapoints of N source streams on
     * their rounded timestamp and emit the per-bucket sum (J2). All sources
     * must share a granularity — enforced by the caller/facade via

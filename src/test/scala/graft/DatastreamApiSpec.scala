@@ -244,4 +244,54 @@ class DatastreamApiSpec extends SparkSpec {
     val m = ds.getData("d", Granularity.Minutes).collect()
     assert(m.length == 1 && m.head.getAs[Double]("mean") == 4.0)
   }
+
+  test("updateDerivedStreams: one pass over all op classes at once, per-stream max_value") {
+    val ds = freshDs()
+    ds.ensureStream("a"); ds.ensureStream("b")
+    ds.ensureStream("d_sum", deriveOp = Some("sum"), derivedFrom = Seq("a", "b"))
+    ds.ensureStream("d_drv", deriveOp = Some("derivative"), derivedFrom = Seq("a"))
+    ds.ensureStream("d_rst", deriveOp = Some("counter_reset"), derivedFrom = Seq("b"))
+    ds.ensureStream("d_cdv", deriveOp = Some("counter_derivative"),
+      deriveArgs = Some("""{"max_value": 100}"""), derivedFrom = Seq("b"))
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:00Z", 10.0),
+      ("a", "2024-01-01T00:00:10Z", 30.0),
+      ("b", "2024-01-01T00:00:05Z", 90.0),
+      ("b", "2024-01-01T00:00:15Z", 20.0))).select("stream_id", "ts", "value"))
+    ds.updateDerivedStreams()
+    // sum: both sources aligned on seconds buckets (4 distinct seconds)
+    assert(ds.getData("d_sum", Granularity.Seconds).count() == 4)
+    // derivative over a: (30-10)/10
+    assert(ds.getData("d_drv", Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(2.0))
+    // counter_reset over b: 20 < 90 ⇒ one reset
+    assert(ds.getData("d_rst", Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    // counter_derivative with per-stream max_value=100: (20 + (100-90))/10
+    assert(ds.getData("d_cdv", Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+  }
+
+  test("updateDerivedStreams drops a derived slice whose recompute is empty") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    // a single-point source: derivative recompute is legitimately EMPTY
+    ds.ensureStream("src")
+    ds.ensureStream("d:colon", deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    ds.appendMultiple(dp(Seq(("src", "2024-01-01T00:00:00Z", 10.0)))
+      .select("stream_id", "ts", "value"))
+    // plant a stale slice from an earlier world (the advice scenario: a
+    // prior refresh wrote rows; this one computes none). Dynamic overwrite
+    // alone would keep serving it; the explicit partition cleanup must
+    // remove it — including through the %3A-escaped directory name.
+    import spark.implicits._
+    Seq(("d:colon", ts("2023-12-31T00:00:00Z"), 42.0, null: String))
+      .toDF("stream_id", "ts", "value", "value_json")
+      .write.partitionBy("stream_id").mode("append").parquet(s"$dir/derived")
+    assert(ds.getData("d:colon", Granularity.Seconds).count() == 1)
+    ds.updateDerivedStreams()
+    assert(ds.getData("d:colon", Granularity.Seconds).count() == 0)
+    // the source stream's slice of the fact table is untouched
+    assert(ds.getData("src", Granularity.Seconds).count() == 1)
+  }
 }
