@@ -36,20 +36,32 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   private def exists(path: String): Boolean = new java.io.File(path).exists()
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   /** Overwrite the (small) registry path with a plan that READS that same
     * path: write to a sibling temp dir, then swap directories. One Spark job
     * — no cache+count materialization round-trip — and the source files stay
     * intact until the write commits. Plain-parquet local-fs rename; on an
     * object store this swap is what a Delta/Iceberg commit does
     * transactionally.
+    *
+    * Crash safety: the new copy is FULLY written (parquet `_SUCCESS`
+    * committed) before any rename, and the live copy is only moved aside,
+    * never deleted, until the promotion rename succeeds — so at every
+    * instant a complete registry exists on disk under one of `path`,
+    * `path.swap-*` (committed temp) or `path.bak-*`. A JVM death between
+    * the two renames leaves no live dir; `recoverSwap` (run at facade
+    * construction) detects that and promotes the committed temp — the state
+    * the interrupted swap was about to reach — falling back to the `.bak`
+    * copy, then clears leftovers. Single-writer per warehouse assumed (as
+    * with any non-transactional table format).
     */
   private def overwriteSwap(df: DataFrame, path: String): Unit = {
     val tmp = path + ".swap-" + System.nanoTime()
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
     // move the live copy ASIDE (not away) before promoting the new one:
     // every rename result is checked, and on failure the original is
     // restored — a swap must never be able to silently lose the registry
@@ -62,8 +74,44 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (hadOld) bak.renameTo(dst)
       throw new IllegalStateException(s"overwriteSwap: cannot promote $tmp to $path")
     }
-    if (hadOld) rm(bak)
+    if (hadOld) rmTree(bak)
+    // a successful swap owns the path: any sibling leftovers are garbage
+    // from an earlier crashed swap — clear them so they cannot accumulate
+    recoverSwap(path)
   }
+
+  /** Startup (and post-swap) recovery for `overwriteSwap` leftovers: if the
+    * live dir is missing, promote the newest COMMITTED `.swap-*` temp (it
+    * carries parquet's `_SUCCESS` marker — the registry content the
+    * interrupted swap was promoting), else restore the newest `.bak-*`;
+    * then delete remaining `.swap-*`/`.bak-*` siblings.
+    */
+  private def recoverSwap(path: String): Unit = {
+    val dst = new java.io.File(path)
+    val name = dst.getName
+    val siblings = Option(dst.getParentFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val swaps = siblings.filter(_.getName.startsWith(name + ".swap-"))
+    val baks = siblings.filter(_.getName.startsWith(name + ".bak-"))
+    if (!dst.exists()) {
+      def suffixNanos(f: java.io.File, marker: String): Long =
+        try f.getName.substring(name.length + marker.length).toLong
+        catch { case _: NumberFormatException => Long.MinValue }
+      val committed = swaps.filter(s => new java.io.File(s, "_SUCCESS").exists())
+      val pick =
+        if (committed.nonEmpty) Some(committed.maxBy(suffixNanos(_, ".swap-")))
+        else baks.sortBy(suffixNanos(_, ".bak-")).lastOption
+      pick.foreach { src =>
+        if (!src.renameTo(dst))
+          throw new IllegalStateException(
+            s"recoverSwap: cannot restore $src to $path")
+      }
+    }
+    (swaps ++ baks).filter(_.exists()).foreach(rmTree)
+  }
+
+  // run recovery once per facade instance, before any registry read
+  recoverSwap(streamsPath)
 
   // ---- registry -----------------------------------------------------------
 

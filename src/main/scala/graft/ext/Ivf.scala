@@ -51,13 +51,21 @@ object Ivf {
       .zipWithIndex.map { case ((_, v), i) => (i, v) }
   }
 
-  /** Lloyd (k-means) refinement of the IVF centroids — the periodic
-    * maintenance job that tightens cells after the seed sample. Each
-    * iteration is one narrow assignment map against the broadcast centroid
-    * matrix plus ONE partial-aggregating shuffle of `(cell, pos, component)`
-    * rows (map-side combine reduces every partition to ≤ nCells×dim rows
-    * before the exchange); the driver only ever holds the nCells×dim
-    * centroid matrix. Empty cells keep their previous centroid.
+  /** SPHERICAL k-means refinement of the IVF centroids — the periodic
+    * maintenance job that tightens cells after the seed sample. The
+    * assignment metric is cosine, the SAME metric `ivfTopK` assigns and
+    * probes with, and the update step is the normalized mean of the
+    * assigned UNIT vectors — the closed-form maximizer of the cosine
+    * objective Σᵢ cos(xᵢ, c₍ₐ₍ᵢ₎₎) for a fixed assignment. Both steps are
+    * ascent steps on that one objective, so it is non-decreasing per
+    * iteration (the guarantee plain Lloyd only gives the Euclidean
+    * objective — mixing cosine assignment with coordinate means has
+    * neither). Each iteration is one narrow assignment map against the
+    * broadcast centroid matrix plus ONE partial-aggregating shuffle of
+    * `(cell, pos, component)` rows (map-side combine reduces every
+    * partition to ≤ nCells×dim rows before the exchange); the driver only
+    * ever holds the nCells×dim centroid matrix. Empty cells (and
+    * degenerate all-zero means) keep their previous centroid.
     */
   def refineCentroids(corpus: DataFrame, init: Array[(Int, Array[Float])],
                       iters: Int = 3,
@@ -73,7 +81,12 @@ object Ivf {
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           val cs = centB.value
-          it.map { case (_, v) => (nearestCells(v, cs, 1).head, v) }
+          it.map { case (_, v) =>
+            val n = math.sqrt(dotLoop(v, v))
+            val unit =
+              if (n > 0) v.map(x => (x / n).toFloat) else v
+            (nearestCells(v, cs, 1).head, unit)
+          }
         }.toDF("cell", "vec")
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
@@ -83,9 +96,11 @@ object Ivf {
       cents = cents.map { case (c, old) =>
         byCell.get(c) match {
           case Some(rows) =>
-            val v = new Array[Float](old.length)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
-            (c, v)
+            val m = new Array[Double](old.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0) (c, m.map(x => (x / norm).toFloat))
+            else (c, old) // degenerate mean: keep previous centroid
           case None => (c, old) // empty cell: keep previous centroid
         }
       }

@@ -162,21 +162,21 @@ object Schemas {
 /** Plan utilities shared by the facade. */
 object Plans {
   /** Eager `localCheckpoint` that also returns the persistent RDD(s) backing
-    * it (registry diff around the call — `Dataset.localCheckpoint` does not
-    * expose its RDD), so callers can free the blocks explicitly once the
-    * checkpointed data is no longer referenced. The checkpoint is
-    * lineage-free: immune to later overwrites of the paths it was computed
-    * from (the cached-plan-recompute hazard), and resident on executors —
-    * the driver holds nothing proportional to the data.
+    * it, so callers can free the blocks explicitly once the checkpointed
+    * data is no longer referenced. The backing RDD is read directly off the
+    * checkpointed Dataset's `LogicalRDD` plan leaf (GraftBridge) — NOT by
+    * diffing `sparkContext.getPersistentRDDs` around the call, which a
+    * concurrent persist from another thread (e.g. deleteStreams' parallel
+    * purges) could contaminate, capturing an unrelated caller's blocks for
+    * later wrongful unpersist. The checkpoint is lineage-free: immune to
+    * later overwrites of the paths it was computed from (the
+    * cached-plan-recompute hazard), and resident on executors — the driver
+    * holds nothing proportional to the data.
     */
   def checkpointTracked(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
-    (out, sc.getPersistentRDDs.collect {
-      case (id, r) if !before.contains(id) => r
-    }.toSeq)
+    (out, org.apache.spark.sql.GraftBridge.backingRdds(out))
   }
 }
 

@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bridge into Spark's `private[sql]` Column ↔ Expression converters, so the
   * engine can compose its custom codegen expressions (graft.expressions.*)
@@ -10,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The RDD(s) physically backing a (local)checkpointed Dataset — read
+    * straight off its `LogicalRDD` plan leaves, so callers can unpersist
+    * the blocks deterministically. Unlike diffing
+    * `sparkContext.getPersistentRDDs` around the checkpoint call, this is
+    * immune to concurrent persists from other threads (which the diff
+    * could capture and later wrongly unpersist).
+    */
+  def backingRdds(df: Dataset[_]): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
 }

@@ -272,6 +272,32 @@ class DatastreamApiSpec extends SparkSpec {
       .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
   }
 
+  test("registry swap recovery: a crash between the two renames is repaired at startup") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1"); ds.ensureStream("s2")
+    assert(ds.streams.count() == 2)
+    // simulate the JVM dying after the live registry was moved aside but
+    // before the committed temp was promoted: no streams/ dir, a stale
+    // .bak, and the fully-written .swap (parquet _SUCCESS present)
+    val live = new java.io.File(s"$dir/streams")
+    assert(new java.io.File(s"$dir/streams.swap-100").mkdirs())
+    assert(new java.io.File(s"$dir/streams.swap-100/_stale").createNewFile())
+    assert(live.renameTo(new java.io.File(s"$dir/streams.swap-200")))
+    // recovery must pick the newest COMMITTED swap (200, which has
+    // _SUCCESS), not the uncommitted 100, and clear both leftovers
+    val ds2 = new Datastream(spark, dir)
+    assert(ds2.streams.count() == 2)
+    assert(live.exists())
+    assert(!new java.io.File(s"$dir/streams.swap-100").exists())
+    assert(!new java.io.File(s"$dir/streams.swap-200").exists())
+    // second shape: only a .bak survives (crash with no committed temp)
+    assert(live.renameTo(new java.io.File(s"$dir/streams.bak-300")))
+    val ds3 = new Datastream(spark, dir)
+    assert(ds3.streams.count() == 2)
+    assert(live.exists() && !new java.io.File(s"$dir/streams.bak-300").exists())
+  }
+
   test("updateDerivedStreams drops a derived slice whose recompute is empty") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
