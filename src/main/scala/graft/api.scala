@@ -41,6 +41,22 @@ class Datastream(spark: SparkSession, warehouse: String) {
     f.delete(); ()
   }
 
+  /** Decode Spark's URI-style %XX partition-directory escaping (e.g. ':' →
+    * `%3A`) — safer than re-implementing the escape when matching on-disk
+    * partition values against stream ids.
+    */
+  private def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Overwrite the (small) registry path with a plan that READS that same
     * path: write to a sibling temp dir, then swap directories. One Spark job
     * — no cache+count materialization round-trip — and the source files stay
@@ -151,8 +167,59 @@ class Datastream(spark: SparkSession, warehouse: String) {
       ValueType.valueDownsamplers(valueType).toSeq.sorted,
       Downsamplers.allTime.toSeq.sorted,
       highestGranularity.name, deriveOp, deriveArgs, derivedFrom)
-    Seq(meta).toDF().write.mode(SaveMode.Append).parquet(streamsPath)
+    // swap-write, NOT append: per-ensure appends leave one tiny parquet
+    // file per ensured stream, and every later registry read pays listing
+    // + scheduling for all of them. The swap keeps the registry a single
+    // file regardless of how many ensures a session performs.
+    overwriteSwap(streams.unionByName(Seq(meta).toDF()), streamsPath)
     meta
+  }
+
+  /** Batch `ensureStream`: N streams in ONE registry job + ONE swap write
+    * (the single-stream verb costs a registry round-trip per call — fine
+    * interactively, quadratic for a many-streams fixture). Existing ids are
+    * skipped (idempotent); sources referenced by derived specs may be
+    * earlier entries of the SAME batch. Validation mirrors the
+    * single-stream verb: unknown value type, missing derive sources
+    * (`StreamNotFound`), granularity mismatch (`IncompatibleGranularities`).
+    */
+  def ensureStreams(specs: Seq[StreamMeta]): Unit = {
+    if (specs.isEmpty) return
+    specs.foreach(s => require(ValueType.all(s.value_type),
+      s"unsupported value type ${s.value_type}"))
+    val dupes = specs.groupBy(_.stream_id).collect { case (id, ss) if ss.size > 1 => id }
+    require(dupes.isEmpty, s"duplicate stream ids in batch: ${dupes.mkString(", ")}")
+    // normalize the downsampler sets exactly as ensureStream would
+    val metas = specs.map(s => s.copy(
+      value_downsamplers = ValueType.valueDownsamplers(s.value_type).toSeq.sorted,
+      time_downsamplers = Downsamplers.allTime.toSeq.sorted,
+      earliest_datapoint = None, latest_datapoint = None,
+      downsampled_until = Map.empty))
+    // driver-side validation against batch-local sources plus a SINGLE
+    // registry read for the rest — never a per-spec round-trip
+    val granByIdLocal = metas.map(m => m.stream_id -> m.highest_granularity).toMap
+    val externalSrcs = metas.flatMap(_.derived_from).distinct
+      .filterNot(granByIdLocal.contains)
+    val granByIdReg: Map[String, String] =
+      if (externalSrcs.isEmpty) Map.empty
+      else streams
+        .join(externalSrcs.toDF("stream_id"), Seq("stream_id"), "left_semi")
+        .select("stream_id", "highest_granularity")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    metas.foreach { m =>
+      m.derived_from.foreach { src =>
+        val srcGran = granByIdLocal.get(src).orElse(granByIdReg.get(src))
+          .getOrElse(throw new errors.StreamNotFound(s"no such stream: $src"))
+        if (srcGran != m.highest_granularity)
+          throw new errors.IncompatibleGranularities(
+            s"derived stream ${m.stream_id} at ${m.highest_granularity} " +
+              s"from $src at $srcGran")
+      }
+    }
+    // one swap: existing rows win (idempotent ensure), new rows appended
+    val incoming = metas.toDF()
+      .join(streams.select("stream_id"), Seq("stream_id"), "left_anti")
+    overwriteSwap(streams.unionByName(incoming), streamsPath)
   }
 
   def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
@@ -163,7 +230,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * raw and every rollup level, like the reference's delete of all
     * per-granularity collections [ds :: backends/mongodb.py ::
     * delete_streams]. At Delta/Iceberg scale these rewrites become
-    * `DELETE WHERE stream_id IN (...)`; plain parquet rewrites here.
+    * `DELETE WHERE stream_id IN (...)`; plain parquet here — but the
+    * rewrite is PRUNED to the partitions that can actually hold doomed
+    * rows: the doomed streams' registry bounds (earliest/latest datapoint)
+    * partition-prune the discovery scan, the exact affected date set comes
+    * from that slice, and only those `dp_date`/`bucket_date` partitions are
+    * rewritten (dynamic partition overwrite; partitions left with zero
+    * survivors are dropped explicitly). The stream_id-partitioned derived
+    * table needs no rewrite at all — a doomed stream's slice is its own
+    * partition directory, deleted outright. Deleting a 1-day stream out of
+    * a years-deep warehouse touches one raw partition, not all of them.
     */
   def deleteStreams(tagQuery: Map[String, String]): Long = {
     val all = streams
@@ -172,51 +248,94 @@ class Datastream(spark: SparkSession, warehouse: String) {
       .limit(5).collect()
     if (violSample.nonEmpty)
       throw new errors.OutstandingDependenciesError(violSample.mkString(", "))
-    // materialize the doomed id set and the survivor rows OFF the registry
-    // path before any overwrite: rewriting a parquet path invalidates every
-    // plan that reads it (a plain cache can be lost and silently recompute
-    // against the rewritten registry — the round-2 bug). localCheckpoint is
-    // lineage-free AND executor-resident, so unlike the previous driver-side
-    // collect the delete path holds nothing O(streams) on the driver.
-    val (doomedIds, doomedRdds) =
-      Plans.checkpointTracked(doomed0.select("stream_id"))
+    // materialize the doomed id set (plus its metadata bounds) OFF the
+    // registry path before any overwrite: rewriting a parquet path
+    // invalidates every plan that reads it (a plain cache can be lost and
+    // silently recompute against the rewritten registry — the round-2 bug).
+    // localCheckpoint is lineage-free AND executor-resident, so the delete
+    // path holds nothing O(streams) on the driver.
+    val (doomedMeta, doomedRdds) = Plans.checkpointTracked(
+      doomed0.select("stream_id", "earliest_datapoint", "latest_datapoint"))
+    val doomedIds = doomedMeta.select("stream_id")
     try {
       val n = doomedIds.count()
-      def purge(path: String, schema: Option[org.apache.spark.sql.types.StructType],
-                partitionCols: Seq[String]): Unit =
-        if (exists(path)) {
-          val reader = schema.fold(spark.read)(spark.read.schema)
-          val keep = reader.parquet(path)
-            .join(broadcast(doomedIds), Seq("stream_id"), "left_anti")
-            .cache()
-          keep.count() // materialize before overwriting the path being read
-          keep.write.mode(SaveMode.Overwrite)
-            .partitionBy(partitionCols: _*).parquet(path)
-          keep.unpersist()
-        }
+      // registry-sourced date bounds for the doomed set: one metadata-sized
+      // agg; null (never-appended streams) ⇒ no data rows anywhere
+      val b = doomedMeta
+        .agg(min("earliest_datapoint").as("lo"), max("latest_datapoint").as("hi"))
+        .first()
+      val bounds =
+        if (b.isNullAt(0) || b.isNullAt(1)) None
+        else Some((b.getTimestamp(0), b.getTimestamp(1)))
       // survivors read the pre-swap registry during the temp write (doomed
       // ids come from the checkpoint), so no separate materialization needed
       overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
         streamsPath)
+      /** Rewrite only the `partCol` partitions containing doomed rows:
+        * discovery scan partition-pruned by the registry bounds, exact
+        * affected set from that slice (O(affected dates) on the driver),
+        * then anti-join + dynamic overwrite of those partitions only.
+        * All-doomed partitions (no survivors ⇒ nothing written for them)
+        * are deleted explicitly — dynamic overwrite alone would leave them.
+        */
+      def purgePruned(path: String, schema: org.apache.spark.sql.types.StructType,
+                      partCol: String): Unit =
+        if (exists(path)) bounds.foreach { case (lo, hi) =>
+          val pruned = spark.read.schema(schema).parquet(path)
+            .where(col(partCol) >= to_date(lit(lo)) && col(partCol) <= to_date(lit(hi)))
+          val affected = pruned
+            .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+            .select(partCol).distinct().collect().map(_.getDate(0))
+          if (affected.nonEmpty) {
+            val slice = spark.read.schema(schema).parquet(path)
+              .where(col(partCol).isin(affected.toSeq: _*))
+            // lineage-free checkpoint, not cache: an evicted cache would
+            // recompute against the partitions being overwritten
+            val (keep, keepRdds) = Plans.checkpointTracked(
+              slice.join(broadcast(doomedIds), Seq("stream_id"), "left_anti"))
+            try {
+              keep.write.mode(SaveMode.Overwrite)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partCol).parquet(path)
+              val kept = keep.select(partCol).distinct().collect()
+                .map(_.getDate(0)).toSet
+              affected.filterNot(kept).foreach { d =>
+                rmTree(new java.io.File(s"$path/$partCol=$d"))
+              }
+            } finally keepRdds.foreach(_.unpersist(blocking = false))
+          }
+        }
+      /** The derived table is partitioned BY stream_id: a doomed stream's
+        * entire slice is one partition directory — delete it, rewrite
+        * nothing. Matching rides a join against the on-disk partition
+        * values (decoded from their %XX-escaped dir names); the collect is
+        * O(doomed ∩ derived).
+        */
+      def purgeDerived(): Unit = if (exists(derivedPath)) {
+        val dirs = Option(new java.io.File(derivedPath).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("stream_id="))
+          .map(f => (f.getName,
+            unescapePartitionValue(f.getName.stripPrefix("stream_id="))))
+        if (dirs.nonEmpty) {
+          val doomedDirs = dirs.toSeq.toDF("dir", "stream_id")
+            .join(doomedIds, Seq("stream_id"), "left_semi")
+            .select("dir").collect().map(_.getString(0))
+          doomedDirs.foreach(d => rmTree(new java.io.File(s"$derivedPath/$d")))
+        }
+      }
       // the per-path purges are independent read→rewrite pipelines; submit
       // them as concurrent Spark jobs (thread-safe on one SparkContext) —
       // the scheduler interleaves their stages instead of serializing
       // 9 × (materialize + write) round-trips
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
-      // schemas supplied for both partitioned tables: robust to a dir left
-      // with no data files (an all-empty derived refresh leaves _SUCCESS
-      // only), and the partition column keeps its declared type instead of
-      // value inference (an all-numeric stream_id would otherwise infer int
-      // and silently miss the string anti-join)
       val purges =
-        Seq(Future(purge(rawPath, Some(Schemas.rawDatapointsPartitioned),
-            Seq("dp_date"))),
-          Future(purge(derivedPath, Some(Schemas.rawDatapoints),
-            Seq("stream_id")))) ++
+        Seq(Future(purgePruned(rawPath, Schemas.rawDatapointsPartitioned, "dp_date")),
+          Future(purgeDerived())) ++
           Granularity.ladder.map(g => Future(
-            purge(rollupPath(g), Some(Schemas.downsampledPartitioned),
-              Seq("bucket_date"))))
+            purgePruned(rollupPath(g), Schemas.downsampledPartitioned,
+              "bucket_date")))
       Await.result(Future.sequence(purges), scala.concurrent.duration.Duration.Inf)
       n
     } finally doomedRdds.foreach(_.unpersist(blocking = false))
@@ -727,30 +846,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
         .join(derived.select(col("stream_id").as("derived_id")).distinct(),
           Seq("derived_id"), "left_anti")
         .collect().map(_.getString(0)).toSet
-      if (stale.nonEmpty) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        // partition dir names carry Spark's URI-style %XX escaping (e.g.
-        // ':' → %3A); decode the value side rather than re-implementing the
-        // escape to pick the doomed dirs
-        def unescape(s: String): String = {
-          val sb = new StringBuilder
-          var i = 0
-          while (i < s.length) {
-            if (s.charAt(i) == '%' && i + 3 <= s.length) {
-              sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-              i += 3
-            } else { sb.append(s.charAt(i)); i += 1 }
-          }
-          sb.toString
-        }
+      if (stale.nonEmpty)
         Option(new java.io.File(derivedPath).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("stream_id="))
-          .filter(f => stale(unescape(f.getName.stripPrefix("stream_id="))))
-          .foreach(rm)
-      }
+          .filter(f => stale(unescapePartitionValue(
+            f.getName.stripPrefix("stream_id="))))
+          .foreach(rmTree)
+      // maintain the derived streams' earliest/latest registry bounds from
+      // the recomputed slices (a recompute REPLACES a slice, so this is a
+      // set, not a min/max merge). Derived streams never pass through
+      // appendMultiple, so without this they'd have null bounds — and the
+      // bounds-pruned deleteStreams purge would skip their rollup rows.
+      val dBounds = derived.groupBy("stream_id")
+        .agg(min("ts").as("_lo"), max("ts").as("_hi"))
+      val updated = streams.join(dBounds, Seq("stream_id"), "left")
+        .withColumn("earliest_datapoint",
+          when(col("_lo").isNotNull, col("_lo")).otherwise(col("earliest_datapoint")))
+        .withColumn("latest_datapoint",
+          when(col("_hi").isNotNull, col("_hi")).otherwise(col("latest_datapoint")))
+        .drop("_lo", "_hi")
+      overwriteSwap(updated, streamsPath)
     } finally rdds.foreach(_.unpersist(blocking = false))
   }
 }

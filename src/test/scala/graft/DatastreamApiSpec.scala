@@ -272,6 +272,58 @@ class DatastreamApiSpec extends SparkSpec {
       .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
   }
 
+  test("ensures leave O(1) registry files; 1000-stream batch ensure in one swap") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    def registryFiles(): Int =
+      Option(new java.io.File(s"$dir/streams").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet"))
+    (0 until 8).foreach(i => ds.ensureStream(s"single$i"))
+    assert(registryFiles() == 1) // swap write: never one tiny file per ensure
+    // batch: 1000 streams + one derived-from-a-batch-sibling, ONE swap
+    val specs = (0 until 1000).map(i =>
+      StreamMeta(s"bulk$i", Map("bulk" -> "y"), ValueType.Numeric,
+        Seq.empty, Seq.empty, Granularity.Seconds.name)) :+
+      StreamMeta("bulk_sum", Map.empty, ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Seconds.name, Some("sum"), None, Seq("bulk0", "bulk1"))
+    ds.ensureStreams(specs)
+    assert(ds.streams.count() == 8 + 1001)
+    assert(registryFiles() == 1)
+    // idempotent: re-ensuring the batch changes nothing
+    ds.ensureStreams(specs)
+    assert(ds.streams.count() == 8 + 1001)
+    // batch validation mirrors the single verb
+    assertThrows[errors.StreamNotFound](ds.ensureStreams(Seq(
+      StreamMeta("dd", Map.empty, ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Seconds.name, Some("sum"), None, Seq("no_such")))))
+    assertThrows[errors.IncompatibleGranularities](ds.ensureStreams(Seq(
+      StreamMeta("dd", Map.empty, ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Minutes.name, Some("sum"), None, Seq("bulk0")))))
+  }
+
+  test("deleting a derived stream purges its derived slice and rollup rows") {
+    val ds = freshDs()
+    ds.ensureStream("src", Map("role" -> "src"))
+    ds.ensureStream("d", Map("role" -> "derived"),
+      deriveOp = Some("derivative"), derivedFrom = Seq("src"))
+    ds.appendMultiple(dp(Seq(
+      ("src", "2024-01-01T00:00:00Z", 10.0),
+      ("src", "2024-01-01T00:00:10Z", 30.0))).select("stream_id", "ts", "value"))
+    ds.updateDerivedStreams()
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    // the derived stream has rollup rows of its own (it rides the cascade);
+    // the pruned purge must still find them — its date bounds come from the
+    // registry bounds updateDerivedStreams now maintains
+    import org.apache.spark.sql.functions.col
+    assert(ds.rollup(Granularity.Minutes).where(col("stream_id") === "d").count() == 1)
+    ds.deleteStreams(Map("role" -> "derived"))
+    assert(ds.rollup(Granularity.Minutes).where(col("stream_id") === "d").count() == 0)
+    assert(ds.rollup(Granularity.Minutes).where(col("stream_id") === "src").count() > 0)
+    assert(ds.rawDatapoints.where(col("stream_id") === "d").count() == 0)
+    assert(ds.getData("src", Granularity.Seconds).count() == 2)
+  }
+
   test("registry swap recovery: a crash between the two renames is repaired at startup") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
