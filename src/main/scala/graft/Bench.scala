@@ -15,29 +15,51 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     // optional comma-separated subset for local diagnosis (driver leaves unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // steady-state timing: run each query `runs` times, report the LAST
-    // run — the first run absorbs planning/codegen and any transient
-    // machine load, which previously made single-shot driver artifacts
-    // unreproducible (round-3 bench was 2-3× inflated mid-run by ambient
-    // load). Wall clock pays for the warmups; the reported metric is the
-    // repeatable warm cost.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // steady-state timing: run each query `runs` times and report the
+    // MEDIAN of runs 2..n (the first run absorbs planning/codegen and is
+    // always discarded when runs > 1). A median over repeated runs blunts
+    // ambient-load contamination, which made two rounds of single-shot
+    // driver artifacts unreproducible (3-7× inflation mid-run).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        def once(): Double = {
+        // a query that throws reports err and wall time -1 — a crash must
+        // never masquerade as a fast run (and the bench exits non-zero)
+        def once(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+          }
         }
-        var t = once()
-        (1 until runs).foreach(_ => t = once())
+        val all = (0 until runs).map(_ => once())
+        val steady = (if (runs > 1) all.tail else all).flatten.sorted
+        val t =
+          if (steady.isEmpty || errors.contains(name)) -1.0
+          else steady(steady.size / 2)
         name -> t
       }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, v) if v >= 0 => v }
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
