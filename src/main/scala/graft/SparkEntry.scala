@@ -45,6 +45,7 @@ object SparkEntry {
     // T6 reprocess ≡ incremental; T1–T3 as a real streaming query
     "q_warehouse_e2e" -> Queries.warehouseE2E _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
+    "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
     "q_streaming_cascade" -> Queries.streamingCascade _,
     // T4: stateful streaming derive as a real streaming query
@@ -53,6 +54,8 @@ object SparkEntry {
     "q_streaming_ingest" -> Queries.streamingIngest _,
     // T2 full ladder: second streaming query stitches rollup→rollup
     "q_streaming_ladder" -> Queries.streamingLadder _,
+    // W1's streaming arm: watermarked multi-stream sum as a real query
+    "q_streaming_derive_sum" -> Queries.streamingDeriveSum _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
@@ -79,6 +82,12 @@ object SparkEntry {
     "q_similarity_ivf_probe" -> Queries.similarityIvfProbe _,
     "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
+    // recall gates: the approximate pipelines measured against their exact
+    // twins — a recall collapse (broken banding, bad probes, dead simhash
+    // bands) now FAILS the gate instead of passing rows-only
+    "q_ann_recall" -> Queries.annRecall _,
+    "q_ivf_recall" -> Queries.ivfRecall _,
+    "q_simhash_recall" -> Queries.simhashRecall _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -103,12 +112,16 @@ object SparkEntry {
     "q_find_streams_nested" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
+    "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
     "q_streaming_cascade" -> Oracles.streamingCascade,
     // the stateful streaming derive must equal the batch window-lag twin
     "q_streaming_derive" -> Oracles.derivative,
     "q_streaming_ingest" -> Oracles.streamingIngest,
     "q_streaming_ladder" -> Oracles.streamingLadder,
+    // the streaming W1 sum must equal the batch derive-sum restricted to
+    // watermark-finalized buckets
+    "q_streaming_derive_sum" -> Oracles.streamingDeriveSum,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_validation" -> Oracles.validationErrors,
@@ -136,7 +149,12 @@ object SparkEntry {
     "q_similarity_ivf_refined" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
-    // exact twin; rows-only check.
+    // exact twin; rows-only check. Their QUALITY is gated instead: the
+    // recall queries below compare them against their exact twins inside
+    // Spark and the oracle pins the outcome.
+    "q_ann_recall" -> Oracles.recallAllLabels,
+    "q_ivf_recall" -> Oracles.recallAllLabels,
+    "q_simhash_recall" -> Oracles.simhashRecall,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -247,6 +265,41 @@ object Queries {
       .select("stream_id", "ts", "value"))
     ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     ds.getData("7:click", Granularity.Hours)
+  }
+
+  /** Tag CRUD on the gate: two streams are ensured with a shared `team`
+    * tag, one is retagged via `updateTags` (merge, new values win), the
+    * other loses its `team` tag via `removeTags`; then four tag queries
+    * probe the registry and each match is joined to its raw datapoint
+    * count. The oracle pins the exact match set per probe — a tag merge
+    * that failed to override, or a removal that didn't stick, surfaces as
+    * a row-set mismatch (e.g. `team_alpha` matching anything).
+    */
+  def tagCrud(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-tags")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click", "team" -> "alpha"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view", "team" -> "alpha"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.updateTags(Map("type" -> "click"), Map("team" -> "beta", "tier" -> "hot"))
+    ds.removeTags(Map("type" -> "view"), Seq("team"))
+    val counts = ds.rawDatapoints.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"))
+    def probe(label: String, q: Map[String, String]): DataFrame =
+      ds.findStreams(q).select("stream_id")
+        .join(counts, "stream_id")
+        .select(lit(label).as("probe"), col("stream_id"), col("n_rows"))
+    Seq(
+      probe("team_beta", Map("team" -> "beta")),   // retagged 7:click only
+      probe("team_alpha", Map("team" -> "alpha")), // must match NOTHING
+      probe("tier_hot", Map("tier" -> "hot")),     // merged-in new key
+      probe("type_view", Map("type" -> "view")))   // untouched tag survives
+      .reduce(_.unionByName(_))
   }
 
   /** O2 pagination: limit+offset over the ordered downsampled fetch. The
@@ -530,6 +583,39 @@ object Queries {
     Downsample.finalizeView(spark.read.parquet(s"$dir/hours"))
   }
 
+  /** W1's STREAMING arm on the gate: `Streaming.deriveSum` (watermarked
+    * multi-stream sum, append mode, delay 0) runs as a real streaming query
+    * over the click events and must reproduce the batch `q_derive_sum`
+    * aggregation on every bucket the watermark finalized (bucket end ≤
+    * ms-floored max click event time) — the same emit-once pattern
+    * `q_streaming_cascade` proves for the downsample path, here for the
+    * derive path.
+    */
+  def streamingDeriveSum(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-sdsum")
+    val srcDir = tempDir("graft-sdsum-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .where(col("event_type") === "click")
+      .select(col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val q = Streaming.deriveSum(src, Granularity.Minutes, "0 seconds", Seq("event_type"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+  }
+
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
     Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
 
@@ -670,6 +756,76 @@ object Queries {
   /** Embedding-cosine near-dup candidates through LSH bands. */
   def nearDupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     ext.Similarity.nearDupPairs(Sources.embeddings(spark, sfDir), threshold = 0.4)
+
+  /** Recall@10 against the brute-force exact top-10, per query vector (one
+    * per label). Hyperplanes/centroid seeds and the fixture are all
+    * deterministic, so recall is a deterministic number — the VALUES oracle
+    * pins every label's recall above a gate threshold, turning a silent
+    * recall collapse (bad hyperplanes, broken banding, dead probe routing)
+    * into a red gate row.
+    *
+    * The fixture is a NEAR-RANDOM corpus: true top-10 neighbors sit at
+    * cosine ≈ 0.24–0.40 (measured), i.e. ~72° — far below the similarity
+    * range the production near-dup configs are banded for. The gate
+    * therefore drives the same machinery at gate-appropriate settings
+    * (short LSH bands / wide probe counts) where measured recall clears the
+    * threshold at every test SF; the production configs stay rows-only.
+    */
+  private def recallVsBrute(exact: DataFrame, approx: DataFrame,
+                            threshold: Double): DataFrame =
+    exact.select(col("label"), col("query_vec_id"), col("vec_id"))
+      .join(approx.select(col("query_vec_id"), col("vec_id"), lit(1L).as("_hit")),
+        Seq("query_vec_id", "vec_id"), "left")
+      .groupBy("label")
+      .agg((sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .select(col("label"), (col("recall") >= threshold).as("recall_ok"))
+
+  /** LSH banding at 32×4 (short bands for the fixture's ~72° neighbors):
+    * measured recall 1.0 at sf0.01, ≥ 0.9 at every SF — gate at 0.9.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val qv = queryVectors(spark, sfDir)
+    recallVsBrute(ext.Similarity.topK(emb, qv, k = 10),
+      ext.Similarity.annTopK(emb, qv, k = 10, bands = 32, bitsPerBand = 4),
+      threshold = 0.9)
+  }
+
+  /** IVF probing 48 of 64 cells: measured per-label recall ≥ 0.7 at every
+    * SF (the fixture's weak structure spreads true neighbors across cells,
+    * so narrow probes are structurally low here) — gate at 0.65. Probed
+    * cell sets are prefix-monotone in nProbe, so a pass here plus the
+    * bit-exact exhaustive row (`q_similarity_ivf`) brackets the probe
+    * machinery from both ends.
+    */
+  def ivfRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val qv = queryVectors(spark, sfDir)
+    recallVsBrute(ext.Similarity.topK(emb, qv, k = 10),
+      ext.Ivf.ivfTopK(emb, qv, k = 10, nProbe = 48),
+      threshold = 0.65)
+  }
+
+  /** SimHash candidate recall against the EXACT shingle-Jaccard pair set at
+    * threshold 0.8. The oracle recomputes n_exact independently (pinning
+    * the exact pair computation) and asserts the recall bit — a simhash
+    * signature or banding defect that stops near-dup pairs from colliding
+    * turns this row red. Measured recall 0.79/0.80 at sf0.001/sf0.01 (the
+    * 4×16-bit bands tolerate ~3–4 flipped signature bits; j≈0.8 pairs sit
+    * right at that edge) — gate at 0.75.
+    */
+  def simhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val exact = ext.Dedup.nearDupJaccard(docs, 0.8).select("a", "b")
+    val cand = ext.Dedup.simhashCandidates(docs)
+      .select(col("a"), col("b"), lit(1L).as("_hit"))
+    exact.join(cand, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
+  }
 
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
@@ -860,6 +1016,20 @@ SELECT '7:click' AS stream_id, bucket_start,
   CAST(vsumsq AS DOUBLE) AS sum_squares,
   tfirst AS t_first, tlast AS t_last
 FROM part ORDER BY bucket_start"""
+
+  /** Tag-CRUD twin: the expected probe→stream match set with datapoint
+    * counts from events. `team_alpha` intentionally yields no row — both
+    * streams must have lost or overridden that tag.
+    */
+  val tagCrud: String =
+    """SELECT 'team_beta' AS probe, '7:click' AS stream_id, count(*) AS n_rows
+FROM events WHERE user_id = 7 AND event_type = 'click'
+UNION ALL
+SELECT 'tier_hot', '7:click', count(*)
+FROM events WHERE user_id = 7 AND event_type = 'click'
+UNION ALL
+SELECT 'type_view', '3:view', count(*)
+FROM events WHERE user_id = 3 AND event_type = 'view'"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
@@ -1079,6 +1249,22 @@ FROM lagged WHERE pc IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
 FROM events WHERE event_type = 'click'
 GROUP BY 1, 2"""
 
+  /** Streaming W1 twin: the batch derive-sum restricted to buckets the
+    * watermark finalized (append mode, delay 0, ms-floored max CLICK event
+    * time — the watermark is computed on the filtered stream).
+    */
+  val streamingDeriveSum: String =
+    """WITH agg AS (
+  SELECT event_type,
+    make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS bucket_start,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
+    count(*) AS contributing
+  FROM events WHERE event_type = 'click'
+  GROUP BY 1, 2)
+SELECT * FROM agg
+WHERE epoch_us(bucket_start) + 60000000 <=
+  (SELECT (max(epoch_us(ts)) // 1000) * 1000 FROM events WHERE event_type = 'click')"""
+
   val dedupExact: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1"""
@@ -1164,6 +1350,33 @@ SELECT label, query_vec_id, vec_id, cosine, rank FROM (
     (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
   FROM scored)
 WHERE rank <= 10"""
+
+  /** Recall-gate twin: every label's approximate top-10 must cover ≥ 90% of
+    * the exact top-10. One row per embedding label (0–9, the fixture's
+    * label space).
+    */
+  val recallAllLabels: String =
+    "SELECT * FROM (VALUES " +
+      (0 until 10).map(l => s"($l, true)").mkString(", ") +
+      ") AS t(label, recall_ok)"
+
+  /** SimHash recall twin: n_exact recomputed from the exact shingle-Jaccard
+    * pair set (the same inverted-index CTE as the minhash oracle), plus the
+    * pinned recall bit.
+    */
+  val simhashRecall: String =
+    """WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT count(*) AS n_exact, true AS recall_ok
+FROM (SELECT CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard FROM pairs)
+WHERE jaccard >= 0.8"""
 
   private val stopIn = "('the', 'a', 'of', 'and', 'is', 'to', 'in', 'that')"
 

@@ -225,6 +225,52 @@ class Datastream(spark: SparkSession, warehouse: String) {
   def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
     StreamRegistry.findStreams(streams, tagQuery)
 
+  /** Merge `tags` into every stream matching `tagQuery` (new values win on
+    * key collision) — the reference's `Datastream.update_tags`
+    * [ds :: api.py :: Datastream.update_tags]. One registry job + one swap
+    * write; returns the number of streams retagged. Both the count and the
+    * rewrite plan read the same pre-swap registry state (the swap writes to
+    * a temp dir first), so no off-path materialization is needed.
+    */
+  def updateTags(tagQuery: Map[String, String],
+                 tags: Map[String, String]): Long = {
+    if (!hasStreams || tags.isEmpty) return 0L
+    val matched = StreamRegistry.findStreams(streams, tagQuery)
+      .select(col("stream_id"), lit(true).as("_m"))
+    val n = matched.count()
+    if (n == 0) return 0L
+    // merge = old tags minus overridden keys, then concat the new map —
+    // deterministic override without relying on a mapKeyDedupPolicy setting
+    val newKeys = tags.keys.toSeq
+    val merged = map_concat(
+      map_filter(col("tags"), (k, _) => !k.isin(newKeys: _*)),
+      typedLit(tags))
+    val updated = streams.join(matched, Seq("stream_id"), "left")
+      .withColumn("tags", when(col("_m").isNotNull, merged).otherwise(col("tags")))
+      .drop("_m")
+    overwriteSwap(updated, streamsPath)
+    n
+  }
+
+  /** Remove tag keys from every stream matching `tagQuery` — the
+    * reference's `Datastream.remove_tag` [ds :: api.py ::
+    * Datastream.remove_tag], generalized to a key set. Missing keys are
+    * ignored. Returns the number of matched streams.
+    */
+  def removeTags(tagQuery: Map[String, String], keys: Seq[String]): Long = {
+    if (!hasStreams || keys.isEmpty) return 0L
+    val matched = StreamRegistry.findStreams(streams, tagQuery)
+      .select(col("stream_id"), lit(true).as("_m"))
+    val n = matched.count()
+    if (n == 0) return 0L
+    val pruned = map_filter(col("tags"), (k, _) => !k.isin(keys: _*))
+    val updated = streams.join(matched, Seq("stream_id"), "left")
+      .withColumn("tags", when(col("_m").isNotNull, pruned).otherwise(col("tags")))
+      .drop("_m")
+    overwriteSwap(updated, streamsPath)
+    n
+  }
+
   /** Refuses while surviving derived streams depend on doomed ones
     * (`OutstandingDependenciesError`); deletes metadata AND all datapoints —
     * raw and every rollup level, like the reference's delete of all

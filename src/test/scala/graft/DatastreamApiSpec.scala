@@ -272,6 +272,25 @@ class DatastreamApiSpec extends SparkSpec {
       .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
   }
 
+  test("updateTags merges with override; removeTags drops keys; counts returned") {
+    val ds = freshDs()
+    ds.ensureStream("s1", Map("team" -> "alpha", "env" -> "prod"))
+    ds.ensureStream("s2", Map("team" -> "alpha", "env" -> "dev"))
+    assert(ds.updateTags(Map("env" -> "prod"), Map("team" -> "beta", "tier" -> "hot")) == 1)
+    // merge overrode team and added tier on s1 only
+    assert(ds.findStreams(Map("team" -> "beta")).collect().map(_.getAs[String]("stream_id")).toSeq == Seq("s1"))
+    assert(ds.findStreams(Map("tier" -> "hot")).count() == 1)
+    assert(ds.findStreams(Map("team" -> "alpha")).collect().map(_.getAs[String]("stream_id")).toSeq == Seq("s2"))
+    // untouched key survives the merge
+    assert(ds.findStreams(Map("env" -> "prod")).count() == 1)
+    assert(ds.removeTags(Map("team" -> "alpha"), Seq("team")) == 1)
+    assert(ds.findStreams(Map("team" -> "alpha")).count() == 0)
+    assert(ds.findStreams(Map("env" -> "dev")).count() == 1) // other keys intact
+    // no-match and empty-arg calls are no-ops
+    assert(ds.updateTags(Map("team" -> "nope"), Map("x" -> "y")) == 0)
+    assert(ds.removeTags(Map("env" -> "dev"), Seq.empty) == 0)
+  }
+
   test("ensures leave O(1) registry files; 1000-stream batch ensure in one swap") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
