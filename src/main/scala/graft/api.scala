@@ -126,8 +126,76 @@ class Datastream(spark: SparkSession, warehouse: String) {
     (swaps ++ baks).filter(_.exists()).foreach(rmTree)
   }
 
+  // ---- commit log (multi-table mutation atomicity witness) ---------------
+
+  private val commitLogPath = s"$warehouse/commitlog"
+
+  /** Run a MULTI-TABLE write sequence inside a write-ahead intent marker —
+    * the sandbox-scale stand-in for the Delta/Iceberg commit the mutation
+    * paths cite. Plain parquet gives each table swap/write atomicity but
+    * nothing spans tables: a crash between "raw appended" and "registry
+    * swapped" leaves a torn warehouse with no witness. The log makes the
+    * tear DETECTABLE: `<version>.intent` is committed (temp + rename)
+    * before the first table write, renamed to `<version>.commit` after the
+    * last; a crash leaves the intent behind, a mid-sequence failure renames
+    * it to `<version>.failed` — both surface in `tornOperations` and as a
+    * startup warning. Detection-only by design: rollback needs versioned
+    * table files, i.e. a real table format. Callers wrap ONLY the write
+    * sequence (validation failures precede the intent and leave no marker).
+    * Single-writer per warehouse, as with the registry swap.
+    */
+  private def withCommit[T](op: String)(body: => T): T = {
+    val dir = new java.io.File(commitLogPath)
+    dir.mkdirs()
+    val version = 1L + Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(f => f.getName.split('.').headOption.flatMap(_.toLongOption))
+      .foldLeft(0L)(math.max)
+    def marker(suffix: String) = new java.io.File(dir, f"$version%09d.$suffix")
+    val tmp = marker("tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      s"""{"version":$version,"op":"$op"}""")
+    val intent = marker("intent")
+    if (!tmp.renameTo(intent))
+      throw new IllegalStateException(s"commitlog: cannot stage intent $intent")
+    val out =
+      try body
+      catch { case e: Throwable => intent.renameTo(marker("failed")); throw e }
+    if (!intent.renameTo(marker("commit")))
+      throw new IllegalStateException(s"commitlog: cannot commit $intent")
+    // bounded history: keep the newest 20 commit markers
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
+      .dropRight(20).foreach(_.delete())
+    out
+  }
+
+  /** Multi-table mutations that began but never committed — each entry is
+    * the op name from a surviving `.intent` (crash) or `.failed` (thrown
+    * mid-sequence) marker, oldest first. Non-empty means table files may be
+    * mutually inconsistent; at this storage layer the remedy is
+    * `reprocessStreams` (rebuilds all rollups) or restoring the warehouse.
+    */
+  def tornOperations: Seq[String] = {
+    val dir = new java.io.File(commitLogPath)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".intent") || f.getName.endsWith(".failed"))
+      .sortBy(_.getName)
+      .map { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(f.getName)
+      }.toSeq
+  }
+
   // run recovery once per facade instance, before any registry read
   recoverSwap(streamsPath)
+  locally {
+    val torn = tornOperations
+    if (torn.nonEmpty)
+      System.err.println(s"[graft] WARNING: warehouse $warehouse has " +
+        s"uncommitted multi-table mutations (${torn.mkString(", ")}); " +
+        "table files may be mutually inconsistent — consider reprocessStreams")
+  }
 
   // ---- registry -----------------------------------------------------------
 
@@ -315,6 +383,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
         else Some((b.getTimestamp(0), b.getTimestamp(1)))
       // survivors read the pre-swap registry during the temp write (doomed
       // ids come from the checkpoint), so no separate materialization needed
+      withCommit("delete_streams") {
       overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
         streamsPath)
       /** Rewrite only the `partCol` partitions containing doomed rows:
@@ -383,6 +452,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
             purgePruned(rollupPath(g), Schemas.downsampledPartitioned,
               "bucket_date")))
       Await.result(Future.sequence(purges), scala.concurrent.duration.Duration.Inf)
+      }
       n
     } finally doomedRdds.foreach(_.unpersist(blocking = false))
   }
@@ -436,34 +506,38 @@ class Datastream(spark: SparkSession, warehouse: String) {
       }
       val kept = joined.where(!isStale)
         .select("stream_id", "ts", "value", "value_json")
-      // the 100 TB fact-table layout: partitioned by date(ts), so
-      // maintenance slices and get_data range scans prune whole partitions
-      kept.withColumn("dp_date", to_date(col("ts")))
-        .write.mode(SaveMode.Append).partitionBy("dp_date").parquet(rawPath)
-      // advance the per-stream earliest/latest bookkeeping from the KEPT
-      // rows only (dropped stale rows must not lower earliest). Computed as
-      // a JOIN against the registry — no driver-side collect of all stream
-      // metadata, so the append path stays O(changed streams) on the driver
-      // even at millions of registered streams. The registry file itself is
-      // still rewritten (plain parquet has no row-level update; at cluster
-      // scale this table is Delta/Iceberg MERGE territory).
-      val bounds = kept.groupBy("stream_id")
-        .agg(min("ts").as("_lo"), max("ts").as("_hi"))
-      val updated = streams.join(bounds, Seq("stream_id"), "left")
-        .withColumn("earliest_datapoint",
-          when(col("_lo").isNotNull,
-            least(coalesce(col("earliest_datapoint"), col("_lo")), col("_lo")))
-            .otherwise(col("earliest_datapoint")))
-        .withColumn("latest_datapoint",
-          when(col("_hi").isNotNull,
-            greatest(coalesce(col("latest_datapoint"), col("_hi")), col("_hi")))
-            .otherwise(col("latest_datapoint")))
-        .drop("_lo", "_hi")
-      // registry is the small dimension table: one single-file swap write
-      // keeps the many re-reads across a maintenance session from listing
-      // and scheduling 32 shards of a few-KB table (shard only at true
-      // millions-of-streams scale)
-      overwriteSwap(updated, streamsPath)
+      // validation is done — everything from here mutates two tables (raw
+      // + registry), so it runs under an intent marker
+      withCommit("append") {
+        // the 100 TB fact-table layout: partitioned by date(ts), so
+        // maintenance slices and get_data range scans prune whole partitions
+        kept.withColumn("dp_date", to_date(col("ts")))
+          .write.mode(SaveMode.Append).partitionBy("dp_date").parquet(rawPath)
+        // advance the per-stream earliest/latest bookkeeping from the KEPT
+        // rows only (dropped stale rows must not lower earliest). Computed as
+        // a JOIN against the registry — no driver-side collect of all stream
+        // metadata, so the append path stays O(changed streams) on the driver
+        // even at millions of registered streams. The registry file itself is
+        // still rewritten (plain parquet has no row-level update; at cluster
+        // scale this table is Delta/Iceberg MERGE territory).
+        val bounds = kept.groupBy("stream_id")
+          .agg(min("ts").as("_lo"), max("ts").as("_hi"))
+        val updated = streams.join(bounds, Seq("stream_id"), "left")
+          .withColumn("earliest_datapoint",
+            when(col("_lo").isNotNull,
+              least(coalesce(col("earliest_datapoint"), col("_lo")), col("_lo")))
+              .otherwise(col("earliest_datapoint")))
+          .withColumn("latest_datapoint",
+            when(col("_hi").isNotNull,
+              greatest(coalesce(col("latest_datapoint"), col("_hi")), col("_hi")))
+              .otherwise(col("latest_datapoint")))
+          .drop("_lo", "_hi")
+        // registry is the small dimension table: one single-file swap write
+        // keeps the many re-reads across a maintenance session from listing
+        // and scheduling 32 shards of a few-KB table (shard only at true
+        // millions-of-streams scale)
+        overwriteSwap(updated, streamsPath)
+      }
     } finally joined.unpersist()
   }
 
@@ -597,11 +671,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
         .where(col("_lo") < lit(hiOf(g)))
     var produced = Map.empty[Granularity, DataFrame]
     var advanced = Map.empty[String, Long] // level name -> hi actually written
+    // no level with work ⇒ no writes at all: skip the commit-log entry too
+    if (!levels.exists(g => stats.contains(g.name))) return produced
     // `break` (not `return`): a missing finer level must still fall through
     // to the metadata write below, or watermark advances already recorded
     // for earlier levels are lost and the next call re-aggregates the same
     // buckets — duplicate rollup rows (round-3 verdict, wrong #3)
     val halt = new scala.util.control.Breaks
+    withCommit("downsample") {
     halt.breakable { levels.zipWithIndex.foreach { case (g, idx) =>
       stats.get(g.name).foreach { globalLo =>
         val hi = hiOf(g)
@@ -668,6 +745,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
         .drop("_sel")
       overwriteSwap(updated, streamsPath)
     }
+    }
     produced
   }
 
@@ -681,15 +759,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
-    val rollupRoot = new java.io.File(s"$warehouse/rollup")
-    if (rollupRoot.exists()) rm(rollupRoot)
-    // reset every stream's per-granularity watermark — a column rewrite
-    // through the swap write, no driver-side collect of the registry
-    if (hasStreams)
-      overwriteSwap(
-        streams.withColumn("downsampled_until",
-          map().cast("map<string,bigint>")),
-        streamsPath)
+    withCommit("reprocess") {
+      val rollupRoot = new java.io.File(s"$warehouse/rollup")
+      if (rollupRoot.exists()) rm(rollupRoot)
+      // reset every stream's per-granularity watermark — a column rewrite
+      // through the swap write, no driver-side collect of the registry
+      if (hasStreams)
+        overwriteSwap(
+          streams.withColumn("downsampled_until",
+            map().cast("map<string,bigint>")),
+          streamsPath)
+    }
     downsampleStreams(until)
     ()
   }
@@ -878,7 +958,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // cache lost mid-write would silently recompute from lineage against
     // the half-overwritten table; the lineage-free checkpoint cannot.
     val (derived, rdds) = Plans.checkpointTracked(plans.reduce(_.unionByName(_)))
-    try {
+    try withCommit("update_derived") {
       derived.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("stream_id")

@@ -227,4 +227,51 @@ object Streaming {
       .transformWithState(new DeriveProcessor(op, maxValue),
         TimeMode.None(), OutputMode.Append(), enc)
   }
+
+  /** T3 for the INGEST path: per-stream monotonicity enforcement as a
+    * stateful pre-sink filter, closing the batch/streaming policy
+    * divergence (batch `appendMultiple` rejects or drops stale rows
+    * against the registry's `latest_datapoint`; plain streaming ingest
+    * relied on the watermark only). Keeps the last-seen event time per
+    * stream in the state store and drops any arrival strictly older —
+    * including ACROSS micro-batches, which a watermark alone does not
+    * guarantee. Equal timestamps pass, exactly like the batch check
+    * (`ts < latest` is the stale predicate). Within a batch, rows are
+    * applied in event-time order, mirroring the batch path's sorted apply.
+    */
+  private class MonotoneFilter
+      extends StatefulProcessor[String, Point, Point] {
+    @transient private var last: ValueState[LastPoint] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastPoint](
+        "last_ts", Encoders.product[LastPoint], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Point],
+                                 timers: TimerValues): Iterator[Point] = {
+      val sorted = rows.toVector.sortBy(p => us(p.ts))
+      var lastTs = Option(last.get()).map(_.tsUs)
+      val out = Vector.newBuilder[Point]
+      sorted.foreach { p =>
+        val t = us(p.ts)
+        if (!lastTs.exists(t < _)) { out += p; lastTs = Some(t) }
+      }
+      lastTs.foreach(t => last.update(LastPoint(t, 0.0)))
+      out.result().iterator
+    }
+  }
+
+  /** `ingest` with the monotonicity filter applied: the strict-parity
+    * streaming ingest for deployments where the batch reject/drop contract
+    * must hold on the streaming path too.
+    */
+  def ingestMonotone(points: Dataset[Point], rawPath: String,
+                     checkpoint: String) = {
+    implicit val enc: Encoder[Point] = Encoders.product[Point]
+    ingest(points.groupByKey(_.stream_id)(Encoders.STRING)
+        .transformWithState(new MonotoneFilter,
+          TimeMode.None(), OutputMode.Append(), enc)
+        .toDF(),
+      rawPath, checkpoint)
+  }
 }

@@ -343,6 +343,33 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.getData("src", Granularity.Seconds).count() == 2)
   }
 
+  test("commit log: mutations leave commit markers; a surviving intent reports torn") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:01:00Z"))
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    assert(ds.tornOperations.isEmpty)
+    def markers(): Seq[String] =
+      Option(new java.io.File(s"$dir/commitlog").listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(_.getName).sorted.toSeq
+    assert(markers().count(_.endsWith(".commit")) == 2) // append + downsample
+    // a VALIDATION failure precedes the intent marker: no log entry at all
+    val before = markers()
+    assertThrows[errors.InvalidTimestamp](
+      ds.append("s1", 2.0, ts("2024-01-01T00:00:30Z")))
+    assert(markers() == before)
+    // simulated crash mid-mutation: a stranded intent marker
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/commitlog/000000099.intent"),
+      """{"version":99,"op":"append"}""")
+    val ds2 = new Datastream(spark, dir)
+    assert(ds2.tornOperations == Seq("append"))
+    // versions continue past the stranded marker; new mutations still commit
+    ds2.append("s1", 3.0, ts("2024-01-01T00:02:00Z"))
+    assert(markers().exists(m => m.startsWith("000000100") && m.endsWith(".commit")))
+  }
+
   test("registry swap recovery: a crash between the two renames is repaired at startup") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)

@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("monotone streaming ingest drops stale arrivals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streaming.Point]
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingmono").toString
+    val q = Streaming.ingestMonotone(mem.toDS(), s"$dir/raw", s"$dir/ckpt").start()
+    try {
+      mem.addData(
+        Streaming.Point("s", ts("2024-01-01T00:00:10Z"), 1.0),
+        Streaming.Point("s", ts("2024-01-01T00:00:20Z"), 2.0))
+      q.processAllAvailable()
+      // next batch: one stale row (t=15 < last-seen 20 ⇒ dropped — state
+      // carries ACROSS batches), one equal-ts row (kept, as in the batch
+      // `ts < latest` stale predicate), one fresh row
+      mem.addData(
+        Streaming.Point("s", ts("2024-01-01T00:00:15Z"), 9.0),
+        Streaming.Point("s", ts("2024-01-01T00:00:20Z"), 3.0),
+        Streaming.Point("s", ts("2024-01-01T00:00:25Z"), 4.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/raw")
+        .select("ts", "value").as[(java.sql.Timestamp, Double)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01T00:00:10Z"), 1.0),
+        (ts("2024-01-01T00:00:20Z"), 2.0),
+        (ts("2024-01-01T00:00:20Z"), 3.0),
+        (ts("2024-01-01T00:00:25Z"), 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming multi-stream sum emits finalized buckets equal to the batch derive op") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Point]
