@@ -774,7 +774,10 @@ object Queries {
   private def recallVsBrute(exact: DataFrame, approx: DataFrame,
                             threshold: Double): DataFrame =
     exact.select(col("label"), col("query_vec_id"), col("vec_id"))
-      .join(approx.select(col("query_vec_id"), col("vec_id"), lit(1L).as("_hit")),
+      // both sides are ≤ labels×k rows; broadcast the probe side — the
+      // planner can't know that through the window/checkpoint lineage
+      .join(broadcast(
+          approx.select(col("query_vec_id"), col("vec_id"), lit(1L).as("_hit"))),
         Seq("query_vec_id", "vec_id"), "left")
       .groupBy("label")
       .agg((sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)))
@@ -818,8 +821,10 @@ object Queries {
   def simhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Sources.documents(spark, sfDir)
     val exact = ext.Dedup.nearDupJaccard(docs, 0.8).select("a", "b")
-    val cand = ext.Dedup.simhashCandidates(docs)
-      .select(col("a"), col("b"), lit(1L).as("_hit"))
+    // the candidate pair set is O(near-dups) — broadcast it under the
+    // left-outer recall join rather than shuffling both tiny sides
+    val cand = broadcast(ext.Dedup.simhashCandidates(docs)
+      .select(col("a"), col("b"), lit(1L).as("_hit")))
     exact.join(cand, Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
