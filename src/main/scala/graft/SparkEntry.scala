@@ -47,6 +47,9 @@ object SparkEntry {
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
+    // file-health maintenance: small-file compaction + clustering, data
+    // bit-identity and the file-count reduction both on the gate
+    "q_compaction" -> Queries.compaction _,
     "q_streaming_cascade" -> Queries.streamingCascade _,
     // T4: stateful streaming derive as a real streaming query
     "q_streaming_derive" -> Queries.streamingDerive _,
@@ -88,6 +91,7 @@ object SparkEntry {
     "q_ann_recall" -> Queries.annRecall _,
     "q_ivf_recall" -> Queries.ivfRecall _,
     "q_simhash_recall" -> Queries.simhashRecall _,
+    "q_embdup_recall" -> Queries.embdupRecall _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -114,6 +118,7 @@ object SparkEntry {
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
+    "q_compaction" -> Oracles.compaction,
     "q_streaming_cascade" -> Oracles.streamingCascade,
     // the stateful streaming derive must equal the batch window-lag twin
     "q_streaming_derive" -> Oracles.derivative,
@@ -155,6 +160,7 @@ object SparkEntry {
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
+    "q_embdup_recall" -> Oracles.embdupRecall,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -362,6 +368,69 @@ object Queries {
       ds.rollup(g).groupBy("stream_id").agg(count(lit(1)).as("n_rows"))
         .select(lit(g.name).as("level"), col("stream_id"), col("n_rows")))
     (raw +: levels).reduce(_.unionByName(_))
+  }
+
+  /** Compaction on the gate: a warehouse is built the way real ingest
+    * fragments one — two chronological appends of a single high-volume
+    * stream (split at Jan-15 noon, so the shared `dp_date=2024-01-15`
+    * partition collects files from both appends), a derived-stream refresh
+    * (whose shuffle leaves one small file per task in its partition), and TWO
+    * incremental maintenance passes (the second adds files to the boundary
+    * `bucket_date` partitions) — then `compact()` rewrites every fat
+    * partition to one (stream_id, time)-sorted file. Output: per-level row
+    * counts and decimal-exact value sums read from the COMPACTED tables
+    * (the oracle recomputes them straight from events, so any row lost or
+    * duplicated by the rewrite breaks the match) plus two pinned booleans:
+    * the rewrite strictly reduced total file count, and raw/derived/rollup
+    * partitions are single-file afterwards (after-counts equal their
+    * partition counts). Derived rows carry NULL value_sum — their values
+    * are per-bucket decimal→double casts whose re-summation is
+    * order-sensitive, exactly what the oracle cannot pin.
+    */
+  def compaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-compact")
+    val ds = new Datastream(spark, dir)
+    // hours granularity: the 3-level ladder slice keeps the (fixed-overhead-
+    // bound) sequential storage-job count proportional while exercising the
+    // same fragmentation-then-compact lifecycle
+    ds.ensureStream("all:ev", Map("scope" -> "all"),
+      highestGranularity = Granularity.Hours)
+    ds.ensureStream("d:sum", Map.empty, ValueType.Numeric, Granularity.Hours,
+      deriveOp = Some("sum"), derivedFrom = Seq("all:ev"))
+    val pts = Sources.eventsAsDatapoints(spark, sfDir)
+      .select(lit("all:ev").as("stream_id"), col("ts"), col("value"))
+    val split = ts("2024-01-15T12:00:00Z")
+    ds.appendMultiple(pts.where(col("ts") < split))
+    ds.appendMultiple(pts.where(col("ts") >= split))
+    ds.updateDerivedStreams()
+    ds.downsampleStreams(split) // hours6-aligned: every level gets a pass-1 slice
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val stats = ds.compact()
+    val reduced = stats.values.map(_._1).sum > stats.values.map(_._2).sum
+    // single-file proof: after-counts must equal the partition counts —
+    // distinct event dates for the date-partitioned tables, 1 for the
+    // stream_id-partitioned derived table
+    val nDates = Sources.events(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    val singleFile = stats("raw")._2 == nDates && stats("derived")._2 == 1L &&
+      Seq("hours", "hours6", "days").forall(g => stats(s"rollup/$g")._2 == nDates)
+    val raw = ds.rawDatapoints.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+      .select(lit("raw").as("level"), col("stream_id"),
+        col("n_rows"), col("value_sum"))
+    val levels = Seq(Granularity.Hours, Granularity.Days)
+      .map(g => ds.rollup(g).groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("vsum").cast("double").as("value_sum"))
+        .select(lit(g.name).as("level"), col("stream_id"),
+          col("n_rows"), col("value_sum")))
+    (raw +: levels).reduce(_.unionByName(_))
+      .withColumn("value_sum",
+        when(col("stream_id") === "d:sum", lit(null).cast("double"))
+          .otherwise(col("value_sum")))
+      .withColumn("files_reduced", lit(reduced))
+      .withColumn("compacted_single_file", lit(singleFile))
   }
 
   /** T6 reprocess ≡ incremental: build the cascade in two incremental
@@ -832,6 +901,29 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.75).as("recall_ok"))
   }
 
+  /** Embedding near-dup recall: the LSH candidate pipeline (at the same
+    * gate-appropriate 32×4 banding as `q_ann_recall` — the fixture's
+    * near-dups sit at cosine ≈ 0.3, far wider angles than production
+    * near-dup banding targets) measured against the EXACT cosine-threshold
+    * pair set. The oracle recomputes n_exact ALL-PAIRS in SQL — pinning the
+    * exact-pair baseline — and asserts the recall bit, so broken
+    * hyperplanes/banding in `nearDupPairs` turn this row red instead of
+    * passing rows-only.
+    */
+  def embdupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val exact = ext.Similarity.exactPairs(emb, threshold = 0.3).select("a", "b")
+    // candidate set is O(near-dups): broadcast under the recall join
+    val cand = broadcast(
+      ext.Similarity.nearDupPairs(emb, threshold = 0.3, bands = 32, bitsPerBand = 4)
+        .select(col("a"), col("b"), lit(1L).as("_hit")))
+    exact.join(cand, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
+  }
+
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
 
@@ -1152,6 +1244,30 @@ UNION ALL SELECT 'hours', '7:click', count(DISTINCT epoch_us(ts) // 3600000000) 
 UNION ALL SELECT 'hours6', '7:click', count(DISTINCT epoch_us(ts) // 21600000000) FROM pts
 UNION ALL SELECT 'days', '7:click', count(DISTINCT epoch_us(ts) // 86400000000) FROM pts"""
 
+  /** Compaction twin: per-level row counts and decimal-exact totals
+    * recomputed straight from events (one stream carries all of them, so
+    * every level's value_sum is the SAME total decimal mass — compaction
+    * and the cascade both preserve it), plus the pinned file-health
+    * booleans. Derived rows carry NULL value_sum (per-bucket double
+    * re-summation is order-sensitive; counts still pin the row set).
+    */
+  val compaction: String =
+    """WITH tot AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s
+  FROM events),
+b AS (
+  SELECT count(DISTINCT epoch_us(ts) // 3600000000) AS n_h,
+    count(DISTINCT epoch_us(ts) // 86400000000) AS n_d
+  FROM events)
+SELECT 'raw' AS level, 'all:ev' AS stream_id, n AS n_rows, s AS value_sum,
+  true AS files_reduced, true AS compacted_single_file FROM tot
+UNION ALL SELECT 'raw', 'd:sum', n_h, CAST(NULL AS DOUBLE), true, true FROM b
+UNION ALL SELECT 'hours', 'all:ev', n_h, (SELECT s FROM tot), true, true FROM b
+UNION ALL SELECT 'hours', 'd:sum', n_h, CAST(NULL AS DOUBLE), true, true FROM b
+UNION ALL SELECT 'days', 'all:ev', n_d, (SELECT s FROM tot), true, true FROM b
+UNION ALL SELECT 'days', 'd:sum', n_d, CAST(NULL AS DOUBLE), true, true FROM b"""
+
   /** Reprocess-equivalence twin: per level, the expected rollup row count
     * before AND after a from-scratch rebuild, with zero symmetric-difference
     * rows — the Spark side computes n_diff by exceptAll over every partial
@@ -1382,6 +1498,26 @@ pairs AS (
 SELECT count(*) AS n_exact, true AS recall_ok
 FROM (SELECT CAST(i AS DOUBLE) / (sa + sb - i) AS jaccard FROM pairs)
 WHERE jaccard >= 0.8"""
+
+  /** Embedding near-dup recall twin: n_exact recomputed ALL-PAIRS in SQL —
+    * the same ordered list_reduce fold and dot/(‖a‖·‖b‖) shape as the
+    * top-k twin, so the threshold comparison lands on bit-identical
+    * doubles — plus the pinned recall bit.
+    */
+  val embdupRecall: String =
+    """WITH nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings)
+SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok
+FROM (
+  SELECT list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
+  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
+WHERE cosine >= 0.3"""
 
   private val stopIn = "('the', 'a', 'of', 'and', 'is', 'to', 'in', 'that')"
 

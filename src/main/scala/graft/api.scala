@@ -43,16 +43,25 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   /** Decode Spark's URI-style %XX partition-directory escaping (e.g. ':' →
     * `%3A`) — safer than re-implementing the escape when matching on-disk
-    * partition values against stream ids.
+    * partition values against stream ids. A '%' NOT followed by two hex
+    * digits is kept literally: Spark-written dirs always escape '%', but
+    * this also walks dirs it did not write (hand-created or foreign-tool
+    * partition directories), and a decode crash there would abort a
+    * delete/maintenance mutation mid-sequence.
     */
   private def unescapePartitionValue(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '%' && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(s.charAt(i)); i += 1 }
+      val hex =
+        if (s.charAt(i) == '%' && i + 3 <= s.length)
+          try Some(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          catch { case _: NumberFormatException => None }
+        else None
+      hex match {
+        case Some(c) => sb.append(c.toChar); i += 3
+        case None => sb.append(s.charAt(i)); i += 1
+      }
     }
     sb.toString
   }
@@ -162,10 +171,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
       catch { case e: Throwable => intent.renameTo(marker("failed")); throw e }
     if (!intent.renameTo(marker("commit")))
       throw new IllegalStateException(s"commitlog: cannot commit $intent")
-    // bounded history: keep the newest 20 commit markers
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".commit")).sortBy(_.getName)
-      .dropRight(20).foreach(_.delete())
+    // bounded history: keep the newest 20 commit/resolved markers each
+    Seq(".commit", ".resolved").foreach { sfx =>
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(sfx)).sortBy(_.getName)
+        .dropRight(20).foreach(_.delete())
+    }
     out
   }
 
@@ -173,7 +184,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * the op name from a surviving `.intent` (crash) or `.failed` (thrown
     * mid-sequence) marker, oldest first. Non-empty means table files may be
     * mutually inconsistent; at this storage layer the remedy is
-    * `reprocessStreams` (rebuilds all rollups) or restoring the warehouse.
+    * `reprocessStreams` (rebuilds all rollups — and resolves these markers
+    * on success) or restoring the warehouse.
     */
   def tornOperations: Seq[String] = {
     val dir = new java.io.File(commitLogPath)
@@ -185,6 +197,28 @@ class Datastream(spark: SparkSession, warehouse: String) {
         "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
           .map(_.group(1)).getOrElse(f.getName)
       }.toSeq
+  }
+
+  /** Mark every surviving torn-operation witness as remediated: each
+    * `.intent`/`.failed` marker is renamed to `.resolved` (kept, trimmed
+    * with the commit history — an audit trail, no longer a warning). Called
+    * automatically by `reprocessStreams` once the rollups are rebuilt — the
+    * remedy the startup warning recommends — and available directly for an
+    * operator who restored or verified the warehouse out of band. Without
+    * this, one torn mutation would warn on every facade construction
+    * forever, even after full remediation. Returns the number resolved.
+    */
+  def acknowledgeTorn(): Int = {
+    val dir = new java.io.File(commitLogPath)
+    val torn = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".intent") || f.getName.endsWith(".failed"))
+    torn.foreach { f =>
+      val resolved = new java.io.File(dir,
+        f.getName.replaceAll("\\.(intent|failed)$", ".resolved"))
+      if (!f.renameTo(resolved))
+        throw new IllegalStateException(s"commitlog: cannot resolve $f")
+    }
+    torn.length
   }
 
   // run recovery once per facade instance, before any registry read
@@ -222,6 +256,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
                    deriveArgs: Option[String] = None,
                    derivedFrom: Seq[String] = Seq.empty): StreamMeta = {
     require(ValueType.all(valueType), s"unsupported value type $valueType")
+    deriveOp.filterNot(Derive.ops).foreach { op =>
+      throw new errors.InvalidOperatorArguments(s"unknown derive op $op " +
+        s"(expected one of ${Derive.ops.toSeq.sorted.mkString(", ")})")
+    }
     val existing = streams.where(col("stream_id") === streamId).as[StreamMeta].collect()
     if (existing.nonEmpty) return existing.head
     derivedFrom.foreach { src =>
@@ -253,8 +291,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   def ensureStreams(specs: Seq[StreamMeta]): Unit = {
     if (specs.isEmpty) return
-    specs.foreach(s => require(ValueType.all(s.value_type),
-      s"unsupported value type ${s.value_type}"))
+    specs.foreach { s =>
+      require(ValueType.all(s.value_type),
+        s"unsupported value type ${s.value_type}")
+      // the single-stream verb takes the Granularity/op types, so it cannot
+      // be invalid; the batch specs carry STRINGS — admit nothing the rest
+      // of the engine would choke on (a typo'd granularity produces null
+      // bucket timestamps deep inside the join-based sum derive)
+      Granularity(s.highest_granularity) // throws on unknown names
+      s.derive_op.filterNot(Derive.ops).foreach { op =>
+        throw new errors.InvalidOperatorArguments(s"unknown derive op $op " +
+          s"(stream ${s.stream_id})")
+      }
+    }
     val dupes = specs.groupBy(_.stream_id).collect { case (id, ss) if ss.size > 1 => id }
     require(dupes.isEmpty, s"duplicate stream ids in batch: ${dupes.mkString(", ")}")
     // normalize the downsampler sets exactly as ensureStream would
@@ -354,6 +403,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * table needs no rewrite at all — a doomed stream's slice is its own
     * partition directory, deleted outright. Deleting a 1-day stream out of
     * a years-deep warehouse touches one raw partition, not all of them.
+    *
+    * The registry bounds are a PRUNING HINT, not a correctness assumption:
+    * a doomed stream with null bounds (pre-upgrade warehouses, out-of-band
+    * writes) falls back to full-partition discovery, and even with bounds a
+    * limit-1 probe outside the window catches escaped rows and escalates —
+    * so a delete never silently leaves doomed datapoints behind.
     */
   def deleteStreams(tagQuery: Map[String, String]): Long = {
     val all = streams
@@ -372,15 +427,21 @@ class Datastream(spark: SparkSession, warehouse: String) {
       doomed0.select("stream_id", "earliest_datapoint", "latest_datapoint"))
     val doomedIds = doomedMeta.select("stream_id")
     try {
-      val n = doomedIds.count()
-      // registry-sourced date bounds for the doomed set: one metadata-sized
-      // agg; null (never-appended streams) ⇒ no data rows anywhere
-      val b = doomedMeta
-        .agg(min("earliest_datapoint").as("lo"), max("latest_datapoint").as("hi"))
+      // one metadata-sized agg answers everything driver-side: doomed count,
+      // combined date bounds, and whether ANY doomed stream lacks bounds.
+      // Null bounds do NOT mean "no data rows": rows written around the
+      // bound-maintaining APIs (out-of-band parquet writes into the
+      // warehouse, pre-upgrade warehouses whose derived streams carried
+      // null bounds) exist without a registry trace — such a stream
+      // disables the bounds window and its delete scans every partition.
+      val b = doomedMeta.agg(
+        count(lit(1)).as("n"),
+        min("earliest_datapoint").as("lo"), max("latest_datapoint").as("hi"),
+        sum(when(col("earliest_datapoint").isNull ||
+          col("latest_datapoint").isNull, 1L).otherwise(0L)).as("n_null"))
         .first()
-      val bounds =
-        if (b.isNullAt(0) || b.isNullAt(1)) None
-        else Some((b.getTimestamp(0), b.getTimestamp(1)))
+      val n = b.getLong(0)
+      val anyNullBounds = n > 0 && b.getLong(3) > 0
       // survivors read the pre-swap registry during the temp write (doomed
       // ids come from the checkpoint), so no separate materialization needed
       withCommit("delete_streams") {
@@ -392,15 +453,36 @@ class Datastream(spark: SparkSession, warehouse: String) {
         * then anti-join + dynamic overwrite of those partitions only.
         * All-doomed partitions (no survivors ⇒ nothing written for them)
         * are deleted explicitly — dynamic overwrite alone would leave them.
+        *
+        * The bounds window is only trusted as far as the registry is: when
+        * any doomed stream has NULL bounds the discovery scans every
+        * partition, and when bounds exist a limit-1 existence probe checks
+        * OUTSIDE the window for escaped rows (both the out-of-band-write
+        * cases above). The probe reads one dictionary column and stops at
+        * the first hit, so the happy path keeps the pruned cost; a hit
+        * escalates that delete to full discovery rather than letting
+        * doomed datapoints silently survive.
         */
       def purgePruned(path: String, schema: org.apache.spark.sql.types.StructType,
                       partCol: String): Unit =
-        if (exists(path)) bounds.foreach { case (lo, hi) =>
-          val pruned = spark.read.schema(schema).parquet(path)
-            .where(col(partCol) >= to_date(lit(lo)) && col(partCol) <= to_date(lit(hi)))
-          val affected = pruned
-            .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
-            .select(partCol).distinct().collect().map(_.getDate(0))
+        if (exists(path) && n > 0) {
+          val full = spark.read.schema(schema).parquet(path)
+          def affectedIn(df: DataFrame): Array[java.sql.Date] =
+            df.join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+              .select(partCol).distinct().collect().map(_.getDate(0))
+          val affected: Array[java.sql.Date] =
+            if (anyNullBounds) affectedIn(full)
+            else {
+              val (lo, hi) = (b.getTimestamp(1), b.getTimestamp(2))
+              val inWindow =
+                col(partCol) >= to_date(lit(lo)) && col(partCol) <= to_date(lit(hi))
+              val outside = full.where(!inWindow)
+              val escaped = outside
+                .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+                .limit(1).count() > 0
+              val base = affectedIn(full.where(inWindow))
+              if (escaped) (base ++ affectedIn(outside)).distinct else base
+            }
           if (affected.nonEmpty) {
             val slice = spark.read.schema(schema).parquet(path)
               .where(col(partCol).isin(affected.toSeq: _*))
@@ -759,6 +841,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
+    // recompute derived slices FIRST: the rollups below are built from
+    // raw ∪ derived, so rebuilding them over a stale/torn derived table
+    // would bake the tear in. Idempotent; free when nothing is derived.
+    updateDerivedStreams()
     withCommit("reprocess") {
       val rollupRoot = new java.io.File(s"$warehouse/rollup")
       if (rollupRoot.exists()) rm(rollupRoot)
@@ -771,7 +857,81 @@ class Datastream(spark: SparkSession, warehouse: String) {
           streamsPath)
     }
     downsampleStreams(until)
+    // the warehouse is now rebuilt from its raw tables — any torn-mutation
+    // markers that survived a crash are remediated, so stop warning on them
+    acknowledgeTorn()
     ()
+  }
+
+  // ---- compaction (file-health maintenance) -------------------------------
+
+  /** Small-file compaction with clustering. Every partition of the raw,
+    * derived, and rollup tables holding more than `maxFilesPerPartition`
+    * data files is rewritten to ONE file per partition value, sorted by
+    * (stream_id, time) inside the file. Frequent appends and incremental
+    * maintenance accrete one small file per write per touched partition;
+    * every later scan then pays listing, scheduling, and per-file open
+    * overhead for all of them, and row-group min/max stats stay loose
+    * because each file interleaves streams. Compaction is a PURE PHYSICAL
+    * rewrite — bit-identical data, gated by `q_compaction` — that restores
+    * both: O(1) files per partition and tight per-file (stream_id, time)
+    * ranges, so stream-selective and time-range scans skip whole row
+    * groups. The Delta/Iceberg spelling is `OPTIMIZE … ZORDER BY`; plain
+    * parquet here, so affected partitions are materialized lineage-free
+    * (the rewrite targets the very path being read) and replaced via
+    * dynamic partition overwrite. At cluster scale add a max-records-per-
+    * file split instead of strict one-file-per-partition; single-writer
+    * per warehouse as with every mutation verb.
+    *
+    * Returns per-table (data files before, after).
+    */
+  def compact(maxFilesPerPartition: Int = 1): Map[String, (Long, Long)] = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    def dataFiles(dir: java.io.File): Long =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).toLong
+    def partDirs(root: String, partCol: String): Array[java.io.File] =
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+    def compactTable(path: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     partCol: String, parse: String => Any,
+                     sortCols: Seq[String]): (Long, Long) = {
+      if (!exists(path)) return (0L, 0L)
+      val dirs = partDirs(path, partCol)
+      val before = dirs.map(dataFiles).sum
+      val fat = dirs.filter(dataFiles(_) > maxFilesPerPartition)
+      if (fat.nonEmpty) {
+        val vals: Seq[Any] = fat.toSeq.map(d =>
+          parse(unescapePartitionValue(d.getName.stripPrefix(partCol + "="))))
+        val slice = spark.read.schema(schema).parquet(path)
+          .where(col(partCol).isin(vals: _*))
+        // hash-cluster on the partition value so every value's rows land in
+        // ONE task (one output file each); the within-task sort leads with
+        // partCol to keep values contiguous for the partitioned writer
+        val (keep, rdds) = Plans.checkpointTracked(
+          slice.repartition(col(partCol))
+            .sortWithinPartitions((partCol +: sortCols).map(col): _*))
+        try keep.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(path)
+        finally rdds.foreach(_.unpersist(blocking = false))
+      }
+      (before, partDirs(path, partCol).map(dataFiles).sum)
+    }
+    val date = (s: String) => java.sql.Date.valueOf(s)
+    withCommit("compact") {
+      val raw = compactTable(rawPath, Schemas.rawDatapointsPartitioned,
+        "dp_date", date, Seq("stream_id", "ts"))
+      val der = compactTable(derivedPath, Schemas.rawDatapoints,
+        "stream_id", identity[String], Seq("ts"))
+      val roll = Granularity.ladder.map(g => s"rollup/${g.name}" ->
+        compactTable(rollupPath(g), Schemas.downsampledPartitioned,
+          "bucket_date", date, Seq("stream_id", "bucket_start")))
+      (roll :+ ("raw" -> raw) :+ ("derived" -> der)).toMap
+    }
   }
 
   /** Finalized downsampled table at granularity `g` (read shape of S3). */
@@ -895,8 +1055,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val opCounts = derivedMeta.groupBy("derive_op").count().collect()
       .map(r => r.getString(0)).toSet
     if (opCounts.isEmpty || !exists(rawPath)) return
-    val known = Set("sum", "derivative", "counter_reset", "counter_derivative")
-    opCounts.find(!known(_)).foreach { op =>
+    // ensure-time validation admits only Derive.ops; re-checked here because
+    // this also reads registries written by older/foreign tools
+    opCounts.find(!Derive.ops(_)).foreach { op =>
       throw new errors.InvalidOperatorArguments(s"unknown derive op $op")
     }
     // per-stream max_value parsed from derive_args as a COLUMN (same regex

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Derive {
 
+  /** The derive-op name space the facade admits into the registry (W1–W4).
+    * Validated at ensure time so a typo'd op is rejected at the door rather
+    * than failing a later `updateDerivedStreams` pass.
+    */
+  val ops: Set[String] =
+    Set("sum", "derivative", "counter_reset", "counter_derivative")
+
   private def w(partition: Seq[String], order: Seq[String]) =
     Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
 

@@ -196,6 +196,33 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** EXACT near-dup pair set: all (a < b) pairs with cosine ≥ `threshold`.
+    * O(n²) by definition — this is the recall-gate baseline `nearDupPairs`
+    * is measured against (and the DuckDB twin recomputes), NOT a scale
+    * path. The corpus is shipped once as a broadcast and scored in a
+    * single scan emitting scalars, so the plan stays broadcast+scan (no
+    * cartesian join node); same ordered-double fold as every cosine here.
+    */
+  def exactPairs(corpus: DataFrame, threshold: Double,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      rows.map { case (id, v) => (id, v, math.sqrt(dotLoop(v, v))) })
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { case (aId, aVec) =>
+          val aNrm = math.sqrt(dotLoop(aVec, aVec))
+          all.iterator.collect { case (bId, bVec, bNrm) if aId < bId =>
+            (aId, bId, dotLoop(aVec, bVec) / (aNrm * bNrm))
+          }.filter(_._3 >= threshold)
+        }
+      }.toDF("a", "b", "cosine")
+  }
+
   /** Embedding-cosine near-dup candidates: pairs colliding in ≥1 LSH band
     * with exact cosine ≥ `threshold`. Never all-pairs.
     */

@@ -396,6 +396,139 @@ class DatastreamApiSpec extends SparkSpec {
     assert(live.exists() && !new java.io.File(s"$dir/streams.bak-300").exists())
   }
 
+  test("deleteStreams purges out-of-band rows: null registry bounds disable the pruning window") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("keep", Map("fate" -> "keep"))
+    ds.ensureStream("ghost", Map("fate" -> "doomed"))
+    ds.appendMultiple(dp(Seq(("keep", "2024-01-05T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    // rows for `ghost` written AROUND the bound-maintaining APIs (the
+    // advice scenario: foreign writer / pre-upgrade warehouse) — its
+    // registry bounds stay NULL, so a bounds-pruned purge would derive its
+    // window from `keep`'s bounds and never visit these partitions
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    Seq(("ghost", ts("2023-06-01T00:00:00Z"), 9.0, null: String),
+        ("ghost", ts("2024-03-01T00:00:00Z"), 9.0, null: String))
+      .toDF("stream_id", "ts", "value", "value_json")
+      .withColumn("dp_date", to_date(col("ts")))
+      .write.partitionBy("dp_date").mode("append").parquet(s"$dir/raw")
+    assert(ds.rawDatapoints.where(col("stream_id") === "ghost").count() == 2)
+    ds.deleteStreams(Map("fate" -> "doomed"))
+    assert(ds.rawDatapoints.where(col("stream_id") === "ghost").count() == 0)
+    assert(ds.rawDatapoints.where(col("stream_id") === "keep").count() == 1)
+  }
+
+  test("deleteStreams escape probe: doomed rows OUTSIDE the registry window still purge") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("doomed", Map("fate" -> "doomed"))
+    ds.appendMultiple(dp(Seq(("doomed", "2024-01-10T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    // non-null bounds now pin the window to Jan 10 — plant an out-of-band
+    // row far outside it; the limit-1 probe must escalate and purge it
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    Seq(("doomed", ts("2024-02-20T00:00:00Z"), 9.0, null: String))
+      .toDF("stream_id", "ts", "value", "value_json")
+      .withColumn("dp_date", to_date(col("ts")))
+      .write.partitionBy("dp_date").mode("append").parquet(s"$dir/raw")
+    ds.deleteStreams(Map("fate" -> "doomed"))
+    assert(ds.rawDatapoints.count() == 0)
+  }
+
+  test("ensure validates granularity strings and derive ops at the door") {
+    val ds = freshDs()
+    assertThrows[errors.InvalidOperatorArguments](
+      ds.ensureStream("d", deriveOp = Some("median"), derivedFrom = Seq.empty))
+    ds.ensureStream("src")
+    assertThrows[IllegalArgumentException](ds.ensureStreams(Seq(
+      StreamMeta("bad", Map.empty, ValueType.Numeric, Seq.empty, Seq.empty,
+        "fortnight")))) // typo'd granularity would null every derive bucket
+    assertThrows[errors.InvalidOperatorArguments](ds.ensureStreams(Seq(
+      StreamMeta("bad", Map.empty, ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Seconds.name, Some("p99"), None, Seq("src")))))
+    assert(ds.streams.count() == 1) // nothing invalid was admitted
+  }
+
+  test("reprocessStreams resolves torn-operation markers; acknowledgeTorn is the manual path") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:01:00Z"))
+    // stranded markers from two crashed mutations
+    new java.io.File(s"$dir/commitlog").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/commitlog/000000090.intent"),
+      """{"version":90,"op":"append"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/commitlog/000000091.failed"),
+      """{"version":91,"op":"delete_streams"}""")
+    assert(ds.tornOperations == Seq("append", "delete_streams"))
+    // the recommended remedy rebuilds the rollups AND clears the warning
+    ds.reprocessStreams(ts("2024-01-02T00:00:00Z"))
+    assert(ds.tornOperations.isEmpty)
+    val names = Option(new java.io.File(s"$dir/commitlog").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+    assert(names.count(_.endsWith(".resolved")) == 2) // audit trail kept
+    assert(ds.getData("s1", Granularity.Minutes).count() == 1) // and it rebuilt
+    // manual path: plant one more, acknowledge without reprocessing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/commitlog/000000095.intent"),
+      """{"version":95,"op":"compact"}""")
+    assert(ds.acknowledgeTorn() == 1)
+    assert(ds.tornOperations.isEmpty)
+  }
+
+  test("foreign partition directories with undecodable names don't crash mutations") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1", Map("fate" -> "doomed"))
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    // a hand-created dir whose name is NOT valid %XX escaping: decoding it
+    // must fall back to the literal characters, not throw mid-delete
+    assert(new java.io.File(s"$dir/derived/stream_id=x%zq").mkdirs())
+    assert(ds.deleteStreams(Map("fate" -> "doomed")) == 1)
+    assert(new java.io.File(s"$dir/derived/stream_id=x%zq").exists()) // untouched
+  }
+
+  test("compact: fragmented partitions collapse to one sorted file each, data bit-identical") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("a"); ds.ensureStream("b")
+    ds.ensureStream("d", deriveOp = Some("sum"), derivedFrom = Seq("a", "b"))
+    // two appends into the SAME dp_date partition (different streams), so
+    // raw/dp_date=2024-01-01 holds ≥2 files; two maintenance passes split
+    // mid-day fragment the rollup partitions the same way
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0),
+      ("a", "2024-01-01T13:00:10Z", 2.0))).select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(
+      ("b", "2024-01-01T00:00:20Z", 3.0),
+      ("b", "2024-01-01T13:00:20Z", 4.0))).select("stream_id", "ts", "value"))
+    ds.updateDerivedStreams()
+    ds.downsampleStreams(ts("2024-01-01T12:00:00Z"))
+    ds.downsampleStreams(ts("2024-01-02T00:00:00Z"))
+    def files(sub: String): Seq[String] =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).toSeq
+    assert(files("raw/dp_date=2024-01-01").size >= 2)
+    assert(files("rollup/granularity=seconds/bucket_date=2024-01-01").size >= 2)
+    val rawBefore = ds.rawDatapoints.collect().toSet
+    val rollBefore = ds.rollup(Granularity.Seconds).collect().toSet
+    val stats = ds.compact()
+    assert(files("raw/dp_date=2024-01-01").size == 1)
+    assert(files("rollup/granularity=seconds/bucket_date=2024-01-01").size == 1)
+    assert(stats("raw")._1 > stats("raw")._2)
+    assert(ds.rawDatapoints.collect().toSet == rawBefore)
+    assert(ds.rollup(Granularity.Seconds).collect().toSet == rollBefore)
+    // idempotent: a second compact finds nothing fat and rewrites nothing
+    assert(ds.compact() == stats.map { case (k, (_, after)) => k -> (after, after) })
+  }
+
   test("updateDerivedStreams drops a derived slice whose recompute is empty") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
