@@ -53,8 +53,10 @@ object SparkEntry {
     "q_streaming_cascade" -> Queries.streamingCascade _,
     // T4: stateful streaming derive as a real streaming query
     "q_streaming_derive" -> Queries.streamingDerive _,
-    // S1 streaming ingest: checkpointed exactly-once parquet sink
+    // S1 streaming ingest: checkpointed exactly-once parquet sink, plus
+    // the warehouse-coupled arm that maintains registry bounds per batch
     "q_streaming_ingest" -> Queries.streamingIngest _,
+    "q_streaming_warehouse" -> Queries.streamingWarehouse _,
     // T2 full ladder: second streaming query stitches rollup→rollup
     "q_streaming_ladder" -> Queries.streamingLadder _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -123,6 +125,7 @@ object SparkEntry {
     // the stateful streaming derive must equal the batch window-lag twin
     "q_streaming_derive" -> Oracles.derivative,
     "q_streaming_ingest" -> Oracles.streamingIngest,
+    "q_streaming_warehouse" -> Oracles.streamingWarehouse,
     "q_streaming_ladder" -> Oracles.streamingLadder,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -614,6 +617,47 @@ object Queries {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"),
         min("ts").as("t_min"), max("ts").as("t_max"))
+  }
+
+  /** S1's warehouse-coupled streaming arm on the gate: events stream
+    * through `Streaming.ingestToWarehouse` into a REAL (temp) warehouse —
+    * every micro-batch goes through `appendBatch`, so the registry's
+    * earliest/latest bounds advance with the landed rows. Output joins the
+    * warehoused per-stream stats with the registry bounds; the oracle
+    * recomputes BOTH from the source, so a dropped/duplicated row OR a
+    * bounds column the ingest failed to maintain (the out-of-band-write
+    * hazard the delete purge must otherwise defend against) breaks the
+    * match.
+    */
+  def streamingWarehouse(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-swh")
+    val srcDir = tempDir("graft-swh-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val ds = new Datastream(spark, dir)
+    // register the 30 (user, event_type) streams in one batch ensure
+    ds.ensureStreams(Sources.eventsAsDatapoints(spark, sfDir)
+      .select("stream_id").distinct().collect().map(_.getString(0)).sorted
+      .map(id => StreamMeta(id, Map.empty, ValueType.Numeric,
+        Seq.empty, Seq.empty, Granularity.Seconds.name)).toSeq)
+    val pts = spark.readStream.schema(schema).parquet(srcDir)
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val q = Streaming.ingestToWarehouse(pts, ds, s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ds.rawDatapoints.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"),
+        min("ts").as("t_min"), max("ts").as("t_max"))
+      .join(ds.streams.select(col("stream_id"),
+        col("earliest_datapoint").as("reg_earliest"),
+        col("latest_datapoint").as("reg_latest")), "stream_id")
   }
 
   /** T2's full streaming LADDER on the gate: minutes partials stream from
@@ -1200,6 +1244,18 @@ WHERE epoch_us(bucket_start) + 3600000000 <= (SELECT m FROM mfin)"""
   count(*) AS n_rows,
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
   min(ts) AS t_min, max(ts) AS t_max
+FROM events GROUP BY 1"""
+
+  /** Warehouse-ingest twin: per-stream stats AND the registry bounds the
+    * ingest must have maintained, all from the source — `reg_earliest`/
+    * `reg_latest` equal to true min/max is the bounds-maintenance claim.
+    */
+  val streamingWarehouse: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+  count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+  min(ts) AS t_min, max(ts) AS t_max,
+  min(ts) AS reg_earliest, max(ts) AS reg_latest
 FROM events GROUP BY 1"""
 
   /** Nested-path tag query twin: `meta.parity=odd` ⇔ odd user_id (how the

@@ -623,6 +623,36 @@ class Datastream(spark: SparkSession, warehouse: String) {
     } finally joined.unpersist()
   }
 
+  /** Streaming-ingest entry (the `foreachBatch` body of
+    * `Streaming.ingestToWarehouse`): append `batch` only if `batchId` is
+    * strictly above the recorded high-watermark, else skip — foreachBatch
+    * replays micro-batches on retry (its writes are at-least-once), and
+    * this is the standard idempotent-sink pattern that restores
+    * exactly-once. Stale rows are dropped rather than rejected
+    * (`checkTimestamp = false`): the documented streaming arm of the T3
+    * policy; compose the stateful monotone pre-filter (as in
+    * `Streaming.ingestMonotone`) upstream for strict cross-batch parity. The remaining at-least-once window is the instant
+    * between the append's commit and the watermark write — a crash there
+    * replays one batch AND leaves the append's commit marker for
+    * `tornOperations` to surface; closing it fully is transactional-table
+    * territory, like every multi-table atomicity note in this file.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long): Unit = {
+    val hwm = new java.io.File(s"$warehouse/ingest_batch_hwm")
+    val last =
+      if (hwm.exists()) java.nio.file.Files.readString(hwm.toPath).trim.toLong
+      else -1L
+    if (batchId <= last) return
+    appendMultiple(batch, checkTimestamp = false)
+    val tmp = java.nio.file.Paths.get(
+      s"$warehouse/ingest_batch_hwm.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, batchId.toString)
+    java.nio.file.Files.move(tmp, hwm.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** Every datapoint the engine serves: the appended fact table plus the
     * derived streams' sibling table (maintained by `updateDerivedStreams`).
     * Union is by name over the normative raw schema, so readers and the

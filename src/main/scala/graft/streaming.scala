@@ -261,6 +261,25 @@ object Streaming {
     }
   }
 
+  /** S1 streaming ingest INTO A MANAGED WAREHOUSE: each micro-batch goes
+    * through `Datastream.appendBatch`, so rows land dp_date-partitioned AND
+    * the registry's earliest/latest bounds advance with them. A plain
+    * `ingest` pointed at a warehouse's raw path writes rows the registry
+    * never hears about — degrading the bounds-pruned delete purge to its
+    * full-scan fallback and breaking monotonicity bookkeeping; this sink
+    * keeps the registry contract on the streaming path. Exactly-once rides
+    * the batch-id high-watermark in `appendBatch` (foreachBatch's own
+    * writes are only at-least-once), not the parquet-sink commit log.
+    */
+  def ingestToWarehouse(points: DataFrame, ds: Datastream, checkpoint: String) =
+    points.select(col("stream_id"), col("ts"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ds.appendBatch(batch, batchId)
+      }
+
   /** `ingest` with the monotonicity filter applied: the strict-parity
     * streaming ingest for deployments where the batch reject/drop contract
     * must hold on the streaming path too.

@@ -529,6 +529,29 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.compact() == stats.map { case (k, (_, after)) => k -> (after, after) })
   }
 
+  test("appendBatch: replayed batch ids are skipped; bounds advance with landed rows") {
+    val ds = freshDs()
+    ds.ensureStream("s1")
+    val b0 = dp(Seq(("s1", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value")
+    val b1 = dp(Seq(("s1", "2024-01-01T00:00:20Z", 2.0)))
+      .select("stream_id", "ts", "value")
+    ds.appendBatch(b0, 0L)
+    ds.appendBatch(b0, 0L) // foreachBatch retry: must be a no-op
+    ds.appendBatch(b1, 1L)
+    ds.appendBatch(b1, 1L)
+    assert(ds.rawDatapoints.count() == 2)
+    // the registry heard about every landed row — the contract that keeps
+    // the delete purge pruned and monotonicity checks working
+    val m = ds.streamMeta("s1")
+    assert(m.earliest_datapoint.contains(ts("2024-01-01T00:00:10Z")))
+    assert(m.latest_datapoint.contains(ts("2024-01-01T00:00:20Z")))
+    // an out-of-order batch is the T3 drop arm, not a crash
+    ds.appendBatch(dp(Seq(("s1", "2024-01-01T00:00:15Z", 9.0)))
+      .select("stream_id", "ts", "value"), 2L)
+    assert(ds.rawDatapoints.count() == 2)
+  }
+
   test("updateDerivedStreams drops a derived slice whose recompute is empty") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
