@@ -94,6 +94,11 @@ object SparkEntry {
     "q_ivf_recall" -> Queries.ivfRecall _,
     "q_simhash_recall" -> Queries.simhashRecall _,
     "q_embdup_recall" -> Queries.embdupRecall _,
+    // training-corpus materialization: deterministic content-hash splits,
+    // train-vs-eval decontamination, and the composed filter→dedup pipeline
+    "q_split" -> Queries.splitReport _,
+    "q_decontaminate" -> Queries.decontaminateReport _,
+    "q_corpus_pipeline" -> Queries.corpusPipeline _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -164,6 +169,9 @@ object SparkEntry {
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
     "q_embdup_recall" -> Oracles.embdupRecall,
+    "q_split" -> Oracles.splitReport,
+    "q_decontaminate" -> Oracles.decontaminateReport,
+    "q_corpus_pipeline" -> Oracles.corpusPipeline,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -968,6 +976,64 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** Deterministic content-hash corpus split: bucket = rolling-hash(text)
+    * mod 10, reported as per-bucket doc and token counts. The oracle
+    * recomputes every document's hash in SQL, so the assignment — the
+    * thing a training pipeline must be able to reproduce years later — is
+    * pinned bit-for-bit, not just "roughly uniform".
+    */
+  def splitReport(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.splitAssign(Sources.documents(spark, sfDir), buckets = 10)
+      .select(col("split_bucket"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("split_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+
+  /** Cross-corpus decontamination on the gate: the corpus (doc_id % 7 ≠ 0)
+    * is scrubbed of every exact or near-duplicate (shingle-Jaccard ≥ 0.8)
+    * of the held-out side (doc_id % 7 = 0) — the train-vs-eval overlap
+    * removal. Output: per-language before/after/removed counts; the oracle
+    * recomputes the contaminated set from the same inverted-index + md5
+    * definitions, so a missed (or over-zealous) removal breaks the match.
+    */
+  def decontaminateReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val held = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val clean = ext.Dedup.decontaminate(corpus, held, threshold = 0.8)
+    corpus.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(clean.groupBy("lang").agg(count(lit(1)).as("n_after")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"))
+  }
+
+  /** The end-to-end corpus-materialization pipeline a training run ships:
+    * language-agreement filter (marker langId must equal the label) →
+    * quality filter (≥ 25 whitespace tokens) → exact dedup (min doc_id per
+    * md5) → near-dup cluster collapse (MinHash LSH at 0.8, min-label
+    * keeper) → per-language doc/token totals. Every stage is individually
+    * oracle-proven elsewhere; this row proves the COMPOSITION — the stages
+    * see each other's outputs, not the raw corpus.
+    */
+  def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val filtered = docs
+      .where(ext.Text.langId(ext.Text.tokens(col("text"))) === col("lang"))
+      .where(size(ext.Text.tokens(col("text"))) >= 25)
+    val keepExact = filtered.groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    val exDeduped = filtered
+      .join(keepExact.select("doc_id"), Seq("doc_id"), "left_semi")
+    val clean = ext.Dedup.keepOnePerCluster(exDeduped,
+      ext.Dedup.nearDupMinhash(exDeduped, 0.8))
+    clean.select(col("lang"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+  }
+
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
 
@@ -1574,6 +1640,108 @@ FROM (
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
   FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
 WHERE cosine >= 0.3"""
+
+  /** Content-hash split twin: the same rolling-hash fold per document
+    * (seedless list_reduce ≡ the 0-init fold), bucketed mod 10.
+    */
+  val splitReport: String =
+    """WITH h AS (
+  SELECT text,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 10 AS split_bucket
+  FROM documents)
+SELECT split_bucket, count(*) AS n_docs,
+  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM h GROUP BY 1"""
+
+  /** Decontamination twin: the contaminated set recomputed from the
+    * cross-corpus inverted shingle index (near-dups at Jaccard ≥ 0.8)
+    * unioned with exact md5 matches, reported per language.
+    */
+  val decontaminateReport: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+held AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+csh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)),
+hsh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM held)),
+cinv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM csh),
+hinv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM hsh),
+cand AS (
+  SELECT c.doc_id AS cid, h.doc_id AS hid, c.sz AS sc, h.sz AS sh, count(*) AS i
+  FROM cinv c JOIN hinv h ON c.g = h.g GROUP BY 1, 2, 3, 4),
+contaminated AS (
+  SELECT DISTINCT cid AS id FROM cand
+  WHERE CAST(i AS DOUBLE) / (sc + sh - i) >= 0.8
+  UNION
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN held h ON md5(c.text) = md5(h.text))
+SELECT lang,
+  count(*) AS n_before,
+  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM contaminated))
+    AS BIGINT) AS n_after,
+  CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM contaminated))
+    AS BIGINT) AS n_removed
+FROM corpus GROUP BY 1"""
+
+  /** Corpus-pipeline twin: the same four stages chained in SQL — marker
+    * langId agreement, ≥25-token quality floor, md5 exact dedup (min
+    * doc_id keeper), recursive-CTE near-dup components (min-label keeper)
+    * — per-language totals of what ships.
+    */
+  val corpusPipeline: String = {
+    val m = graft.ext.Text.markers
+    def lst(lang: String) = m(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH RECURSIVE s0 AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+scored AS (
+  SELECT doc_id, lang, text, w,
+    len(list_filter(w, t -> t IN ${lst("de")})) AS s_de,
+    len(list_filter(w, t -> t IN ${lst("en")})) AS s_en,
+    len(list_filter(w, t -> t IN ${lst("es")})) AS s_es,
+    len(list_filter(w, t -> t IN ${lst("fr")})) AS s_fr,
+    len(list_filter(w, t -> t IN ${lst("zh")})) AS s_zh
+  FROM s0),
+f AS (
+  SELECT doc_id, lang, text, w FROM scored
+  WHERE len(w) >= 25 AND lang =
+    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh' END),
+ex AS (
+  SELECT doc_id, lang, w FROM f
+  WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY md5(text))),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM ex),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4),
+dup AS (SELECT a, b FROM cand WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.8),
+edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+reach(id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+doomed AS (
+  SELECT id FROM (SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id)
+  WHERE cluster <> id)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM ex WHERE doc_id NOT IN (SELECT id FROM doomed)
+GROUP BY 1"""
+  }
 
   private val stopIn = "('the', 'a', 'of', 'and', 'is', 'to', 'in', 'that')"
 

@@ -129,6 +129,39 @@ object Dedup {
         .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus DECONTAMINATION — the train-vs-eval overlap removal a
+    * training pipeline must run before shipping a corpus: drops from
+    * `corpus` every document that is an exact copy (md5 text equality) or
+    * a near-duplicate (shingle-Jaccard ≥ `threshold`) of ANY document in
+    * `held` (the eval/benchmark side). Candidates come from joining the two
+    * corpora's inverted shingle indexes — never all-pairs — so cost tracks
+    * shared-shingle collisions; the held side is small by contract (eval
+    * sets) and is broadcast into the index join, leaving the big corpus
+    * side shuffle-free for candidate generation. Returns the surviving
+    * `corpus` rows unchanged.
+    */
+  def decontaminate(corpus: DataFrame, held: DataFrame,
+                    threshold: Double = 0.8, n: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cInv = shingled(corpus, n, textCol, idCol)
+      .select(col("doc_id").as("cid"), size(col("sh")).cast("long").as("sc"),
+        explode(col("sh")).as("s"))
+    val hInv = shingled(held, n, textCol, idCol)
+      .select(col("doc_id").as("hid"), size(col("sh")).cast("long").as("sz_h"),
+        explode(col("sh")).as("s"))
+    val nearDup = cInv.join(broadcast(hInv), "s")
+      .groupBy("cid", "hid", "sc", "sz_h")
+      .agg(count(lit(1)).as("i"))
+      .where(col("i").cast("double") / (col("sc") + col("sz_h") - col("i"))
+        >= threshold)
+      .select(col("cid").as(idCol))
+    val exact = corpus.select(col(idCol), md5(col(textCol)).as("_h"))
+      .join(broadcast(held.select(md5(col(textCol)).as("_h")).distinct()), "_h")
+      .select(col(idCol))
+    // doomed is O(contaminated) — unioned, deduped by the anti-join itself
+    corpus.join(nearDup.unionByName(exact), Seq(idCol), "left_anti")
+  }
+
   /** X2b MinHash+LSH near-dup: signature → `bands` bands of `rowsPerBand`
     * → band-hash collision join → exact-Jaccard verification ≥ `threshold`.
     *

@@ -149,6 +149,32 @@ object Text {
       aggregate(selected, lit(0L), _ + _).as("fp_sum"))
   }
 
+  /** Whole-document polynomial rolling hash — the same exact-long fold as
+    * `kgramHash` applied to ALL characters (acc·131 + codepoint, mod
+    * 2³¹−1). Engine-independent by construction; empty/null text hashes
+    * to 0 on both sides (DuckDB's seedless `list_reduce` starts at the
+    * first element, which equals this fold's 0-init first step).
+    */
+  def docHash(text: Column): Column =
+    when(length(text) >= 1,
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(substring(text, i, lit(1)))),
+        lit(0L), (acc, c) => pmod(acc * 131L + c.cast("long"), lit(2147483647L))))
+      .otherwise(lit(0L))
+
+  /** Deterministic content-hash corpus split (train/val/test): bucket =
+    * docHash(text) mod `buckets`. CONTENT-based, so the assignment is
+    * reproducible across re-crawls, re-shards, and id reassignment — the
+    * property a doc_id- or position-based split lacks — and identical text
+    * always lands in the same bucket (split leakage of exact duplicates is
+    * structurally impossible; pair with near-dup decontamination for the
+    * rest). A narrow map over the corpus: no shuffle, no driver state.
+    */
+  def splitAssign(docs: DataFrame, buckets: Int = 10,
+                  textCol: String = "text"): DataFrame =
+    docs.withColumn("split_bucket", pmod(docHash(col(textCol)), lit(buckets.toLong)))
+
   /** X4 tf-idf machinery: term frequency per (doc, term), document frequency
     * over the corpus, top-`k` terms per doc ranked by `(tf desc, df asc,
     * term)`. All-integer outputs — the ranking IS tf-idf's ordering for a

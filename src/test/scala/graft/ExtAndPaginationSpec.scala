@@ -105,4 +105,33 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert(frames.length == 2) // offsets 0 and 4096
     assert(frames.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1))
   }
+
+  test("splitAssign is content-determined: same text, same bucket, any doc_id") {
+    val docs = Seq((1L, "the quick brown fox"), (999L, "the quick brown fox"),
+      (2L, "a different document entirely"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = ext.Text.splitAssign(docs, buckets = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("split_bucket")).toMap
+    assert(out(1L) == out(999L)) // identical text can never straddle splits
+    assert(out.values.forall(b => b >= 0 && b < 10))
+    assert(out(3L) == 0L) // empty text hashes to 0 (both engines)
+  }
+
+  test("decontaminate removes exact copies and near-dups of the held set only") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),                            // exact copy of held doc 100
+      (2L, base + " lambda"),                // near-dup of held (jaccard 8/9)
+      (3L, "totally unrelated words here live happily without any overlap x y"),
+      (4L, "another clean document with its own vocabulary entirely z w q"))
+      .toDF("doc_id", "text")
+    val held = Seq((100L, base)).toDF("doc_id", "text")
+    val out = ext.Dedup.decontaminate(corpus, held, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L))
+    // and with an empty held set, nothing is removed
+    val none = ext.Dedup.decontaminate(corpus,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), threshold = 0.8)
+    assert(none.count() == 4)
+  }
 }
