@@ -37,6 +37,15 @@ object Bench {
           }
         }
         val all = (0 until runs).map(_ => once())
+        // drain storage BETWEEN queries: the lifecycle queries localCheckpoint
+        // registry/purge snapshots that stay pinned until the ContextCleaner
+        // gets to them; across 58 queries × runs the backlog inflates later
+        // lifecycle queries 1.5-2× vs isolated runs (measured). After count()
+        // nothing references them — unpersist is safe and makes the artifact
+        // reproduce isolated timings.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
         val steady = (if (runs > 1) all.tail else all).flatten.sorted
         val t =
           if (steady.isEmpty || errors.contains(name)) -1.0
