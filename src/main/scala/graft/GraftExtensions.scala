@@ -43,6 +43,19 @@ object GraftExtensions {
       builder)
   }
 
+  private def unary(name: String, usage: String,
+                    make: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Builder) = {
+    val builder: Builder = {
+      case Seq(a) => make(a)
+      case args => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${args.length}")
+    }
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      builder)
+  }
+
   /** The SQL-exposed function surface. */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     binary("graft_dot_product",
@@ -50,7 +63,10 @@ object GraftExtensions {
       expressions.DotProduct(_, _)),
     binary("graft_cosine",
       "graft_cosine(a, b) - fused single-pass cosine similarity of two float/double arrays",
-      expressions.CosineSimilarity(_, _)))
+      expressions.CosineSimilarity(_, _)),
+    unary("graft_rolling_hash",
+      "graft_rolling_hash(s) - polynomial rolling hash (131, mod 2^31-1) over code points",
+      expressions.RollingHash(_)))
 
   /** Install into a session that already exists (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -153,9 +153,23 @@ object Text {
     * `kgramHash` applied to ALL characters (acc·131 + codepoint, mod
     * 2³¹−1). Engine-independent by construction; empty/null text hashes
     * to 0 on both sides (DuckDB's seedless `list_reduce` starts at the
-    * first element, which equals this fold's 0-init first step).
+    * first element, which equals this fold's 0-init first step). Runs as
+    * the codegen'd `RollingHash` expression (~20× the interpreted
+    * per-character fold, measured at sf0.1); `docHashFold` below is the
+    * declarative semantic reference the expression must match
+    * (asserted equal in tests).
     */
   def docHash(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.RollingHash(
+          org.apache.spark.sql.GraftBridge.expression(text))),
+      lit(0L))
+
+  /** The declarative form of `docHash` (per-character expression fold) —
+    * kept as the reference the custom expression is tested against.
+    */
+  def docHashFold(text: Column): Column =
     when(length(text) >= 1,
       aggregate(
         transform(sequence(lit(1), length(text)),

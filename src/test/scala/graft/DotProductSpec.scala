@@ -79,6 +79,22 @@ class DotProductSpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("codegen rolling hash is bit-identical to the declarative per-char fold") {
+    val docs = Seq(
+      "the quick brown fox", "", "a", "的是不了在人有我", // CJK code points
+      "mixed ascii 和 中文 text", "x" * 500)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = docs.select(
+      ext.Text.docHash(col("text")).as("fast"),
+      ext.Text.docHashFold(col("text")).as("ref")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null text: declarative fold gives 0 via its guard, docHash coalesces
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(ext.Text.docHash(col("text")).as("fast"),
+        ext.Text.docHashFold(col("text")).as("ref")).collect().head
+    assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L)
+  }
+
   test("SQL functions registered via GraftExtensions match the Column API") {
     GraftExtensions.register(spark)
     val rnd = new scala.util.Random(29)
