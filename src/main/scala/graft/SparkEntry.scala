@@ -1769,16 +1769,29 @@ GROUP BY 1"""
   private val stopIn = "('the', 'a', 'of', 'and', 'is', 'to', 'in', 'that')"
 
   val quality: String =
-    s"""SELECT doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    s"""WITH q AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, text, w,
+    greatest(len(w) - 2, 0) AS n_grams,
+    len(list_distinct(list_transform(range(1, len(w) - 1),
+      i -> w[i] || '_' || w[i+1] || '_' || w[i+2]))) AS n_distinct_grams
+  FROM q)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopIn)) AS BIGINT) AS n_stopwords,
+  CAST(len(list_filter(w, t -> t IN $stopIn)) AS BIGINT) AS n_stopwords,
   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-  CAST(len(list_filter(string_split(text, ' '), t -> t IN $stopIn)) AS DOUBLE)
-    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_filter(w, t -> t IN $stopIn)) AS DOUBLE)
+    / CAST(len(w) AS DOUBLE) AS stopword_ratio,
   CAST(length(text) AS DOUBLE)
-    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
-FROM documents"""
+    / CAST(len(w) AS DOUBLE) AS mean_token_len,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+  CASE WHEN n_grams > 0
+    THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+    ELSE 0.0 END AS repetition_ratio
+FROM g"""
 
   val langReport: String = {
     val m = graft.ext.Text.markers

@@ -96,9 +96,11 @@ object Text {
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("long")
 
-  /** Quality components per document. `score` is a deterministic blend:
-    * stopword-ratio and mean-token-length signals, each computed with the
-    * exact op sequence the oracle mirrors.
+  /** Quality components per document: length/stopword/punctuation signals
+    * plus the intra-document REPETITION ratio (1 − distinct/total word
+    * trigrams — the boilerplate/looped-generation filter every corpus
+    * pipeline runs), each computed with the exact op sequence the oracle
+    * mirrors.
     */
   def quality(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
@@ -109,6 +111,8 @@ object Text {
     val nChars = length(col(textCol)).cast("long")
     val nStop = langScore(col("w"), "en")
     val nPunct = punctCount(col(textCol)).cast("long")
+    val nGrams = greatest(size(col("w")) - 2, lit(0)).cast("long")
+    val nDistinct = size(Dedup.shinglesFromTokens(col("w"))).cast("long")
     bound.select(
       col(idCol),
       nTok.as("n_tokens"),
@@ -116,7 +120,12 @@ object Text {
       nStop.as("n_stopwords"),
       nPunct.as("n_punct"),
       (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
-      (nChars.cast("double") / nTok.cast("double")).as("mean_token_len"))
+      (nChars.cast("double") / nTok.cast("double")).as("mean_token_len"),
+      nGrams.as("n_grams"),
+      nDistinct.as("n_distinct_grams"),
+      when(nGrams > 0,
+        lit(1.0) - nDistinct.cast("double") / nGrams.cast("double"))
+        .otherwise(lit(0.0)).as("repetition_ratio"))
   }
 
   /** Polynomial rolling hash of the char `k`-gram starting at 1-based
