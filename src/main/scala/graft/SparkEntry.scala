@@ -1445,7 +1445,7 @@ FROM part"""
   /** F4 twin: the exact error class each invalid operation must raise. */
   val validationErrors: String =
     """SELECT * FROM (VALUES
-  ('granularity_unknown', 'IllegalArgumentException'),
+  ('granularity_unknown', 'UnsupportedGranularity'),
   ('value_type_unknown', 'IllegalArgumentException'),
   ('stream_not_found', 'StreamNotFound'),
   ('derived_granularity_mismatch', 'IncompatibleGranularities'),

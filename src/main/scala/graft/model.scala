@@ -38,8 +38,8 @@ object Granularity {
   def apply(name: String): Granularity =
     byName.getOrElse(
       name,
-      throw new IllegalArgumentException(
-        s"UnsupportedGranularity: $name (expected one of ${ladder.map(_.name).mkString(", ")})"))
+      throw new errors.UnsupportedGranularity(
+        s"$name (expected one of ${ladder.map(_.name).mkString(", ")})"))
 
   /** All granularities strictly coarser than `g`, finest first. */
   def coarserThan(g: Granularity): Vector[Granularity] =

@@ -95,6 +95,22 @@ class DotProductSpec extends SparkSpec {
     assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L)
   }
 
+  test("rolling hash ≡ declarative fold on 200 random strings incl. CJK and non-BMP") {
+    val rnd = new scala.util.Random(23)
+    // pool spans 1-byte ASCII, multi-byte BMP (CJK), and a non-BMP code
+    // point (surrogate pair in Java) — pins the code-point iteration of
+    // the generated loop against substring/ascii semantics
+    val pool: IndexedSeq[String] =
+      "abc XYZ09.,!".map(_.toString) ++ "的是不了在人".map(_.toString) :+
+        new String(Character.toChars(0x1D11E)) // kept whole: one code point
+    def randStr(): String =
+      (0 until rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val docs = (0 until 200).map(i => (i.toLong, randStr())).toDF("doc_id", "text")
+    val rows = docs.select(ext.Text.docHash(col("text")).as("fast"),
+      ext.Text.docHashFold(col("text")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("SQL functions registered via GraftExtensions match the Column API") {
     GraftExtensions.register(spark)
     val rnd = new scala.util.Random(29)
