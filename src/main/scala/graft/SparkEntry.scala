@@ -562,6 +562,17 @@ object Queries {
         ds.getData("s1", Granularity.Hours, valueDownsamplers = Some(Seq("p99")))),
       attempt("append_to_derived")(ds.append("d1", 1.0, ts("2024-01-11T00:00:00Z"))),
       attempt("non_monotone_append")(ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))),
+      // T5: a second writer holding the warehouse lock makes any mutation
+      // fail fast instead of interleaving table writes
+      attempt("maintenance_lock_contended") {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(s"$dir/.writer_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val l = ch.tryLock()
+        try ds.append("s1", 5.0, ts("2024-01-12T00:00:00Z"))
+        finally { l.release(); ch.close() }
+      },
       attempt("delete_with_dependents")(ds.deleteStreams(Map("t" -> "a"))),
       attempt("unknown_derive_op")(ds.ensureStream("d3", Map.empty,
         ValueType.Numeric, Granularity.Minutes,
@@ -1453,6 +1464,7 @@ FROM part"""
   ('undeclared_downsampler', 'UnsupportedDownsampler'),
   ('append_to_derived', 'AppendToDerivedStreamNotAllowed'),
   ('non_monotone_append', 'InvalidTimestamp'),
+  ('maintenance_lock_contended', 'MaintenanceLockContended'),
   ('delete_with_dependents', 'OutstandingDependenciesError'),
   ('unknown_derive_op', 'InvalidOperatorArguments')
 ) AS t(check_case, error)"""

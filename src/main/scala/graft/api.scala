@@ -153,7 +153,37 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * sequence (validation failures precede the intent and leave no marker).
     * Single-writer per warehouse, as with the registry swap.
     */
-  private def withCommit[T](op: String)(body: => T): T = {
+  /** Advisory warehouse writer lock — the batch-facade analog of the
+    * reference's maintenance lock (T5; the streaming side's state is owned
+    * by its checkpoint instead). Every mutation verb routes through
+    * `withCommit`, so holding the OS file lock for the duration of the
+    * commit-log window makes the single-writer assumption ENFORCED rather
+    * than assumed: a second writer — another process, or another thread of
+    * this JVM — fails fast with `MaintenanceLockContended` instead of
+    * interleaving table writes into a corrupt warehouse. tryLock (no
+    * blocking): contention is an operational error to surface, not a queue
+    * to wait in; an OS lock also cannot leak past a crashed holder, which
+    * is what let the reference's expiring-lease design be simplified away.
+    */
+  private def withWriterLock[T](op: String)(body: => T): T = {
+    new java.io.File(warehouse).mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"$warehouse/.writer_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock =
+      try ch.tryLock()
+      catch { case _: java.nio.channels.OverlappingFileLockException => null }
+    if (lock == null) {
+      ch.close()
+      throw new errors.MaintenanceLockContended(
+        s"warehouse $warehouse is locked by another writer (op $op)")
+    }
+    try body
+    finally { lock.release(); ch.close() }
+  }
+
+  private def withCommit[T](op: String)(body: => T): T = withWriterLock(op) {
     val dir = new java.io.File(commitLogPath)
     dir.mkdirs()
     val version = 1L + Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -276,8 +306,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // swap-write, NOT append: per-ensure appends leave one tiny parquet
     // file per ensured stream, and every later registry read pays listing
     // + scheduling for all of them. The swap keeps the registry a single
-    // file regardless of how many ensures a session performs.
-    overwriteSwap(streams.unionByName(Seq(meta).toDF()), streamsPath)
+    // file regardless of how many ensures a session performs. The writer
+    // lock covers the read-modify-swap (a racing ensure would otherwise
+    // silently lose one of the two registry rows).
+    withWriterLock("ensure")(
+      overwriteSwap(streams.unionByName(Seq(meta).toDF()), streamsPath))
     meta
   }
 
@@ -336,7 +369,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // one swap: existing rows win (idempotent ensure), new rows appended
     val incoming = metas.toDF()
       .join(streams.select("stream_id"), Seq("stream_id"), "left_anti")
-    overwriteSwap(streams.unionByName(incoming), streamsPath)
+    withWriterLock("ensure_batch")(
+      overwriteSwap(streams.unionByName(incoming), streamsPath))
   }
 
   def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
@@ -365,7 +399,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val updated = streams.join(matched, Seq("stream_id"), "left")
       .withColumn("tags", when(col("_m").isNotNull, merged).otherwise(col("tags")))
       .drop("_m")
-    overwriteSwap(updated, streamsPath)
+    withWriterLock("update_tags")(overwriteSwap(updated, streamsPath))
     n
   }
 
@@ -384,7 +418,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val updated = streams.join(matched, Seq("stream_id"), "left")
       .withColumn("tags", when(col("_m").isNotNull, pruned).otherwise(col("tags")))
       .drop("_m")
-    overwriteSwap(updated, streamsPath)
+    withWriterLock("remove_tags")(overwriteSwap(updated, streamsPath))
     n
   }
 

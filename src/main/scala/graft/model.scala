@@ -190,4 +190,5 @@ object errors {
   final class IncompatibleGranularities(msg: String) extends IllegalArgumentException(msg)
   final class InvalidOperatorArguments(msg: String) extends IllegalArgumentException(msg)
   final class OutstandingDependenciesError(msg: String) extends IllegalArgumentException(msg)
+  final class MaintenanceLockContended(msg: String) extends IllegalStateException(msg)
 }

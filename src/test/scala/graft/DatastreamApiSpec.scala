@@ -529,6 +529,29 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.compact() == stats.map { case (k, (_, after)) => k -> (after, after) })
   }
 
+  test("writer lock: a held lock fails mutations fast; released lock lets them proceed") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1")
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(s"$dir/.writer_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.tryLock()
+    try {
+      assertThrows[errors.MaintenanceLockContended](
+        ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z")))
+      assertThrows[errors.MaintenanceLockContended](ds.ensureStream("s2"))
+      assertThrows[errors.MaintenanceLockContended](
+        ds.updateTags(Map.empty, Map("k" -> "v")))
+    } finally { lock.release(); ch.close() }
+    // contention is transient: the same verbs succeed once the lock frees
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    ds.ensureStream("s2")
+    assert(ds.streams.count() == 2)
+    assert(ds.getData("s1", Granularity.Seconds).count() == 1)
+  }
+
   test("appendBatch: replayed batch ids are skipped; bounds advance with landed rows") {
     val ds = freshDs()
     ds.ensureStream("s1")
