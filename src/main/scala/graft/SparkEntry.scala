@@ -64,6 +64,7 @@ object SparkEntry {
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
+    "q_wire_roundtrip" -> Queries.wireRoundtrip _,
     "q_validation" -> Queries.validationErrors _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_streaming_derive_sum" -> Oracles.streamingDeriveSum,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
+    "q_wire_roundtrip" -> Oracles.wireRoundtrip,
     "q_validation" -> Oracles.validationErrors,
     "q_derivative" -> Oracles.derivative,
     // chunked formulation shares the window-lag twin: boundary stitching
@@ -531,6 +533,21 @@ object Queries {
         valueDownsamplers = Seq(Downsamplers.Count),
         timeDownsamplers = Seq.empty),
       tsCol = "bucket_start")
+  }
+
+  /** F5 round-trip: the rendered wire JSON is PARSED BACK (`parseWire`,
+    * the ingest side of the reference's HTTP format) and re-aggregated;
+    * the oracle computes the same stats straight from events. Green means
+    * parse ∘ render is the identity — µs timestamps and values survive the
+    * JSON round-trip exactly, i.e. data exported by the reference's API
+    * re-ingests losslessly.
+    */
+  def wireRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val parsed = GetData.parseWire(wireRender(spark, sfDir))
+    parsed.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("value").cast("long")).as("v_sum"),
+      min("ts").as("t_min"), max("ts").as("t_max"))
   }
 
   /** F4 validation surface: every documented error path of the facade,
@@ -1451,6 +1468,19 @@ UNION ALL SELECT 'days',
   FROM events WHERE user_id = 3 AND event_type = 'view' GROUP BY 1)
 SELECT '{"t":"' || strftime(bucket_start, '%Y-%m-%dT%H:%M:%S.%f') || 'Z","v":' || cnt || '}'
   AS datapoint
+FROM part"""
+
+  /** Wire round-trip twin: the stats of the datapoints the wire JSON
+    * encodes, straight from events — equal iff parse ∘ render = id.
+    */
+  val wireRoundtrip: String =
+    """WITH part AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt
+  FROM events WHERE user_id = 3 AND event_type = 'view' GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+  CAST(sum(cnt) AS BIGINT) AS v_sum,
+  min(bucket_start) AS t_min, max(bucket_start) AS t_max
 FROM part"""
 
   /** F4 twin: the exact error class each invalid operation must raise. */

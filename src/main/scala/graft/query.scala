@@ -98,6 +98,25 @@ object GetData {
       .select(to_json(struct(col(tsCol).as("t"), col("v"))).as("datapoint"))
   }
 
+  /** Inverse of `renderWire` for scalar values — the INGEST side of the
+    * reference's wire format, so datapoints exported through the
+    * reference's HTTP API (or this engine's own rendering) re-ingest
+    * losslessly: `{"t": "<iso-µs>Z", "v": <number>}` → (ts, value). Both
+    * sides are µs-precision, so parse ∘ render is the identity — pinned
+    * end-to-end by the `q_wire_roundtrip` oracle.
+    */
+  def parseWire(df: DataFrame, jsonCol: String = "datapoint"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    df.select(from_json(col(jsonCol), schema).as("p"))
+      .select(
+        to_timestamp(col("p.t"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts"),
+        col("p.v").as("value"))
+  }
+
   /** Downsampled fetch: `partial` is the rollup table at the requested
     * granularity (its `bucket_start` is the datapoint timestamp, matching
     * the reference's bucket-start labeling). Projects the requested

@@ -529,6 +529,45 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.compact() == stats.map { case (k, (_, after)) => k -> (after, after) })
   }
 
+  test("lifecycle soak: every verb composed end-to-end leaves a consistent warehouse") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    // ensure (single + batch + derived), tag CRUD
+    ds.ensureStream("a", Map("team" -> "x"))
+    ds.ensureStreams(Seq(
+      StreamMeta("b", Map("team" -> "x"), ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Seconds.name),
+      StreamMeta("d", Map("team" -> "y"), ValueType.Numeric, Seq.empty, Seq.empty,
+        Granularity.Seconds.name, Some("sum"), None, Seq("a", "b"))))
+    ds.updateTags(Map("team" -> "x"), Map("tier" -> "hot"))
+    // append (bulk + streaming-batch), derive, maintain
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0), ("b", "2024-01-01T00:00:10Z", 2.0),
+      ("a", "2024-01-01T02:00:10Z", 3.0))).select("stream_id", "ts", "value"))
+    ds.appendBatch(dp(Seq(("b", "2024-01-02T00:00:10Z", 4.0)))
+      .select("stream_id", "ts", "value"), 0L)
+    ds.updateDerivedStreams()
+    ds.downsampleStreams(ts("2024-01-03T00:00:00Z"))
+    // compact, then reprocess (rebuild must equal the incremental state)
+    val hoursBefore = ds.getData("a", Granularity.Hours).collect().toSeq
+    ds.compact()
+    assert(ds.getData("a", Granularity.Hours).collect().toSeq == hoursBefore)
+    ds.reprocessStreams(ts("2024-01-03T00:00:00Z"))
+    assert(ds.getData("a", Granularity.Hours).collect().toSeq == hoursBefore)
+    // derived stream served like an ordinary one: three buckets —
+    // 1+2 (both sources), 3 (a alone), 4 (b alone)
+    val dSec = ds.getData("d", Granularity.Seconds).collect()
+    assert(dSec.map(_.getAs[Double]("value")).sorted.toSeq == Seq(3.0, 3.0, 4.0))
+    // delete the derived stream, then one source; survivors intact
+    ds.deleteStreams(Map("team" -> "y"))
+    ds.updateTags(Map("stream_id" -> "ignored"), Map.empty) // no-op arm
+    assert(ds.deleteStreams(Map("tier" -> "hot")) == 2)
+    assert(ds.streams.count() == 0)
+    assert(ds.rawDatapoints.count() == 0)
+    assert(ds.tornOperations.isEmpty)
+  }
+
   test("writer lock: a held lock fails mutations fast; released lock lets them proceed") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
