@@ -102,6 +102,13 @@ object SparkEntry {
     "q_split" -> Queries.splitReport _,
     "q_decontaminate" -> Queries.decontaminateReport _,
     "q_corpus_pipeline" -> Queries.corpusPipeline _,
+    // corpus-prep narrow ops: PII scrubbing, context-window chunking,
+    // deterministic stratified sampling, and token-budget sequence packing
+    // (the two-level prefix scan vs the oracle's naive global window)
+    "q_pii_scrub" -> Queries.piiScrub _,
+    "q_chunk" -> Queries.chunkReport _,
+    "q_sample_strata" -> Queries.sampleStrataReport _,
+    "q_pack" -> Queries.packReport _,
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -179,6 +186,10 @@ object SparkEntry {
     "q_split" -> Oracles.splitReport,
     "q_decontaminate" -> Oracles.decontaminateReport,
     "q_corpus_pipeline" -> Oracles.corpusPipeline,
+    "q_pii_scrub" -> Oracles.piiScrub,
+    "q_chunk" -> Oracles.chunkReport,
+    "q_sample_strata" -> Oracles.sampleStrataReport,
+    "q_pack" -> Oracles.packReport,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -1198,6 +1209,73 @@ object Queries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_sum"),
         sum("n_chars").as("chars_sum"), max("n_tokens").as("tokens_max"))
+
+  /** PII scrubbing on the gate. The corpus carries no PII, so each
+    * document is salted with deterministic doc_id-derived PII (an email,
+    * an IPv4, a phone number) before scrubbing — the oracle builds the
+    * SAME salted text and scrubs it with the same sequential patterns, so
+    * the gate pins per-class hit counts AND the full redacted text
+    * byte-for-byte (a regex-dialect divergence, a non-global replace, or
+    * a swapped class order all break the hash).
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Sources.documents(spark, sfDir).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".1 tel +1555"),
+        (col("doc_id") + 1000000).cast("string")))
+    ext.Text.piiReport(salted)
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("scrubbed"), length(col("scrubbed")).cast("long").as("n_scrubbed_chars"))
+  }
+
+  /** Context-window chunking on the gate: every (doc, chunk) row with its
+    * text — the oracle re-derives chunk counts, offsets, and substrings,
+    * so an off-by-one in the stride arithmetic or a lost final short
+    * chunk breaks the row set.
+    */
+  def chunkReport(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.chunk(Sources.documents(spark, sfDir), window = 200, stride = 150)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_chars")
+
+  /** Deterministic stratified sampling on the gate: overrepresented `en`
+    * is kept at 50%, `zh` at 25%, everything else fully — per-language
+    * before/after doc counts and surviving token totals. The oracle
+    * recomputes every keep decision from the SQL rolling-hash fold, so
+    * the exact surviving SET is pinned, not just its approximate size.
+    */
+  def sampleStrataReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val kept = ext.Text.sampleStrata(docs, Map("en" -> 500, "zh" -> 250))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(kept.select(col("lang"),
+          size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_after"), sum("n_tok").as("tokens_after")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("tokens_after"), lit(0L)).as("tokens_after"))
+  }
+
+  /** Sequence packing on the gate: documents packed into 2048-token
+    * contiguous bins via the two-level distributed prefix scan, reported
+    * per bin. The oracle computes the SAME assignment with a naive global
+    * window cumsum — so the scan decomposition (block sums + block
+    * offsets + in-block windows) must be bit-identical to the
+    * single-partition formulation it replaces at scale.
+    */
+  def packReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Sources.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+    ext.Pack.packContiguous(toks, budget = 2048L, blockSize = 64L)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
 }
 
 /** DuckDB twins. Each mirrors its Spark query's arithmetic exactly — same
@@ -1721,6 +1799,101 @@ WHERE cosine >= 0.3"""
 SELECT split_bucket, count(*) AS n_docs,
   CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_sum
 FROM h GROUP BY 1"""
+
+  /** PII-scrub twin: the SAME doc_id-salted text built in SQL, then the
+    * same three sequential count+replace passes (DuckDB regexp_replace
+    * needs the explicit 'g' flag — Spark's is global by default).
+    */
+  val piiScrub: String =
+    """WITH salted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      '@mail.example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+      '.1 tel +1555' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+    regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM salted),
+s2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t1,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t1,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(t2, '\+\d{7,15}')) AS BIGINT) AS n_phone,
+    regexp_replace(t2, '\+\d{7,15}', '[PHONE]', 'g') AS scrubbed
+  FROM s2)
+SELECT doc_id, n_email, n_ipv4, n_phone, scrubbed,
+  CAST(length(scrubbed) AS BIGINT) AS n_scrubbed_chars
+FROM s3"""
+
+  /** Chunking twin: chunk count re-derived with integer division, offsets
+    * and substrings recomputed per chunk (DuckDB substr is character-based
+    * like Spark's, so multibyte text chunks identically).
+    */
+  val chunkReport: String =
+    """WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) <= 200 THEN 1
+         ELSE ((length(text) - 200 + 149) // 150) + 1 END AS nc
+  FROM documents),
+e AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM t)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk_text,
+  CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200))
+    AS BIGINT) AS n_chunk_chars
+FROM e"""
+
+  /** Stratified-sampling twin: every keep decision recomputed from the
+    * rolling-hash fold (same per-mille thresholds), then the per-language
+    * before/after/token report.
+    */
+  val sampleStrataReport: String =
+    """WITH h AS (
+  SELECT lang, text,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 1000 AS hb
+  FROM documents),
+kept AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM h
+  WHERE hb < (CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250 ELSE 1000 END)),
+a AS (
+  SELECT lang, count(*) AS n_after, CAST(sum(n_tok) AS BIGINT) AS tokens_after
+  FROM kept GROUP BY 1),
+b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
+SELECT b.lang, b.n_before,
+  CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+  CAST(COALESCE(a.tokens_after, 0) AS BIGINT) AS tokens_after
+FROM b LEFT JOIN a USING (lang)"""
+
+  /** Packing twin: the naive formulation the two-level scan must equal —
+    * one global window cumsum in doc_id order, bin = exclusive-prefix
+    * div budget.
+    */
+  val packReport: String =
+    """WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+    sum(n_tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1"""
 
   /** Decontamination twin: the contaminated set recomputed from the
     * cross-corpus inverted shingle index (near-dups at Jaccard ≥ 0.8)

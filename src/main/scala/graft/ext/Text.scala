@@ -198,6 +198,90 @@ object Text {
                   textCol: String = "text"): DataFrame =
     docs.withColumn("split_bucket", pmod(docHash(col(textCol)), lit(buckets.toLong)))
 
+  /** PII patterns for corpus scrubbing, applied IN ORDER (each class is
+    * counted on the text as the previous classes left it — the sequential
+    * semantics both engines replicate exactly). Patterns restrict
+    * themselves to constructs with identical semantics in Java regex and
+    * RE2 (no backreferences, no lookaround, ASCII `\d`), so the DuckDB
+    * twin matches byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{7,15}", "[PHONE]"))
+
+  /** Redacted text: every PII class replaced by its placeholder, classes
+    * applied in `piiPatterns` order. Pure codegen'd `regexp_replace` —
+    * a narrow map over the corpus, no shuffle.
+    */
+  def scrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
+  /** Per-class PII hit counts plus the scrubbed text, as columns
+    * `n_<class>` and `scrubbed`. Counts are sequential (class k counted
+    * after classes 1..k−1 were replaced), mirroring `scrub`.
+    */
+  def piiReport(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val (cols, _) = piiPatterns.foldLeft(
+      (Seq.empty[(String, Column)], col(textCol))) {
+      case ((acc, t), (name, pat, repl)) =>
+        (acc :+ (s"n_$name" -> regexp_count(t, lit(pat)).cast("long")),
+          regexp_replace(t, pat, repl))
+    }
+    docs.select(
+      col(idCol) +: cols.map { case (n, c) => c.as(n) } :+
+        scrub(col(textCol)).as("scrubbed"): _*)
+  }
+
+  /** Fixed-size character-window chunking with overlap — the
+    * concat-and-split step that turns documents into training context
+    * windows. Chunk `i` covers characters `[i·stride+1, i·stride+window]`
+    * (1-based, inclusive); a document emits
+    * `max(1, ceil((len − window)/stride) + 1)` chunks, so every character
+    * is covered and the final chunk may be short. A narrow
+    * `explode` — no shuffle, chunk count is per-row arithmetic.
+    */
+  def chunk(docs: DataFrame, window: Int = 200, stride: Int = 150,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val len = length(col(textCol))
+    // positive-int arithmetic only: double division is exact here and
+    // floor-truncation matches DuckDB's `//` on BIGINT
+    val nChunks = when(len <= window, lit(1L)).otherwise(
+      floor((len - window + (stride - 1)).cast("double") / stride)
+        .cast("long") + 1L)
+    docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        col(textCol).substr(col("chunk_idx").cast("int") * stride + 1,
+          lit(window)).as("chunk_text"))
+      .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff
+    * `rollingHash(text) mod 1000 < perMille(stratum)` — the data-mixing
+    * primitive that downweights overrepresented strata (languages,
+    * sources) with a content-determined, reproducible keep decision.
+    * Unlisted strata keep `defaultPerMille`. A narrow filter: no shuffle,
+    * no RNG state, identical selection on every re-run and re-shard.
+    */
+  def sampleStrata(docs: DataFrame, perMille: Map[String, Int],
+                   defaultPerMille: Int = 1000,
+                   strataCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    require((defaultPerMille +: perMille.values.toSeq)
+      .forall(r => r >= 0 && r <= 1000), "per-mille rates must be in [0,1000]")
+    val thr = perMille.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultPerMille.toLong): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    docs.where(pmod(docHash(col(textCol)), lit(1000L)) < thr)
+  }
+
   /** X4 tf-idf machinery: term frequency per (doc, term), document frequency
     * over the corpus, top-`k` terms per doc ranked by `(tf desc, df asc,
     * term)`. All-integer outputs — the ranking IS tf-idf's ordering for a

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-prep narrow ops: PII scrubbing, context-window chunking,
+  * deterministic stratified sampling, and token-budget sequence packing
+  * (the two-level prefix scan vs its naive single-window formulation).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  import ext.{Pack, Text}
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("scrub redacts all three PII classes and counts them sequentially") {
+    val df = docsDF(Seq(
+      (1L, "mail a.b+c@ex.co and b@sub.domain.org ip 10.0.0.1 tel +38611223344", "en"),
+      (2L, "no pii here at all", "en"),
+      (3L, "", "en")))
+    val out = Text.piiReport(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("scrubbed") ===
+      "mail [EMAIL] and [EMAIL] ip [IP] tel [PHONE]")
+    assert(out(0).getAs[Long]("n_email") === 2L)
+    assert(out(0).getAs[Long]("n_ipv4") === 1L)
+    assert(out(0).getAs[Long]("n_phone") === 1L)
+    assert(out(1).getAs[String]("scrubbed") === "no pii here at all")
+    assert(Seq("n_email", "n_ipv4", "n_phone")
+      .forall(c => out(1).getAs[Long](c) === 0L))
+    assert(out(2).getAs[String]("scrubbed") === "")
+  }
+
+  test("chunk covers every character and chunks equal their substrings") {
+    val text = (1 to 37).map(i => ('a' + i % 26).toChar).mkString // 37 chars
+    val df = docsDF(Seq((1L, text, "en"), (2L, "short", "en"), (3L, "x" * 10, "en")))
+    val out = Text.chunk(df, window = 10, stride = 7)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: len 37 > 10 → ceil((37-10)/7)+1 = 4+1 = 5 chunks
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.length === 5)
+    c1.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("chunk_text") ===
+        text.slice(i * 7, math.min(i * 7 + 10, text.length)))
+    }
+    // every character covered: last chunk reaches the end
+    assert(c1.last.getAs[String]("chunk_text").endsWith(text.takeRight(1)))
+    assert(c1.map(_.getAs[Long]("n_chunk_chars")).sum >= text.length)
+    // len <= window → exactly one chunk, the whole text
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length === 1 && c2.head.getAs[String]("chunk_text") === "short")
+    // len == window → one chunk
+    assert(out.count(_.getLong(0) == 3L) === 1)
+  }
+
+  test("chunk with multibyte text is character-based") {
+    val text = "一二三四五六七八九十" * 3 // 30 CJK chars
+    val out = Text.chunk(docsDF(Seq((1L, text, "zh"))), window = 12, stride = 9)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 3) // ceil((30-12)/9)+1 = 3
+    assert(out(0).getAs[String]("chunk_text") === text.slice(0, 12))
+    assert(out(2).getAs[String]("chunk_text") === text.slice(18, 30))
+  }
+
+  test("sampleStrata: rate 1000 keeps all, 0 keeps none, selection is a deterministic subset") {
+    val docs = Sources.documents(spark, "/root/testdata/sf0.001")
+    assert(Text.sampleStrata(docs, Map.empty).count() === docs.count())
+    assert(Text.sampleStrata(docs, Map.empty, defaultPerMille = 0).count() === 0L)
+    val a = Text.sampleStrata(docs, Map("en" -> 300)).select("doc_id")
+    val b = Text.sampleStrata(docs, Map("en" -> 300)).select("doc_id")
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+    // rate monotonicity: a tighter threshold selects a subset
+    val tight = Text.sampleStrata(docs, Map("en" -> 100)).select("doc_id")
+    assert(tight.exceptAll(a).count() === 0L)
+  }
+
+  test("packContiguous equals the naive global-window formulation, sparse ids included") {
+    import spark.implicits._
+    // sparse, shuffled ids with varied token counts, including zeros
+    val rows = Seq(3L -> 5L, 17L -> 0L, 20L -> 130L, 21L -> 7L, 95L -> 999L,
+      96L -> 1L, 200L -> 64L, 1000L -> 3L, 1001L -> 64L, 1002L -> 128L)
+    val df = util.Random.shuffle(rows).toDF("doc_id", "n_tok")
+    val got = Pack.packContiguous(df, budget = 128L, blockSize = 4L)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("_cum", sum("n_tok").over(w))
+      .withColumn("bin", expr("(_cum - n_tok) div 128"))
+      .select("doc_id", "n_tok", "bin")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // bins are non-decreasing in id order and start at 0
+    val bins = got.orderBy("doc_id").select("bin").as[Long].collect()
+    assert(bins.head === 0L)
+    assert(bins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+}
