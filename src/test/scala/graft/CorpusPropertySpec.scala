@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the corpus-prep ops whose arithmetic a fixed
+  * fixture can miss: chunking offsets (every character covered exactly
+  * once per overlap structure) and the two-level packing scan (equal to
+  * the sequential prefix-sum model for ANY ids/budget/blockSize).
+  */
+class CorpusPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(12)
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 80)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('一', '二', 'ß')))
+  } yield cs.mkString
+
+  test("chunk: count formula, per-chunk substrings, and overlap reconstruction hold for any (text, window, stride)") {
+    import spark.implicits._
+    val wsGen = for {
+      w <- Gen.choose(1, 20)
+      s <- Gen.choose(1, w)
+    } yield (w, s)
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(textGen), wsGen) { case (texts, (window, stride)) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = ext.Text.chunk(df, window = window, stride = stride)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toList)
+        .toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val chunks = out(i.toLong)
+        val expectN =
+          if (t.length <= window) 1
+          else (t.length - window + stride - 1) / stride + 1
+        val substrsOk = chunks.zipWithIndex.forall { case (c, j) =>
+          c == t.slice(j * stride, math.min(j * stride + window, t.length))
+        }
+        val rebuilt = (chunks.headOption.getOrElse("") ::
+          chunks.drop(1).map(_.drop(window - stride))).mkString
+        chunks.length == expectN && substrsOk && rebuilt == t
+      }
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("packContiguous equals the sequential prefix-sum model for any ids, budget, blockSize") {
+    import spark.implicits._
+    val rowsGen = for {
+      ids <- Gen.nonEmptyContainerOf[Set, Long](Gen.choose(0L, 500L))
+      toks <- Gen.listOfN(ids.size, Gen.choose(0L, 300L))
+    } yield ids.toList.sorted.zip(toks)
+    val prop = Prop.forAll(
+      rowsGen, Gen.choose(1L, 512L), Gen.choose(1L, 64L)) { (rows, budget, blockSize) =>
+      val df = rows.toDF("doc_id", "n_tok")
+      val got = ext.Pack.packContiguous(df, budget, blockSize)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cum = 0L
+      rows.forall { case (id, n) =>
+        val bin = cum / budget
+        cum += n
+        got(id) == bin
+      } && got.size == rows.size
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+}
