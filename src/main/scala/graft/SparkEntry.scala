@@ -109,6 +109,9 @@ object SparkEntry {
     "q_chunk" -> Queries.chunkReport _,
     "q_sample_strata" -> Queries.sampleStrataReport _,
     "q_pack" -> Queries.packReport _,
+    // corpus stats: top bigrams (distributed top-k) + length histogram
+    "q_ngram_top" -> ((s, d) => ext.Text.topNgrams(Sources.documents(s, d))),
+    "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -190,6 +193,8 @@ object SparkEntry {
     "q_chunk" -> Oracles.chunkReport,
     "q_sample_strata" -> Oracles.sampleStrataReport,
     "q_pack" -> Oracles.packReport,
+    "q_ngram_top" -> Oracles.ngramTop,
+    "q_token_hist" -> Oracles.tokenHist,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -1894,6 +1899,32 @@ SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
   count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
+
+  /** Top-bigram twin: the same explode→count, ordered `(count desc,
+    * ngram asc)` so the LIMIT selects a deterministic set under ties.
+    */
+  val ngramTop: String =
+    """WITH g AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+SELECT ngram, count(*) AS n_occurrences
+FROM g GROUP BY 1
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20"""
+
+  /** Token-histogram twin: fixed-width `div` bucketing, same integer
+    * aggregates.
+    */
+  val tokenHist: String =
+    """WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT lang, n_tok // 16 AS bucket, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
+  min(n_tok) AS tok_min, max(n_tok) AS tok_max
+FROM t GROUP BY 1, 2"""
 
   /** Decontamination twin: the contaminated set recomputed from the
     * cross-corpus inverted shingle index (near-dups at Jaccard ≥ 0.8)

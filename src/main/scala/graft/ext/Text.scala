@@ -303,6 +303,44 @@ object Text {
       .select("doc_id", "rank", "term", "tf", "df")
   }
 
+  /** Corpus-wide top-k word n-grams: explode per-doc n-grams, one
+    * partial→final count aggregate, then a distributed top-k
+    * (`TakeOrderedAndProject` — each partition keeps k candidates, no
+    * global sort or single-partition shuffle). Ordering `(count desc,
+    * ngram asc)` makes the selected set deterministic under ties. The
+    * data-card / contamination-probe staple: what boilerplate dominates
+    * the corpus.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n>=1 and k>=1, got n=$n k=$k")
+    val w = tokens(col(textCol))
+    val grams = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws("_", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Token-count histogram per language: bucket = `n_tokens div width`
+    * (fixed-width bins). One narrow map + one aggregate — the corpus
+    * length-distribution report that sizes packing budgets and truncation
+    * policies.
+    */
+  def tokenHistogram(docs: DataFrame, width: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    docs.select(col("lang"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"n_tok div $width"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"),
+        min("n_tok").as("tok_min"), max("n_tok").as("tok_max"))
+  }
+
   /** Per-language corpus analysis: doc counts, whitespace + BPE-ish token
     * sums, marker-score sums, predicted-language distribution.
     */

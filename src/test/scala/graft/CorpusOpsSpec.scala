@@ -76,6 +76,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tight.exceptAll(a).count() === 0L)
   }
 
+  test("topNgrams counts bigrams corpus-wide with deterministic tie-break") {
+    val df = docsDF(Seq(
+      (1L, "a b a b c", "en"),   // a_b ×2, b_a, b_c
+      (2L, "a b z", "en"),       // a_b, b_z
+      (3L, "one", "en"),         // no bigram
+      (4L, "", "en")))
+    val top = Text.topNgrams(df, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head === ("a_b", 3L))
+    // ties at count 1 break alphabetically: b_a then b_c
+    assert(top.toSeq === Seq(("a_b", 3L), ("b_a", 1L), ("b_c", 1L)))
+    // unigram flavor includes the empty-string token of the empty doc
+    val uni = Text.topNgrams(df, n = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(uni("a") === 3L && uni("b") === 3L && uni("one") === 1L)
+  }
+
+  test("tokenHistogram buckets by div-width with exact aggregates") {
+    val df = docsDF(Seq(
+      (1L, "a b c", "en"),                       // 3 tok → bucket 0
+      (2L, (1 to 16).map(_ => "w").mkString(" "), "en"), // 16 → bucket 1
+      (3L, (1 to 33).map(_ => "w").mkString(" "), "fr"))) // 33 → bucket 2
+    val h = Text.tokenHistogram(df, width = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_sum"),
+          r.getAs[Long]("tok_min"), r.getAs[Long]("tok_max"))).toMap
+    assert(h(("en", 0L)) === ((1L, 3L, 3L, 3L)))
+    assert(h(("en", 1L)) === ((1L, 16L, 16L, 16L)))
+    assert(h(("fr", 2L)) === ((1L, 33L, 33L, 33L)))
+    assert(h.size === 3)
+  }
+
   test("packContiguous equals the naive global-window formulation, sparse ids included") {
     import spark.implicits._
     // sparse, shuffled ids with varied token counts, including zeros
