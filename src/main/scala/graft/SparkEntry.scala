@@ -59,6 +59,9 @@ object SparkEntry {
     "q_streaming_warehouse" -> Queries.streamingWarehouse _,
     // T2 full ladder: second streaming query stitches rollup→rollup
     "q_streaming_ladder" -> Queries.streamingLadder _,
+    // X1 streaming arm: cross-micro-batch content-hash dedup of a
+    // twice-delivered shard
+    "q_streaming_dedup" -> Queries.streamingDedup _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
     "q_streaming_derive_sum" -> Queries.streamingDeriveSum _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
@@ -145,6 +148,8 @@ object SparkEntry {
     "q_streaming_ingest" -> Oracles.streamingIngest,
     "q_streaming_warehouse" -> Oracles.streamingWarehouse,
     "q_streaming_ladder" -> Oracles.streamingLadder,
+    // the twice-delivered shard must dedup to exactly one corpus copy
+    "q_streaming_dedup" -> Oracles.streamingDedup,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
     "q_streaming_derive_sum" -> Oracles.streamingDeriveSum,
@@ -715,6 +720,37 @@ object Queries {
       .join(ds.streams.select(col("stream_id"),
         col("earliest_datapoint").as("reg_earliest"),
         col("latest_datapoint").as("reg_latest")), "stream_id")
+  }
+
+  /** X1's streaming arm on the gate: the SAME document shard is delivered
+    * twice (the replayed-shard / re-crawl case), `maxFilesPerTrigger=1`
+    * forcing the two deliveries into SEPARATE micro-batches under
+    * `Trigger.AvailableNow` — so the second copy is dropped by the
+    * content-hash state carried across batches, not by in-batch
+    * deduplication. The landed table must equal exactly one copy of the
+    * corpus: the oracle is the plain per-language aggregate of
+    * `documents`, and any duplicate that slipped through (or original
+    * that was lost) breaks the count/char/token match.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dir = tempDir("graft-sdedup")
+    val srcDir = tempDir("graft-sdedup-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.dedupIngest(src, s"$dir/out", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("chars_sum"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
   }
 
   /** T2's full streaming LADDER on the gate: minutes partials stream from
@@ -1899,6 +1935,16 @@ SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
   count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
+
+  /** Streaming-dedup twin: the landed table must be exactly ONE copy of
+    * the corpus, so the oracle is the plain per-language aggregate of
+    * `documents` — the doubled delivery must be invisible.
+    */
+  val streamingDedup: String =
+    """SELECT lang, count(*) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS chars_sum,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
+FROM documents GROUP BY 1"""
 
   /** Top-bigram twin: the same explode→count, ordered `(count desc,
     * ngram asc)` so the LIMIT selects a deterministic set under ties.

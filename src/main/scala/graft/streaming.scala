@@ -280,6 +280,27 @@ object Streaming {
         ds.appendBatch(batch, batchId)
       }
 
+  /** X1's streaming arm: exact-dedup ingest. Documents are keyed by
+    * content hash and deduplicated ACROSS micro-batches —
+    * `dropDuplicates` on a streaming DataFrame keeps every seen key in
+    * the state store, which here is precisely the dedup index (one row
+    * per distinct document, the same cardinality the batch index pays).
+    * The replayed-shard / re-crawl case every training-ingest pipeline
+    * hits: the second delivery of a document must not land. At cluster
+    * scale the state store is RocksDB-backed; if the ingest window is
+    * bounded, `withWatermark` + `dropDuplicatesWithinWatermark` caps
+    * state by event time instead — same plan shape, TTL'd state.
+    */
+  def dedupIngest(docs: DataFrame, outPath: String, checkpoint: String,
+                  textCol: String = "text") =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .dropDuplicates("content_hash")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** `ingest` with the monotonicity filter applied: the strict-parity
     * streaming ingest for deployments where the batch reject/drop contract
     * must hold on the streaming path too.

@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest drops replayed documents across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-t").toString
+    val q = Streaming.dedupIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), s"$dir/out", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData((1L, "alpha beta", "en"), (2L, "gamma", "en"),
+        (3L, "alpha beta", "en")) // in-batch duplicate of doc 1
+      q.processAllAvailable()
+      // second delivery: doc 1 replayed verbatim plus one fresh doc — the
+      // replay must be dropped by state carried ACROSS batches
+      mem.addData((1L, "alpha beta", "en"), (4L, "delta", "fr"))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "deliveries must land in separate micro-batches")
+      val texts = spark.read.parquet(s"$dir/out")
+        .select("text").as[String].collect().sorted.toSeq
+      assert(texts === Seq("alpha beta", "delta", "gamma"))
+    } finally q.stop()
+  }
+
   test("streaming multi-stream sum emits finalized buckets equal to the batch derive op") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Point]
