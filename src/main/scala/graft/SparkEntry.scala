@@ -96,6 +96,9 @@ object SparkEntry {
     // recall gates: the approximate pipelines measured against their exact
     // twins — a recall collapse (broken banding, bad probes, dead simhash
     // bands) now FAILS the gate instead of passing rows-only
+    // X3 pre-step: unit normalization recovers unit norm from de-normalized
+    // vectors, double-exact vs the oracle's replayed fold
+    "q_embedding_norms" -> Queries.embeddingNorms _,
     "q_ann_recall" -> Queries.annRecall _,
     "q_ivf_recall" -> Queries.ivfRecall _,
     "q_simhash_recall" -> Queries.simhashRecall _,
@@ -187,6 +190,7 @@ object SparkEntry {
     // exact twin; rows-only check. Their QUALITY is gated instead: the
     // recall queries below compare them against their exact twins inside
     // Spark and the oracle pins the outcome.
+    "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
@@ -1079,6 +1083,28 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** X3 normalization on the gate: the (already unit-norm) fixture vectors
+    * are first DE-normalized by a deterministic per-vector scale
+    * (1 + vec_id mod 5), then `Similarity.normalize` must recover unit
+    * norm — per label: vector count, how many re-normalized vectors have
+    * |‖u‖²−1| ≤ 1e-9, and the min/max pre-normalization norm². The oracle
+    * replays the same fold arithmetic (scale → ordered Σ v², → per-element
+    * divide by √n2 → ordered Σ u²), so any drift in the fold order or the
+    * element op sequence breaks the double-exact match.
+    */
+  def embeddingNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    val scaled = Sources.embeddings(spark, sfDir)
+      .withColumn("scale", (pmod(col("vec_id"), lit(5)) + 1).cast("double"))
+      .withColumn("scaled",
+        transform(col("embedding"), x => x.cast("double") * col("scale")))
+    ext.Similarity.normalize(scaled, "scaled")
+      .withColumn("u2", ext.Similarity.norm2Fold(col("unit")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(abs(col("u2") - 1.0) <= 1e-9, 1L).otherwise(0L)).as("n_unit"),
+        min("norm2").as("n2_min"), max("norm2").as("n2_max"))
+  }
+
   /** Deterministic content-hash corpus split: bucket = rolling-hash(text)
     * mod 10, reported as per-bucket doc and token counts. The oracle
     * recomputes every document's hash in SQL, so the assignment — the
@@ -1824,6 +1850,34 @@ FROM (
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
   FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
 WHERE cosine >= 0.3"""
+
+  /** Normalization twin: scale → ordered Σv² fold → per-element divide by
+    * √n2 → ordered Σu² fold, every op replayed in the same sequence
+    * (seedless list_reduce ≡ the 0.0-seed left fold for sums).
+    */
+  val embeddingNorms: String =
+    """WITH s AS (
+  SELECT label, embedding,
+    CAST(vec_id % 5 + 1 AS DOUBLE) AS scale
+  FROM embeddings),
+n AS (
+  SELECT label, embedding, scale,
+    list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> (CAST(embedding[i] AS DOUBLE) * scale) *
+           (CAST(embedding[i] AS DOUBLE) * scale)),
+      (a, b) -> a + b) AS norm2
+  FROM s),
+u AS (
+  SELECT label, norm2,
+    list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> ((CAST(embedding[i] AS DOUBLE) * scale) / sqrt(norm2)) *
+           ((CAST(embedding[i] AS DOUBLE) * scale) / sqrt(norm2))),
+      (a, b) -> a + b) AS u2
+  FROM n)
+SELECT label, count(*) AS n_vecs,
+  CAST(count(*) FILTER (WHERE abs(u2 - 1.0) <= 1e-9) AS BIGINT) AS n_unit,
+  min(norm2) AS n2_min, max(norm2) AS n2_max
+FROM u GROUP BY 1"""
 
   /** Content-hash split twin: the same rolling-hash fold per document
     * (seedless list_reduce ≡ the 0-init fold), bucketed mod 10.

@@ -40,6 +40,26 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ vᵢ² as the ordered left fold in double — works for float or double
+    * arrays, same accumulation order as the oracle's `list_reduce`.
+    */
+  def norm2Fold(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Unit-normalization: adds `norm2` (Σ vᵢ², the ordered fold) and
+    * `unit` (vᵢ/√norm2 as array<double>; zero vectors pass through as
+    * zeros rather than NaN). A narrow map — the standard pre-step before
+    * cosine indexes, centroid refinement, or LSH, done once at ingest
+    * instead of per-comparison.
+    */
+  def normalize(df: DataFrame, vecCol: String = "embedding",
+                outCol: String = "unit"): DataFrame =
+    df.withColumn("norm2", norm2Fold(col(vecCol)))
+      .withColumn(outCol,
+        when(col("norm2") > 0.0,
+          transform(col(vecCol), x => x.cast("double") / sqrt(col("norm2"))))
+        .otherwise(transform(col(vecCol), x => x.cast("double"))))
+
   /** Composed form — the semantic reference the fused expression must
     * match bit-for-bit (asserted in tests).
     */

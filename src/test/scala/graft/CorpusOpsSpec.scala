@@ -108,6 +108,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h.size === 3)
   }
 
+  test("normalize recovers unit norm and passes zero vectors through as zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),        // norm 5
+      (2L, Array(0.0f, 0.0f)),        // zero vector: no NaN
+      (3L, Array(-2.0f, 0.0f, 0.0f))) // negative components
+      .toDF("vec_id", "embedding")
+    val out = ext.Similarity.normalize(df).orderBy("vec_id")
+      .select("norm2", "unit").collect()
+    assert(out(0).getDouble(0) === 25.0)
+    assert(out(0).getSeq[Double](1) === Seq(0.6, 0.8))
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(1).getSeq[Double](1) === Seq(0.0, 0.0))
+    assert(out(2).getSeq[Double](1) === Seq(-1.0, 0.0, 0.0))
+  }
+
   test("packContiguous equals the naive global-window formulation, sparse ids included") {
     import spark.implicits._
     // sparse, shuffled ids with varied token counts, including zeros
