@@ -96,6 +96,9 @@ object SparkEntry {
     // recall gates: the approximate pipelines measured against their exact
     // twins — a recall collapse (broken banding, bad probes, dead simhash
     // bands) now FAILS the gate instead of passing rows-only
+    // time-series as-of join (union-and-scan, one shuffle) vs DuckDB's
+    // native ASOF JOIN as the oracle
+    "q_asof_join" -> Queries.asofJoin _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -190,6 +193,7 @@ object SparkEntry {
     // exact twin; rows-only check. Their QUALITY is gated instead: the
     // recall queries below compare them against their exact twins inside
     // Spark and the oracle pins the outcome.
+    "q_asof_join" -> Oracles.asofJoin,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1083,6 +1087,24 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** As-of join on the gate: every click event joined to the user's most
+    * recent view at-or-before it (point-in-time lookup). The Spark side is
+    * the union-and-scan formulation (one shuffle, no range join, no
+    * per-key loop); the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so
+    * the row-level output — including the inclusive-equality edge and
+    * NULLs for clicks with no prior view — is pinned against an
+    * independent reference implementation of the operator itself.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Sources.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val views = ev.where(col("event_type") === "view")
+      .select("user_id", "ts", "value")
+    operators.TimeJoin.asOf(clicks, views,
+      keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("ts", "value"))
+  }
+
   /** X3 normalization on the gate: the (already unit-norm) fixture vectors
     * are first DE-normalized by a deterministic per-vector scale
     * (1 + vec_id mod 5), then `Similarity.normalize` must recover unit
@@ -1850,6 +1872,21 @@ FROM (
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
   FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
 WHERE cosine >= 0.3"""
+
+  /** As-of twin: DuckDB's native ASOF LEFT JOIN — an independent
+    * implementation of the operator, not a replay of the union-and-scan
+    * arithmetic. Inclusive inequality (`>=`) matches the Spark side's
+    * rights-sort-before-lefts tie order.
+    */
+  val asofJoin: String =
+    """WITH l AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT l.user_id, l.ts, l.value,
+  r.ts AS right_ts, r.value AS right_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
   /** Normalization twin: scale → ordered Σv² fold → per-element divide by
     * √n2 → ordered Σu² fold, every op replayed in the same sequence

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.TimeJoin
+
+/** The as-of join: hand-pinned edges (inclusive equality, no-prior-right
+  * NULL, tie resolution) plus a ScalaCheck equivalence against the
+  * brute-force per-row model.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of join: inclusive equality, NULL before first right, latest-previous match") {
+    import spark.implicits._
+    val left = Seq(
+      ("a", 5L, "l1"), ("a", 10L, "l2"), ("a", 20L, "l3"),
+      ("b", 7L, "l4")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 8L, 9.0)).toDF("k", "ts", "value")
+    val out = TimeJoin.asOf(left, right, keyCols = Seq("k"))
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("a", 5L, "l1", None),        // no right at-or-before 5
+      ("a", 10L, "l2", Some(1.0)),  // equal ts matches (inclusive)
+      ("a", 20L, "l3", Some(2.0)),  // latest previous, not first
+      ("b", 7L, "l4", None)))       // other key's rights invisible
+  }
+
+  test("as-of join: equal-ts right rows resolve to the largest tie value") {
+    import spark.implicits._
+    val left = Seq(("a", 10L, "l")).toDF("k", "ts", "tag")
+    val right = Seq(("a", 10L, 1.0, 1L), ("a", 10L, 2.0, 2L))
+      .toDF("k", "ts", "value", "seq")
+    val out = TimeJoin.asOf(left, right, keyCols = Seq("k"),
+      tieCol = Some("seq")).collect()
+    assert(out.head.getDouble(3) === 2.0)
+  }
+
+  test("as-of join equals the brute-force model on random inputs") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 25)
+      nr <- Gen.choose(0, 25)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 40L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 40L)))
+    } yield (ls.distinct, rs.distinct) // unique (key, ts) per side
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.map { case (k, t) => (k, t, t.toDouble / 2.0) }
+        .toDF("k", "ts", "value")
+      val got = TimeJoin.asOf(left, right, keyCols = Seq("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      ls.forall { case (k, t) =>
+        val expect = rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._2.toDouble / 2.0)
+        got((k, t)) == expect
+      } && got.size == ls.size
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+}
