@@ -99,6 +99,8 @@ object SparkEntry {
     // time-series as-of join (union-and-scan, one shuffle) vs DuckDB's
     // native ASOF JOIN as the oracle
     "q_asof_join" -> Queries.asofJoin _,
+    // gap-based sessionization (lag/cumsum, one window shuffle)
+    "q_sessionize" -> Queries.sessionizeReport _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -194,6 +196,7 @@ object SparkEntry {
     // recall queries below compare them against their exact twins inside
     // Spark and the oracle pins the outcome.
     "q_asof_join" -> Oracles.asofJoin,
+    "q_sessionize" -> Oracles.sessionize,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1087,6 +1090,18 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** Sessionization on the gate: every (user, event_type) stream segmented
+    * at 30-minute gaps, with per-session bounds, event counts, and
+    * decimal-exact value sums. The oracle replays the lag/cumsum
+    * formulation in SQL, so a wrong gap comparison (strict vs inclusive),
+    * a dropped first-event session, or a sum that lost exactness all
+    * break the row-level match.
+    */
+  def sessionizeReport(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Sessionize.sessions(
+      Sources.events(spark, sfDir).select("user_id", "event_type", "ts", "value"),
+      keyCols = Seq("user_id", "event_type"), gapUs = 1800000000L)
+
   /** As-of join on the gate: every click event joined to the user's most
     * recent view at-or-before it (point-in-time lookup). The Spark side is
     * the union-and-scan formulation (one shuffle, no range join, no
@@ -1872,6 +1887,27 @@ FROM (
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
   FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
 WHERE cosine >= 0.3"""
+
+  /** Sessionization twin: the same lag/cumsum segmentation in SQL —
+    * 30-minute gap in µs, strict `>` comparison, decimal-exact sums.
+    */
+  val sessionize: String =
+    """WITH f AS (
+  SELECT user_id, event_type, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f)
+SELECT user_id, event_type, CAST(session_seq AS BIGINT) AS session_seq,
+  min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM s GROUP BY 1, 2, 3"""
 
   /** As-of twin: DuckDB's native ASOF LEFT JOIN — an independent
     * implementation of the operator, not a replay of the union-and-scan

@@ -2,13 +2,28 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.operators.TimeJoin
+import graft.operators.{Sessionize, TimeJoin}
 
 /** The as-of join: hand-pinned edges (inclusive equality, no-prior-right
   * NULL, tie resolution) plus a ScalaCheck equivalence against the
-  * brute-force per-row model.
+  * brute-force per-row model. Plus the sessionizer's gap edges.
   */
 class AsOfJoinSpec extends SparkSpec {
+
+  test("sessionize: strict gap comparison, first-event session, key isolation") {
+    val events = dp(Seq(
+      ("a", "2024-01-01T00:00:00Z", 1.0),
+      ("a", "2024-01-01T00:10:00Z", 2.0),  // gap 600s == gap limit: SAME session
+      ("a", "2024-01-01T00:20:01Z", 4.0),  // gap 601s > limit: new session
+      ("b", "2024-01-01T00:00:05Z", 8.0))) // other key: own session 1
+    val out = Sessionize.sessions(events, Seq("stream_id"), gapUs = 600000000L)
+      .orderBy("stream_id", "session_seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, 2L, 3.0),  // two events, values 1+2
+      ("a", 2L, 1L, 4.0),
+      ("b", 1L, 1L, 8.0)))
+  }
 
   test("as-of join: inclusive equality, NULL before first right, latest-previous match") {
     import spark.implicits._
