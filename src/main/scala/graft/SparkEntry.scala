@@ -101,6 +101,8 @@ object SparkEntry {
     "q_asof_join" -> Queries.asofJoin _,
     // gap-based sessionization (lag/cumsum, one window shuffle)
     "q_sessionize" -> Queries.sessionizeReport _,
+    // corpus mixture rebalancing to target stratum weights
+    "q_mix" -> Queries.mixReport _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -197,6 +199,7 @@ object SparkEntry {
     // Spark and the oracle pins the outcome.
     "q_asof_join" -> Oracles.asofJoin,
     "q_sessionize" -> Oracles.sessionize,
+    "q_mix" -> Oracles.mixReport,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1090,6 +1093,24 @@ object Queries {
         (col("n_hit").cast("double") / col("n_exact") >= 0.9).as("recall_ok"))
   }
 
+  /** Corpus mixture rebalancing on the gate: target weights 40% en / 20%
+    * zh / 20% de / 10% es / 10% fr over a corpus where `de` is the binding
+    * stratum (keeps everything, per-mille 1000). Output: per-language
+    * before/after counts and the derived per-mille threshold. The oracle
+    * recomputes the feasible total, every threshold, and every keep
+    * decision from the same arithmetic — so a drifted rate formula or a
+    * non-reproducible selection breaks the match.
+    */
+  def mixReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val kept = ext.Text.mixTo(docs, Map(
+      "en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy(col("lang"), col("mix_permille").as("permille"))
+        .agg(count(lit(1)).as("n_after")), Seq("lang"))
+      .select("lang", "n_before", "n_after", "permille")
+  }
+
   /** Sessionization on the gate: every (user, event_type) stream segmented
     * at 30-minute gaps, with per-session bounds, event counts, and
     * decimal-exact value sums. The oracle replays the lag/cumsum
@@ -1908,6 +1929,35 @@ SELECT user_id, event_type, CAST(session_seq AS BIGINT) AS session_seq,
   count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM s GROUP BY 1, 2, 3"""
+
+  /** Mixture twin: stratum counts → feasible total T = min(n/w) →
+    * per-mille floor(w·T/n·1000) (same associativity) → hash-threshold
+    * keep decisions replayed per document.
+    */
+  val mixReport: String =
+    """WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+    CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.1
+              WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.2 END AS w
+  FROM documents GROUP BY 1),
+t AS (SELECT min(n / w) AS t FROM c),
+r AS (
+  SELECT lang, CAST(floor(w * t.t / n * 1000.0) AS BIGINT) AS permille
+  FROM c, t),
+h AS (
+  SELECT lang,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 1000 AS hb
+  FROM documents),
+k AS (
+  SELECT h.lang, count(*) AS n_after
+  FROM h JOIN r USING (lang) WHERE hb < permille GROUP BY 1),
+b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
+SELECT b.lang, b.n_before, k.n_after, r.permille
+FROM b JOIN k USING (lang) JOIN r USING (lang)"""
 
   /** As-of twin: DuckDB's native ASOF LEFT JOIN — an independent
     * implementation of the operator, not a replay of the union-and-scan

@@ -303,6 +303,43 @@ object Text {
       .select("doc_id", "rank", "term", "tf", "df")
   }
 
+  /** Corpus rebalancing to TARGET stratum proportions — the data-mixing
+    * step that turns "50% en / 25% zh / …" mixture weights into per-
+    * stratum keep rates. Since sampling can only shrink strata, the
+    * largest feasible corpus is `T = min_s(n_s / w_s)` and stratum `s`
+    * keeps `w_s·T` documents, i.e. rate `w_s·T/n_s` (the binding stratum
+    * keeps everything). Selection reuses the content-hash per-mille
+    * threshold of `sampleStrata`, so the survivor SET is deterministic
+    * and reproducible; realized counts track `rate·n_s` to hash-uniformity
+    * (exact-quota selection would need a per-stratum rank — one more
+    * shuffle — where this stays a broadcast-join + narrow filter).
+    *
+    * Plan shape: one small groupBy for stratum counts, a 1-row global min,
+    * both broadcast back into a narrow filter over the corpus — the big
+    * side never shuffles.
+    */
+  def mixTo(docs: DataFrame, targets: Map[String, Double],
+            strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive weights")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target weights must sum to 1, got ${targets.values.sum}")
+    val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (k, w)) => when(col(strataCol) === k, lit(w)).otherwise(acc)
+    }
+    val counts = docs.where(col(strataCol).isInCollection(targets.keys.toSeq))
+      .groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("_n"))
+      .withColumn("_w", weight)
+    val feasible = counts.agg(min(col("_n") / col("_w")).as("_t"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .withColumn("_permille",
+        floor(col("_w") * col("_t") / col("_n") * 1000.0).cast("long"))
+      .select(col(strataCol), col("_permille"))
+    docs.join(broadcast(rates), Seq(strataCol), "inner")
+      .where(pmod(docHash(col(textCol)), lit(1000L)) < col("_permille"))
+      .withColumnRenamed("_permille", "mix_permille")
+  }
+
   /** Corpus-wide top-k word n-grams: explode per-doc n-grams, one
     * partial→final count aggregate, then a distributed top-k
     * (`TakeOrderedAndProject` — each partition keeps k candidates, no

@@ -108,6 +108,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h.size === 3)
   }
 
+  test("mixTo: binding stratum keeps everything, others downsample, untargeted strata drop") {
+    val docs = Sources.documents(spark, "/root/testdata/sf0.001")
+    val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1)
+    val kept = ext.Text.mixTo(docs, targets)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pm = kept.select("lang", "mix_permille").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (max share/weight ratio) keeps everything
+    val binding = before.keys.minBy(l => before(l) / targets(l))
+    assert(pm(binding) === 1000L)
+    assert(pm.values.forall(p => p >= 1L && p <= 1000L))
+    // a stratum targeted BELOW its share is strictly downsampled
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after(binding) === before(binding))
+    assert(pm.filter(_._2 < 1000L).keys.forall(l => after(l) < before(l)))
+    // deterministic: same call, same survivors
+    val again = ext.Text.mixTo(docs, targets).select("doc_id")
+    assert(kept.select("doc_id").exceptAll(again).count() === 0L)
+    // a stratum absent from targets is dropped entirely
+    val partial = ext.Text.mixTo(docs, Map("en" -> 0.5, "zh" -> 0.5))
+    assert(partial.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("en", "zh")))
+    intercept[IllegalArgumentException] {
+      ext.Text.mixTo(docs, Map("en" -> 0.5, "zh" -> 0.4))
+    }
+  }
+
   test("normalize recovers unit norm and passes zero vectors through as zeros") {
     import spark.implicits._
     val df = Seq(
