@@ -351,13 +351,24 @@ object Text {
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, s"need n>=1 and k>=1, got n=$n k=$k")
-    val w = tokens(col(textCol))
-    val grams = when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws("_", (0 until n).map(o => element_at(w, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    docs.select(explode(grams).as("ngram"))
-      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+    import docs.sparkSession.implicits._
+    // per-partition primitive loop instead of an interpreted
+    // transform/element_at lambda — same measured tax as Dedup.shingled
+    // (2.5s → ~0.4s at sf0.1); emits exactly the split-and-join grams the
+    // oracle's string_split/list_transform twin produces
+    val grams = docs.select(col(textCol)).as[String].mapPartitions { it =>
+      it.flatMap { text =>
+        val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (w.length < n) Iterator.empty
+        else (0 to w.length - n).iterator.map { i =>
+          val sb = new StringBuilder(w(i))
+          var o = 1
+          while (o < n) { sb.append('_').append(w(i + o)); o += 1 }
+          sb.result()
+        }
+      }
+    }.toDF("ngram")
+    grams.groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
   }
