@@ -103,6 +103,8 @@ object SparkEntry {
     "q_sessionize" -> Queries.sessionizeReport _,
     // corpus mixture rebalancing to target stratum weights
     "q_mix" -> Queries.mixReport _,
+    // bucketized range join composed over sessionization
+    "q_range_join" -> Queries.rangeJoinReport _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -200,6 +202,7 @@ object SparkEntry {
     "q_asof_join" -> Oracles.asofJoin,
     "q_sessionize" -> Oracles.sessionize,
     "q_mix" -> Oracles.mixReport,
+    "q_range_join" -> Oracles.rangeJoin,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1123,6 +1126,31 @@ object Queries {
       Sources.events(spark, sfDir).select("user_id", "event_type", "ts", "value"),
       keyCols = Seq("user_id", "event_type"), gapUs = 1800000000L)
 
+  /** Range join on the gate, composed over sessionization: the sessions of
+    * every (user, event_type) stream become intervals, and the SAME events
+    * are range-joined back into them via the bucketized equi-join (1-hour
+    * buckets). Every event must land in exactly its own session, so the
+    * per-session match counts and decimal sums equal the session's own
+    * aggregates — and the oracle recomputes sessions in SQL and joins with
+    * a plain BETWEEN theta join, an independent formulation that catches a
+    * missed boundary bucket, an off-by-one in the bucket fan-out, or a
+    * non-inclusive endpoint.
+    */
+  def rangeJoinReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Sources.events(spark, sfDir)
+      .select("user_id", "event_type", "ts", "value")
+    val sessions = operators.Sessionize.sessions(
+      ev, Seq("user_id", "event_type"), gapUs = 1800000000L)
+    operators.TimeJoin.rangeJoin(ev,
+        sessions.select("user_id", "event_type", "session_seq",
+          "session_start", "session_end"),
+        keyCols = Seq("user_id", "event_type"), bucketUs = 3600000000L,
+        startCol = "session_start", endCol = "session_end")
+      .groupBy("user_id", "event_type", "session_seq")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
   /** As-of join on the gate: every click event joined to the user's most
     * recent view at-or-before it (point-in-time lookup). The Spark side is
     * the union-and-scan formulation (one shuffle, no range join, no
@@ -1958,6 +1986,33 @@ k AS (
 b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
 SELECT b.lang, b.n_before, k.n_after, r.permille
 FROM b JOIN k USING (lang) JOIN r USING (lang)"""
+
+  /** Range-join twin: sessions recomputed in SQL, then a plain BETWEEN
+    * theta join — independent of the bucketized formulation under test.
+    */
+  val rangeJoin: String =
+    """WITH f AS (
+  SELECT user_id, event_type, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f),
+sess AS (
+  SELECT user_id, event_type, CAST(session_seq AS BIGINT) AS session_seq,
+    min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY 1, 2, 3)
+SELECT e.user_id, e.event_type, sess.session_seq,
+  count(*) AS n_matched,
+  CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events e
+JOIN sess ON e.user_id = sess.user_id AND e.event_type = sess.event_type
+  AND e.ts >= sess.session_start AND e.ts <= sess.session_end
+GROUP BY 1, 2, 3"""
 
   /** As-of twin: DuckDB's native ASOF LEFT JOIN — an independent
     * implementation of the operator, not a replay of the union-and-scan

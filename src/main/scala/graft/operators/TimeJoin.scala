@@ -77,4 +77,35 @@ object TimeJoin {
   private def payloadType(right: DataFrame, valueCols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c)))
+
+  /** Interval (range) join: each point row joined to every interval of the
+    * same key containing its timestamp (`start <= ts <= end`, inclusive).
+    *
+    * A direct `BETWEEN` theta join has no hash-join strategy — Spark plans
+    * it as a nested loop over each key group. This is the bucketized
+    * formulation instead (the standard binned range-join): intervals are
+    * exploded into the fixed-width time buckets they overlap, points carry
+    * their single containing bucket, both sides hash-equi-join on
+    * `(key…, bucket)`, and the exact predicate filters within the bucket
+    * matches. A (point, interval) pair can meet in at most ONE bucket —
+    * the point's — so no post-join dedup is needed. Cost: one shuffle per
+    * side + interval fan-out of `span/bucketUs + 1` rows; pick `bucketUs`
+    * near the typical interval span so the fan-out stays O(1) per
+    * interval.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+                bucketUs: Long, tsCol: String = "ts",
+                startCol: String = "start", endCol: String = "end"): DataFrame = {
+    require(keyCols.nonEmpty, "range join needs at least one key column")
+    require(bucketUs > 0, s"bucket width must be positive µs, got $bucketUs")
+    val iv = intervals.withColumn("_rj_bucket",
+      explode(sequence(
+        expr(s"unix_micros($startCol) div $bucketUs"),
+        expr(s"unix_micros($endCol) div $bucketUs"))))
+    val pt = points.withColumn("_rj_bucket",
+      expr(s"unix_micros($tsCol) div $bucketUs"))
+    pt.join(iv, keyCols :+ "_rj_bucket", "inner")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_rj_bucket")
+  }
 }

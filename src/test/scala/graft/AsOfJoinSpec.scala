@@ -53,6 +53,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getDouble(3) === 2.0)
   }
 
+  test("range join: inclusive endpoints, overlapping intervals, cross-bucket spans") {
+    import spark.implicits._
+    val ivs = Seq(
+      ("a", 10L, 20L, "i1"), ("a", 15L, 40L, "i2"), // overlapping
+      ("b", 10L, 20L, "i3"))
+      .map { case (k, s, e, id) =>
+        (k, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000), id)
+      }.toDF("k", "start", "end", "iv")
+    val pts = Seq(("a", 10L), ("a", 15L), ("a", 20L), ("a", 41L), ("b", 15L))
+      .map { case (k, t) => (k, new java.sql.Timestamp(t * 1000)) }
+      .toDF("k", "ts")
+    // bucket 7s: intervals span multiple buckets, boundaries off-bucket
+    val got = operators.TimeJoin.rangeJoin(pts, ivs, Seq("k"), bucketUs = 7000000L)
+      .select("k", "ts", "iv").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getString(2)))
+      .toSet
+    assert(got === Set(
+      ("a", 10L, "i1"),                    // inclusive start
+      ("a", 15L, "i1"), ("a", 15L, "i2"),  // overlapping intervals both match
+      ("a", 20L, "i1"), ("a", 20L, "i2"),  // inclusive end
+      ("b", 15L, "i3")))                   // (a,41) matches nothing
+  }
+
+  test("range join equals the brute-force theta model on random inputs") {
+    import spark.implicits._
+    val gen = for {
+      ps <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("x", "y"), Gen.choose(0L, 50L)))
+      is <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("x", "y"),
+        Gen.choose(0L, 50L), Gen.choose(0L, 12L)))
+      b <- Gen.choose(1L, 15L)
+    } yield (ps.distinct, is.map { case (k, s, len) => (k, s, s + len) }
+      .distinct.zipWithIndex, b)
+    val prop = Prop.forAll(gen) { case (ps, is, bucketS) =>
+      val pts = ps.map { case (k, t) => (k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("k", "ts")
+      val ivs = is.map { case ((k, s, e), i) =>
+        (k, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000), i.toLong)
+      }.toDF("k", "start", "end", "iv")
+      val got = operators.TimeJoin
+        .rangeJoin(pts, ivs, Seq("k"), bucketUs = bucketS * 1000000L)
+        .select("k", "ts", "iv").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+        .toSet
+      val want = (for {
+        (k, t) <- ps
+        ((ik, s, e), i) <- is
+        if ik == k && s <= t && t <= e
+      } yield (k, t, i.toLong)).toSet
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("as-of join equals the brute-force model on random inputs") {
     import spark.implicits._
     val gen = for {
