@@ -124,9 +124,11 @@ object SparkEntry {
     "q_chunk" -> Queries.chunkReport _,
     "q_sample_strata" -> Queries.sampleStrataReport _,
     "q_pack" -> Queries.packReport _,
-    // corpus stats: top bigrams (distributed top-k) + length histogram
+    // corpus stats: top bigrams (distributed top-k) + length histogram +
+    // exact rank-based percentiles
     "q_ngram_top" -> ((s, d) => ext.Text.topNgrams(Sources.documents(s, d))),
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
+    "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
@@ -217,6 +219,7 @@ object SparkEntry {
     "q_pack" -> Oracles.packReport,
     "q_ngram_top" -> Oracles.ngramTop,
     "q_token_hist" -> Oracles.tokenHist,
+    "q_percentiles" -> Oracles.percentiles,
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
@@ -2191,6 +2194,24 @@ SELECT ngram, count(*) AS n_occurrences
 FROM g GROUP BY 1
 ORDER BY n_occurrences DESC, ngram ASC
 LIMIT 20"""
+
+  /** Percentile twin: `percentile_disc` semantics re-derived from
+    * row_number over the same `(n_tok, doc_id)` order — all integer.
+    */
+  val percentiles: String =
+    """WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT lang, n_tok,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rank,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM t),
+p AS (SELECT unnest([250, 500, 750, 950]) AS pm)
+SELECT r.lang, CAST(p.pm AS INT) AS pm, CAST(r.n AS BIGINT) AS n_docs,
+  r.n_tok AS value
+FROM r, p
+WHERE r.rank = (r.n * p.pm + 999) // 1000"""
 
   /** Token-histogram twin: fixed-width `div` bucketing, same integer
     * aggregates.

@@ -373,6 +373,32 @@ object Text {
       .limit(k)
   }
 
+  /** Exact rank-based percentiles of the token count per stratum: the
+    * p-th percentile is the value at row `ceil(p·n)` of the
+    * `(n_tok, doc_id)` order — `percentile_disc` semantics, all-integer
+    * arithmetic (per-mille ranks, no interpolation), so the result is
+    * engine-exact where interpolating quantiles are not. One window
+    * shuffle keyed by stratum + a broadcast of the per-stratum counts;
+    * the length-distribution report that sizes truncation and packing
+    * policies.
+    */
+  def lengthPercentiles(docs: DataFrame, perMilles: Seq[Int] = Seq(250, 500, 750, 950),
+                        strataCol: String = "lang", textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(perMilles.nonEmpty && perMilles.forall(p => p > 0 && p <= 1000),
+      s"per-mille ranks must be in (0,1000], got $perMilles")
+    val t = docs.select(col(strataCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("n_tok"), col(idCol))
+    val counts = t.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    t.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(strataCol))
+      .withColumn("pm", explode(array(perMilles.map(p => lit(p)): _*)))
+      .where(col("rank") === expr("(n_docs * pm + 999) div 1000"))
+      .select(col(strataCol), col("pm"), col("n_docs"), col("n_tok").as("value"))
+  }
+
   /** Token-count histogram per language: bucket = `n_tokens div width`
     * (fixed-width bins). One narrow map + one aggregate — the corpus
     * length-distribution report that sizes packing budgets and truncation

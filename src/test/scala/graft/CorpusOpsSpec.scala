@@ -108,6 +108,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h.size === 3)
   }
 
+  test("lengthPercentiles: exact rank-based values, singleton stratum, p=1000 is the max") {
+    // en: token counts 1..10 (doc_id tie-break irrelevant, all distinct)
+    val en = (1 to 10).map(n => ((n + 100).toLong, ("w " * n).trim, "en"))
+    val fr = Seq((1L, "only one doc here", "fr")) // 4 tokens, singleton
+    val out = ext.Text.lengthPercentiles(
+        docsDF(en ++ fr), perMilles = Seq(250, 500, 1000))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // ceil semantics: p25 of 10 docs = rank 3, p50 = rank 5, p100 = rank 10
+    assert(out(("en", 250)) === 3L)
+    assert(out(("en", 500)) === 5L)
+    assert(out(("en", 1000)) === 10L)
+    // a singleton stratum returns its only value at every percentile
+    assert(Seq(250, 500, 1000).forall(pm => out(("fr", pm)) === 4L))
+  }
+
   test("mixTo: binding stratum keeps everything, others downsample, untargeted strata drop") {
     val docs = Sources.documents(spark, "/root/testdata/sf0.001")
     val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1)
