@@ -105,6 +105,8 @@ object SparkEntry {
     "q_mix" -> Queries.mixReport _,
     // bucketized range join composed over sessionization
     "q_range_join" -> Queries.rangeJoinReport _,
+    // rolling mean/σ anomaly scoring (decimal partials, one window shuffle)
+    "q_anomaly" -> Queries.anomalyReport _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -205,6 +207,7 @@ object SparkEntry {
     "q_sessionize" -> Oracles.sessionize,
     "q_mix" -> Oracles.mixReport,
     "q_range_join" -> Oracles.rangeJoin,
+    "q_anomaly" -> Oracles.anomaly,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1117,6 +1120,21 @@ object Queries {
       .select("lang", "n_before", "n_after", "permille")
   }
 
+  /** Rolling anomaly detection on the gate: four high-volume streams
+    * scored row-by-row against their previous-20-point mean/σ (z = 2,
+    * ≥ 5 priors). Row-level gate: every mean, σ, and flag must match the
+    * oracle's replay of the decimal-partial arithmetic — including the
+    * warm-up rows (NULL mean, flag FALSE) and the variance clamp.
+    */
+  def anomalyReport(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.rollingAnomaly(
+      Sources.eventsAsDatapoints(spark, sfDir)
+        .where(col("user_id").isin(7, 3) && col("event_type").isin("click", "view"))
+        .select("stream_id", "ts", "value"),
+      k = 20, z = 2.0, minPrior = 5)
+      .select("stream_id", "ts", "value", "n_prior",
+        "prior_mean", "prior_std", "is_anomaly")
+
   /** Sessionization on the gate: every (user, event_type) stream segmented
     * at 30-minute gaps, with per-session bounds, event counts, and
     * decimal-exact value sums. The oracle replays the lag/cumsum
@@ -1989,6 +2007,33 @@ k AS (
 b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
 SELECT b.lang, b.n_before, k.n_after, r.permille
 FROM b JOIN k USING (lang) JOIN r USING (lang)"""
+
+  /** Anomaly twin: the same ROWS-frame decimal sums, the same IEEE op
+    * sequence for mean/variance/σ (mean recomputed identically where the
+    * Spark plan reuses the expression), the same clamp and flag.
+    */
+  val anomaly: String =
+    """WITH d AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events WHERE user_id IN (7, 3) AND event_type IN ('click', 'view')),
+r AS (
+  SELECT stream_id, ts, value,
+    count(*) OVER w AS n_prior,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s,
+    CAST(sum(CAST(value * value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sq
+  FROM d
+  WINDOW w AS (PARTITION BY stream_id ORDER BY ts
+    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT stream_id, ts, value, n_prior,
+  s / CAST(n_prior AS DOUBLE) AS prior_mean,
+  sqrt(greatest(sq / CAST(n_prior AS DOUBLE)
+    - (s / CAST(n_prior AS DOUBLE)) * (s / CAST(n_prior AS DOUBLE)), 0.0))
+    AS prior_std,
+  (n_prior >= 5 AND abs(value - s / CAST(n_prior AS DOUBLE))
+    > 2.0 * sqrt(greatest(sq / CAST(n_prior AS DOUBLE)
+      - (s / CAST(n_prior AS DOUBLE)) * (s / CAST(n_prior AS DOUBLE)), 0.0)))
+    AS is_anomaly
+FROM r"""
 
   /** Range-join twin: sessions recomputed in SQL, then a plain BETWEEN
     * theta join — independent of the bucketized formulation under test.

@@ -237,6 +237,41 @@ object Derive {
         sum(col("value").cast(Downsample.DecV)).cast("double").as("sum"),
         count(lit(1)).as("contributing"))
 
+  /** Rolling anomaly detection: each datapoint scored against the mean/σ
+    * of its stream's previous `k` points (ROWS frame, current row
+    * excluded — the score must not see the value it judges). The
+    * monitoring use the reference's deployments ran on top of the raw
+    * API, as a first-class operator.
+    *
+    * Exactness: the rolling sums accumulate in DECIMAL(38,10) — exact and
+    * associative, so any windowed-summation tree (sliding-window segment
+    * trees included) yields the same partials — and the doubles (mean,
+    * variance, threshold compare) derive from them by a fixed IEEE op
+    * sequence the oracle replays. Population variance, clamped at 0
+    * against cancellation, same as the downsample cascade's std_dev. One
+    * window shuffle keyed by stream.
+    */
+  def rollingAnomaly(dp: DataFrame, k: Int = 20, z: Double = 3.0,
+                     minPrior: Int = 5,
+                     partition: Seq[String] = Seq("stream_id"),
+                     order: Seq[String] = Seq("ts")): DataFrame = {
+    require(k > 0 && minPrior > 0 && z > 0, "k, minPrior, z must be positive")
+    val win = w(partition, order).rowsBetween(-k, -1)
+    val nPrior = count(lit(1)).over(win)
+    val meanP = (sum(col("value").cast(Downsample.DecV)).over(win).cast("double") /
+      nPrior.cast("double"))
+    val varP = greatest(
+      sum((col("value") * col("value")).cast(Downsample.DecV)).over(win)
+        .cast("double") / nPrior.cast("double") - meanP * meanP,
+      lit(0.0))
+    dp.withColumn("n_prior", nPrior)
+      .withColumn("prior_mean", meanP)
+      .withColumn("prior_std", sqrt(varP))
+      .withColumn("is_anomaly",
+        col("n_prior") >= minPrior &&
+          abs(col("value") - col("prior_mean")) > lit(z) * col("prior_std"))
+  }
+
   /** The integer "wrapping counter" fixture used by the oracle-twin queries
     * (FIXTURES.md §B): an exact cumulative counter per stream, wrapped at
     * `modulus`. floor(value·100) makes it integer (exact in both engines);

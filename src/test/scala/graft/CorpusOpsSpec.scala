@@ -153,6 +153,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("rollingAnomaly: window excludes current row, warm-up stays false, spike flags") {
+    // 8 constant points then a spike: priors of the spike are all 5.0
+    val rows = (0 until 8).map(i =>
+      ("s", f"2024-01-01T00:0$i:00Z", 5.0)) :+ ("s", "2024-01-01T00:08:00Z", 50.0)
+    val out = Derive.rollingAnomaly(dp(rows).select("stream_id", "ts", "value"),
+        k = 20, z = 2.0, minPrior = 5)
+      .orderBy("ts").collect()
+    // first row: no priors, null mean, false flag
+    assert(out.head.getLong(3) === 0L && out.head.isNullAt(4) &&
+      !out.head.getBoolean(6))
+    // rows 1..4: under minPrior, flag false even though std == 0
+    (1 to 4).foreach(i => assert(!out(i).getBoolean(6)))
+    // row 5 onward (constant): mean 5, std 0, |v-mean| == 0 not > 0 → false
+    (5 to 7).foreach { i =>
+      assert(out(i).getDouble(4) === 5.0 && out(i).getDouble(5) === 0.0)
+      assert(!out(i).getBoolean(6))
+    }
+    // the spike: priors are 8 constants → flagged
+    val spike = out.last
+    assert(spike.getLong(3) === 8L && spike.getBoolean(6))
+  }
+
   test("normalize recovers unit norm and passes zero vectors through as zeros") {
     import spark.implicits._
     val df = Seq(
