@@ -107,6 +107,8 @@ object SparkEntry {
     "q_range_join" -> Queries.rangeJoinReport _,
     // rolling mean/σ anomaly scoring (decimal partials, one window shuffle)
     "q_anomaly" -> Queries.anomalyReport _,
+    // HLL++ distinct-cardinality sketch under an oracle-pinned error bound
+    "q_approx_distinct" -> Queries.approxDistinct _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -208,6 +210,7 @@ object SparkEntry {
     "q_mix" -> Oracles.mixReport,
     "q_range_join" -> Oracles.rangeJoin,
     "q_anomaly" -> Oracles.anomaly,
+    "q_approx_distinct" -> Oracles.approxDistinct,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1120,6 +1123,25 @@ object Queries {
       .select("lang", "n_before", "n_after", "permille")
   }
 
+  /** Sketch gate: per-language distinct-token cardinality via HLL++
+    * (`approx_count_distinct`, rsd 5%) checked against the exact distinct
+    * count computed in the same query. Output pins the exact count AND a
+    * within-10% boolean — the sketch's accuracy contract — while the
+    * sketch value itself stays free to vary with implementation. The
+    * pattern every approximate operator in this engine follows: rows-only
+    * for the estimate, an oracle-pinned quality gate beside it.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Sources.documents(spark, sfDir)
+      .select(col("lang"), explode(ext.Text.tokens(col("text"))).as("term"))
+    terms.groupBy("lang")
+      .agg(countDistinct(col("term")).as("n_exact"),
+        approx_count_distinct(col("term"), 0.05).as("_approx"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("_approx") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= 0.1).as("within_bounds"))
+  }
+
   /** Rolling anomaly detection on the gate: four high-volume streams
     * scored row-by-row against their previous-20-point mean/σ (z = 2,
     * ≥ 5 priors). Row-level gate: every mean, σ, and flag must match the
@@ -2007,6 +2029,16 @@ k AS (
 b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
 SELECT b.lang, b.n_before, k.n_after, r.permille
 FROM b JOIN k USING (lang) JOIN r USING (lang)"""
+
+  /** Sketch twin: the exact distinct count recomputed in SQL; the bound
+    * boolean is pinned TRUE — an HLL++ drifting past 10% fails the gate.
+    */
+  val approxDistinct: String =
+    """SELECT lang,
+  CAST(count(DISTINCT term) AS BIGINT) AS n_exact,
+  true AS within_bounds
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY 1"""
 
   /** Anomaly twin: the same ROWS-frame decimal sums, the same IEEE op
     * sequence for mean/variance/σ (mean recomputed identically where the
