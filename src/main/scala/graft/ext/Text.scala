@@ -330,6 +330,14 @@ object Text {
     val counts = docs.where(col(strataCol).isInCollection(targets.keys.toSeq))
       .groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("_n"))
       .withColumn("_w", weight)
+    // a target stratum with ZERO documents makes every mixture infeasible
+    // (T = min over PRESENT strata would silently ignore it and ship wrong
+    // proportions); the counts frame is |strata| rows, so this check is a
+    // metadata-scale action, not a corpus scan
+    val present = counts.select(strataCol).collect().map(_.getString(0)).toSet
+    val absent = targets.keySet -- present
+    require(absent.isEmpty,
+      s"target strata absent from the corpus: ${absent.toSeq.sorted.mkString(", ")}")
     val feasible = counts.agg(min(col("_n") / col("_w")).as("_t"))
     val rates = counts.crossJoin(broadcast(feasible))
       .withColumn("_permille",

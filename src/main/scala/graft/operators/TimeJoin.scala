@@ -98,6 +98,10 @@ object TimeJoin {
                 startCol: String = "start", endCol: String = "end"): DataFrame = {
     require(keyCols.nonEmpty, "range join needs at least one key column")
     require(bucketUs > 0, s"bucket width must be positive µs, got $bucketUs")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet) -- keyCols
+    require(clash.isEmpty,
+      s"non-key columns shared by both sides would be ambiguous in the " +
+        s"output: ${clash.toSeq.sorted.mkString(", ")}")
     val iv = intervals.withColumn("_rj_bucket",
       explode(sequence(
         expr(s"unix_micros($startCol) div $bucketUs"),

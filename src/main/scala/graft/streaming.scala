@@ -290,6 +290,8 @@ object Streaming {
     * scale the state store is RocksDB-backed; if the ingest window is
     * bounded, `withWatermark` + `dropDuplicatesWithinWatermark` caps
     * state by event time instead — same plan shape, TTL'd state.
+    * NULL-text rows all share the NULL hash key, so at most one lands —
+    * filter them upstream if they must be kept.
     */
   def dedupIngest(docs: DataFrame, outPath: String, checkpoint: String,
                   textCol: String = "text") =

@@ -151,6 +151,10 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ext.Text.mixTo(docs, Map("en" -> 0.5, "zh" -> 0.4))
     }
+    // a target stratum with zero corpus documents is infeasible, not ignored
+    intercept[IllegalArgumentException] {
+      ext.Text.mixTo(docs, Map("en" -> 0.5, "xx" -> 0.5))
+    }
   }
 
   test("rollingAnomaly: window excludes current row, warm-up stays false, spike flags") {
