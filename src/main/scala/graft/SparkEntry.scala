@@ -109,6 +109,8 @@ object SparkEntry {
     "q_anomaly" -> Queries.anomalyReport _,
     // HLL++ distinct-cardinality sketch under an oracle-pinned error bound
     "q_approx_distinct" -> Queries.approxDistinct _,
+    // exact-quota stratified sampling (rank window, content-hash order)
+    "q_sample_quota" -> Queries.sampleQuotaReport _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -211,6 +213,7 @@ object SparkEntry {
     "q_range_join" -> Oracles.rangeJoin,
     "q_anomaly" -> Oracles.anomaly,
     "q_approx_distinct" -> Oracles.approxDistinct,
+    "q_sample_quota" -> Oracles.sampleQuota,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1123,6 +1126,20 @@ object Queries {
       .select("lang", "n_before", "n_after", "permille")
   }
 
+  /** Exact-quota sampling on the gate: en capped at 100 docs, zh at 40,
+    * de at 1000 (over-quota — keeps all). Per-language surviving counts
+    * AND token sums: the count pins quota exactness, the token sum pins
+    * WHICH documents survived (the hash-order prefix), both replayed by
+    * the oracle's row_number twin.
+    */
+  def sampleQuotaReport(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.sampleQuota(Sources.documents(spark, sfDir),
+        Map("en" -> 100L, "zh" -> 40L, "de" -> 1000L))
+      .select(col("lang"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tokens_kept"))
+
   /** Sketch gate: per-language distinct-token cardinality via HLL++
     * (`approx_count_distinct`, rsd 5%) checked against the exact distinct
     * count computed in the same query. Output pins the exact count AND a
@@ -2029,6 +2046,30 @@ k AS (
 b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
 SELECT b.lang, b.n_before, k.n_after, r.permille
 FROM b JOIN k USING (lang) JOIN r USING (lang)"""
+
+  /** Quota twin: the same rolling-hash order replayed with row_number;
+    * the CASE quota map mirrors the Spark fold.
+    */
+  val sampleQuota: String =
+    """WITH h AS (
+  SELECT lang, doc_id, text,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) AS hb
+  FROM documents WHERE lang IN ('en', 'zh', 'de')),
+r AS (
+  SELECT lang, text,
+    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rank
+  FROM h),
+k AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM r
+  WHERE rank <= (CASE lang WHEN 'de' THEN 1000 WHEN 'en' THEN 100
+                           WHEN 'zh' THEN 40 END))
+SELECT lang, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+FROM k GROUP BY 1"""
 
   /** Sketch twin: the exact distinct count recomputed in SQL; the bound
     * boolean is pinned TRUE — an HLL++ drifting past 10% fails the gate.

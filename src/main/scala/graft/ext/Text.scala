@@ -303,6 +303,33 @@ object Text {
       .select("doc_id", "rank", "term", "tf", "df")
   }
 
+  /** Exact-quota stratified sampling: stratum `s` keeps EXACTLY
+    * `min(quota_s, n_s)` documents — the first `quota_s` in
+    * `(rollingHash(text), id)` order, so selection is content-determined
+    * and reproducible like `sampleStrata`, but with exact counts where
+    * the per-mille threshold gives only hash-approximate ones. Price of
+    * exactness: one rank window keyed by stratum (a shuffle the narrow
+    * threshold filter avoids); hash-ordering makes the chosen subset
+    * uniform, not a prefix of ingest order. Strata without a quota are
+    * dropped.
+    */
+  def sampleQuota(docs: DataFrame, quotas: Map[String, Long],
+                  strataCol: String = "lang", textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0),
+      "quotas must be non-negative")
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (k, q)) => when(col(strataCol) === k, lit(q)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("_sq_hash"), col(idCol))
+    docs.where(col(strataCol).isInCollection(quotas.keys.toSeq))
+      .withColumn("_sq_hash", docHash(col(textCol)))
+      .withColumn("_sq_rank", row_number().over(w).cast("long"))
+      .where(col("_sq_rank") <= quota)
+      .drop("_sq_hash", "_sq_rank")
+  }
+
   /** Corpus rebalancing to TARGET stratum proportions — the data-mixing
     * step that turns "50% en / 25% zh / …" mixture weights into per-
     * stratum keep rates. Since sampling can only shrink strata, the

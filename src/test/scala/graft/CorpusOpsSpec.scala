@@ -124,6 +124,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Seq(250, 500, 1000).forall(pm => out(("fr", pm)) === 4L))
   }
 
+  test("sampleQuota: exact counts, over-quota keeps all, deterministic hash-order prefix") {
+    val docs = Sources.documents(spark, "/root/testdata/sf0.001")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = ext.Text.sampleQuota(docs, Map("en" -> 5L, "zh" -> 10000L))
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") === 5L)                 // exact quota
+    assert(after("zh") === before("zh"))       // over-quota keeps all
+    assert(after.keySet === Set("en", "zh"))   // unlisted strata dropped
+    // a larger quota's selection extends the smaller one (prefix property)
+    val kept3 = ext.Text.sampleQuota(docs, Map("en" -> 3L)).select("doc_id")
+    assert(kept3.exceptAll(kept.where(col("lang") === "en")
+      .select("doc_id")).count() === 0L)
+  }
+
   test("mixTo: binding stratum keeps everything, others downsample, untargeted strata drop") {
     val docs = Sources.documents(spark, "/root/testdata/sf0.001")
     val targets = Map("en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1)
