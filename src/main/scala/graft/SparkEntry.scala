@@ -111,6 +111,8 @@ object SparkEntry {
     "q_approx_distinct" -> Queries.approxDistinct _,
     // exact-quota stratified sampling (rank window, content-hash order)
     "q_sample_quota" -> Queries.sampleQuotaReport _,
+    // approx-percentile sketch pinned inside the exact p40-p60 rank band
+    "q_approx_percentile" -> Queries.approxPercentile _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -214,6 +216,7 @@ object SparkEntry {
     "q_anomaly" -> Oracles.anomaly,
     "q_approx_distinct" -> Oracles.approxDistinct,
     "q_sample_quota" -> Oracles.sampleQuota,
+    "q_approx_percentile" -> Oracles.approxPercentile,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1140,6 +1143,33 @@ object Queries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("tokens_kept"))
 
+  /** Second sketch gate: `percentile_approx` (Greenwald-Khanna) medians of
+    * the token count per language, pinned to land within the exact p40–p60
+    * rank band (computed in-query by the same rank arithmetic as
+    * `lengthPercentiles`). The sketch value itself stays free; its
+    * accuracy contract is what the oracle pins.
+    */
+  def approxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Sources.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_tok"), col("doc_id"))
+    val counts = t.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val bands = t.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("lo_rank", expr("(n_docs * 400 + 999) div 1000"))
+      .withColumn("hi_rank", expr("(n_docs * 600 + 999) div 1000"))
+      .groupBy("lang")
+      .agg(min(when(col("rank") === col("lo_rank"), col("n_tok"))).as("p40"),
+        min(when(col("rank") === col("hi_rank"), col("n_tok"))).as("p60"))
+    val approx = t.groupBy("lang")
+      .agg(percentile_approx(col("n_tok"), lit(0.5), lit(1000)).as("_ap"))
+    bands.join(approx, Seq("lang"))
+      .select(col("lang"), col("p40"), col("p60"),
+        (col("_ap") >= col("p40") && col("_ap") <= col("p60")).as("within_band"))
+  }
+
   /** Sketch gate: per-language distinct-token cardinality via HLL++
     * (`approx_count_distinct`, rsd 5%) checked against the exact distinct
     * count computed in the same query. Output pins the exact count AND a
@@ -2046,6 +2076,25 @@ k AS (
 b AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY 1)
 SELECT b.lang, b.n_before, k.n_after, r.permille
 FROM b JOIN k USING (lang) JOIN r USING (lang)"""
+
+  /** Approx-percentile twin: the exact p40/p60 band values re-derived by
+    * the rank arithmetic; the band boolean is pinned TRUE — a GK sketch
+    * whose median escapes the band fails the gate.
+    */
+  val approxPercentile: String =
+    """WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT lang, n_tok,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rank,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM t)
+SELECT lang,
+  min(CASE WHEN rank = (n * 400 + 999) // 1000 THEN n_tok END) AS p40,
+  min(CASE WHEN rank = (n * 600 + 999) // 1000 THEN n_tok END) AS p60,
+  true AS within_band
+FROM r GROUP BY 1"""
 
   /** Quota twin: the same rolling-hash order replayed with row_number;
     * the CASE quota map mirrors the Spark fold.
