@@ -113,6 +113,8 @@ object SparkEntry {
     "q_sample_quota" -> Queries.sampleQuotaReport _,
     // approx-percentile sketch pinned inside the exact p40-p60 rank band
     "q_approx_percentile" -> Queries.approxPercentile _,
+    // composed prep pipeline: scrub → mix → chunk, one chained SQL twin
+    "q_corpus_pipeline2" -> Queries.corpusPipeline2 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -217,6 +219,7 @@ object SparkEntry {
     "q_approx_distinct" -> Oracles.approxDistinct,
     "q_sample_quota" -> Oracles.sampleQuota,
     "q_approx_percentile" -> Oracles.approxPercentile,
+    "q_corpus_pipeline2" -> Oracles.corpusPipeline2,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1127,6 +1130,33 @@ object Queries {
       .join(kept.groupBy(col("lang"), col("mix_permille").as("permille"))
         .agg(count(lit(1)).as("n_after")), Seq("lang"))
       .select("lang", "n_before", "n_after", "permille")
+  }
+
+  /** The PREP-side composed pipeline (complement of q_corpus_pipeline's
+    * dedup chain): PII-salted documents → scrub → mixture rebalance to
+    * target weights (hash of the SCRUBBED text — stage order matters and
+    * the oracle replays it) → context-window chunking → per-language doc,
+    * chunk, and chunk-char totals. Every stage is oracle-proven alone;
+    * this row proves the COMPOSITION, where each stage consumes the
+    * previous stage's output.
+    */
+  def corpusPipeline2(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Sources.documents(spark, sfDir).withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10.0."),
+        pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(".1 tel +1555"),
+        (col("doc_id") + 1000000).cast("string")))
+    val scrubbed = salted.withColumn("text", ext.Text.scrub(col("text")))
+    val mixed = ext.Text.mixTo(scrubbed, Map(
+      "en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1))
+    ext.Text.chunk(mixed, window = 200, stride = 150)
+      .join(mixed.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(when(col("chunk_idx") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_chunk_chars").as("chunk_chars_sum"))
   }
 
   /** Exact-quota sampling on the gate: en capped at 100 docs, zh at 40,
@@ -2095,6 +2125,56 @@ SELECT lang,
   min(CASE WHEN rank = (n * 600 + 999) // 1000 THEN n_tok END) AS p60,
   true AS within_band
 FROM r GROUP BY 1"""
+
+  /** Prep-pipeline twin: salt → three sequential scrub passes → mixture
+    * feasibility/rates over the SCRUBBED corpus (hash of scrubbed text) →
+    * keep decisions → chunk fan-out — the q_pii_scrub, q_mix, and q_chunk
+    * twins chained so each stage reads the previous stage's output.
+    */
+  val corpusPipeline2: String =
+    """WITH salted AS (
+  SELECT doc_id, lang,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      '@mail.example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+      '.1 tel +1555' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, lang,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\+\d{7,15}', '[PHONE]', 'g') AS text
+  FROM salted),
+c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+    CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.1
+              WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.2 END AS w
+  FROM scrubbed GROUP BY 1),
+t AS (SELECT min(n / w) AS t FROM c),
+r AS (
+  SELECT lang, CAST(floor(w * t.t / n * 1000.0) AS BIGINT) AS permille
+  FROM c, t),
+kept AS (
+  SELECT s.doc_id, s.lang, s.text
+  FROM scrubbed s JOIN r USING (lang)
+  WHERE (CASE WHEN length(s.text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(s.text) + 1),
+        i -> CAST(ascii(s.text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 1000 < r.permille),
+ch AS (
+  SELECT lang, doc_id, text,
+    unnest(range(0, CASE WHEN length(text) <= 200 THEN 1
+      ELSE ((length(text) - 200 + 149) // 150) + 1 END)) AS chunk_idx
+  FROM kept)
+SELECT lang,
+  CAST(count(*) FILTER (WHERE chunk_idx = 0) AS BIGINT) AS n_docs,
+  count(*) AS n_chunks,
+  CAST(sum(length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200)))
+    AS BIGINT) AS chunk_chars_sum
+FROM ch GROUP BY 1"""
 
   /** Quota twin: the same rolling-hash order replayed with row_number;
     * the CASE quota map mirrors the Spark fold.
