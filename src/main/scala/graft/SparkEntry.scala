@@ -1151,8 +1151,8 @@ object Queries {
     val scrubbed = salted.withColumn("text", ext.Text.scrub(col("text")))
     val mixed = ext.Text.mixTo(scrubbed, Map(
       "en" -> 0.4, "zh" -> 0.2, "de" -> 0.2, "es" -> 0.1, "fr" -> 0.1))
-    ext.Text.chunk(mixed, window = 200, stride = 150)
-      .join(mixed.select("doc_id", "lang"), Seq("doc_id"))
+    ext.Text.chunk(mixed, window = 200, stride = 150,
+        passthrough = Seq("lang"))
       .groupBy("lang")
       .agg(sum(when(col("chunk_idx") === 0L, 1L).otherwise(0L)).as("n_docs"),
         count(lit(1)).as("n_chunks"),

@@ -245,7 +245,8 @@ object Text {
     * `explode` — no shuffle, chunk count is per-row arithmetic.
     */
   def chunk(docs: DataFrame, window: Int = 200, stride: Int = 150,
-            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+            textCol: String = "text", idCol: String = "doc_id",
+            passthrough: Seq[String] = Nil): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val len = length(col(textCol))
@@ -254,11 +255,16 @@ object Text {
     val nChunks = when(len <= window, lit(1L)).otherwise(
       floor((len - window + (stride - 1)).cast("double") / stride)
         .cast("long") + 1L)
-    docs.select(col(idCol), col(textCol),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
-      .select(col(idCol), col("chunk_idx"),
+    // passthrough rides the explode instead of forcing the caller to
+    // re-join chunks back to their documents (which would duplicate the
+    // upstream subplan — measured as a doubled mixTo in the composed
+    // pipeline before this existed)
+    val carried = passthrough.map(col)
+    docs.select(col(idCol) +: carried :+ col(textCol) :+
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"): _*)
+      .select(col(idCol) +: carried :+ col("chunk_idx") :+
         col(textCol).substr(col("chunk_idx").cast("int") * stride + 1,
-          lit(window)).as("chunk_text"))
+          lit(window)).as("chunk_text"): _*)
       .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
   }
 
