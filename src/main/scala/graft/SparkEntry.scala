@@ -62,6 +62,8 @@ object SparkEntry {
     // X1 streaming arm: cross-micro-batch content-hash dedup of a
     // twice-delivered shard
     "q_streaming_dedup" -> Queries.streamingDedup _,
+    // native session_window under a watermark vs the batch sessionizer
+    "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
     "q_streaming_derive_sum" -> Queries.streamingDeriveSum _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
@@ -174,6 +176,7 @@ object SparkEntry {
     "q_streaming_ladder" -> Oracles.streamingLadder,
     // the twice-delivered shard must dedup to exactly one corpus copy
     "q_streaming_dedup" -> Oracles.streamingDedup,
+    "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
     "q_streaming_derive_sum" -> Oracles.streamingDeriveSum,
@@ -786,6 +789,43 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("chars_sum"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** The sessionizer's streaming arm on the gate: events stream through
+    * `session_window` (30-minute gap, zero-delay watermark, append mode)
+    * under `Trigger.AvailableNow`; emitted sessions are exactly those
+    * CLOSED under the final watermark (last event + gap ≤ max event time).
+    * The oracle is the BATCH lag/cumsum sessionization restricted to that
+    * same closure boundary — so the native session_window segmentation,
+    * the emit-once contract, and the decimal sums must all agree with the
+    * independently-formulated batch op.
+    */
+  def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-ssess")
+    val srcDir = tempDir("graft-ssess-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val q = Streaming.sessionizeStream(src, Seq("user_id", "event_type"),
+        gap = "30 minutes", delay = "0 seconds")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+      .select(col("user_id"), col("event_type"), col("session_start"),
+        col("session_last"), col("n_events"),
+        col("vsum_dec").cast("double").as("value_sum"))
   }
 
   /** T2's full streaming LADDER on the gate: minutes partials stream from
@@ -2056,6 +2096,34 @@ FROM (
       (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
   FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
 WHERE cosine >= 0.3"""
+
+  /** Streaming-sessions twin: the batch lag/cumsum sessionization
+    * restricted to sessions CLOSED under the final watermark
+    * (last event + gap ≤ global max event time) — the append-mode
+    * emit-once boundary.
+    */
+  val streamingSessions: String =
+    """WITH f AS (
+  SELECT user_id, event_type, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM f),
+sess AS (
+  SELECT user_id, event_type,
+    min(ts) AS session_start, max(ts) AS session_last,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+  FROM s GROUP BY user_id, event_type, session_seq)
+SELECT user_id, event_type, session_start, session_last, n_events, value_sum
+FROM sess
+WHERE epoch_us(session_last) + 1800000000 <=
+  (SELECT max(epoch_us(ts)) FROM events)"""
 
   /** Sessionization twin: the same lag/cumsum segmentation in SQL —
     * 30-minute gap in µs, strict `>` comparison, decimal-exact sums.

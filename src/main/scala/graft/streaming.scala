@@ -280,6 +280,30 @@ object Streaming {
         ds.appendBatch(batch, batchId)
       }
 
+  /** The sessionizer's streaming arm: Spark's native `session_window`
+    * under a watermark in append mode — a session is emitted exactly once,
+    * when the watermark passes its close (last event + gap). Decimal value
+    * partials like everywhere else. `session_window`'s `end` is
+    * last-event-time + gap, so `session_last` re-derives the batch op's
+    * `session_end` (max event ts) by subtracting the gap.
+    *
+    * Boundary note vs the batch `Sessionize.sessions`: the batch op keeps
+    * two events in one session at inter-arrival == gap (strict `>` starts
+    * a session); `session_window` merges on window OVERLAP, so an exact
+    * ==gap arrival starts a new session. At µs resolution an exact-gap
+    * pair has measure zero; deployments that must pin the boundary use
+    * the batch op.
+    */
+  def sessionizeStream(raw: DataFrame, keys: Seq[String], gap: String,
+                       delay: String): DataFrame =
+    raw.withWatermark("ts", delay)
+      .groupBy(keys.map(col) :+ session_window(col("ts"), gap).as("w"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(Downsample.DecV)).as("vsum_dec"),
+        max("ts").as("session_last"))
+      .select(keys.map(col) :+ col("w.start").as("session_start") :+
+        col("session_last") :+ col("n_events") :+ col("vsum_dec"): _*)
+
   /** X1's streaming arm: exact-dedup ingest. Documents are keyed by
     * content hash and deduplicated ACROSS micro-batches —
     * `dropDuplicates` on a streaming DataFrame keeps every seen key in

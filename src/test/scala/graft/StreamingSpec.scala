@@ -153,6 +153,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window emits a session once, when the watermark passes its close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Point]
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssess-t").toString
+    val q = Streaming.sessionizeStream(
+        mem.toDF().toDF("stream_id", "ts", "value"),
+        Seq("stream_id"), gap = "30 minutes", delay = "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.Point("s", ts("2024-01-01T00:00:00Z"), 1.0),
+        Streaming.Point("s", ts("2024-01-01T00:10:00Z"), 2.0),
+        Streaming.Point("s", ts("2024-01-01T02:00:00Z"), 4.0))
+      q.processAllAvailable()
+      // batch 2 only advances the watermark past session 2's close
+      mem.addData(Streaming.Point("s", ts("2024-01-01T03:00:00Z"), 8.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("session_start", "session_last", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      // session {3:00} is still open: never emitted
+      assert(got === Set(
+        (ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:10:00Z"), 2L),
+        (ts("2024-01-01T02:00:00Z"), ts("2024-01-01T02:00:00Z"), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming multi-stream sum emits finalized buckets equal to the batch derive op") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.Point]
