@@ -52,6 +52,37 @@ class CorpusPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("sessionize equals the sequential gap-scan model for any points and gap") {
+    import spark.implicits._
+    val gen = for {
+      ts <- Gen.nonEmptyContainerOf[Set, Long](Gen.choose(0L, 2000L))
+      gap <- Gen.choose(1L, 300L)
+    } yield (ts.toList.sorted, gap)
+    val prop = Prop.forAll(gen) { case (times, gapS) =>
+      val df = times.map(t => ("s", new java.sql.Timestamp(t * 1000), t.toDouble))
+        .toDF("stream_id", "ts", "value")
+      val got = graft.operators.Sessionize
+        .sessions(df, Seq("stream_id"), gapUs = gapS * 1000000L)
+        .collect()
+        .map(r => (r.getLong(1), r.getTimestamp(2).getTime / 1000,
+          r.getTimestamp(3).getTime / 1000, r.getLong(4)))
+        .toSet
+      // sequential model: split at gaps > gapS
+      val groups = times.tail.foldLeft(List(List(times.head))) {
+        case (acc @ (cur :: rest), t) =>
+          if (t - cur.head > gapS) List(t) :: acc
+          else (t :: cur) :: rest
+        case (Nil, _) => Nil // unreachable
+      }.reverse.map(_.reverse)
+      val want = groups.zipWithIndex.map { case (g, i) =>
+        (i.toLong + 1, g.head, g.last, g.length.toLong)
+      }.toSet
+      got == want
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("packContiguous equals the sequential prefix-sum model for any ids, budget, blockSize") {
     import spark.implicits._
     val rowsGen = for {
