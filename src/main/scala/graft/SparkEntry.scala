@@ -128,6 +128,9 @@ object SparkEntry {
     // train-vs-eval decontamination, and the composed filter→dedup pipeline
     "q_split" -> Queries.splitReport _,
     "q_decontaminate" -> Queries.decontaminateReport _,
+    // persisted dedup index: build → dedup shard → append survivors →
+    // re-queue comes back empty
+    "q_dedup_index" -> Queries.dedupIndexReport _,
     "q_corpus_pipeline" -> Queries.corpusPipeline _,
     // corpus-prep narrow ops: PII scrubbing, context-window chunking,
     // deterministic stratified sampling, and token-budget sequence packing
@@ -230,6 +233,7 @@ object SparkEntry {
     "q_embdup_recall" -> Oracles.embdupRecall,
     "q_split" -> Oracles.splitReport,
     "q_decontaminate" -> Oracles.decontaminateReport,
+    "q_dedup_index" -> Oracles.dedupIndexReport,
     "q_corpus_pipeline" -> Oracles.corpusPipeline,
     "q_pii_scrub" -> Oracles.piiScrub,
     "q_chunk" -> Oracles.chunkReport,
@@ -1382,6 +1386,37 @@ object Queries {
       .select(col("lang"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"))
+  }
+
+  /** The persisted dedup index on the gate — the incremental-ingest
+    * lifecycle: build the index over the even half of the corpus, dedup
+    * the odd half against it (exact md5 + LSH-candidates + Jaccard ≥ 0.8),
+    * APPEND the survivors to the index, and re-queue the same shard —
+    * which must now come back empty (survivors exact-match themselves;
+    * removed docs still match their original dups). Output: per-language
+    * before/after/removed plus the pinned requeue-empty boolean. The
+    * oracle recomputes the removed set from the exact cross-side inverted
+    * shingle index + md5 — independent of the banded candidates under
+    * test.
+    */
+  def dedupIndexReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val idxSide = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val shard = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val dir = tempDir("graft-dedupidx")
+    ext.DedupIndex.buildIndex(idxSide, dir)
+    val clean = ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.8)
+      .localCheckpoint(true) // consumed twice: append + report
+    ext.DedupIndex.appendToIndex(clean, dir)
+    val requeueEmpty =
+      ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.8).isEmpty
+    shard.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(clean.groupBy("lang").agg(count(lit(1)).as("n_after")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        lit(requeueEmpty).as("requeue_empty"))
   }
 
   /** The end-to-end corpus-materialization pipeline a training run ships:
@@ -2539,6 +2574,40 @@ SELECT lang, n_tok // 16 AS bucket, count(*) AS n_docs,
   CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
   min(n_tok) AS tok_min, max(n_tok) AS tok_max
 FROM t GROUP BY 1, 2"""
+
+  /** Dedup-index twin: the removed set recomputed from the EXACT
+    * cross-side inverted shingle index + md5 (independent of the banded
+    * candidate generation under test); requeue_empty pinned TRUE.
+    */
+  val dedupIndexReport: String =
+    """WITH idx AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+shard AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+ssh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM shard)),
+ish AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM idx)),
+sinv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM ssh),
+iinv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM ish),
+cand AS (
+  SELECT s.doc_id AS sid, i.doc_id AS iid, s.sz AS ss, i.sz AS si, count(*) AS i
+  FROM sinv s JOIN iinv i ON s.g = i.g GROUP BY 1, 2, 3, 4),
+removed AS (
+  SELECT DISTINCT sid AS id FROM cand
+  WHERE CAST(i AS DOUBLE) / (ss + si - i) >= 0.8
+  UNION
+  SELECT DISTINCT s.doc_id FROM shard s JOIN idx i ON md5(s.text) = md5(i.text))
+SELECT lang,
+  count(*) AS n_before,
+  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM removed))
+    AS BIGINT) AS n_after,
+  CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM removed))
+    AS BIGINT) AS n_removed,
+  true AS requeue_empty
+FROM shard GROUP BY 1"""
 
   /** Decontamination twin: the contaminated set recomputed from the
     * cross-corpus inverted shingle index (near-dups at Jaccard ≥ 0.8)

@@ -75,6 +75,50 @@ object Dedup {
       }.toDF("doc_id", "sh")
   }
 
+  /** Banded MinHash signature rows `(doc_id, band, band_hash)` from a
+    * shingled frame. ROW-LOCAL: one loop per doc computes all permuted
+    * minima and band hashes — no explode + per-permutation aggregation
+    * shuffle. The permutation coefficients are drawn from a FIXED seed, so
+    * two invocations with the same `(bands, rowsPerBand)` produce
+    * identical signatures — the property the persisted dedup index relies
+    * on (signatures written at build time must collide with signatures
+    * computed at query time).
+    */
+  private[ext] def bandedRows(sh: DataFrame, bands: Int,
+                              rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val p = 2147483647L // 2^31 − 1
+    val rnd = new scala.util.Random(8191)
+    val ab = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
+    val abArr = ab.toArray
+    import sh.sparkSession.implicits._
+    sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, shingles) =>
+          val mins = Array.fill(abArr.length)(Long.MaxValue)
+          shingles.foreach { s =>
+            val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, p)
+            var i = 0
+            while (i < abArr.length) {
+              val (a, b) = abArr(i)
+              val v = math.floorMod(h * a + b, p)
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (0 until bands).map { b =>
+            var bh = 1125899906842597L // simple polynomial band hash
+            var r = 0
+            while (r < rowsPerBand) {
+              bh = bh * 31 + mins(b * rowsPerBand + r); r += 1
+            }
+            (id, b, bh)
+          }
+        }
+      }.toDF("doc_id", "band", "band_hash")
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val i = size(array_intersect(a, b)).cast("long")
@@ -188,11 +232,6 @@ object Dedup {
                      bands: Int = 16, rowsPerBand: Int = 4,
                      textCol: String = "text", idCol: String = "doc_id",
                      maxBucket: Int = 64): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val p = 2147483647L // 2^31 − 1
-    val rnd = new scala.util.Random(8191)
-    val ab = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
     // persisted: referenced by the signature path AND both verify joins —
     // without it every branch would recompute the shingling. Released in the
     // finally below (buckets too — a mid-pipeline throw must not leak either
@@ -202,37 +241,7 @@ object Dedup {
     val sh = shingled(docs, n, textCol, idCol).where(size(col("sh")) > 0).persist()
     var pinned: DataFrame = null // the persisted slim (id, band, hash) rows
     try {
-    // signatures are ROW-LOCAL: one loop per doc computes all permuted
-    // minima and band hashes — no explode + 64-agg groupBy shuffle (which
-    // moves |docs|·|shingles| rows for a per-row computation)
-    val abArr = ab.toArray
-    val banded = {
-      import sh.sparkSession.implicits._
-      sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
-        .mapPartitions { it =>
-          it.flatMap { case (id, shingles) =>
-            val mins = Array.fill(abArr.length)(Long.MaxValue)
-            shingles.foreach { s =>
-              val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, p)
-              var i = 0
-              while (i < abArr.length) {
-                val (a, b) = abArr(i)
-                val v = math.floorMod(h * a + b, p)
-                if (v < mins(i)) mins(i) = v
-                i += 1
-              }
-            }
-            (0 until bands).map { b =>
-              var bh = 1125899906842597L // simple polynomial band hash
-              var r = 0
-              while (r < rowsPerBand) {
-                bh = bh * 31 + mins(b * rowsPerBand + r); r += 1
-              }
-              (id, b, bh)
-            }
-          }
-        }.toDF("doc_id", "band", "band_hash")
-    }
+    val banded = bandedRows(sh, bands, rowsPerBand)
     // pair generation INSIDE each (band, bucket): one shuffle, no self-join
     // (which would recompute the signature pipeline once per side). Buckets
     // hold near-identical docs, so expanding pairs bucket-locally is the

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup index — the INCREMENTAL ingest story for X1/X2: build
+  * the MinHash/exact index over the existing corpus ONCE, then dedup each
+  * arriving shard against it without recomputing anything corpus-side,
+  * and fold accepted shards in with an append. At 100 TB the index is the
+  * only thing a new-shard dedup reads: slim `(doc_id, band, band_hash)`
+  * rows for candidates, shingle sets for exact-Jaccard verification, md5
+  * hashes for the exact arm — never the corpus text.
+  *
+  * Layout under `path`:
+  *   bands/     (doc_id, band, band_hash)   — LSH candidate side
+  *   shingles/  (doc_id, sh)                — Jaccard verification side
+  *   exact/     (doc_id, text_md5)          — exact-duplicate arm
+  *   params/    (n, bands, rows_per_band)   — pinned at build; queries and
+  *              appends validate against it, because signatures only
+  *              collide across runs when the banding scheme matches
+  *              (`Dedup.bandedRows` is seed-fixed for exactly this).
+  */
+object DedupIndex {
+
+  def buildIndex(docs: DataFrame, path: String, n: Int = 3,
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    import docs.sparkSession.implicits._
+    Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+    writeSides(docs, path, SaveMode.Overwrite, n, bands, rowsPerBand,
+      textCol, idCol)
+  }
+
+  /** Fold a (deduplicated) shard into the index: same computation, append
+    * mode. The caller appends the SURVIVORS of `dedupeAgainstIndex`, so
+    * the index stays internally duplicate-free.
+    */
+  def appendToIndex(docs: DataFrame, path: String,
+                    textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (n, bands, rowsPerBand) = readParams(docs, path)
+    writeSides(docs, path, SaveMode.Append, n, bands, rowsPerBand,
+      textCol, idCol)
+  }
+
+  /** Survivors of `newDocs` after removing every exact (md5) or near
+    * (shingle-Jaccard ≥ `threshold`) duplicate of an INDEXED document.
+    * Candidates come from band-hash collisions between the shard's
+    * signatures (computed here, same fixed-seed scheme) and the stored
+    * band rows; only colliding pairs fetch shingle sets for verification.
+    */
+  def dedupeAgainstIndex(newDocs: DataFrame, path: String,
+                         threshold: Double = 0.8,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val (n, bands, rowsPerBand) = readParams(newDocs, path)
+    val spark = newDocs.sparkSession
+    val shN = Dedup.shingled(newDocs, n, textCol, idCol)
+      .where(size(col("sh")) > 0)
+    val candidates = Dedup.bandedRows(shN, bands, rowsPerBand)
+      .join(spark.read.parquet(s"$path/bands")
+          .select(col("doc_id").as("idx_id"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col("doc_id"), col("idx_id")).distinct()
+    val near = candidates
+      .join(shN.select(col("doc_id"), col("sh").as("sh_new")), Seq("doc_id"))
+      .join(spark.read.parquet(s"$path/shingles")
+          .select(col("doc_id").as("idx_id"), col("sh").as("sh_idx")),
+        Seq("idx_id"))
+      .where(Dedup.jaccard(col("sh_new"), col("sh_idx")) >= threshold)
+      .select(col("doc_id").as(idCol))
+    val exact = newDocs.select(col(idCol), md5(col(textCol)).as("_h"))
+      .join(spark.read.parquet(s"$path/exact")
+        .select(col("text_md5").as("_h")).distinct(), Seq("_h"))
+      .select(col(idCol))
+    newDocs.join(near.unionByName(exact), Seq(idCol), "left_anti")
+  }
+
+  private def writeSides(docs: DataFrame, path: String, mode: SaveMode,
+                         n: Int, bands: Int, rowsPerBand: Int,
+                         textCol: String, idCol: String): Unit = {
+    val sh = Dedup.shingled(docs, n, textCol, idCol)
+      .where(size(col("sh")) > 0).persist()
+    try {
+      docs.select(col(idCol).cast("long").as("doc_id"),
+          md5(col(textCol)).as("text_md5"))
+        .write.mode(mode).parquet(s"$path/exact")
+      sh.write.mode(mode).parquet(s"$path/shingles")
+      Dedup.bandedRows(sh, bands, rowsPerBand)
+        .write.mode(mode).parquet(s"$path/bands")
+    } finally { sh.unpersist(); () }
+  }
+
+  private def readParams(any: DataFrame, path: String): (Int, Int, Int) = {
+    val row = any.sparkSession.read.parquet(s"$path/params")
+      .select("n", "bands", "rows_per_band").head()
+    (row.getInt(0), row.getInt(1), row.getInt(2))
+  }
+}

@@ -76,6 +76,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tight.exceptAll(a).count() === 0L)
   }
 
+  test("DedupIndex: exact and near dups removed, survivors append, requeue drains") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val idxDocs = docsDF(Seq(
+      (0L, base, "en"),
+      (2L, "completely different words entirely here now today maybe", "en")))
+    val shard = docsDF(Seq(
+      (1L, base, "en"),                           // exact dup of doc 0
+      (3L, base + " lambda", "en"),               // near dup (jaccard ~0.8+)
+      (5L, "nothing in common with anything at all whatsoever", "en")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-t").toString
+    ext.DedupIndex.buildIndex(idxDocs, dir)
+    val clean = ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(5L))
+    // fold the survivor in; the same shard now drains completely
+    ext.DedupIndex.appendToIndex(clean, dir)
+    assert(ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7).isEmpty)
+    // an unrelated fresh shard still passes through
+    val fresh = docsDF(Seq((7L, "yet another unrelated set of tokens right", "en")))
+    assert(ext.DedupIndex.dedupeAgainstIndex(fresh, dir, threshold = 0.7)
+      .count() === 1L)
+  }
+
   test("topNgrams counts bigrams corpus-wide with deterministic tie-break") {
     val df = docsDF(Seq(
       (1L, "a b a b c", "en"),   // a_b ×2, b_a, b_c
