@@ -131,6 +131,10 @@ object SparkEntry {
     // persisted dedup index: build → dedup shard → append survivors →
     // re-queue comes back empty
     "q_dedup_index" -> Queries.dedupIndexReport _,
+    // relational breadth on the TPC-H-ish tables: Q1 pricing summary and
+    // Q3-shape top customers (broadcast dims into the fact scan)
+    "q_tpch_pricing" -> Queries.tpchPricing _,
+    "q_tpch_topcust" -> Queries.tpchTopCustomers _,
     "q_corpus_pipeline" -> Queries.corpusPipeline _,
     // corpus-prep narrow ops: PII scrubbing, context-window chunking,
     // deterministic stratified sampling, and token-budget sequence packing
@@ -234,6 +238,8 @@ object SparkEntry {
     "q_split" -> Oracles.splitReport,
     "q_decontaminate" -> Oracles.decontaminateReport,
     "q_dedup_index" -> Oracles.dedupIndexReport,
+    "q_tpch_pricing" -> Oracles.tpchPricing,
+    "q_tpch_topcust" -> Oracles.tpchTopCustomers,
     "q_corpus_pipeline" -> Oracles.corpusPipeline,
     "q_pii_scrub" -> Oracles.piiScrub,
     "q_chunk" -> Oracles.chunkReport,
@@ -1386,6 +1392,60 @@ object Queries {
       .select(col("lang"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"))
+  }
+
+  /** Relational breadth over the TPC-H-ish tables: the Q1 pricing-summary
+    * shape — shipdate-filtered scan (predicate pushed to parquet), one
+    * partial→final aggregate, decimal-exact sums over the same double
+    * expressions the oracle replays.
+    */
+  def tpchPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    // sums accumulate exactly at scale 10, then RESCALE to 4 before the
+    // double cast: at scale 10 these totals carry 19 significant digits,
+    // where DuckDB's int128-decimal→double (scale then divide — two
+    // roundings) lands 1 ulp off Spark's correctly-rounded BigDecimal
+    // path; at scale 4 the scaled integer is exact in a double, both
+    // engines round once, and the doubles agree bit-for-bit
+    val Dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    Sources.table(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= lit(ts("2000-01-01T00:00:00Z")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(Downsample.DecV)).cast(Dec4)
+          .cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Downsample.DecV)).cast(Dec4)
+          .cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Downsample.DecV)).cast(Dec4).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))
+          .cast(Downsample.DecV)).cast(Dec4).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** The Q3 shape — segment-filtered customers and orders BROADCAST into
+    * the lineitem scan (the fact table never shuffles for the joins), one
+    * aggregate, top-10 by revenue via TakeOrderedAndProject with a
+    * deterministic custkey tie-break.
+    */
+  def tpchTopCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Sources.table(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val orders = Sources.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Downsample.DecV).as("rev"))
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum("rev").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
   }
 
   /** The persisted dedup index on the gate — the incremental-ingest
@@ -2574,6 +2634,45 @@ SELECT lang, n_tok // 16 AS bucket, count(*) AS n_docs,
   CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
   min(n_tok) AS tok_min, max(n_tok) AS tok_max
 FROM t GROUP BY 1, 2"""
+
+  /** Q1-shape twin: same cutoff and expressions, sums exact at scale 10,
+    * RESCALED to 4 before the double cast — at scale 10 these totals
+    * carry 19 significant digits, where DuckDB's int128→double path is
+    * 1 ulp off Spark's correctly-rounded BigDecimal conversion; at scale
+    * 4 both engines' final cast is a single exact-numerator rounding.
+    * The rescale itself needs `round(…, 4)`: DuckDB's decimal→decimal
+    * downscale TRUNCATES where Spark's cast rounds HALF_UP.
+    */
+  val tpchPricing: String =
+    """SELECT l_returnflag, l_linestatus,
+  CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 4)
+    AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 4)
+    AS DECIMAL(38,4)) AS DOUBLE) AS sum_base,
+  CAST(CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+    AS DECIMAL(38,10))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+    AS DECIMAL(38,10))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY 1, 2"""
+
+  /** Q3-shape twin: same joins, decimal revenue, (revenue desc, custkey)
+    * tie-broken top-10.
+    */
+  val tpchTopCustomers: String =
+    """SELECT c_custkey, c_name,
+  CAST(CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+    AS DECIMAL(38,10))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10"""
 
   /** Dedup-index twin: the removed set recomputed from the EXACT
     * cross-side inverted shingle index + md5 (independent of the banded
