@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *              appends validate against it, because signatures only
   *              collide across runs when the banding scheme matches
   *              (`Dedup.bandedRows` is seed-fixed for exactly this).
+  *
+  * Single-writer assumption: `buildIndex`/`appendToIndex` are plain
+  * parquet writes with no cross-table transaction — one ingest pipeline
+  * owns the index (the same contract the warehouse enforces with its
+  * advisory lock; wrap mutations in `withWriterLock` if the index shares
+  * a deployment with other writers). Reads (`dedupeAgainstIndex`) are
+  * safe against a completed index at any time.
   */
 object DedupIndex {
 
@@ -55,6 +62,11 @@ object DedupIndex {
                          idCol: String = "doc_id"): DataFrame = {
     val (n, bands, rowsPerBand) = readParams(newDocs, path)
     val spark = newDocs.sparkSession
+    // referenced by both the candidate and verification branches, so the
+    // shard is shingled twice — deliberate: the result is returned LAZY,
+    // so a persist here could not be released safely (the round-2 cache
+    // leak), and the recomputation is one narrow map over the SHARD (the
+    // small side), never the indexed corpus
     val shN = Dedup.shingled(newDocs, n, textCol, idCol)
       .where(size(col("sh")) > 0)
     val candidates = Dedup.bandedRows(shN, bands, rowsPerBand)
