@@ -109,6 +109,9 @@ object SparkEntry {
     "q_range_join" -> Queries.rangeJoinReport _,
     // rolling mean/σ anomaly scoring (decimal partials, one window shuffle)
     "q_anomaly" -> Queries.anomalyReport _,
+    // the same scorer as a stateful streaming query (ring-buffer state),
+    // bit-identical to the batch window under the same oracle
+    "q_streaming_anomaly" -> Queries.streamingAnomaly _,
     // HLL++ distinct-cardinality sketch under an oracle-pinned error bound
     "q_approx_distinct" -> Queries.approxDistinct _,
     // exact-quota stratified sampling (rank window, content-hash order)
@@ -226,6 +229,9 @@ object SparkEntry {
     "q_mix" -> Oracles.mixReport,
     "q_range_join" -> Oracles.rangeJoin,
     "q_anomaly" -> Oracles.anomaly,
+    // the streaming ring-buffer scorer shares the batch twin: state-based
+    // streaming must be indistinguishable from the batch window
+    "q_streaming_anomaly" -> Oracles.anomaly,
     "q_approx_distinct" -> Oracles.approxDistinct,
     "q_sample_quota" -> Oracles.sampleQuota,
     "q_approx_percentile" -> Oracles.approxPercentile,
@@ -1248,6 +1254,43 @@ object Queries {
     bands.join(approx, Seq("lang"))
       .select(col("lang"), col("p40"), col("p60"),
         (col("_ap") >= col("p40") && col("_ap") <= col("p60")).as("within_band"))
+  }
+
+  /** The rolling-anomaly scorer as a REAL streaming query: same streams,
+    * same parameters as `q_anomaly`, but scored by the `transformWithState`
+    * ring-buffer processor (O(k) state per stream) — and it must match the
+    * BATCH window operator bit-for-bit under the SAME oracle twin,
+    * including the decimal-quantized sums and null warm-up stats.
+    */
+  def streamingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-sanom")
+    val srcDir = tempDir("graft-sanom-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val pts = spark.readStream.schema(schema).parquet(srcDir)
+      .where(col("user_id").isin(7, 3) && col("event_type").isin("click", "view"))
+      .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+      .as[Streaming.Point]
+    val q = Streaming.anomaly(pts, k = 20, z = 2.0, minPrior = 5)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
   }
 
   /** Sketch gate: per-language distinct-token cardinality via HLL++

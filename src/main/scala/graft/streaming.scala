@@ -280,6 +280,87 @@ object Streaming {
         ds.appendBatch(batch, batchId)
       }
 
+  /** An emitted anomaly score (nullable stats during warm-up). */
+  case class Scored(stream_id: String, ts: Timestamp, value: Double,
+                    n_prior: Long, prior_mean: Option[Double],
+                    prior_std: Option[Double], is_anomaly: Boolean)
+  /** Ring-buffer state for the rolling-anomaly processor: last ≤k values
+    * in arrival order plus the last-seen event time (stale-arrival drop,
+    * as in the derive processors).
+    */
+  case class Ring(values: Array[Double], lastTsUs: Long)
+
+  /** The rolling-anomaly scorer as a stateful streaming op: per stream, a
+    * bounded ring buffer of the previous `k` values scores each arrival
+    * against its trailing mean/σ — `Derive.rollingAnomaly`'s semantics
+    * with O(k) state per key instead of a batch window. The arithmetic
+    * replays the batch op EXACTLY: each value quantizes to
+    * DECIMAL(38,10) the way Spark's double→decimal cast does
+    * (`BigDecimal.valueOf`, HALF_UP at scale 10), the decimal sums are
+    * exact, and the doubles derive by the same IEEE op sequence — so on
+    * in-order input the streaming output is bit-identical to the batch
+    * window (the gate pins this under the SAME oracle twin). Stale
+    * arrivals (event time before the last seen) are dropped, like the
+    * derive processors.
+    */
+  private class AnomalyProcessor(k: Int, z: Double, minPrior: Int)
+      extends StatefulProcessor[String, Point, Scored] {
+    @transient private var ring: ValueState[Ring] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[Ring](
+        "ring", Encoders.product[Ring], TTLConfig.NONE)
+
+    private def dec(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+
+    override def handleInputRows(key: String, rows: Iterator[Point],
+                                 timers: TimerValues): Iterator[Scored] = {
+      val sorted = rows.toVector.sortBy(p => us(p.ts))
+      var st = Option(ring.get()).getOrElse(Ring(Array.empty, Long.MinValue))
+      val out = Vector.newBuilder[Scored]
+      sorted.foreach { p =>
+        val t = us(p.ts)
+        if (t >= st.lastTsUs || st.values.isEmpty) {
+          val n = st.values.length
+          if (n == 0)
+            // the batch window's warm-up row: mean is NULL (empty-frame sum
+            // divided by 0 priors) but std is 0.0 — greatest(NULL, 0.0)
+            // skips the NULL before sqrt in Spark AND DuckDB alike
+            out += Scored(key, p.ts, p.value, 0L, None, Some(0.0),
+              is_anomaly = false)
+          else {
+            // decimal-exact sums, then the batch op's double derivation:
+            // mean = toDouble(Σ dec(v)) / n, var = toDouble(Σ dec(v·v))/n − mean²
+            val s = st.values.map(dec).reduce(_.add(_)).doubleValue()
+            val q = st.values.map(v => dec(v * v)).reduce(_.add(_)).doubleValue()
+            val mean = s / n.toDouble
+            val varP = math.max(q / n.toDouble - mean * mean, 0.0)
+            val std = math.sqrt(varP)
+            out += Scored(key, p.ts, p.value, n.toLong, Some(mean), Some(std),
+              is_anomaly = n >= minPrior && math.abs(p.value - mean) > z * std)
+          }
+          val appended = st.values :+ p.value
+          st = Ring(appended.takeRight(k), t)
+        } // else: stale arrival, dropped
+      }
+      ring.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** `Derive.rollingAnomaly` as a real streaming query (requires the
+    * RocksDB state store provider, like `deriveTWS`).
+    */
+  def anomaly(points: Dataset[Point], k: Int = 20, z: Double = 3.0,
+              minPrior: Int = 5): Dataset[Scored] = {
+    implicit val enc: Encoder[Scored] = Encoders.product[Scored]
+    points.groupByKey(_.stream_id)(Encoders.STRING)
+      .transformWithState(new AnomalyProcessor(k, z, minPrior),
+        TimeMode.None(), OutputMode.Append(), enc)
+  }
+
   /** The sessionizer's streaming arm: Spark's native `session_window`
     * under a watermark in append mode — a session is emitted exactly once,
     * when the watermark passes its close (last event + gap). Decimal value

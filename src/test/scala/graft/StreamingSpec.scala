@@ -153,6 +153,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly ring carries across micro-batches and equals the batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streaming.Point]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sanom-t").toString
+    val q = Streaming.anomaly(mem.toDS(), k = 3, z = 1.5, minPrior = 2)
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val pts = (0 until 6).map(i =>
+      Streaming.Point("s", ts(f"2024-01-01T00:0$i:00Z"), if (i == 5) 99.0 else 5.0))
+    try {
+      mem.addData(pts.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(pts.drop(3): _*) // ring state must carry across the boundary
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+      val want = Derive.rollingAnomaly(
+        pts.map(p => (p.stream_id, p.ts, p.value))
+          .toDF("stream_id", "ts", "value"),
+        k = 3, z = 1.5, minPrior = 2)
+      assert(got.exceptAll(want).count() === 0L)
+      assert(want.exceptAll(got).count() === 0L)
+      // the spike (priors all 5.0, std 0) is flagged
+      assert(got.where(col("value") === 99.0).head().getAs[Boolean]("is_anomaly"))
+    } finally q.stop()
+  }
+
   test("streaming session_window emits a session once, when the watermark passes its close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
