@@ -1493,14 +1493,17 @@ object Queries {
 
   /** The persisted dedup index on the gate — the incremental-ingest
     * lifecycle: build the index over the even half of the corpus, dedup
-    * the odd half against it (exact md5 + LSH-candidates + Jaccard ≥ 0.8),
-    * APPEND the survivors to the index, and re-queue the same shard —
-    * which must now come back empty (survivors exact-match themselves;
-    * removed docs still match their original dups). Output: per-language
-    * before/after/removed plus the pinned requeue-empty boolean. The
-    * oracle recomputes the removed set from the exact cross-side inverted
-    * shingle index + md5 — independent of the banded candidates under
-    * test.
+    * the odd half against it (exact md5 + LSH-candidates + Jaccard ≥ 0.8,
+    * PLUS the intra-shard arm dropping shard docs whose smaller-id twin
+    * is inside the shard itself — the survivors are pairwise
+    * non-duplicate, so the append below keeps the index clean), APPEND
+    * the survivors to the index, and re-queue the same shard — which must
+    * now come back empty (survivors exact-match themselves; removed docs
+    * still match their original dups or re-trip the intra arm). Output:
+    * per-language before/after/removed plus the pinned requeue-empty
+    * boolean. The oracle recomputes the removed set from the exact
+    * cross-side inverted shingle index + md5 + the exact intra-shard
+    * pair set — independent of the banded candidates under test.
     */
   def dedupIndexReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Sources.documents(spark, sfDir)
@@ -2737,11 +2740,21 @@ iinv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM ish),
 cand AS (
   SELECT s.doc_id AS sid, i.doc_id AS iid, s.sz AS ss, i.sz AS si, count(*) AS i
   FROM sinv s JOIN iinv i ON s.g = i.g GROUP BY 1, 2, 3, 4),
+intracand AS (
+  SELECT y.doc_id AS bid, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM sinv x JOIN sinv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY y.doc_id, x.doc_id, x.sz, y.sz),
 removed AS (
   SELECT DISTINCT sid AS id FROM cand
   WHERE CAST(i AS DOUBLE) / (ss + si - i) >= 0.8
   UNION
-  SELECT DISTINCT s.doc_id FROM shard s JOIN idx i ON md5(s.text) = md5(i.text))
+  SELECT DISTINCT s.doc_id FROM shard s JOIN idx i ON md5(s.text) = md5(i.text)
+  UNION
+  SELECT DISTINCT bid FROM intracand
+  WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.8
+  UNION
+  SELECT DISTINCT a.doc_id FROM shard a
+  JOIN shard b ON md5(a.text) = md5(b.text) AND b.doc_id < a.doc_id)
 SELECT lang,
   count(*) AS n_before,
   CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT id FROM removed))

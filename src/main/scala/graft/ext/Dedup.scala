@@ -86,37 +86,57 @@ object Dedup {
     */
   private[ext] def bandedRows(sh: DataFrame, bands: Int,
                               rowsPerBand: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val p = 2147483647L // 2^31 − 1
-    val rnd = new scala.util.Random(8191)
-    val ab = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1)) + 1, math.abs(rnd.nextLong()) % p)
-    val abArr = ab.toArray
+    val abArr = minhashCoeffs(bands * rowsPerBand)
     import sh.sparkSession.implicits._
     sh.select(col("doc_id"), col("sh")).as[(Long, Array[String])]
       .mapPartitions { it =>
         it.flatMap { case (id, shingles) =>
-          val mins = Array.fill(abArr.length)(Long.MaxValue)
-          shingles.foreach { s =>
-            val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, p)
-            var i = 0
-            while (i < abArr.length) {
-              val (a, b) = abArr(i)
-              val v = math.floorMod(h * a + b, p)
-              if (v < mins(i)) mins(i) = v
-              i += 1
-            }
-          }
-          (0 until bands).map { b =>
-            var bh = 1125899906842597L // simple polynomial band hash
-            var r = 0
-            while (r < rowsPerBand) {
-              bh = bh * 31 + mins(b * rowsPerBand + r); r += 1
-            }
-            (id, b, bh)
-          }
+          bandHashesOf(shingles, abArr, bands, rowsPerBand).zipWithIndex
+            .map { case (bh, b) => (id, b, bh) }
         }
       }.toDF("doc_id", "band", "band_hash")
+  }
+
+  private val MinhashP = 2147483647L // 2^31 − 1
+
+  /** The fixed-seed permutation coefficients every banding run shares —
+    * factored out so a driver-side caller (the persisted index's scheme
+    * fingerprint) computes the exact signatures the executors do.
+    */
+  private[ext] def minhashCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(8191)
+    Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (MinhashP - 1)) + 1,
+      math.abs(rnd.nextLong()) % MinhashP)
+  }
+
+  /** One document's band hashes (index = band). Single code path for the
+    * executor loop AND the index fingerprint, so the fingerprint breaks iff
+    * real signatures would (MurmurHash3 / Random internals drifting across
+    * Scala or JVM versions).
+    */
+  private[ext] def bandHashesOf(shingles: Array[String],
+                                abArr: Array[(Long, Long)],
+                                bands: Int, rowsPerBand: Int): Array[Long] = {
+    val mins = Array.fill(abArr.length)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, MinhashP)
+      var i = 0
+      while (i < abArr.length) {
+        val (a, b) = abArr(i)
+        val v = math.floorMod(h * a + b, MinhashP)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var bh = 1125899906842597L // simple polynomial band hash
+      var r = 0
+      while (r < rowsPerBand) {
+        bh = bh * 31 + mins(b * rowsPerBand + r); r += 1
+      }
+      bh
+    }
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays. */

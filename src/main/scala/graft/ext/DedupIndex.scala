@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   *   bands/     (doc_id, band, band_hash)   — LSH candidate side
   *   shingles/  (doc_id, sh)                — Jaccard verification side
   *   exact/     (doc_id, text_md5)          — exact-duplicate arm
-  *   params/    (n, bands, rows_per_band)   — pinned at build; queries and
-  *              appends validate against it, because signatures only
-  *              collide across runs when the banding scheme matches
-  *              (`Dedup.bandedRows` is seed-fixed for exactly this).
+  *   params/    (n, bands, rows_per_band, probe_hash) — pinned at build;
+  *              queries and appends validate against it. `probe_hash` is
+  *              the band-0 hash of a sentinel shingle set computed through
+  *              the SAME code path executors use (`Dedup.bandHashesOf`):
+  *              signatures only collide across runs when the banding
+  *              scheme matches, and the scheme leans on MurmurHash3 and
+  *              `Random(8191)` internals — if either drifts across a
+  *              Scala/JVM upgrade, every read fails loudly here instead of
+  *              near-dup recall silently collapsing to zero.
   *
   * Single-writer assumption: `buildIndex`/`appendToIndex` are plain
   * parquet writes with no cross-table transaction — one ingest pipeline
@@ -29,19 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Sentinel whose band-0 hash fingerprints the whole hashing scheme: it
+    * exercises the string hash, every permutation coefficient of band 0,
+    * and the polynomial band fold.
+    */
+  private val ProbeShingles = Array("graft_probe_a", "graft_probe_b", "graft_probe_c")
+
+  private def probeHash(bands: Int, rowsPerBand: Int): Long =
+    Dedup.bandHashesOf(ProbeShingles,
+      Dedup.minhashCoeffs(bands * rowsPerBand), bands, rowsPerBand)(0)
+
   def buildIndex(docs: DataFrame, path: String, n: Int = 3,
                  bands: Int = 16, rowsPerBand: Int = 4,
                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
     import docs.sparkSession.implicits._
-    Seq((n, bands, rowsPerBand)).toDF("n", "bands", "rows_per_band")
+    Seq((n, bands, rowsPerBand, probeHash(bands, rowsPerBand)))
+      .toDF("n", "bands", "rows_per_band", "probe_hash")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
     writeSides(docs, path, SaveMode.Overwrite, n, bands, rowsPerBand,
       textCol, idCol)
   }
 
-  /** Fold a (deduplicated) shard into the index: same computation, append
-    * mode. The caller appends the SURVIVORS of `dedupeAgainstIndex`, so
-    * the index stays internally duplicate-free.
+  /** Fold a shard into the index: same computation, append mode. The
+    * caller appends the SURVIVORS of `dedupeAgainstIndex` — which (with
+    * the default `withinShard = true`) are duplicate-free both against
+    * the index and among themselves, so the index stays internally
+    * duplicate-free. (With `withinShard = false` the caller takes over
+    * that obligation: a shard carrying internal duplicates would fold
+    * them all in.)
     */
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
@@ -51,15 +71,24 @@ object DedupIndex {
   }
 
   /** Survivors of `newDocs` after removing every exact (md5) or near
-    * (shingle-Jaccard ≥ `threshold`) duplicate of an INDEXED document.
-    * Candidates come from band-hash collisions between the shard's
-    * signatures (computed here, same fixed-seed scheme) and the stored
-    * band rows; only colliding pairs fetch shingle sets for verification.
+    * (shingle-Jaccard ≥ `threshold`) duplicate of an INDEXED document —
+    * and, when `withinShard` (the default), every shard document with a
+    * smaller-id duplicate INSIDE the shard itself. Cross-index candidates
+    * come from band-hash collisions between the shard's signatures
+    * (computed here, same fixed-seed scheme) and the stored band rows;
+    * only colliding pairs fetch shingle sets for verification. The
+    * intra-shard arm instead uses the EXACT inverted shingle index over
+    * the shard alone (the small side by contract — shard-sized work, no
+    * LSH recall risk): drop any doc with a smaller-id shard doc at
+    * Jaccard ≥ `threshold` or with identical md5. Survivors are therefore
+    * pairwise non-duplicate, which is what lets `appendToIndex` keep the
+    * index clean.
     */
   def dedupeAgainstIndex(newDocs: DataFrame, path: String,
                          threshold: Double = 0.8,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         withinShard: Boolean = true): DataFrame = {
     val (n, bands, rowsPerBand) = readParams(newDocs, path)
     val spark = newDocs.sparkSession
     // referenced by both the candidate and verification branches, so the
@@ -85,7 +114,30 @@ object DedupIndex {
       .join(spark.read.parquet(s"$path/exact")
         .select(col("text_md5").as("_h")).distinct(), Seq("_h"))
       .select(col(idCol))
-    newDocs.join(near.unionByName(exact), Seq(idCol), "left_anti")
+    val doomed =
+      if (!withinShard) near.unionByName(exact)
+      else {
+        // intra-shard near: exact inverted-index candidates (pairs share
+        // ≥1 shingle), larger id drops — deterministic regardless of
+        // whether the smaller partner itself survives the cross-index arm
+        val inv = shN.select(col("doc_id"),
+          size(col("sh")).cast("long").as("sz"), explode(col("sh")).as("s"))
+        val intraNear = inv.as("x").join(inv.as("y"),
+            col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.sz").as("sa"), col("y.sz").as("sb"))
+          .agg(count(lit(1)).as("i"))
+          .where(col("i").cast("double") / (col("sa") + col("sb") - col("i"))
+            >= threshold)
+          .select(col("b").as(idCol))
+        val hashed = newDocs.select(col(idCol), md5(col(textCol)).as("_h"))
+        val intraExact = hashed.as("p").join(hashed.as("q"),
+            col("p._h") === col("q._h") && col(s"q.$idCol") < col(s"p.$idCol"),
+            "left_semi")
+          .select(col(idCol))
+        near.unionByName(exact).unionByName(intraNear).unionByName(intraExact)
+      }
+    newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
   private def writeSides(docs: DataFrame, path: String, mode: SaveMode,
@@ -105,7 +157,16 @@ object DedupIndex {
 
   private def readParams(any: DataFrame, path: String): (Int, Int, Int) = {
     val row = any.sparkSession.read.parquet(s"$path/params")
-      .select("n", "bands", "rows_per_band").head()
-    (row.getInt(0), row.getInt(1), row.getInt(2))
+      .select("n", "bands", "rows_per_band", "probe_hash").head()
+    val (n, bands, rowsPerBand) = (row.getInt(0), row.getInt(1), row.getInt(2))
+    val expected = probeHash(bands, rowsPerBand)
+    if (row.getLong(3) != expected)
+      throw new IllegalStateException(
+        s"dedup index at $path was built under a different hashing scheme " +
+          s"(stored probe ${row.getLong(3)}, this runtime computes $expected) — " +
+          "MurmurHash3/Random internals differ from build time; stored band " +
+          "hashes would never collide with freshly computed signatures. " +
+          "Rebuild the index with buildIndex on this runtime.")
+    (n, bands, rowsPerBand)
   }
 }

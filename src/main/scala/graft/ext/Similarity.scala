@@ -149,16 +149,25 @@ object Similarity {
     * broadcast; the corpus is scanned exactly once.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-           vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+           vecCol: String = "embedding", idCol: String = "vec_id",
+           maxQueries: Int = 100000): DataFrame = {
     // The query set is small by contract: ship it as a broadcast variable
     // and score in one pass over the corpus, emitting only scalars — a
     // broadcast join would materialize |corpus|×|queries| rows each
     // carrying two float arrays (measured 3× the scoring cost). Per-pair
     // arithmetic is the same ordered double fold as the declarative form,
     // so results stay bit-identical to the oracle.
+    //
+    // Fail-fast guardrail on that contract: fetch at most maxQueries + 1
+    // rows (never an unbounded collect), and refuse past the bound with a
+    // clear message instead of OOMing the driver mid-collect.
     import corpus.sparkSession.implicits._
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
-      .as[(Long, Array[Float], Long)].collect()
+      .as[(Long, Array[Float], Long)].head(maxQueries + 1)
+    require(qRows.length <= maxQueries,
+      s"topK: query set exceeds maxQueries=$maxQueries rows — the query side " +
+        "is collected and broadcast, so it must be small; raise maxQueries " +
+        "deliberately or use annTopK/IVF for a large query side")
     val qB = corpus.sparkSession.sparkContext.broadcast(
       qRows.map { case (id, v, label) => (id, v, label, math.sqrt(dotLoop(v, v))) })
     val scored = corpus.select(col(idCol).cast("long"), col(vecCol))
@@ -224,10 +233,19 @@ object Similarity {
     * cartesian join node); same ordered-double fold as every cosine here.
     */
   def exactPairs(corpus: DataFrame, threshold: Double,
-                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 maxRows: Int = 500000): DataFrame = {
     import corpus.sparkSession.implicits._
+    // Fail-fast guardrail: this baseline collects the WHOLE corpus to the
+    // driver by design (recall gates only). Fetch at most maxRows + 1 so
+    // misuse against a real corpus raises here with a clear message
+    // instead of OOMing the driver inside an unbounded collect.
     val rows = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].head(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"exactPairs: corpus exceeds maxRows=$maxRows rows — this is the O(n²) " +
+        "recall-gate baseline, not a scale path; use nearDupPairs for real " +
+        "corpora or raise maxRows deliberately")
     val bc = corpus.sparkSession.sparkContext.broadcast(
       rows.map { case (id, v) => (id, v, math.sqrt(dotLoop(v, v))) })
     corpus.select(col(idCol).cast("long"), col(vecCol))

@@ -251,4 +251,81 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bins.head === 0L)
     assert(bins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
+
+  test("packContiguous recursive scan (tiny apex bound) matches the flat formulation") {
+    import spark.implicits._
+    // 300 sparse ids → 150 blocks at blockSize=2; maxSinglePartition=4
+    // forces THREE recursion levels (150 → 75 → 38 → 19 > 4 → 10 → 5 > 4 → 3)
+    val rows = (0 until 300).map(i => (i * 7L + (i % 3), (i * 31 % 97).toLong))
+    val df = util.Random.shuffle(rows).toDF("doc_id", "n_tok")
+    val got = Pack.packContiguous(df, budget = 64L, blockSize = 2L,
+      maxSinglePartition = 4L)
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("_cum", sum("n_tok").over(w))
+      .withColumn("bin", expr("(_cum - n_tok) div 64"))
+      .select("doc_id", "n_tok", "bin")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("DedupIndex: intra-shard duplicates collapse so appended index stays clean") {
+    val idxDocs = docsDF(Seq(
+      (0L, "completely different words entirely here now today maybe", "en")))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // none of the shard docs match the index; 11/13 are intra-shard dups
+    val shard = docsDF(Seq(
+      (1L, base, "en"),
+      (3L, base, "en"),               // exact intra dup of 1
+      (5L, base + " lambda", "en"),   // near intra dup of 1
+      (7L, "nothing in common with anything at all whatsoever", "en")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-intra").toString
+    ext.DedupIndex.buildIndex(idxDocs, dir)
+    val clean = ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 7L))
+    // withinShard = false preserves the old cross-index-only semantics
+    val crossOnly = ext.DedupIndex.dedupeAgainstIndex(shard, dir,
+      threshold = 0.7, withinShard = false)
+    assert(crossOnly.count() === 4L)
+    // append the survivors: the re-queued shard must drain completely
+    // (1/7 exact-match themselves; 3/5 trip the intra arm again)
+    ext.DedupIndex.appendToIndex(clean, dir)
+    assert(ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7).isEmpty)
+  }
+
+  test("DedupIndex: hashing-scheme fingerprint mismatch fails loudly at read") {
+    import spark.implicits._
+    val docs = docsDF(Seq((0L, "alpha beta gamma delta epsilon", "en")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-fp").toString
+    ext.DedupIndex.buildIndex(docs, dir)
+    // simulate a MurmurHash3/Random drift: rewrite params with a wrong probe
+    val p = spark.read.parquet(s"$dir/params")
+      .select(col("n"), col("bands"), col("rows_per_band"),
+        (col("probe_hash") + 1L).as("probe_hash"))
+      .collect().head
+    Seq((p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3)))
+      .toDF("n", "bands", "rows_per_band", "probe_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    val e = intercept[IllegalStateException] {
+      ext.DedupIndex.dedupeAgainstIndex(docs, dir).count()
+    }
+    assert(e.getMessage.contains("different hashing scheme"))
+  }
+
+  test("exactPairs and topK fail fast past their collect guardrails") {
+    import spark.implicits._
+    val vecs = (1L to 5L).map(i => (i, Array(i.toFloat, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      ext.Similarity.exactPairs(vecs, threshold = 0.5, maxRows = 3)
+    }
+    assert(e1.getMessage.contains("maxRows"))
+    val e2 = intercept[IllegalArgumentException] {
+      ext.Similarity.topK(vecs, queries = vecs, k = 2, maxQueries = 3)
+    }
+    assert(e2.getMessage.contains("maxQueries"))
+    // within bounds both still work
+    assert(ext.Similarity.exactPairs(vecs, threshold = 0.99, maxRows = 5)
+      .count() >= 1L)
+    assert(ext.Similarity.topK(vecs, vecs.limit(2), k = 2).count() === 4L)
+  }
 }
