@@ -40,6 +40,7 @@ object SparkEntry {
     // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join (P2 flat+nested)
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
     "q_find_streams_nested" -> Queries.findStreamsNested _,
+    "q_find_streams_ops" -> Queries.findStreamsOps _,
     // full facade path through real warehouse storage: S1 ingest →
     // downsample_streams maintenance (T1) → S3 read; S5 delete lifecycle;
     // T6 reprocess ≡ incremental; T1–T3 as a real streaming query
@@ -173,6 +174,7 @@ object SparkEntry {
     "q_getdata_paginated" -> Oracles.getDataPaginated,
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
     "q_find_streams_nested" -> Oracles.findStreamsNested,
+    "q_find_streams_ops" -> Oracles.findStreamsOps,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
@@ -432,6 +434,48 @@ object Queries {
       .groupBy(col("stream_id"))
       .agg(count(lit(1)).as("n_datapoints"),
         sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
+  /** P2+ tag-query OPERATORS (the reference's Mongo query-doc pass-through
+    * [ds :: backends/mongodb.py :: find_streams]): four labeled probes mix
+    * numeric ranges, set membership, prefix match, and existence over both
+    * flat (`user`, `type`, `tier`) and nested (`meta.parity`) tags, each
+    * matched stream joined to its raw datapoint stats. The oracle pins the
+    * exact match set per probe straight from events, so an operator that
+    * over- or under-matches (e.g. a string compare where Mongo type
+    * bracketing demands numeric, or `$exists` treating an absent key as
+    * empty-string) breaks the row set.
+    */
+  def findStreamsOps(spark: SparkSession, sfDir: String): DataFrame = {
+    import StreamRegistry.TagPred._
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val registry = StreamRegistry.fromEvents(dp)
+    val counts = dp.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_datapoints"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+    def probe(label: String, q: Map[String, Seq[StreamRegistry.TagPred]]): DataFrame =
+      StreamRegistry.findStreamsWhere(registry, q).select("stream_id")
+        .join(counts, "stream_id")
+        .select(lit(label).as("probe"), col("stream_id"),
+          col("n_datapoints"), col("value_sum"))
+    Seq(
+      // numeric range on a flat tag AND set membership: user ∈ [30, 80)
+      probe("range_in", Map(
+        "user" -> Seq(Gte(30), Lt(80)),
+        "type" -> Seq(In(Seq("click", "view"))))),
+      // prefix match + nested-path existence (parity always present)
+      probe("prefix", Map(
+        "type" -> Seq(Prefix("cl")),
+        "meta.parity" -> Seq(Exists(true)))),
+      // nested-path set membership + inclusive numeric upper bound
+      probe("nested_in", Map(
+        "meta.parity" -> Seq(In(Seq("odd"))),
+        "user" -> Seq(Lte(20)))),
+      // $exists:false on a key no stream carries + strict lower bound
+      probe("missing", Map(
+        "tier" -> Seq(Exists(false)),
+        "user" -> Seq(Gt(140)))))
+      .reduce(_.unionByName(_))
   }
 
   /** S5 delete_streams end-to-end: two streams live the full lifecycle
@@ -1916,6 +1960,30 @@ FROM events GROUP BY 1"""
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM events WHERE event_type = 'click' AND user_id % 2 = 1
 GROUP BY 1"""
+
+  /** Tag-operator twin: each probe's stream predicate re-expressed on the
+    * raw event columns (user tag ⇔ user_id, type tag ⇔ event_type, nested
+    * parity ⇔ user_id % 2; `tier` exists on no stream, `meta.parity` on
+    * all).
+    */
+  val findStreamsOps: String =
+    """WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+    user_id, event_type,
+    count(*) AS n_datapoints,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1, 2, 3)
+SELECT 'range_in' AS probe, stream_id, n_datapoints, value_sum FROM s
+WHERE user_id >= 30 AND user_id < 80 AND event_type IN ('click', 'view')
+UNION ALL
+SELECT 'prefix', stream_id, n_datapoints, value_sum FROM s
+WHERE event_type LIKE 'cl%'
+UNION ALL
+SELECT 'nested_in', stream_id, n_datapoints, value_sum FROM s
+WHERE user_id % 2 = 1 AND user_id <= 20
+UNION ALL
+SELECT 'missing', stream_id, n_datapoints, value_sum FROM s
+WHERE user_id > 140"""
 
   /** Forward-ordered downsampled fetch with limit 5 / offset 3 —
     * bucket_start is unique per stream, so the page is a deterministic set

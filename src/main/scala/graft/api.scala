@@ -376,6 +376,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
   def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
     StreamRegistry.findStreams(streams, tagQuery)
 
+  /** `find_streams` with Mongo-style operator predicates (`$gt`/`$in`/
+    * `$exists`/prefix …) — see [[StreamRegistry.findStreamsWhere]].
+    */
+  def findStreamsWhere(query: Map[String, Seq[StreamRegistry.TagPred]]): DataFrame =
+    StreamRegistry.findStreamsWhere(streams, query)
+
   /** Merge `tags` into every stream matching `tagQuery` (new values win on
     * key collision) — the reference's `Datastream.update_tags`
     * [ds :: api.py :: Datastream.update_tags]. One registry job + one swap

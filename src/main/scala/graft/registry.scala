@@ -61,6 +61,63 @@ object StreamRegistry {
         df.where(element_at(col("tags"), k) === v)
     }
 
+  /** Mongo-style tag-query operators — the reference passes query
+    * documents straight through to `streams.find(...)`, so `$gt`-shaped
+    * predicates work there [ds :: backends/mongodb.py :: find_streams];
+    * this is the Spark-side equivalent over the registry's tag columns.
+    * Comparisons (`Gt`..`Lte`) are NUMERIC: the tag value is cast to
+    * double, and a non-numeric value casts to null and never matches —
+    * mirroring Mongo's type bracketing, where a string tag never
+    * satisfies a numeric range. `Prefix` is the anchored `$regex ^p`
+    * idiom; `Exists` matches key presence regardless of value.
+    */
+  sealed trait TagPred
+  object TagPred {
+    final case class Eq(v: String) extends TagPred
+    final case class Gt(v: Double) extends TagPred
+    final case class Gte(v: Double) extends TagPred
+    final case class Lt(v: Double) extends TagPred
+    final case class Lte(v: Double) extends TagPred
+    final case class In(vs: Seq[String]) extends TagPred
+    final case class Exists(present: Boolean) extends TagPred
+    final case class Prefix(p: String) extends TagPred
+  }
+
+  /** `find_streams` with operator predicates: every (key → predicates)
+    * entry must hold (AND across keys and within a key's list, like a
+    * Mongo query document `{user: {$gte: 3, $lt: 8}}`). Keys resolve
+    * exactly as in [[findStreams]]: dotted paths through the nested
+    * `tags_json` document, plain keys through the flat tags map. Pure
+    * filter pushdown — each predicate compiles to a codegen'd Column, so
+    * over a registry table these reach the parquet scan.
+    */
+  def findStreamsWhere(registry: DataFrame,
+                       query: Map[String, Seq[TagPred]]): DataFrame = {
+    import TagPred._
+    query.foldLeft(registry) { case (df, (k, preds)) =>
+      val acc =
+        if (k.contains(".") && df.columns.contains("tags_json"))
+          get_json_object(col("tags_json"), s"$$.$k")
+        else element_at(col("tags"), k)
+      preds.foldLeft(df) { (d, p) =>
+        // try_cast, not cast: under ANSI semantics a plain cast THROWS on a
+        // non-numeric tag value, where type bracketing demands "never
+        // matches" — try_cast yields null, and null comparisons are false
+        d.where(p match {
+          case Eq(v)          => acc === v
+          case Gt(v)          => acc.try_cast("double") > v
+          case Gte(v)         => acc.try_cast("double") >= v
+          case Lt(v)          => acc.try_cast("double") < v
+          case Lte(v)         => acc.try_cast("double") <= v
+          case In(vs)         => acc.isin(vs: _*)
+          case Exists(true)   => acc.isNotNull
+          case Exists(false)  => acc.isNull
+          case Prefix(pre)    => acc.startsWith(pre)
+        })
+      }
+    }
+  }
+
   /** Stream-selection semi-join (J1): restrict the fact table to datapoints
     * of the matched streams. Broadcast keeps the fact side shuffle-free.
     */

@@ -20,6 +20,38 @@ class RegistryAndDedupSpec extends SparkSpec {
     assert(selected.select("value").as[Double].collect().toSet == Set(1.0, 3.0))
   }
 
+  test("findStreamsWhere: operator predicates over flat and nested tags") {
+    import StreamRegistry.TagPred._
+    val fact = dp(Seq(
+      ("1:click", "2024-01-01T00:00:00Z", 1.0),
+      ("2:click", "2024-01-01T00:00:00Z", 2.0),
+      ("3:view", "2024-01-01T00:00:00Z", 3.0),
+      ("10:view", "2024-01-01T00:00:00Z", 4.0)))
+      .withColumn("user_id", split(col("stream_id"), ":").getItem(0).cast("long"))
+      .withColumn("event_type", split(col("stream_id"), ":").getItem(1))
+    val reg = StreamRegistry.fromEvents(fact)
+    def ids(q: Map[String, Seq[StreamRegistry.TagPred]]) =
+      StreamRegistry.findStreamsWhere(reg, q)
+        .select("stream_id").as[String].collect().toSet
+    // numeric range on a flat tag: "10" > "2" numerically, not lexically
+    assert(ids(Map("user" -> Seq(Gte(2), Lte(10)))) ===
+      Set("2:click", "3:view", "10:view"))
+    assert(ids(Map("user" -> Seq(Gt(2), Lt(10)))) === Set("3:view"))
+    // set membership + prefix
+    assert(ids(Map("type" -> Seq(In(Seq("view"))))) === Set("3:view", "10:view"))
+    assert(ids(Map("type" -> Seq(Prefix("cli")))) === Set("1:click", "2:click"))
+    // existence: flat present / absent keys, nested path
+    assert(ids(Map("type" -> Seq(Exists(true)))).size === 4)
+    assert(ids(Map("tier" -> Seq(Exists(true)))) === Set.empty[String])
+    assert(ids(Map("tier" -> Seq(Exists(false)))).size === 4)
+    assert(ids(Map("meta.parity" -> Seq(Exists(true)))).size === 4)
+    // nested eq + conjunction across keys
+    assert(ids(Map("meta.parity" -> Seq(Eq("odd")), "type" -> Seq(Eq("view")))) ===
+      Set("3:view"))
+    // a non-numeric value never satisfies a numeric range (type bracketing)
+    assert(ids(Map("type" -> Seq(Gt(0)))) === Set.empty[String])
+  }
+
   test("outstandingDependencies finds derived streams that survive a delete") {
     val registry = Seq(
       ("raw1", Seq.empty[String]),
