@@ -67,6 +67,7 @@ object SparkEntry {
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
     "q_streaming_derive_sum" -> Queries.streamingDeriveSum _,
+    "q_streaming_derive_sum_all" -> Queries.streamingDeriveSumAll _,
     // §2.8 F3 graph value type round trip; F5 wire shape; F4 validation
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_counter_derivative" -> Queries.counterDerivative _,
     "q_counter_derivative_chunked" -> Queries.counterDerivativeChunked _,
     "q_derive_sum" -> Queries.deriveSum _,
+    "q_derive_sum_all" -> Queries.deriveSumAll _,
     "q_derive_sum_salted" -> Queries.deriveSumSalted _,
     // §2.11 X1–X5 extensions
     "q_dedup_exact" -> Queries.dedupExact _,
@@ -192,6 +194,7 @@ object SparkEntry {
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
     "q_streaming_derive_sum" -> Oracles.streamingDeriveSum,
+    "q_streaming_derive_sum_all" -> Oracles.streamingDeriveSumAll,
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_wire_roundtrip" -> Oracles.wireRoundtrip,
@@ -205,6 +208,7 @@ object SparkEntry {
     "q_counter_derivative" -> Oracles.counterDerivative,
     "q_counter_derivative_chunked" -> Oracles.counterDerivative,
     "q_derive_sum" -> Oracles.deriveSum,
+    "q_derive_sum_all" -> Oracles.deriveSumAll,
     // salted two-phase aggregation must be bit-identical to the unsalted op
     "q_derive_sum_salted" -> Oracles.deriveSum,
     "q_dedup_exact" -> Oracles.dedupExact,
@@ -957,6 +961,39 @@ object Queries {
     spark.read.parquet(s"$dir/out")
   }
 
+  /** The STREAMING completeness arm: `Streaming.deriveSumRequireAll` over
+    * all five event-type streams at hours granularity — emitted buckets
+    * are exactly those BOTH finalized by the watermark (hour end ≤
+    * ms-floored max event time) AND complete (all five sources present);
+    * a bucket missing a source is withheld at watermark, never emitted
+    * partial. Same emit-once harness as `q_streaming_derive_sum`.
+    */
+  def streamingDeriveSumAll(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-sdsall")
+    val srcDir = tempDir("graft-sdsall-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+    val q = Streaming.deriveSumRequireAll(src, Granularity.Hours, "0 seconds",
+        Seq.empty, Seq("click", "view", "purchase", "signup", "error"),
+        sourceCol = "event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+  }
+
   def derivative(spark: SparkSession, sfDir: String): DataFrame =
     Derive.derivative(Sources.eventsAsDatapoints(spark, sfDir))
 
@@ -988,6 +1025,20 @@ object Queries {
       Sources.eventsAsDatapoints(spark, sfDir), 1000L)
     Derive.counterDerivative(counter, Some(1000.0), valueCol = "counter")
   }
+
+  /** W1's COMPLETENESS flavor on the gate: the five event-type streams
+    * summed at hours granularity, a bucket emitted only when ALL FIVE
+    * sources contributed — at sf0.01 the corpus has both complete (~520)
+    * and incomplete (~200) hourly buckets, so the oracle (HAVING
+    * count(DISTINCT source) = 5) catches an operator that emits partial
+    * buckets OR one that over-filters complete ones.
+    */
+  def deriveSumAll(spark: SparkSession, sfDir: String): DataFrame =
+    Derive.sumStreamsRequireAll(
+      Sources.eventsAsDatapoints(spark, sfDir),
+      Granularity.Hours, Seq.empty,
+      Seq("click", "view", "purchase", "signup", "error"),
+      sourceCol = "event_type")
 
   /** W1: sum the 15 per-user `click` streams into one derived stream at
     * minutes granularity.
@@ -2156,6 +2207,35 @@ FROM lagged WHERE pc IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
   count(*) AS contributing
 FROM events WHERE event_type = 'click'
 GROUP BY 1, 2"""
+
+  /** Completeness twin: hourly buckets over all five event-type streams,
+    * kept only when every source is present — the exact complete-bucket
+    * set recomputed via count(DISTINCT).
+    */
+  val deriveSumAll: String =
+    """WITH b AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
+    count(*) AS contributing,
+    count(DISTINCT event_type) AS n_sources
+  FROM events GROUP BY 1)
+SELECT bucket_start, "sum", contributing, n_sources
+FROM b WHERE n_sources = 5"""
+
+  /** Streaming completeness twin: the same complete-bucket set further
+    * restricted to buckets the watermark finalized (hour end ≤ ms-floored
+    * max event time over ALL events — the stream is unfiltered).
+    */
+  val streamingDeriveSumAll: String =
+    """WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events),
+b AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
+    count(*) AS contributing,
+    count(DISTINCT event_type) AS n_sources
+  FROM events GROUP BY 1)
+SELECT bucket_start, "sum", contributing, n_sources
+FROM b, wm WHERE n_sources = 5 AND epoch_us(bucket_start) + 3600000000 <= wm.w"""
 
   /** Streaming W1 twin: the batch derive-sum restricted to buckets the
     * watermark finalized (append mode, delay 0, ms-floored max CLICK event

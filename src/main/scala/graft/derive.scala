@@ -237,6 +237,41 @@ object Derive {
         sum(col("value").cast(Downsample.DecV)).cast("double").as("sum"),
         count(lit(1)).as("contributing"))
 
+  /** W1 `sum` with the reference's COMPLETENESS semantics: a bucket is
+    * emitted only when every declared source stream contributed at least
+    * one datapoint to it [ds :: backends/mongodb.py :: derive op "sum" —
+    * the derived datapoint is appended once all sources reach the bucket].
+    * Plain `sumStreams` emits partial buckets with a `contributing` count
+    * the caller may filter; this flavor enforces the contract in the
+    * operator itself.
+    *
+    * Two-level aggregation, NOT `count_distinct`: per-(bucket, source)
+    * decimal partials first (partial-agg combines map-side, so a hot
+    * bucket never routes all its raw rows through one distinct-expand),
+    * then per-bucket merge where the row count IS the distinct source
+    * count. Decimal partial re-aggregation is exact, so emitted sums are
+    * bit-identical to `sumStreams` on the same bucket.
+    */
+  def sumStreamsRequireAll(sources: DataFrame, g: Granularity,
+                           derivedKeys: Seq[String],
+                           sourceIds: Seq[String],
+                           sourceCol: String = "stream_id"): DataFrame = {
+    require(sourceIds.nonEmpty, "sumStreamsRequireAll needs a declared source set")
+    val perSource = sources
+      .where(col(sourceCol).isin(sourceIds: _*))
+      .groupBy(derivedKeys.map(col) :+
+        Downsample.bucketStart(col("ts"), g).as("bucket_start") :+
+        col(sourceCol): _*)
+      .agg(sum(col("value").cast(Downsample.DecV)).as("_part"),
+        count(lit(1)).as("_cnt"))
+    perSource
+      .groupBy(derivedKeys.map(col) :+ col("bucket_start"): _*)
+      .agg(sum("_part").cast("double").as("sum"),
+        sum("_cnt").as("contributing"),
+        count(lit(1)).as("n_sources"))
+      .where(col("n_sources") === sourceIds.size)
+  }
+
   /** Rolling anomaly detection: each datapoint scored against the mean/σ
     * of its stream's previous `k` points (ROWS frame, current row
     * excluded — the score must not see the value it judges). The

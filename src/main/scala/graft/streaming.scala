@@ -117,6 +117,33 @@ object Streaming {
       .select(derivedKeys.map(col) :+ col("w.start").as("bucket_start") :+
         col("sum") :+ col("contributing"): _*)
 
+  /** W1 streaming `sum` with the reference's COMPLETENESS contract: a
+    * bucket leaves the operator only if every declared source contributed
+    * before the watermark closed it [ds :: derive op "sum"]. One stateful
+    * operator: per-bucket state carries the decimal sum plus the SET of
+    * contributing sources (bounded by |sourceIds| — a few strings, not
+    * datapoints), and the post-aggregation filter withholds incomplete
+    * buckets at emit time. A bucket a source never reaches is dropped at
+    * watermark rather than emitted partial — the streaming analog of the
+    * reference never materializing a derived point it cannot complete.
+    */
+  def deriveSumRequireAll(sources: DataFrame, g: Granularity, delay: String,
+                          derivedKeys: Seq[String],
+                          sourceIds: Seq[String],
+                          sourceCol: String = "stream_id"): DataFrame = {
+    require(sourceIds.nonEmpty, "deriveSumRequireAll needs a declared source set")
+    sources.where(col(sourceCol).isin(sourceIds: _*))
+      .withWatermark("ts", delay)
+      .groupBy(derivedKeys.map(col) :+ window(col("ts"), g.interval).as("w"): _*)
+      .agg(
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("sum"),
+        count(lit(1)).as("contributing"),
+        size(collect_set(col(sourceCol))).cast("long").as("n_sources"))
+      .where(col("n_sources") === sourceIds.size)
+      .select(derivedKeys.map(col) :+ col("w.start").as("bucket_start") :+
+        col("sum") :+ col("contributing") :+ col("n_sources"): _*)
+  }
+
   /** One raw datapoint on the wire. */
   case class Point(stream_id: String, ts: Timestamp, value: Double)
   /** Per-stream derive state: last seen datapoint (epoch-µs, value). */

@@ -59,4 +59,23 @@ class DeriveSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Double]("sum"), r.getAs[Long]("contributing"))).toSeq
       == Seq((3.0, 2L), (5.0, 1L)))
   }
+
+  test("sumStreamsRequireAll withholds buckets missing a declared source") {
+    val raw = dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0),
+      ("b", "2024-01-01T00:00:50Z", 2.0),  // minute 0: both sources → emitted
+      ("a", "2024-01-01T00:01:10Z", 5.0),  // minute 1: b missing → withheld
+      ("b", "2024-01-01T00:02:05Z", 7.0),  // minute 2: a missing → withheld
+      ("a", "2024-01-01T00:03:00Z", 4.0),
+      ("a", "2024-01-01T00:03:30Z", 6.0),
+      ("b", "2024-01-01T00:03:59Z", 8.0),  // minute 3: both (a twice) → emitted
+      ("c", "2024-01-01T00:04:00Z", 9.0))) // undeclared stream: ignored entirely
+      .withColumn("group", lit("g"))
+    val out = Derive.sumStreamsRequireAll(raw, Granularity.Minutes,
+        Seq("group"), Seq("a", "b"))
+      .orderBy("bucket_start").collect()
+    assert(out.map(r => (r.getAs[Double]("sum"), r.getAs[Long]("contributing"),
+      r.getAs[Long]("n_sources"))).toSeq
+      == Seq((3.0, 2L, 2L), (18.0, 3L, 2L)))
+  }
 }
