@@ -1711,21 +1711,21 @@ object Queries {
         sum(size(col("g.e"))).as("n_edges"))
   }
 
-  /** X5: stub-decoded multimodal metadata per kind (typed mapPartitions
-    * plumbing; deterministic fake codec — see Multimodal scaladoc).
+  /** X5 with a REAL codec: every document becomes a genuine PNG (JDK
+    * encoder, dims pinned by doc_id), decoded back through
+    * `javax.imageio` — the oracle states each asset's expected
+    * width/height/channels in closed form, so a decoder that misreads a
+    * single image breaks the row set. No stub in this path.
     */
-  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.decode(
-        ext.Multimodal.assetsFromDocuments(Sources.documents(spark, sfDir))
-          .as[ext.Multimodal.Asset])
-      .groupBy(col("kind"))
-      .agg(count(lit(1)).as("n_assets"),
-        sum("n_bytes").as("bytes_sum"),
-        sum(col("width").cast("long")).as("width_sum"),
-        sum(col("height").cast("long")).as("height_sum"),
-        sum("duration_ms").as("duration_sum"))
-  }
+        ext.Multimodal.pngAssets(Sources.documents(spark, sfDir)))
+      .toDF()
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("duration_ms"))
 
   /** X5: aspect-preserving resize geometry over the decoded assets,
     * aggregated per kind — integer math end to end, mirrored by the oracle.
@@ -3113,20 +3113,23 @@ WHERE rank <= 5"""
 FROM events GROUP BY 1, 2, 3"""
 
   /** Mirrors Multimodal.decodeOne's deterministic stub arithmetic. */
+  /** Real-codec twin: the PNG generator pins each asset's dimensions to
+    * a closed-form function of doc_id, so the expected decode output is
+    * pure arithmetic — the Spark side must reproduce it through an actual
+    * PNG encode → javax.imageio decode round trip.
+    */
   val multimodalDecode: String =
-    """WITH d AS (
-  SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-    CAST(octet_length(encode(text)) AS BIGINT) AS n
-  FROM documents)
-SELECT kind, count(*) AS n_assets,
-  CAST(sum(n) AS BIGINT) AS bytes_sum,
-  CAST(sum(16 + n % 512) AS BIGINT) AS width_sum,
-  CAST(sum(16 + (n * 7) % 512) AS BIGINT) AS height_sum,
-  CAST(sum(CASE WHEN kind = 'image' THEN 0 ELSE n * 20 END) AS BIGINT) AS duration_sum
-FROM d GROUP BY 1"""
+    """SELECT doc_id AS asset_id,
+  CAST(16 + doc_id % 64 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(0 AS BIGINT) AS duration_ms
+FROM documents"""
 
-  /** Resize twin: the stub decode dims (16 + n%512, 16 + 7n%512) fit into
-    * 224×224 with the same integer floor-division geometry.
+  /** Resize twin: the text-bound assets take decode's deterministic
+    * FALLBACK dims (16 + n%512, 16 + 7n%512 — imageio cannot parse text
+    * bytes, by design here), which fit into 224×224 with the same integer
+    * floor-division geometry.
     */
   val multimodalResize: String =
     """WITH d AS (

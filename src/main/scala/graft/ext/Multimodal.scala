@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` payloads with typed metadata, decoded and
   * feature-extracted per partition.
   *
-  * The codec itself is STUBBED — this container has no image/audio
-  * libraries — with a clearly-marked deterministic fake. Everything AROUND
-  * the stub is real and tested: the asset schema, the
-  * `mapPartitions`-batched decode (the shape a JNI/FFI decoder needs: one
-  * library handle per partition, streaming iterator, no per-row setup), the
-  * fixed-dim feature vectors ready for `Similarity.topK`, and the
+  * The IMAGE arm is a REAL codec: `decodeImage` runs the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP ship with the JRE — no FFI, no
+  * native libs), and the `q_multimodal_decode` gate round-trips
+  * deterministically generated PNGs through encode → decode with
+  * per-asset pinned dimensions. Payloads imageio cannot parse (the
+  * text-bound synthetic fixture; audio/video containers, which the JDK
+  * has no decoder for) fall back to a clearly-marked deterministic
+  * geometry so the resize/frame plumbing stays exercised end to end.
+  * Everything around the codec is real and tested: the asset schema, the
+  * `mapPartitions`-batched decode (the shape an FFI decoder needs: one
+  * library handle per partition, streaming iterator, no per-row setup),
+  * the fixed-dim feature vectors ready for `Similarity.topK`, and the
   * frame-sampling layout.
   *
   * At 100 TB: assets are date/kind-partitioned parquet with payloads in
@@ -39,29 +45,88 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       to_json(struct(col("lang"), col("source"))).as("meta"))
 
-  /** STUB decode — deterministic fake dimensions derived from the payload.
-    * A real deployment replaces ONLY the body of `decodeOne`; the
-    * partition-batched plumbing stays.
+  /** REAL image decode via the JDK's `javax.imageio` — returns
+    * `(width, height, channels)` when the payload is a parseable image
+    * (PNG/JPEG/GIF/BMP with the stock JRE plugins), None otherwise.
+    * `channels` is the raster's band count (3 for RGB, 4 for RGBA, 1 for
+    * grayscale). Decode failures of any shape (null payload, truncated
+    * file, non-image bytes) uniformly map to None — a corrupt asset must
+    * degrade, not kill a 100 TB scan.
+    */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (payload == null || payload.length == 0) None
+    else scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, img.getRaster.getNumBands))
+    }.toOption.flatten
+
+  /** Per-asset decode: the image arm is the real `decodeImage`; payloads
+    * imageio cannot parse (audio/video — no JDK decoder exists — and the
+    * synthetic text-bound fixture) take the deterministic fallback
+    * geometry, which the resize oracle mirrors in exact integer
+    * arithmetic. `duration_ms` is fallback-only either way: the JDK has
+    * no media-container parser, so a real deployment swaps that one field
+    * for an FFI probe.
     */
   private def decodeOne(a: Asset): Decoded = {
     val n = if (a.payload == null) 0L else a.payload.length.toLong
-    // ??? real decoder goes here (libjpeg/ffmpeg via FFI); fake is exact
-    // integer arithmetic so the DuckDB oracle can replicate it.
-    Decoded(a.asset_id, a.kind,
-      width = (16 + n % 512).toInt,
-      height = (16 + (n * 7) % 512).toInt,
-      channels = 3,
-      n_bytes = n,
-      duration_ms = if (a.kind == "image") 0L else n * 20L)
+    decodeImage(a.payload) match {
+      case Some((w, h, c)) =>
+        Decoded(a.asset_id, a.kind, width = w, height = h, channels = c,
+          n_bytes = n, duration_ms = 0L)
+      case None =>
+        Decoded(a.asset_id, a.kind,
+          width = (16 + n % 512).toInt,
+          height = (16 + (n * 7) % 512).toInt,
+          channels = 3,
+          n_bytes = n,
+          duration_ms = if (a.kind == "image") 0L else n * 20L)
+    }
   }
 
-  /** Partition-batched decode: one iterator pass per partition. */
+  /** Partition-batched decode: one iterator pass per partition, with the
+    * per-partition codec init imageio wants (disable the temp-file stream
+    * cache — payloads are in-memory byte arrays).
+    */
   def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition init of a (stubbed) codec handle would happen here
+      javax.imageio.ImageIO.setUseCache(false)
       it.map(decodeOne)
     }
+  }
+
+  /** Deterministic real-PNG fixture: one tiny RGB PNG per document, dims
+    * pinned by doc_id (`16 + id % 64` × `16 + 7·id % 64`), pixels a fixed
+    * function of position — so the decode gate's oracle states each
+    * asset's expected dimensions in closed form while the payload itself
+    * is a genuine PNG byte stream produced by the JDK encoder.
+    */
+  def pngAssets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, lang) =>
+          val w = (16 + id % 64).toInt
+          val h = (16 + (id * 7) % 64).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Asset(id, "image", bos.toByteArray, s"""{"lang":"$lang"}""")
+        }
+      }
   }
 
   /** Aspect-preserving resize plan: fit each decoded asset into a

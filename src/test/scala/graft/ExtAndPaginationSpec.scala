@@ -79,7 +79,7 @@ class ExtAndPaginationSpec extends SparkSpec {
         .toDF("stream_id", "ts", "value", "value_json")))
   }
 
-  test("multimodal decode keeps one row per asset with deterministic stub metadata") {
+  test("multimodal decode: undecodable payloads take the deterministic fallback") {
     val assets = Seq(
       ext.Multimodal.Asset(0L, "image", "abcd".getBytes("UTF-8"), "{}"),
       ext.Multimodal.Asset(1L, "audio", "x".getBytes("UTF-8"), "{}"))
@@ -87,6 +87,24 @@ class ExtAndPaginationSpec extends SparkSpec {
       .map(d => d.asset_id -> d).toMap
     assert(out(0L).width == 20 && out(0L).n_bytes == 4L && out(0L).duration_ms == 0L)
     assert(out(1L).duration_ms == 20L && out(1L).channels == 3)
+  }
+
+  test("multimodal decode: real PNGs round-trip through javax.imageio with true dims") {
+    val docs = Seq((5L, "ignored", "en"), (100L, "ignored", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val assets = ext.Multimodal.pngAssets(docs)
+    // payloads are genuine PNG byte streams (magic bytes), not fakes
+    val magic = assets.collect().map(a => a.asset_id ->
+      a.payload.take(4).map(_ & 0xFF).toSeq).toMap
+    assert(magic(5L) === Seq(0x89, 0x50, 0x4E, 0x47))
+    val out = ext.Multimodal.decode(assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    // dims = the generator's closed form, recovered by the REAL decoder
+    assert(out(5L).width == 21 && out(5L).height == 51 && out(5L).channels == 3)
+    assert(out(100L).width == 52 && out(100L).height == 76 && out(100L).channels == 3)
+    // a truncated PNG degrades to the fallback instead of throwing
+    val broken = assets.collect().head.payload.take(10)
+    assert(ext.Multimodal.decodeImage(broken).isEmpty)
   }
 
   test("multimodal features have fixed dim and preserve byte counts") {
