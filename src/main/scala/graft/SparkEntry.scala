@@ -149,6 +149,9 @@ object SparkEntry {
     "q_chunk" -> Queries.chunkReport _,
     "q_sample_strata" -> Queries.sampleStrataReport _,
     "q_pack" -> Queries.packReport _,
+    "q_bpe_tokens" -> Queries.bpeTokens _,
+    "q_pack_bpe" -> Queries.packBpe _,
+    "q_token_hist_bpe" -> Queries.tokenHistBpe _,
     // corpus stats: top bigrams (distributed top-k) + length histogram +
     // exact rank-based percentiles
     "q_ngram_top" -> ((s, d) => ext.Text.topNgrams(Sources.documents(s, d))),
@@ -257,6 +260,9 @@ object SparkEntry {
     "q_chunk" -> Oracles.chunkReport,
     "q_sample_strata" -> Oracles.sampleStrataReport,
     "q_pack" -> Oracles.packReport,
+    "q_bpe_tokens" -> Oracles.bpeTokens,
+    "q_pack_bpe" -> Oracles.packBpe,
+    "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
@@ -1825,6 +1831,37 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
+
+  /** REAL tokenizer on the gate: per-document greedy longest-match token
+    * counts against the fixture vocabulary — the oracle re-tokenizes
+    * every distinct word through a recursive CTE replaying the same
+    * longest-prefix rule, so one mis-segmented word anywhere in the
+    * corpus breaks the per-doc counts.
+    */
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Bpe.tokenCounts(Sources.documents(spark, sfDir))
+
+  /** Sequence packing on REAL token counts — what a training run actually
+    * budgets context windows with (the `q_pack` twin swapped from the
+    * whitespace estimate to the tokenizer).
+    */
+  def packBpe(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Pack.packContiguous(
+        ext.Bpe.tokenCounts(Sources.documents(spark, sfDir)),
+        budget = 2048L, blockSize = 64L, tokCol = "n_bpe")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tokens_sum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+
+  /** Length histogram on REAL token counts (the `q_token_hist` twin). */
+  def tokenHistBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    ext.Bpe.tokenCounts(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang"), expr("n_bpe div 64").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("tokens_sum"),
+        min("n_bpe").as("tok_min"), max("n_bpe").as("tok_max"))
+  }
 }
 
 /** DuckDB twins. Each mirrors its Spark query's arithmetic exactly — same
@@ -2774,6 +2811,55 @@ SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
   count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_sum,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
+
+  /** Shared BPE word-count CTEs: the recursive tokenizer twin. Each
+    * DISTINCT corpus word is consumed left to right, each step eating the
+    * LONGEST vocabulary prefix (or one character when nothing matches —
+    * the unknown token), and per-word counts join back to documents. An
+    * independent replay of `Bpe.countTokens`' decision rule, with the
+    * vocabulary interpolated from the same fixture constant.
+    */
+  private def bpeWordCounts: String = {
+    val vs = graft.ext.Bpe.FixtureVocab.map(t => s"('$t')").mkString(", ")
+    s"""vocab(tok) AS (VALUES $vs),
+dw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+step AS (
+  SELECT w, w AS rest, 0 AS n FROM dw
+  UNION ALL
+  SELECT w,
+    substring(rest, 1 + coalesce((SELECT max(len(v.tok)) FROM vocab v
+      WHERE starts_with(step.rest, v.tok)), 1)) AS rest,
+    n + 1
+  FROM step WHERE rest <> ''),
+wc AS (SELECT w, n AS n_tok FROM step WHERE rest = ''),
+doctok AS (
+  SELECT doc_id, CAST(sum(wc.n_tok) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) words
+  JOIN wc USING (w) GROUP BY 1)"""
+  }
+
+  val bpeTokens: String =
+    s"WITH RECURSIVE $bpeWordCounts SELECT doc_id, n_bpe FROM doctok"
+
+  val packBpe: String =
+    s"""WITH RECURSIVE $bpeWordCounts,
+c AS (
+  SELECT doc_id, n_bpe,
+    sum(n_bpe) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM doctok)
+SELECT CAST((cum - n_bpe) // 2048 AS BIGINT) AS bin,
+  count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS tokens_sum,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1"""
+
+  val tokenHistBpe: String =
+    s"""WITH RECURSIVE $bpeWordCounts
+SELECT d.lang, n_bpe // 64 AS bucket, count(*) AS n_docs,
+  CAST(sum(n_bpe) AS BIGINT) AS tokens_sum,
+  min(n_bpe) AS tok_min, max(n_bpe) AS tok_max
+FROM doctok t JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
 
   /** Streaming-dedup twin: the landed table must be exactly ONE copy of
     * the corpus, so the oracle is the plain per-language aggregate of

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-driven subword tokenizer — the greedy longest-prefix-match
+  * decision rule BPE/WordPiece inference applies once a merges table has
+  * been learned: each whitespace word is consumed left to right, at every
+  * position taking the LONGEST vocabulary entry that prefixes the
+  * remainder, or a single character as an unknown token when nothing
+  * matches. This replaces the regex token-count ESTIMATE
+  * (`Text.bpeishTokenCount`) wherever a token budget should reflect what
+  * a training run's real tokenizer would see (packing, chunk budgets,
+  * length histograms).
+  *
+  * Scale shape: the vocabulary is driver state broadcast once (real BPE
+  * vocabs are 32–100k entries — a few MB), tokenization is a tight
+  * per-partition loop over the shard (same discipline as
+  * `Dedup.shingled`), and the output is one slim `(id, n_tok)` row per
+  * document — a narrow map, no shuffle.
+  *
+  * Exactness: the per-word token count is a pure function of (word,
+  * vocab), so the oracle tokenizes each DISTINCT word once via a
+  * recursive CTE replaying the same longest-prefix rule and joins counts
+  * back — an independent implementation, not a port. Positions are
+  * consumed by UTF-16 code unit on the Spark side and by code point in
+  * DuckDB: identical for BMP text (this corpus; supplementary-plane
+  * emoji would diverge and would need a code-point loop here).
+  */
+object Bpe {
+
+  /** Deterministic fixture vocabulary for the gates: subwords of the
+    * synthetic corpus' lexicon plus bare vowels, mixing whole-word,
+    * multi-char and single-char matches so every arm of the
+    * longest-match rule fires (consonants are absent, exercising the
+    * unknown-token fallback).
+    */
+  val FixtureVocab: Seq[String] = Seq(
+    "the", "query", "quer", "sort", "filter", "fil", "ter", "stream",
+    "str", "eam", "agg", "small", "window", "win", "dow", "value", "val",
+    "ue", "batch", "ba", "tch", "table", "ta", "ble", "group", "gr",
+    "oup", "order", "or", "der", "hash", "ha", "sh", "scan", "sc", "an",
+    "big", "key", "row", "data", "da", "line", "li", "ne", "vector",
+    "vec", "tor", "part", "par", "merge", "mer", "ge", "column", "col",
+    "umn", "slow", "sl", "ow", "customer", "cust", "omer",
+    "a", "e", "i", "o", "u")
+
+  /** Greedy longest-prefix token count of ONE word — allocation-free hot
+    * loop; `maxLen` caps the probe length at the longest vocab entry.
+    */
+  private[graft] def countTokens(w: String, vocab: Set[String], maxLen: Int): Long = {
+    var n = 0L
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(maxLen, w.length - i)
+      var step = 1
+      var found = false
+      while (l >= 1 && !found) {
+        if (vocab.contains(w.substring(i, i + l))) { step = l; found = true }
+        l -= 1
+      }
+      n += 1
+      i += step
+    }
+    n
+  }
+
+  /** The tokens themselves (tests + debugging; the count path above never
+    * materializes them).
+    */
+  private[graft] def tokenizeWord(w: String, vocab: Set[String],
+                                  maxLen: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      var l = math.min(maxLen, w.length - i)
+      var step = 1
+      var found = false
+      while (l >= 1 && !found) {
+        if (vocab.contains(w.substring(i, i + l))) { step = l; found = true }
+        l -= 1
+      }
+      out += w.substring(i, i + step)
+      i += step
+    }
+    out.result()
+  }
+
+  /** Per-document real token counts `(idCol, n_bpe)`: whitespace
+    * pre-split (the same word boundary every other Text operator uses),
+    * then greedy longest-match per word against the broadcast vocabulary.
+    */
+  def tokenCounts(docs: DataFrame, vocab: Seq[String] = FixtureVocab,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(vocab.nonEmpty, "tokenCounts needs a non-empty vocabulary")
+    import docs.sparkSession.implicits._
+    val maxLen = vocab.map(_.length).max
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab.toSet)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (id, text) =>
+          var n = 0L
+          if (text != null)
+            text.split(" ", -1).foreach(w => n += countTokens(w, v, maxLen))
+          (id, n)
+        }
+      }.toDF(idCol, "n_bpe")
+  }
+}

@@ -311,6 +311,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("different hashing scheme"))
   }
 
+  test("Bpe: greedy longest-prefix tokenization with unknown-char fallback") {
+    import ext.Bpe
+    val vocab = Set("the", "th", "he", "ab", "abc", "x")
+    def toks(w: String) = Bpe.tokenizeWord(w, vocab, maxLen = 3)
+    // longest match wins over an earlier shorter one
+    assert(toks("the") === Vector("the"))
+    assert(toks("abcab") === Vector("abc", "ab"))
+    // greedy is NOT optimal: "thhe" → "th" + unknown "h" + unknown "e"?
+    // no — "th" then "he": greedy consumes longest at each position
+    assert(toks("thhe") === Vector("th", "he"))
+    // unknown chars fall back to single-char tokens
+    assert(toks("zq") === Vector("z", "q"))
+    assert(toks("xzx") === Vector("x", "z", "x"))
+    assert(toks("") === Vector.empty)
+    // count path agrees with the materializing path
+    Seq("the", "abcab", "thhe", "zq", "xzx", "").foreach { w =>
+      assert(Bpe.countTokens(w, vocab, 3) === toks(w).length.toLong)
+    }
+    // DataFrame surface: per-doc sums across whitespace words
+    val df = docsDF(Seq((1L, "the abcab", "en"), (2L, "", "en")))
+    val out = ext.Bpe.tokenCounts(df, vocab.toSeq).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 3L && out(2L) === 0L)
+  }
+
   test("exactPairs and topK fail fast past their collect guardrails") {
     import spark.implicits._
     val vecs = (1L to 5L).map(i => (i, Array(i.toFloat, 1.0f), 0))
