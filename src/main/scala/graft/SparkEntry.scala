@@ -97,6 +97,7 @@ object SparkEntry {
     "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
     // persisted IVF index: build once into storage, query from the index
     "q_similarity_index" -> Queries.similarityIndex _,
+    "q_ivf_index_append" -> Queries.ivfIndexAppend _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     // recall gates: the approximate pipelines measured against their exact
     // twins — a recall collapse (broken banding, bad probes, dead simhash
@@ -228,6 +229,7 @@ object SparkEntry {
     // the persisted-index round-trip at exhaustive probing is bit-identical
     // to brute force — same oracle as the in-memory IVF configurations
     "q_similarity_index" -> Oracles.similarityTopK,
+    "q_ivf_index_append" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
     // exact twin; rows-only check. Their QUALITY is gated instead: the
@@ -1162,6 +1164,29 @@ object Queries {
     val dir = tempDir("graft-ivfidx")
     ext.Ivf.buildIndex(Sources.embeddings(spark, sfDir), s"$dir/ivf",
       nCells = 64, refineIters = 1)
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
+    ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** The IVF index MAINTENANCE lifecycle on the gate: build over the even
+    * half, incrementally append the odd half (assigned to the existing
+    * centroids, O(shard)), compact via refreshIndex (centroids re-learned
+    * from the index's own contents, both sides swap-rewritten), then
+    * query at nProbe = nCells — which must be BIT-IDENTICAL to brute
+    * force over the full corpus (the `q_similarity_topk` oracle). A lost
+    * or doubled vector in append or refresh, or a refresh that corrupts
+    * an embedding, breaks the row set.
+    */
+  def ivfIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val dir = tempDir("graft-ivfapp")
+    ext.Ivf.buildIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      s"$dir/ivf", nCells = 64)
+    ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), s"$dir/ivf")
+    ext.Ivf.refreshIndex(s"$dir/ivf", spark, refineIters = 1)
     val qv = queryVectors(spark, sfDir)
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)

@@ -145,6 +145,77 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** INCREMENTAL index maintenance: assign a new shard to the EXISTING
+    * centroids and append its rows to the inverted file — O(shard) work
+    * per ingest (one narrow assignment map + a partitioned append), never
+    * a re-cluster of the already-indexed corpus. The flip side of folding
+    * into fixed centroids is drift: as appended data shifts the
+    * distribution, cells get lopsided and probe recall decays — that is
+    * what the periodic [[refreshIndex]] compaction is for. Same
+    * single-writer contract as the dedup index.
+    */
+  def appendToIndex(newVecs: DataFrame, path: String,
+                    vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    import newVecs.sparkSession.implicits._
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val centB = spark.sparkContext.broadcast(cents)
+    newVecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
+      }.toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** PERIODIC compaction for an index that has absorbed appends:
+    * re-learns centroids from the index's own contents (spherical k-means
+    * seeded by the stored centroids — no access to the original corpus
+    * needed) and rewrites both sides. The new index is assembled in fresh
+    * directories first (the build never reads files it is replacing),
+    * then swapped in with per-side delete+rename. A crash between the two
+    * swaps can pair new centroids with old cell assignments: queries stay
+    * well-formed (every vector still present exactly once; nProbe=nCells
+    * still exact) but probe recall degrades until refreshIndex is re-run
+    * — the single-table-rename consistency story, same as the warehouse's
+    * overwriteSwap, with the same Delta/Iceberg citation for the real
+    * multi-table answer.
+    */
+  def refreshIndex(path: String, spark: org.apache.spark.sql.SparkSession,
+                   refineIters: Int = 3): Unit = {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$path/cells").select("vec_id", "embedding")
+    val init = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    val refined = refineCentroids(all, init, refineIters)
+    val centB = spark.sparkContext.broadcast(
+      refined.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
+    refined.toSeq.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids_next")
+    all.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
+      }.toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_next")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def swap(side: String): Unit = {
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$side")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${side}_next")
+      fs.delete(cur, true)
+      if (!fs.rename(next, cur))
+        throw new IllegalStateException(s"refreshIndex: rename of $next failed")
+    }
+    swap("centroids")
+    swap("cells")
+  }
+
   /** Query a persisted index: probe each query's `nProbe` nearest cells,
     * scan ONLY those cell partitions (partition pruning does the candidate
     * generation), exact-cosine re-rank, top-k. Same arithmetic and

@@ -67,6 +67,42 @@ class DotProductSpec extends SparkSpec {
     assert(narrow.count() == 5)
   }
 
+  test("IVF append + refresh lifecycle preserves contents exactly") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    ext.Ivf.buildIndex(corpus.where(col("vec_id") % 2 === 0), dir, nCells = 8)
+    ext.Ivf.appendToIndex(corpus.where(col("vec_id") % 2 === 1), dir)
+    // incremental index == full corpus, exactly once each
+    val ids = spark.read.parquet(s"$dir/cells").select("vec_id")
+      .as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 300L))
+    val queries = corpus.where(col("vec_id") < 3)
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet == brute)
+    // compaction re-learns centroids from the index itself; contents and
+    // exhaustive results are unchanged, and narrow probes stay well-formed
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
+    ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
+    assert(centsAfter.keySet == centsBefore.keySet)
+    assert(centsAfter.exists { case (c, v) =>
+      !java.util.Arrays.equals(v, centsBefore(c)) })
+    assert(spark.read.parquet(s"$dir/cells").select("vec_id")
+      .as[Long].collect().sorted.toSeq == (0L until 300L))
+    assert(ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet == brute)
+    assert(ext.Ivf.queryIndex(dir, queries.limit(1), k = 5, nProbe = 2).count() == 5)
+  }
+
   test("IVF probing fewer cells returns k well-formed results per query") {
     val rnd = new scala.util.Random(13)
     val corpus = (0 until 300).map(i =>
