@@ -970,11 +970,12 @@ object Queries {
   }
 
   /** The STREAMING completeness arm: `Streaming.deriveSumRequireAll` over
-    * all five event-type streams at hours granularity — emitted buckets
-    * are exactly those BOTH finalized by the watermark (hour end ≤
-    * ms-floored max event time) AND complete (all five sources present);
-    * a bucket missing a source is withheld at watermark, never emitted
-    * partial. Same emit-once harness as `q_streaming_derive_sum`.
+    * the three declared event-type streams at hours granularity — emitted
+    * buckets are exactly those BOTH finalized by the watermark (hour end
+    * ≤ ms-floored max event time of the filtered stream) AND complete
+    * (all three sources present); a bucket missing a source is withheld
+    * at watermark, never emitted partial. Same emit-once harness as
+    * `q_streaming_derive_sum`.
     */
   def streamingDeriveSumAll(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -989,7 +990,7 @@ object Queries {
       .select(col("event_type"),
         expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
     val q = Streaming.deriveSumRequireAll(src, Granularity.Hours, "0 seconds",
-        Seq.empty, Seq("click", "view", "purchase", "signup", "error"),
+        Seq.empty, Seq("click", "view", "purchase"),
         sourceCol = "event_type")
       .writeStream
       .format("parquet")
@@ -1034,18 +1035,19 @@ object Queries {
     Derive.counterDerivative(counter, Some(1000.0), valueCol = "counter")
   }
 
-  /** W1's COMPLETENESS flavor on the gate: the five event-type streams
-    * summed at hours granularity, a bucket emitted only when ALL FIVE
-    * sources contributed — at sf0.01 the corpus has both complete (~520)
-    * and incomplete (~200) hourly buckets, so the oracle (HAVING
-    * count(DISTINCT source) = 5) catches an operator that emits partial
-    * buckets OR one that over-filters complete ones.
+  /** W1's COMPLETENESS flavor on the gate: three event-type streams
+    * summed at hours granularity, a bucket emitted only when ALL THREE
+    * sources contributed — the corpus has both complete and incomplete
+    * hourly buckets at every test SF (sf0.01: ~590 vs ~130; sf0.001: 11
+    * vs ~390), so the oracle (HAVING count(DISTINCT source) = 3) catches
+    * an operator that emits partial buckets OR one that over-filters
+    * complete ones.
     */
   def deriveSumAll(spark: SparkSession, sfDir: String): DataFrame =
     Derive.sumStreamsRequireAll(
       Sources.eventsAsDatapoints(spark, sfDir),
       Granularity.Hours, Seq.empty,
-      Seq("click", "view", "purchase", "signup", "error"),
+      Seq("click", "view", "purchase"),
       sourceCol = "event_type")
 
   /** W1: sum the 15 per-user `click` streams into one derived stream at
@@ -2280,24 +2282,27 @@ GROUP BY 1, 2"""
     CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
     count(*) AS contributing,
     count(DISTINCT event_type) AS n_sources
-  FROM events GROUP BY 1)
+  FROM events WHERE event_type IN ('click', 'view', 'purchase') GROUP BY 1)
 SELECT bucket_start, "sum", contributing, n_sources
-FROM b WHERE n_sources = 5"""
+FROM b WHERE n_sources = 3"""
 
   /** Streaming completeness twin: the same complete-bucket set further
     * restricted to buckets the watermark finalized (hour end ≤ ms-floored
-    * max event time over ALL events — the stream is unfiltered).
+    * max event time over the three declared source streams — the
+    * watermark is computed on the FILTERED stream).
     */
   val streamingDeriveSumAll: String =
-    """WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM events),
+    """WITH src AS (
+  SELECT * FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS w FROM src),
 b AS (
   SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
     CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS "sum",
     count(*) AS contributing,
     count(DISTINCT event_type) AS n_sources
-  FROM events GROUP BY 1)
+  FROM src GROUP BY 1)
 SELECT bucket_start, "sum", contributing, n_sources
-FROM b, wm WHERE n_sources = 5 AND epoch_us(bucket_start) + 3600000000 <= wm.w"""
+FROM b, wm WHERE n_sources = 3 AND epoch_us(bucket_start) + 3600000000 <= wm.w"""
 
   /** Streaming W1 twin: the batch derive-sum restricted to buckets the
     * watermark finalized (append mode, delay 0, ms-floored max CLICK event

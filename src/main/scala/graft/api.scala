@@ -143,15 +143,27 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * the sandbox-scale stand-in for the Delta/Iceberg commit the mutation
     * paths cite. Plain parquet gives each table swap/write atomicity but
     * nothing spans tables: a crash between "raw appended" and "registry
-    * swapped" leaves a torn warehouse with no witness. The log makes the
-    * tear DETECTABLE: `<version>.intent` is committed (temp + rename)
-    * before the first table write, renamed to `<version>.commit` after the
-    * last; a crash leaves the intent behind, a mid-sequence failure renames
-    * it to `<version>.failed` — both surface in `tornOperations` and as a
-    * startup warning. Detection-only by design: rollback needs versioned
-    * table files, i.e. a real table format. Callers wrap ONLY the write
-    * sequence (validation failures precede the intent and leave no marker).
-    * Single-writer per warehouse, as with the registry swap.
+    * swapped" leaves a torn warehouse. Two layers of defense:
+    *
+    *  - DETECTION, all mutations: `<version>.intent` is committed (temp +
+    *    rename) before the first table write, renamed to
+    *    `<version>.commit` after the last; a crash leaves the intent
+    *    behind, a mid-sequence failure renames it to `<version>.failed` —
+    *    both surface in `tornOperations` and as a startup warning.
+    *  - ISOLATION, append-shaped mutations: each commit also writes a
+    *    `<version>.manifest` snapshot of the raw fact table's file set,
+    *    and readers resolve the newest committed manifest instead of
+    *    listing the directory (`rawDatapointsInRange`) — so the files a
+    *    torn append left behind are simply never visible, and readers
+    *    stay on the pre-mutation snapshot with no remediation needed
+    *    (`vacuumRaw` reclaims the orphans). Rewrite-shaped mutations
+    *    (delete purge, compaction) delete old files in place, so a crash
+    *    there still needs `reprocessStreams`/restore — retained file
+    *    versions, i.e. a real table format, is the full answer.
+    *
+    * Callers wrap ONLY the write sequence (validation failures precede the
+    * intent and leave no marker). Single-writer per warehouse, as with the
+    * registry swap.
     */
   /** Advisory warehouse writer lock — the batch-facade analog of the
     * reference's maintenance lock (T5; the streaming side's state is owned
@@ -183,7 +195,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     finally { lock.release(); ch.close() }
   }
 
-  private def withCommit[T](op: String)(body: => T): T = withWriterLock(op) {
+  private def withCommit[T](op: String, adoptAll: Boolean = false)(body: => T): T = withWriterLock(op) {
     val dir = new java.io.File(commitLogPath)
     dir.mkdirs()
     val version = 1L + Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -196,18 +208,117 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val intent = marker("intent")
     if (!tmp.renameTo(intent))
       throw new IllegalStateException(s"commitlog: cannot stage intent $intent")
+    val before = listRawFiles()
     val out =
       try body
       catch { case e: Throwable => intent.renameTo(marker("failed")); throw e }
+    // Raw-table snapshot manifest (see rawSnapshot): the new version's file
+    // set is previous-manifest ∩ still-present ∪ written-by-this-mutation —
+    // NOT a directory listing, so orphan files from an earlier torn
+    // mutation are never adopted into a committed snapshot. First manifest
+    // on a legacy warehouse adopts the pre-mutation listing as baseline.
+    // Written (temp + rename) BEFORE the commit rename: a crash between
+    // the two leaves an uncommitted manifest readers ignore.
+    val after = listRawFiles()
+    val prev = rawSnapshot.map(_._2.toSet).getOrElse(before)
+    val snapshot =
+      (if (adoptAll) after else (prev & after) | (after -- before)).toSeq.sorted
+    val mTmp = marker("manifest.tmp")
+    java.nio.file.Files.writeString(mTmp.toPath, snapshot.mkString("\n"))
+    if (!mTmp.renameTo(marker("manifest")))
+      throw new IllegalStateException(s"commitlog: cannot stage manifest $version")
     if (!intent.renameTo(marker("commit")))
       throw new IllegalStateException(s"commitlog: cannot commit $intent")
-    // bounded history: keep the newest 20 commit/resolved markers each
-    Seq(".commit", ".resolved").foreach { sfx =>
+    // bounded history: keep the newest 20 commit/resolved/manifest markers
+    // each (versions are shared, so commit and manifest stay aligned)
+    Seq(".commit", ".resolved", ".manifest").foreach { sfx =>
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(sfx)).sortBy(_.getName)
         .dropRight(20).foreach(_.delete())
     }
     out
+  }
+
+  // ---- raw-table snapshot manifests (S1 read isolation) -------------------
+
+  /** Relative data-file listing of the appended fact table — the driver
+    * walk is the sandbox stand-in for a table format's action log; at
+    * cluster scale the SAME manifest contents come from Delta/Iceberg
+    * metadata instead of a filesystem walk.
+    */
+  private def listRawFiles(): Set[String] = {
+    val root = new java.io.File(rawPath)
+    if (!root.exists()) Set.empty
+    else {
+      val out = Set.newBuilder[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.getName.startsWith("part-")) out += root.toPath.relativize(f.toPath).toString
+      walk(root)
+      out.result()
+    }
+  }
+
+  /** Newest COMMITTED raw-table snapshot: `(version, relative files)` from
+    * the manifest the latest `.commit` marker covers. None on a warehouse
+    * with no committed manifest yet (fresh or pre-manifest legacy) —
+    * readers then fall back to the live directory.
+    */
+  private def rawSnapshot: Option[(Long, Seq[String])] = {
+    val dir = new java.io.File(commitLogPath)
+    val names = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName)
+    def versions(sfx: String): Set[Long] =
+      names.filter(_.endsWith(sfx))
+        .flatMap(_.split('.').headOption.flatMap(_.toLongOption)).toSet
+    val ready = versions(".commit") & versions(".manifest")
+    if (ready.isEmpty) None
+    else {
+      val v = ready.max
+      val txt = java.nio.file.Files.readString(
+        new java.io.File(dir, f"$v%09d.manifest").toPath)
+      Some((v, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)))
+    }
+  }
+
+  /** ADOPT out-of-band raw files into the committed snapshot: commits a
+    * manifest of the full on-disk listing, making rows a foreign writer
+    * (or a pre-upgrade warehouse) placed in `raw/` visible to snapshot
+    * readers — the "convert existing files to the table format" step
+    * Delta/Iceberg require for the same reason. Refused while unresolved
+    * torn-mutation markers exist: adoption cannot distinguish a foreign
+    * file from a crashed mutation's orphan, so the operator must first
+    * `vacuumRaw()` + resolve (or `reprocessStreams`) the tear.
+    */
+  def adoptRaw(): Unit = {
+    val torn = tornOperations
+    if (torn.nonEmpty)
+      throw new IllegalStateException(
+        s"adoptRaw: unresolved torn mutations ${torn.mkString(", ")} — their " +
+          "orphan files would be adopted as data; vacuumRaw() and resolve " +
+          "them first")
+    withCommit("adopt_raw", adoptAll = true) { () }
+  }
+
+  /** Delete raw data files no retained committed manifest references —
+    * the garbage a torn mutation's un-committed append left behind (its
+    * rows were never visible through the snapshot read path), plus files
+    * superseded past the retained manifest history. Under the writer lock
+    * but NOT a commit: visible state is unchanged by construction.
+    * Returns the number of files removed.
+    */
+  def vacuumRaw(): Long = withWriterLock("vacuum_raw") {
+    val dir = new java.io.File(commitLogPath)
+    val referenced = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(f => java.nio.file.Files.readString(f.toPath).split('\n'))
+      .map(_.trim).filter(_.nonEmpty).toSet
+    if (rawSnapshot.isEmpty) 0L // no snapshot era yet: nothing is garbage
+    else {
+      val doomed = listRawFiles() -- referenced
+      doomed.foreach(rel => new java.io.File(s"$rawPath/$rel").delete())
+      doomed.size.toLong
+    }
   }
 
   /** Multi-table mutations that began but never committed — each entry is
@@ -705,22 +816,43 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * `dp_date` predicates on the appended side (the derived side is
     * stream_id-partitioned; its rows flow through unpruned and the caller's
     * exact `ts` predicate still applies to both).
+    *
+    * SNAPSHOT READ: when a committed manifest exists, the appended side
+    * reads EXACTLY the file set the newest `.commit` covers (explicit file
+    * list + basePath, so `dp_date` partition values and pruning behave as
+    * with a directory read). Files an in-flight or crashed mutation wrote
+    * after that commit are invisible — a torn append leaves readers on the
+    * previous consistent snapshot instead of serving half a mutation.
+    * Rewrite-shaped mutations (delete purge, compaction) still tear under
+    * a mid-rewrite crash: THEIR old files are gone from disk while still
+    * manifest-referenced, and closing that needs retained file versions —
+    * a real table format (Delta/Iceberg), as cited on every mutation path.
     */
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp]): DataFrame = {
     val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
-    val raw =
-      if (exists(rawPath)) {
-        val bounds = Seq(
-          start.map(s => col("dp_date") >= to_date(lit(s))),
-          end.map(e => col("dp_date") <= to_date(lit(e)))).flatten
+    val bounds = Seq(
+      start.map(s => col("dp_date") >= to_date(lit(s))),
+      end.map(e => col("dp_date") <= to_date(lit(e)))).flatten
+    def emptyRaw =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.rawDatapoints)
+    val raw = rawSnapshot match {
+      case Some((_, files)) if files.isEmpty => emptyRaw
+      case Some((_, files)) =>
+        bounds.foldLeft(
+            spark.read.option("basePath", rawPath)
+              .schema(Schemas.rawDatapointsPartitioned)
+              .parquet(files.map(f => s"$rawPath/$f"): _*))(
+            _.where(_))
+          .select(cols: _*)
+      case None if exists(rawPath) =>
         bounds.foldLeft(
             spark.read.schema(Schemas.rawDatapointsPartitioned).parquet(rawPath))(
             _.where(_))
           .select(cols: _*)
-      } else
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          Schemas.rawDatapoints)
+      case None => emptyRaw
+    }
     if (!exists(derivedPath)) raw
     else raw.unionByName(
       // full schema supplied: the stream_id partition column takes its type

@@ -414,6 +414,11 @@ class DatastreamApiSpec extends SparkSpec {
       .toDF("stream_id", "ts", "value", "value_json")
       .withColumn("dp_date", to_date(col("ts")))
       .write.partitionBy("dp_date").mode("append").parquet(s"$dir/raw")
+    // foreign files are invisible to snapshot readers until adopted (the
+    // convert-to-table-format step); the PURGE below must handle them
+    // regardless — it reads live storage, not the snapshot
+    assert(ds.rawDatapoints.where(col("stream_id") === "ghost").count() == 0)
+    ds.adoptRaw()
     assert(ds.rawDatapoints.where(col("stream_id") === "ghost").count() == 2)
     ds.deleteStreams(Map("fate" -> "doomed"))
     assert(ds.rawDatapoints.where(col("stream_id") === "ghost").count() == 0)
