@@ -264,6 +264,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * with no committed manifest yet (fresh or pre-manifest legacy) —
     * readers then fall back to the live directory.
     */
+  // newest-version probe is a cheap dir listing every read; the manifest
+  // PARSE is memoized per version (maintenance sessions read the fact
+  // table dozens of times between mutations — re-splitting a many-file
+  // manifest each time was measurable at bench scale)
+  @volatile private var manifestCache: Option[(Long, Seq[String])] = None
+
   private def rawSnapshot: Option[(Long, Seq[String])] = {
     val dir = new java.io.File(commitLogPath)
     val names = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -275,9 +281,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     if (ready.isEmpty) None
     else {
       val v = ready.max
-      val txt = java.nio.file.Files.readString(
-        new java.io.File(dir, f"$v%09d.manifest").toPath)
-      Some((v, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)))
+      manifestCache.filter(_._1 == v).orElse {
+        val txt = java.nio.file.Files.readString(
+          new java.io.File(dir, f"$v%09d.manifest").toPath)
+        val parsed = Some((v, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)))
+        manifestCache = parsed
+        parsed
+      }
     }
   }
 
