@@ -41,6 +41,7 @@ object SparkEntry {
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
     "q_find_streams_nested" -> Queries.findStreamsNested _,
     "q_find_streams_ops" -> Queries.findStreamsOps _,
+    "q_find_streams_variant" -> Queries.findStreamsVariant _,
     // full facade path through real warehouse storage: S1 ingest →
     // downsample_streams maintenance (T1) → S3 read; S5 delete lifecycle;
     // T6 reprocess ≡ incremental; T1–T3 as a real streaming query
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
     "q_find_streams_nested" -> Oracles.findStreamsNested,
     "q_find_streams_ops" -> Oracles.findStreamsOps,
+    "q_find_streams_variant" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
@@ -442,6 +444,23 @@ object Queries {
     val registry = StreamRegistry.fromEvents(dp)
     val matched = StreamRegistry.findStreams(registry,
       Map("meta.parity" -> "odd", "type" -> "click"))
+    StreamRegistry.selectDatapoints(dp, matched)
+      .groupBy(col("stream_id"))
+      .agg(count(lit(1)).as("n_datapoints"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+  }
+
+  /** P2's Spark-4 VariantType arm: the nested `meta.parity=odd` + flat
+    * `type=click` query resolved through the parsed variant column
+    * instead of per-row JSON path extraction — must produce exactly the
+    * `q_find_streams_nested` row set (same oracle).
+    */
+  def findStreamsVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val registry = StreamRegistry.withVariantTags(StreamRegistry.fromEvents(dp))
+    val matched = StreamRegistry.findStreams(
+      StreamRegistry.findStreamsVariant(registry, "meta.parity", "odd"),
+      Map("type" -> "click"))
     StreamRegistry.selectDatapoints(dp, matched)
       .groupBy(col("stream_id"))
       .agg(count(lit(1)).as("n_datapoints"),

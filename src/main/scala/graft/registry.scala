@@ -61,6 +61,25 @@ object StreamRegistry {
         df.where(element_at(col("tags"), k) === v)
     }
 
+  /** Spark-4 `VariantType` flavor of the nested tag document (SURVEY
+    * §1.1's Spark-4 note): the same `tags_json` text parsed once into the
+    * binary variant encoding, so path extraction (`variant_get`) is a
+    * binary-offset walk instead of a per-row JSON parse — the right shape
+    * when many predicates probe the same document. Kept as a derived
+    * column beside `tags_json` (the portable representation parquet
+    * readers of any engine can consume).
+    */
+  def withVariantTags(registry: DataFrame): DataFrame =
+    registry.withColumn("tags_variant", parse_json(col("tags_json")))
+
+  /** Nested-path equality through the variant column — must select the
+    * exact rows the `tags_json` path query selects (asserted in tests and
+    * by the `q_find_streams_variant` gate).
+    */
+  def findStreamsVariant(registry: DataFrame, path: String, v: String): DataFrame =
+    registry.where(
+      variant_get(col("tags_variant"), s"$$.$path", "string") === v)
+
   /** Mongo-style tag-query operators — the reference passes query
     * documents straight through to `streams.find(...)`, so `$gt`-shaped
     * predicates work there [ds :: backends/mongodb.py :: find_streams];

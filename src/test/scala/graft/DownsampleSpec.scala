@@ -88,4 +88,37 @@ class DownsampleSpec extends SparkSpec {
   test("unknown granularity name raises") {
     assertThrows[IllegalArgumentException](Granularity("fortnights"))
   }
+
+  test("bucket alignment is session-timezone independent (property, every granularity)") {
+    // bucketStart is pure epoch-µs arithmetic, so a caller who forgets the
+    // UTC session pin must get the SAME buckets — probe zones with whole,
+    // half (Kolkata) and 45-minute (Eucla, Chatham) offsets plus a
+    // DST-observing zone, over timestamps straddling a DST transition
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-03-09T00:00:00Z").getTime // US DST springs forward 2024-03-10
+    val times = (0 until 200).map(_ => base + (rnd.nextLong() % (5L * 86400000L)).abs)
+    val df = times.map(new java.sql.Timestamp(_)).toDF("ts")
+    val zones = Seq("UTC", "America/New_York", "Asia/Kolkata",
+      "Australia/Eucla", "Pacific/Chatham")
+    val original = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Granularity.ladder.foreach { g =>
+        val perZone = zones.map { z =>
+          spark.conf.set("spark.sql.session.timeZone", z)
+          z -> df.select(Downsample.bucketStart(col("ts"), g).as("b"))
+            .collect().map(_.getTimestamp(0).getTime).toSeq
+        }.toMap
+        zones.tail.foreach { z =>
+          assert(perZone(z) === perZone("UTC"),
+            s"bucketStart($g) differs between UTC and $z")
+        }
+        // and the UTC alignment invariants hold: every bucket start is a
+        // multiple of the duration (days = UTC midnight, hours6 = 00/06/12/18)
+        perZone("UTC").foreach { b =>
+          assert(b % (g.durationSeconds * 1000L) === 0L)
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", original)
+  }
 }

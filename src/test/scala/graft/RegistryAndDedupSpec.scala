@@ -52,6 +52,23 @@ class RegistryAndDedupSpec extends SparkSpec {
     assert(ids(Map("type" -> Seq(Gt(0)))) === Set.empty[String])
   }
 
+  test("variant tags resolve nested paths identically to the JSON-path query") {
+    val fact = dp(Seq(
+      ("1:click", "2024-01-01T00:00:00Z", 1.0),
+      ("2:click", "2024-01-01T00:00:00Z", 2.0),
+      ("3:view", "2024-01-01T00:00:00Z", 3.0)))
+      .withColumn("user_id", split(col("stream_id"), ":").getItem(0).cast("long"))
+      .withColumn("event_type", split(col("stream_id"), ":").getItem(1))
+    val reg = StreamRegistry.withVariantTags(StreamRegistry.fromEvents(fact))
+    val viaVariant = StreamRegistry.findStreamsVariant(reg, "meta.parity", "odd")
+      .select("stream_id").as[String].collect().toSet
+    val viaJson = StreamRegistry.findStreams(reg, Map("meta.parity" -> "odd"))
+      .select("stream_id").as[String].collect().toSet
+    assert(viaVariant === viaJson && viaVariant === Set("1:click", "3:view"))
+    // a path absent from the document matches nothing (no null surprises)
+    assert(StreamRegistry.findStreamsVariant(reg, "meta.absent", "x").count() === 0L)
+  }
+
   test("outstandingDependencies finds derived streams that survive a delete") {
     val registry = Seq(
       ("raw1", Seq.empty[String]),
