@@ -104,9 +104,16 @@ class SnapshotSpec extends SparkSpec {
       ("s1", "2024-01-01T00:00:00Z", 1.0),
       ("s1", "2024-01-03T00:00:00Z", 2.0))).select("stream_id", "ts", "value"))
     tornAppend(dir, Seq(("s1", "2024-01-01T00:00:05Z", 99.0)))
-    val out = ds.getData("s1", Granularity.Seconds,
+    val df = ds.getData("s1", Granularity.Seconds,
       start = Some(ts("2024-01-01T00:00:00Z")),
-      end = Some(ts("2024-01-02T00:00:00Z"))).collect()
-    assert(out.map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+      end = Some(ts("2024-01-02T00:00:00Z")))
+    assert(df.collect().map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+    // the explicit-file-list read must still PRUNE: the dp_date bounds
+    // appear as partition filters on the scan, not just row predicates
+    val planText = df.queryExecution.executedPlan.toString
+    val partLine = planText.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("dp_date"),
+      s"dp_date bounds did not reach PartitionFilters:\n$planText")
   }
 }
