@@ -10,6 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Task-metric capture: executor CPU time is immune to ambient-load
+    // contamination that inflates wall clock (a co-tenant process delays
+    // scheduling but does not burn this JVM's task CPU), so the artifact
+    // carries BOTH — a wall regression with flat CPU is contamination, a
+    // CPU regression is real work added. Listener events are async; the
+    // bus is drained on both sides of each timed region (GraftBridge).
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          taskRunMs.addAndGet(m.executorRunTime)
+          taskCpuNs.addAndGet(m.executorCpuTime)
+          ()
+        }
+      }
+    })
+    def drain(): Unit = org.apache.spark.sql.GraftBridge
+      .drainListenerBus(spark.sparkContext)
     // JVM/codegen warmup so the first timed query doesn't absorb ~4s of
     // session + JIT start-up (measured; data itself is not cached)
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -22,14 +42,24 @@ object Bench {
     // driver artifacts unreproducible (3-7× inflation mid-run).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // a query that throws reports err and wall time -1 — a crash must
         // never masquerade as a fast run (and the bench exits non-zero)
-        def once(): Option[Double] = {
+        def once(): Option[(Double, Double, Double)] = {
+          drain()
+          val (cpu0, run0) = (taskCpuNs.get(), taskRunMs.get())
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try {
+            fn(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            drain()
+            Some((wall, (taskCpuNs.get() - cpu0) / 1e9,
+              (taskRunMs.get() - run0) / 1e3))
+          }
           catch { case e: Throwable =>
             errors.getOrElseUpdate(name,
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -46,10 +76,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
-        val steady = (if (runs > 1) all.tail else all).flatten.sorted
+        // median run selected by wall time; its own CPU/run-time metrics
+        // ride along so the three numbers describe the SAME execution
+        val steady = (if (runs > 1) all.tail else all).flatten.sortBy(_._1)
         val t =
           if (steady.isEmpty || errors.contains(name)) -1.0
-          else steady(steady.size / 2)
+          else {
+            val (wall, cpu, run) = steady(steady.size / 2)
+            cpuSecs(name) = cpu
+            runSecs(name) = run
+            wall
+          }
         name -> t
       }
     def jstr(s: String): String =
@@ -67,7 +104,12 @@ object Bench {
         .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    def secMap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"$k\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val cpuJson = s""","cpu_total":${f"${cpuSecs.values.sum}%.3f"},""" +
+      s""""cpu_queries":${secMap(cpuSecs)},""" +
+      s""""taskrun_queries":${secMap(runSecs)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$cpuJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
     "q_find_streams_nested" -> Queries.findStreamsNested _,
     "q_find_streams_ops" -> Queries.findStreamsOps _,
+    "q_find_streams_or" -> Queries.findStreamsOr _,
     "q_find_streams_variant" -> Queries.findStreamsVariant _,
     // full facade path through real warehouse storage: S1 ingest →
     // downsample_streams maintenance (T1) → S3 read; S5 delete lifecycle;
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
     "q_find_streams_nested" -> Oracles.findStreamsNested,
     "q_find_streams_ops" -> Oracles.findStreamsOps,
+    "q_find_streams_or" -> Oracles.findStreamsOr,
     "q_find_streams_variant" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
@@ -506,6 +508,44 @@ object Queries {
       probe("missing", Map(
         "tier" -> Seq(Exists(false)),
         "user" -> Seq(Gt(140)))))
+      .reduce(_.unionByName(_))
+  }
+
+  /** P2+ `$or` composition and `$regex` (the remaining Mongo query-document
+    * surface [ds :: backends/mongodb.py :: find_streams]): three labeled
+    * probes exercise disjunction over numeric ranges, unanchored regex
+    * match, and an `$or` mixing a nested-path clause with a regex leaf.
+    * Each document compiles to ONE boolean Column — a single registry scan
+    * per probe, no per-alternative plan union — and the oracle pins each
+    * probe's exact match set straight from events.
+    */
+  def findStreamsOr(spark: SparkSession, sfDir: String): DataFrame = {
+    import StreamRegistry.TagPred._
+    import StreamRegistry.TagQuery._
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    val registry = StreamRegistry.fromEvents(dp)
+    val counts = dp.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_datapoints"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+    def probe(label: String, q: StreamRegistry.TagQuery): DataFrame =
+      StreamRegistry.findStreamsQuery(registry, q).select("stream_id")
+        .join(counts, "stream_id")
+        .select(lit(label).as("probe"), col("stream_id"),
+          col("n_datapoints"), col("value_sum"))
+    Seq(
+      // $or of two numeric ranges, AND'd with set membership:
+      // (user < 20 OR user >= 140) AND type IN (click, view)
+      probe("or_ranges", And(Seq(
+        Or(Seq(
+          Clause(Map("user" -> Seq(Lt(20)))),
+          Clause(Map("user" -> Seq(Gte(140)))))),
+        Clause(Map("type" -> Seq(In(Seq("click", "view")))))))),
+      // unanchored $regex: 'rr' inside (error) or 'up' at end (signup)
+      probe("regex", Clause(Map("type" -> Seq(Regex("rr|up$"))))),
+      // $or mixing a nested-path clause with an anchored-regex leaf
+      probe("or_nested", Or(Seq(
+        Clause(Map("meta.parity" -> Seq(Eq("odd")), "user" -> Seq(Lte(10)))),
+        Clause(Map("type" -> Seq(Regex("^pu.*se$"))))))))
       .reduce(_.unionByName(_))
   }
 
@@ -2118,6 +2158,27 @@ WHERE user_id % 2 = 1 AND user_id <= 20
 UNION ALL
 SELECT 'missing', stream_id, n_datapoints, value_sum FROM s
 WHERE user_id > 140"""
+
+  /** `$or`/`$regex` twin: each probe's document re-expressed on the raw
+    * event columns. DuckDB `regexp_matches` is unanchored (find-anywhere),
+    * matching Spark `rlike` and Mongo bare-`$regex` semantics exactly.
+    */
+  val findStreamsOr: String =
+    """WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+    user_id, event_type,
+    count(*) AS n_datapoints,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1, 2, 3)
+SELECT 'or_ranges' AS probe, stream_id, n_datapoints, value_sum FROM s
+WHERE (user_id < 20 OR user_id >= 140) AND event_type IN ('click', 'view')
+UNION ALL
+SELECT 'regex', stream_id, n_datapoints, value_sum FROM s
+WHERE regexp_matches(event_type, 'rr|up$')
+UNION ALL
+SELECT 'or_nested', stream_id, n_datapoints, value_sum FROM s
+WHERE (user_id % 2 = 1 AND user_id <= 10)
+   OR regexp_matches(event_type, '^pu.*se$')"""
 
   /** Forward-ordered downsampled fetch with limit 5 / offset 3 —
     * bucket_start is unique per stream, so the page is a deterministic set

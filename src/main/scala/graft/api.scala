@@ -503,6 +503,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
   def findStreamsWhere(query: Map[String, Seq[StreamRegistry.TagPred]]): DataFrame =
     StreamRegistry.findStreamsWhere(streams, query)
 
+  /** `find_streams` over a full query document — `$or`/`$and` composition
+    * with operator leaves — see [[StreamRegistry.findStreamsQuery]].
+    */
+  def findStreamsQuery(q: StreamRegistry.TagQuery): DataFrame =
+    StreamRegistry.findStreamsQuery(streams, q)
+
   /** Merge `tags` into every stream matching `tagQuery` (new values win on
     * key collision) — the reference's `Datastream.update_tags`
     * [ds :: api.py :: Datastream.update_tags]. One registry job + one swap

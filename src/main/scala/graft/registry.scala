@@ -100,6 +100,38 @@ object StreamRegistry {
     final case class In(vs: Seq[String]) extends TagPred
     final case class Exists(present: Boolean) extends TagPred
     final case class Prefix(p: String) extends TagPred
+    /** Mongo `$regex` (unanchored substring semantics, like `streams.find`
+      * with a bare pattern): Java regex via `rlike`. An absent key is null
+      * and never matches — same bracketing as the comparisons.
+      */
+    final case class Regex(pattern: String) extends TagPred
+  }
+
+  /** One operator predicate compiled to a codegen'd Column over the
+    * resolved tag accessor (dotted path → `tags_json`, else flat map key).
+    */
+  private def predColumn(df: DataFrame, k: String,
+                         p: TagPred): org.apache.spark.sql.Column = {
+    import TagPred._
+    val acc =
+      if (k.contains(".") && df.columns.contains("tags_json"))
+        get_json_object(col("tags_json"), s"$$.$k")
+      else element_at(col("tags"), k)
+    // try_cast, not cast: under ANSI semantics a plain cast THROWS on a
+    // non-numeric tag value, where type bracketing demands "never
+    // matches" — try_cast yields null, and null comparisons are false
+    p match {
+      case Eq(v)          => acc === v
+      case Gt(v)          => acc.try_cast("double") > v
+      case Gte(v)         => acc.try_cast("double") >= v
+      case Lt(v)          => acc.try_cast("double") < v
+      case Lte(v)         => acc.try_cast("double") <= v
+      case In(vs)         => acc.isin(vs: _*)
+      case Exists(true)   => acc.isNotNull
+      case Exists(false)  => acc.isNull
+      case Prefix(pre)    => acc.startsWith(pre)
+      case Regex(pat)     => acc.rlike(pat)
+    }
   }
 
   /** `find_streams` with operator predicates: every (key → predicates)
@@ -111,31 +143,47 @@ object StreamRegistry {
     * over a registry table these reach the parquet scan.
     */
   def findStreamsWhere(registry: DataFrame,
-                       query: Map[String, Seq[TagPred]]): DataFrame = {
-    import TagPred._
+                       query: Map[String, Seq[TagPred]]): DataFrame =
     query.foldLeft(registry) { case (df, (k, preds)) =>
-      val acc =
-        if (k.contains(".") && df.columns.contains("tags_json"))
-          get_json_object(col("tags_json"), s"$$.$k")
-        else element_at(col("tags"), k)
-      preds.foldLeft(df) { (d, p) =>
-        // try_cast, not cast: under ANSI semantics a plain cast THROWS on a
-        // non-numeric tag value, where type bracketing demands "never
-        // matches" — try_cast yields null, and null comparisons are false
-        d.where(p match {
-          case Eq(v)          => acc === v
-          case Gt(v)          => acc.try_cast("double") > v
-          case Gte(v)         => acc.try_cast("double") >= v
-          case Lt(v)          => acc.try_cast("double") < v
-          case Lte(v)         => acc.try_cast("double") <= v
-          case In(vs)         => acc.isin(vs: _*)
-          case Exists(true)   => acc.isNotNull
-          case Exists(false)  => acc.isNull
-          case Prefix(pre)    => acc.startsWith(pre)
-        })
-      }
+      preds.foldLeft(df)((d, p) => d.where(predColumn(df, k, p)))
     }
+
+  /** Composable query documents — the reference accepts arbitrary Mongo
+    * documents (`{$or: [...]}` included) and hands them to `streams.find`
+    * [ds :: backends/mongodb.py :: find_streams]; this is the matching
+    * algebra. A whole document compiles to ONE boolean Column (no plan
+    * union per alternative), so an `$or` over N clauses is still a single
+    * registry scan with the disjunction pushed into it.
+    */
+  sealed trait TagQuery
+  object TagQuery {
+    /** A Mongo-style clause document: AND across keys and within each
+      * key's predicate list.
+      */
+    final case class Clause(query: Map[String, Seq[TagPred]]) extends TagQuery
+    /** `$or`: at least one alternative holds. Empty matches nothing (the
+      * Mongo `$or: []` shape is an error there; here it is the identity
+      * of disjunction).
+      */
+    final case class Or(alternatives: Seq[TagQuery]) extends TagQuery
+    /** `$and`: every part holds. Empty matches everything. */
+    final case class And(parts: Seq[TagQuery]) extends TagQuery
   }
+
+  private def compileQuery(df: DataFrame,
+                           q: TagQuery): org.apache.spark.sql.Column = q match {
+    case TagQuery.Clause(m) =>
+      m.toSeq.flatMap { case (k, ps) => ps.map(predColumn(df, k, _)) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case TagQuery.Or(alts) =>
+      alts.map(compileQuery(df, _)).reduceOption(_ || _).getOrElse(lit(false))
+    case TagQuery.And(parts) =>
+      parts.map(compileQuery(df, _)).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** `find_streams` over a full query document (disjunction included). */
+  def findStreamsQuery(registry: DataFrame, q: TagQuery): DataFrame =
+    registry.where(compileQuery(registry, q))
 
   /** Stream-selection semi-join (J1): restrict the fact table to datapoints
     * of the matched streams. Broadcast keeps the fact side shuffle-free.

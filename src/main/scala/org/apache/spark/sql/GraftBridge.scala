@@ -22,4 +22,12 @@ object GraftBridge {
     */
   def backingRdds(df: Dataset[_]): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+  /** Block until the listener bus has delivered every queued event — task
+    * metrics arrive asynchronously, so a bench snapshotting listener-
+    * accumulated counters must drain the bus on both sides of the timed
+    * region or attribute one query's tasks to the next.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -52,6 +52,53 @@ class RegistryAndDedupSpec extends SparkSpec {
     assert(ids(Map("type" -> Seq(Gt(0)))) === Set.empty[String])
   }
 
+  test("findStreamsQuery: $or composition and $regex over tag documents") {
+    import StreamRegistry.TagPred._
+    import StreamRegistry.TagQuery._
+    val fact = dp(Seq(
+      ("1:click", "2024-01-01T00:00:00Z", 1.0),
+      ("2:click", "2024-01-01T00:00:00Z", 2.0),
+      ("3:view", "2024-01-01T00:00:00Z", 3.0),
+      ("10:view", "2024-01-01T00:00:00Z", 4.0)))
+      .withColumn("user_id", split(col("stream_id"), ":").getItem(0).cast("long"))
+      .withColumn("event_type", split(col("stream_id"), ":").getItem(1))
+    val reg = StreamRegistry.fromEvents(fact)
+    def ids(q: StreamRegistry.TagQuery) =
+      StreamRegistry.findStreamsQuery(reg, q)
+        .select("stream_id").as[String].collect().toSet
+    // disjunction of disjoint ranges
+    assert(ids(Or(Seq(
+      Clause(Map("user" -> Seq(Lte(1)))),
+      Clause(Map("user" -> Seq(Gte(10))))))) === Set("1:click", "10:view"))
+    // $or AND'd with an outer clause
+    assert(ids(And(Seq(
+      Or(Seq(
+        Clause(Map("user" -> Seq(Lte(2)))),
+        Clause(Map("user" -> Seq(Gte(10)))))),
+      Clause(Map("type" -> Seq(Eq("view"))))))) === Set("10:view"))
+    // $regex is unanchored (matches anywhere); anchors still work
+    assert(ids(Clause(Map("type" -> Seq(Regex("ie"))))) ===
+      Set("3:view", "10:view"))
+    assert(ids(Clause(Map("type" -> Seq(Regex("^cl.*ck$"))))) ===
+      Set("1:click", "2:click"))
+    // regex on an absent key matches nothing (null bracketing)
+    assert(ids(Clause(Map("tier" -> Seq(Regex(".*"))))) === Set.empty[String])
+    // $or mixing a nested-path clause with a regex leaf
+    assert(ids(Or(Seq(
+      Clause(Map("meta.parity" -> Seq(Eq("odd")), "user" -> Seq(Lte(3)))),
+      Clause(Map("type" -> Seq(Regex("lick$"))))))) ===
+      Set("1:click", "2:click", "3:view"))
+    // empty alternatives: Or matches nothing, And matches everything
+    assert(ids(Or(Seq.empty)) === Set.empty[String])
+    assert(ids(And(Seq.empty)).size === 4)
+    // equivalence with findStreamsWhere on a single clause
+    val doc: Map[String, Seq[StreamRegistry.TagPred]] =
+      Map("user" -> Seq(Gte(2), Lte(10)))
+    assert(ids(Clause(doc)) ===
+      StreamRegistry.findStreamsWhere(reg, doc)
+        .select("stream_id").as[String].collect().toSet)
+  }
+
   test("variant tags resolve nested paths identically to the JSON-path query") {
     val fact = dp(Seq(
       ("1:click", "2024-01-01T00:00:00Z", 1.0),
