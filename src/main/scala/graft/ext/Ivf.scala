@@ -114,12 +114,22 @@ object Ivf {
     * assignment on every call — fine for one-shot analytics, wasteful under
     * a query workload). Layout under `path`:
     *
-    *   centroids/            (cell, centroid) — tiny, read to the driver
-    *   cells/cell=<c>/       (vec_id, embedding) — the inverted file
+    *   CURRENT               — one-line pointer `v<N>` to the live version
+    *   v<N>/centroids/       (cell, centroid) — tiny, read to the driver
+    *   v<N>/cells/cell=<c>/  (vec_id, embedding) — the inverted file
     *                         itself, PARTITIONED BY CELL with the vectors
     *                         embedded, so probing reads ONLY the probed
     *                         cells' partitions (scan cost ≈ nProbe/nCells
     *                         of the corpus before any row is touched)
+    *
+    * Readers resolve CURRENT first ([[indexDir]]); both index tables of a
+    * version become visible in ONE atomic pointer move, so a rebuild or
+    * [[refreshIndex]] crash at any instant leaves queries on a complete
+    * older version — never a half-swapped index (pre-versioned layouts
+    * without a CURRENT file still resolve to `path` itself, so legacy
+    * indexes stay readable and migrate on their next refresh). On an
+    * object store the pointer move is the metadata commit a table format
+    * provides.
     *
     * Build = the same assignment map `ivfTopK` runs, plus one partitioned
     * write; optional spherical-k-means refinement before persisting.
@@ -127,22 +137,76 @@ object Ivf {
   def buildIndex(corpus: DataFrame, path: String, nCells: Int = 64,
                  refineIters: Int = 0,
                  vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    import corpus.sparkSession.implicits._
     val seeds = centroids(corpus, nCells, vecCol, idCol)
     val refined =
       if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol, idCol)
       else seeds
-    refined.toSeq.toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val centB = corpus.sparkSession.sparkContext.broadcast(
-      refined.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
-    corpus.select(col(idCol).cast("long"), col(vecCol))
+    writeVersion(corpus, path, refined, vecCol, idCol)
+  }
+
+  // ---- versioned-pointer plumbing ----------------------------------------
+
+  private def currentVersion(path: String): Option[Long] = {
+    val f = new java.io.File(path, "CURRENT")
+    if (!f.exists()) None
+    else Some(java.nio.file.Files.readString(f.toPath).trim.stripPrefix("v").toLong)
+  }
+
+  /** Directory holding the LIVE index tables (`centroids/`, `cells/`):
+    * `path/v<N>` per the CURRENT pointer, or `path` itself for an index
+    * written by a pre-versioned build.
+    */
+  def indexDir(path: String): String =
+    currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+
+  private def rmTreeLocal(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTreeLocal))
+    f.delete(); ()
+  }
+
+  /** Write a complete index version (centroids + assignment) into a fresh
+    * `v<N>` directory, then atomically move the CURRENT pointer onto it
+    * and reclaim superseded versions. The pointer move is the ONLY commit
+    * point — a crash anywhere before it leaves CURRENT (and readers) on
+    * the previous complete version.
+    */
+  private def writeVersion(vecs: DataFrame, path: String,
+                           cents: Array[(Int, Array[Float])],
+                           vecCol: String, idCol: String): Unit = {
+    import vecs.sparkSession.implicits._
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    cents.toSeq.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val centB = vecs.sparkSession.sparkContext.broadcast(
+      cents.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
+    vecs.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = centB.value
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    commitVersion(path, next)
+  }
+
+  private def commitVersion(path: String, v: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(path, s"CURRENT.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, s"v$v")
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // reclaim superseded state: older v* dirs, pre-versioned root tables,
+    // and stray pointer temps — all invisible since the pointer moved
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val stale =
+        (f.getName.matches("v\\d+") && f.getName != s"v$v") ||
+          Seq("centroids", "cells", "centroids_next", "cells_next")
+            .contains(f.getName) ||
+          f.getName.startsWith("CURRENT.tmp-")
+      if (stale) rmTreeLocal(f)
+    }
   }
 
   /** INCREMENTAL index maintenance: assign a new shard to the EXISTING
@@ -158,7 +222,8 @@ object Ivf {
                     vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     import newVecs.sparkSession.implicits._
     val spark = newVecs.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
+    val dir = indexDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
@@ -169,51 +234,53 @@ object Ivf {
         val cs = centB.value
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** PERIODIC compaction for an index that has absorbed appends:
     * re-learns centroids from the index's own contents (spherical k-means
     * seeded by the stored centroids — no access to the original corpus
-    * needed) and rewrites both sides. The new index is assembled in fresh
-    * directories first (the build never reads files it is replacing),
-    * then swapped in with per-side delete+rename. A crash between the two
-    * swaps can pair new centroids with old cell assignments: queries stay
-    * well-formed (every vector still present exactly once; nProbe=nCells
-    * still exact) but probe recall degrades until refreshIndex is re-run
-    * — the single-table-rename consistency story, same as the warehouse's
-    * overwriteSwap, with the same Delta/Iceberg citation for the real
-    * multi-table answer.
+    * needed) and writes a complete fresh version (the build never reads
+    * files it is replacing). The COMMIT is a single atomic move of the
+    * CURRENT pointer: a crash at any earlier instant leaves readers on the
+    * previous complete version — centroids and assignments always move
+    * together, no half-swapped window (crash-injected in tests via
+    * [[refreshIndexImpl]]).
     */
   def refreshIndex(path: String, spark: org.apache.spark.sql.SparkSession,
-                   refineIters: Int = 3): Unit = {
+                   refineIters: Int = 3): Unit =
+    refreshIndexImpl(path, spark, refineIters, crashBeforeCommit = false)
+
+  /** [[refreshIndex]] with a crash-injection seam: `crashBeforeCommit`
+    * returns after the new version's tables are fully written but BEFORE
+    * the CURRENT pointer moves — the worst-case crash instant, which must
+    * leave queries on the old version.
+    */
+  private[graft] def refreshIndexImpl(path: String,
+                                      spark: org.apache.spark.sql.SparkSession,
+                                      refineIters: Int,
+                                      crashBeforeCommit: Boolean): Unit = {
     import spark.implicits._
-    val all = spark.read.parquet(s"$path/cells").select("vec_id", "embedding")
-    val init = spark.read.parquet(s"$path/centroids")
+    val cur = indexDir(path)
+    val all = spark.read.parquet(s"$cur/cells").select("vec_id", "embedding")
+    val init = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
     val refined = refineCentroids(all, init, refineIters)
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    refined.toSeq.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     val centB = spark.sparkContext.broadcast(
       refined.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
-    refined.toSeq.toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids_next")
     all.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = centB.value
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells_next")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def swap(side: String): Unit = {
-      val cur = new org.apache.hadoop.fs.Path(s"$path/$side")
-      val next = new org.apache.hadoop.fs.Path(s"$path/${side}_next")
-      fs.delete(cur, true)
-      if (!fs.rename(next, cur))
-        throw new IllegalStateException(s"refreshIndex: rename of $next failed")
-    }
-    swap("centroids")
-    swap("cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    if (crashBeforeCommit) return
+    commitVersion(path, next)
   }
 
   /** Query a persisted index: probe each query's `nProbe` nearest cells,
@@ -227,7 +294,8 @@ object Ivf {
                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import queries.sparkSession.implicits._
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
+    val dir = indexDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
@@ -241,7 +309,7 @@ object Ivf {
     // probed cell set across all queries: bounded by nCells — the isin
     // literal list is what prunes the cells/ partitions at scan planning
     val probedCells = probes.select("cell").distinct().as[Int].collect().sorted
-    val cand = spark.read.parquet(s"$path/cells")
+    val cand = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("query_vec_id"))

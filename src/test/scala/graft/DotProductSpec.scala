@@ -51,7 +51,8 @@ class DotProductSpec extends SparkSpec {
     ext.Ivf.buildIndex(corpus, dir, nCells = 16)
     // the inverted file is physically partitioned by cell — the layout that
     // lets probing prune whole partitions at scan time
-    val cellDirs = Option(new java.io.File(s"$dir/cells").listFiles())
+    val cellDirs = Option(
+        new java.io.File(s"${ext.Ivf.indexDir(dir)}/cells").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs > 1 && cellDirs <= 16)
@@ -76,7 +77,7 @@ class DotProductSpec extends SparkSpec {
     ext.Ivf.buildIndex(corpus.where(col("vec_id") % 2 === 0), dir, nCells = 8)
     ext.Ivf.appendToIndex(corpus.where(col("vec_id") % 2 === 1), dir)
     // incremental index == full corpus, exactly once each
-    val ids = spark.read.parquet(s"$dir/cells").select("vec_id")
+    val ids = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/cells").select("vec_id")
       .as[Long].collect().sorted
     assert(ids.toSeq == (0L until 300L))
     val queries = corpus.where(col("vec_id") < 3)
@@ -87,20 +88,48 @@ class DotProductSpec extends SparkSpec {
       .collect().toSet == brute)
     // compaction re-learns centroids from the index itself; contents and
     // exhaustive results are unchanged, and narrow probes stay well-formed
-    val centsBefore = spark.read.parquet(s"$dir/centroids")
+    val centsBefore = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/centroids")
       .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
     ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
-    val centsAfter = spark.read.parquet(s"$dir/centroids")
+    val centsAfter = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/centroids")
       .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
     assert(centsAfter.keySet == centsBefore.keySet)
     assert(centsAfter.exists { case (c, v) =>
       !java.util.Arrays.equals(v, centsBefore(c)) })
-    assert(spark.read.parquet(s"$dir/cells").select("vec_id")
+    assert(spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/cells").select("vec_id")
       .as[Long].collect().sorted.toSeq == (0L until 300L))
     assert(ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
       .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
       .collect().toSet == brute)
     assert(ext.Ivf.queryIndex(dir, queries.limit(1), k = 5, nProbe = 2).count() == 5)
+  }
+
+  test("refreshIndex crash before pointer commit leaves queries on the old complete version") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    ext.Ivf.buildIndex(corpus, dir, nCells = 8)
+    val queries = corpus.where(col("vec_id") < 3)
+    def results() = ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val before = results()
+    val dirBefore = ext.Ivf.indexDir(dir)
+    // crash injected at the worst instant: the new version's tables are
+    // fully on disk, the CURRENT pointer has not moved
+    ext.Ivf.refreshIndexImpl(dir, spark, refineIters = 2, crashBeforeCommit = true)
+    assert(ext.Ivf.indexDir(dir) == dirBefore) // pointer untouched
+    assert(results() == before) // old version served, bit-identical
+    // recovery = simply re-running the refresh; the orphaned version dir is
+    // reclaimed by the successful commit's sweep
+    ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
+    assert(ext.Ivf.indexDir(dir) != dirBefore)
+    assert(results() == before) // exhaustive probing: still exact
+    val versionDirs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versionDirs.length == 1) // superseded + orphaned versions swept
   }
 
   test("IVF probing fewer cells returns k well-formed results per query") {
