@@ -50,6 +50,7 @@ object SparkEntry {
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
+    "q_derive_incremental" -> Queries.deriveIncremental _,
     // file-health maintenance: small-file compaction + clustering, data
     // bit-identity and the file-count reduction both on the gate
     "q_compaction" -> Queries.compaction _,
@@ -189,6 +190,7 @@ object SparkEntry {
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
+    "q_derive_incremental" -> Oracles.deriveIncremental,
     "q_compaction" -> Oracles.compaction,
     "q_streaming_cascade" -> Oracles.streamingCascade,
     // the stateful streaming derive must equal the batch window-lag twin
@@ -672,6 +674,41 @@ object Queries {
     }
     report("minutes", beforeM, ds.rollup(Granularity.Minutes))
       .unionByName(report("days", beforeD, ds.rollup(Granularity.Days)))
+  }
+
+  /** W1/W2 INCREMENTAL maintenance on the oracle gate: two source streams
+    * live in a real warehouse, a sum-derived and a derivative-derived
+    * stream refresh in TWO watermarked steps (mid-month, then past the
+    * data), and the output is the derived points themselves. The oracle
+    * recomputes both derivations from events in one shot — equal iff the
+    * second refresh correctly stitched the lag boundary from the
+    * prev-point sidecar and emitted exactly the new slice (a re-emitted
+    * or missed bucket/row breaks the hash; decimal bucket sums make the
+    * split invisible).
+    */
+  def deriveIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-dinc")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", highestGranularity = Granularity.Minutes)
+    ds.ensureStream("7:view", highestGranularity = Granularity.Minutes)
+    ds.ensureStream("d:sum", deriveOp = Some("sum"),
+      derivedFrom = Seq("7:click", "7:view"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("d:der", deriveOp = Some("derivative"),
+      derivedFrom = Seq("7:click"),
+      highestGranularity = Granularity.Minutes)
+    val pts = Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type").isin("click", "view"))
+      .select("stream_id", "ts", "value")
+    val split = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(pts.where(col("ts") < lit(split)))
+    ds.updateDerivedStreamsIncremental(split)
+    ds.appendMultiple(pts.where(col("ts") >= lit(split)))
+    ds.updateDerivedStreamsIncremental(ts("2024-02-01T00:00:00Z"))
+    ds.getData("d:sum", Granularity.Minutes)
+      .select(lit("sum").as("op"), col("ts"), col("value"))
+      .unionByName(ds.getData("d:der", Granularity.Minutes)
+        .select(lit("derivative").as("op"), col("ts"), col("value")))
   }
 
   /** T1–T3 on the oracle gate: the watermarked minutes downsample runs as a
@@ -2343,6 +2380,30 @@ SELECT stream_id, ts,
         ELSE CAST(c AS DOUBLE) + (1000.0 - CAST(pc AS DOUBLE)) END)
     / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1000000.0) AS counter_derivative
 FROM lagged WHERE pc IS NOT NULL AND epoch_us(ts) > epoch_us(pt)"""
+
+  /** Incremental-derive twin: both derivations recomputed in ONE shot
+    * over the full source — equal to the two-step watermarked refresh iff
+    * the lag stitch and append-only bucket emission are exact. Arithmetic
+    * mirrors the `derivative` and `deriveSum` twins (decimal bucket sums,
+    * IEEE Δt division).
+    */
+  val deriveIncremental: String =
+    """WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events WHERE user_id = 7 AND event_type IN ('click', 'view')),
+sums AS (
+  SELECT make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS ts,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value
+  FROM pts GROUP BY 1),
+der AS (
+  SELECT ts,
+    (value - pv) / (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / 1000000.0) AS value
+  FROM (SELECT ts, value, lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+        FROM pts WHERE stream_id = '7:click'
+        WINDOW w AS (ORDER BY ts))
+  WHERE pv IS NOT NULL AND epoch_us(ts) > epoch_us(pt))
+SELECT 'sum' AS op, ts, value FROM sums
+UNION ALL SELECT 'derivative', ts, value FROM der"""
 
   val deriveSum: String =
     """SELECT event_type,

@@ -32,6 +32,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val streamsPath = s"$warehouse/streams"
   private val rawPath = s"$warehouse/raw"
   private val derivedPath = s"$warehouse/derived"
+  // prev-point sidecar for incremental derived maintenance: one row per
+  // (derived, source) pair — registry-sized, swap-written like the registry
+  private val derivePrevPath = s"$warehouse/derive_prev"
   private def rollupPath(g: Granularity) = s"$warehouse/rollup/granularity=${g.name}"
 
   private def exists(path: String): Boolean = new java.io.File(path).exists()
@@ -195,6 +198,252 @@ class Datastream(spark: SparkSession, warehouse: String) {
     finally { lock.release(); ch.close() }
   }
 
+  /** Warehouse tables covered by snapshot manifests, keyed by path
+    * relative to the warehouse root. The registry is NOT here: it has its
+    * own whole-table swap atomicity (`overwriteSwap`), and manifests track
+    * data files, not single-file dimension swaps.
+    */
+  private def manifestTables: Seq[String] =
+    Seq("raw", "derived") ++
+      Granularity.ladder.map(g => s"rollup/granularity=${g.name}")
+
+  private def tablePath(table: String) = s"$warehouse/$table"
+
+  /** Parquet data-file predicate: any regular file not prefixed `_` (job
+    * markers) or `.` (CRC/hidden). Foreign writers name files
+    * `data.parquet`, not only Spark's `part-*` — a `part-` match would
+    * leave their files permanently invisible to adoption AND vacuum.
+    */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Files-walked meter (tests assert the per-mutation walk cost stays
+    * O(mutation scope) as the table's total file count grows).
+    */
+  private[graft] val walkMeter = new java.util.concurrent.atomic.AtomicLong
+
+  /** Relative data-file listing under `table`/`prefix` (`""` = whole
+    * table). The driver walk is the sandbox stand-in for a table format's
+    * file metadata; at cluster scale the SAME contents come from
+    * Delta/Iceberg actions instead of a filesystem walk. Commit paths walk
+    * only their declared write SCOPE (touched partitions), never the whole
+    * table — the delta-manifest design below is what keeps per-mutation
+    * driver cost flat as tables accrete files.
+    */
+  private def listFilesUnder(table: String, prefix: String = ""): Set[String] = {
+    val root = new java.io.File(tablePath(table))
+    val start = if (prefix.isEmpty) root else new java.io.File(root, prefix)
+    if (!start.exists()) Set.empty
+    else {
+      val out = Set.newBuilder[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else {
+          walkMeter.incrementAndGet()
+          if (isDataFile(f.getName))
+            out += root.toPath.relativize(f.toPath).toString
+        }
+      walk(start)
+      out.result()
+    }
+  }
+
+  // ---- snapshot manifests (multi-table read isolation) --------------------
+
+  /** A committed snapshot: which tables the manifest chain covers and each
+    * covered table's exact relative file set. Readers resolve this instead
+    * of listing directories, so files a torn or in-flight mutation wrote
+    * are invisible until their commit, and files a rewrite logically
+    * retired stay on disk (for older readers / vacuum) but out of plans.
+    */
+  private case class Snapshot(version: Long, covered: Set[String],
+                              files: Map[String, Set[String]]) {
+    def tableFiles(table: String): Option[Set[String]] =
+      if (covered(table)) Some(files.getOrElse(table, Set.empty)) else None
+  }
+
+  private case class ManifestFile(version: Long, parent: Long, depth: Int,
+                                  full: Boolean, tables: Set[String],
+                                  adds: Seq[(String, String)],
+                                  removes: Seq[(String, String)],
+                                  legacy: Boolean)
+
+  /** Manifest format, one file per committed version:
+    *
+    *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
+    *   `+<table>\t<relpath>`   file added this version
+    *   `-<table>\t<relpath>`   file removed (retired) this version
+    *
+    * A DELTA manifest records only this commit's changes plus a pointer to
+    * its parent — O(mutation) to write, like a Delta/Iceberg commit log
+    * entry. Every `FullManifestEvery`-th version is written FULL (all `+`
+    * lines, no parent) to bound the resolution chain — the checkpoint
+    * cadence table formats use for exactly this reason. Files without the
+    * header are pre-delta legacy manifests: a full raw-only file list.
+    */
+  private val FullManifestEvery = 10
+
+  private def parseManifest(v: Long): ManifestFile = {
+    val txt = java.nio.file.Files.readString(
+      new java.io.File(commitLogPath, f"$v%09d.manifest").toPath)
+    val lines = txt.split('\n').toSeq.map(_.stripLineEnd).filter(_.nonEmpty)
+    if (!lines.headOption.exists(_.startsWith("#graft ")))
+      ManifestFile(v, -1L, 0, full = true, Set("raw"),
+        lines.map(f => ("raw", f.trim)).filter(_._2.nonEmpty), Seq.empty,
+        legacy = true)
+    else {
+      val attrs = lines.head.split(' ').drop(2)
+        .flatMap(_.split('=') match {
+          case Array(k, rest @ _*) => Some(k -> rest.mkString("="))
+          case _ => None
+        }).toMap
+      val entries = lines.tail.flatMap { l =>
+        l.splitAt(1) match {
+          case (sign, rest) if sign == "+" || sign == "-" =>
+            rest.split('\t') match {
+              case Array(t, f) => Some((sign == "+", t, f))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      ManifestFile(v,
+        attrs.getOrElse("parent", "-1").toLong,
+        attrs.getOrElse("depth", "0").toInt,
+        attrs.getOrElse("full", "0") == "1",
+        attrs.get("tables").map(_.split(',').filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty),
+        entries.collect { case (true, t, f) => (t, f) },
+        entries.collect { case (false, t, f) => (t, f) },
+        legacy = false)
+    }
+  }
+
+  // versions are immutable once committed — resolution memoizes freely
+  private val resolveCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Set[String], Map[String, Set[String]])]()
+
+  private def resolveManifest(v: Long): (Set[String], Map[String, Set[String]]) = {
+    val hit = resolveCache.get(v)
+    if (hit != null) hit
+    else {
+      val m = parseManifest(v)
+      val (pc, pf) =
+        if (m.full || m.legacy || m.parent < 0) (Set.empty[String], Map.empty[String, Set[String]])
+        else resolveManifest(m.parent)
+      var files = pf
+      m.removes.foreach { case (t, f) =>
+        files = files.updated(t, files.getOrElse(t, Set.empty) - f)
+      }
+      m.adds.foreach { case (t, f) =>
+        files = files.updated(t, files.getOrElse(t, Set.empty) + f)
+      }
+      val covered = pc ++ m.tables ++ (if (m.legacy) Set("raw") else Set.empty)
+      val out = (covered, files)
+      resolveCache.put(v, out)
+      out
+    }
+  }
+
+  private def committedVersions: Seq[Long] = {
+    val names = Option(new java.io.File(commitLogPath).listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+    def versions(sfx: String): Set[Long] =
+      names.filter(_.endsWith(sfx))
+        .flatMap(_.split('.').headOption.flatMap(_.toLongOption)).toSet
+    (versions(".commit") & versions(".manifest")).toSeq.sorted
+  }
+
+  /** Newest COMMITTED snapshot, or None on a warehouse with no committed
+    * manifest yet (fresh or pre-manifest legacy) — readers then fall back
+    * to live directories. The newest-version probe is a cheap commit-log
+    * dir listing per read; resolution is memoized per immutable version.
+    */
+  private def rawSnapshot: Option[Snapshot] =
+    committedVersions.lastOption.map { v =>
+      val (covered, files) = resolveManifest(v)
+      Snapshot(v, covered, files)
+    }
+
+  // ---- commit protocol ----------------------------------------------------
+
+  // Per-commit write bookkeeping (reset by withCommit; populated by the
+  // mutation bodies, some of which fan out concurrent per-table jobs):
+  //  - scopeBefore: declared write scopes with their PRE-write listings,
+  //    so the commit diffs out exactly the files the mutation wrote;
+  //  - retiredFiles: files logically deleted from the next snapshot (they
+  //    stay on disk, invisible, until vacuum reclaims them).
+  private val scopeBefore =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
+  private val retiredFiles =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // test seam: ops listed here throw AFTER their table writes but BEFORE
+  // the manifest/commit rename — the worst-case crash instant for a
+  // rewrite-shaped mutation (every new file on disk, nothing committed)
+  private[graft] var crashBeforeCommitOf: Set[String] = Set.empty
+
+  /** Declare an imminent write's scope BEFORE writing: captures the
+    * pre-write listing under each `table`/`prefix` so the commit can diff
+    * out exactly this mutation's files at O(scope) walk cost.
+    */
+  private def scopeWrite(table: String, prefixes: Seq[String] = Seq("")): Unit =
+    prefixes.foreach { p =>
+      scopeBefore.putIfAbsent((table, p), listFilesUnder(table, p)); ()
+    }
+
+  /** Logically delete the committed files under `table`/`prefixes` from
+    * the snapshot this commit will publish; returns the retired set. The
+    * files are NOT touched on disk — readers of older snapshots keep
+    * working and vacuum reclaims them once unreferenced. On a table with
+    * no committed coverage yet (legacy warehouse) the LIVE files present
+    * at call time are retired instead — call before the replacing write.
+    */
+  private def retireFiles(table: String, prefixes: Seq[String]): Set[String] = {
+    val committed = rawSnapshot.flatMap(_.tableFiles(table))
+    val out = prefixes.flatMap { p =>
+      committed match {
+        case Some(files) =>
+          if (p.isEmpty) files else files.filter(_.startsWith(p + "/"))
+        case None => listFilesUnder(table, p)
+      }
+    }.toSet
+    out.foreach(f => retiredFiles.add((table, f)))
+    out
+  }
+
+  /** Files this commit has written so far under `table`'s declared scopes
+    * (current listing minus the captured pre-write listing).
+    */
+  private def writtenSoFar(table: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    scopeBefore.asScala.collect {
+      case ((t, p), before) if t == table => listFilesUnder(t, p) -- before
+    }.foldLeft(Set.empty[String])(_ ++ _)
+  }
+
+  /** Read `table` AS THIS COMMIT WILL PUBLISH IT: previous snapshot minus
+    * retirements plus files written so far under declared scopes. Mutation
+    * bodies use this for intra-commit reads (e.g. the rollup cascade
+    * reading the finer level it just wrote) — a live-directory read would
+    * adopt orphans from earlier torn mutations, and a plain snapshot read
+    * would miss this commit's own writes.
+    */
+  private def commitRead(table: String,
+                         schema: org.apache.spark.sql.types.StructType): Option[DataFrame] =
+    rawSnapshot.flatMap(_.tableFiles(table)) match {
+      case Some(committed) =>
+        import scala.jdk.CollectionConverters._
+        val retired = retiredFiles.asScala.collect { case (t, f) if t == table => f }
+        val files = (committed -- retired) ++ writtenSoFar(table)
+        if (files.isEmpty) None
+        else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
+          .parquet(files.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+      case None =>
+        if (exists(tablePath(table)))
+          Some(spark.read.schema(schema).parquet(tablePath(table)))
+        else None
+    }
+
   private def withCommit[T](op: String, adoptAll: Boolean = false)(body: => T): T = withWriterLock(op) {
     val dir = new java.io.File(commitLogPath)
     dir.mkdirs()
@@ -208,87 +457,97 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val intent = marker("intent")
     if (!tmp.renameTo(intent))
       throw new IllegalStateException(s"commitlog: cannot stage intent $intent")
-    val before = listRawFiles()
+    scopeBefore.clear()
+    retiredFiles.clear()
+    val prev = rawSnapshot
+    // Tables the manifest chain does not cover yet adopt their full
+    // PRE-mutation listing as baseline (first-manifest semantics) — the
+    // one-time migration walk for a legacy warehouse; covered tables are
+    // never walked outside declared scopes.
+    val baseline: Map[String, Set[String]] =
+      manifestTables.filterNot(t => prev.exists(_.covered(t)))
+        .map(t => t -> listFilesUnder(t)).toMap
     val out =
-      try body
+      try {
+        val r = body
+        if (crashBeforeCommitOf(op))
+          throw new IllegalStateException(s"injected crash after $op body")
+        r
+      }
       catch { case e: Throwable => intent.renameTo(marker("failed")); throw e }
-    // Raw-table snapshot manifest (see rawSnapshot): the new version's file
-    // set is previous-manifest ∩ still-present ∪ written-by-this-mutation —
-    // NOT a directory listing, so orphan files from an earlier torn
-    // mutation are never adopted into a committed snapshot. First manifest
-    // on a legacy warehouse adopts the pre-mutation listing as baseline.
-    // Written (temp + rename) BEFORE the commit rename: a crash between
-    // the two leaves an uncommitted manifest readers ignore.
-    val after = listRawFiles()
-    val prev = rawSnapshot.map(_._2.toSet).getOrElse(before)
-    val snapshot =
-      (if (adoptAll) after else (prev & after) | (after -- before)).toSeq.sorted
+    // Assemble the new snapshot per table: (previous ∪ baseline) minus
+    // retirements plus this commit's written files — NEVER a directory
+    // listing on a covered table, so orphans from earlier torn mutations
+    // are not adopted (adoptRaw's full listing is the explicit opt-in).
+    import scala.jdk.CollectionConverters._
+    val retiredByTable: Map[String, Set[String]] =
+      retiredFiles.asScala.toSet[(String, String)].groupMap(_._1)(_._2)
+    val snapshot: Map[String, Set[String]] = manifestTables.map { t =>
+      val files =
+        if (adoptAll) listFilesUnder(t)
+        else {
+          val base = prev.flatMap(_.tableFiles(t))
+            .getOrElse(baseline.getOrElse(t, Set.empty))
+          (base -- retiredByTable.getOrElse(t, Set.empty)) ++ writtenSoFar(t)
+        }
+      t -> files
+    }.toMap
+    // Delta vs full: deltas record only this commit's changes against the
+    // resolved parent; a full manifest (checkpoint) every FullManifestEvery
+    // versions bounds the resolution chain. Written (temp + rename) BEFORE
+    // the commit rename: a crash between the two leaves an uncommitted
+    // manifest readers ignore.
+    val prevFiles: Map[String, Set[String]] =
+      prev.map(_.files).getOrElse(Map.empty)
+    val prevDepth = prev.map(s => parseManifest(s.version))
+      .map(m => if (m.legacy) FullManifestEvery else m.depth).getOrElse(0)
+    val full = prev.isEmpty || adoptAll || prevDepth + 1 >= FullManifestEvery
+    val header = s"#graft v2 parent=${prev.map(_.version).getOrElse(-1L)} " +
+      s"depth=${if (full) 0 else prevDepth + 1} full=${if (full) "1" else "0"} " +
+      s"tables=${manifestTables.mkString(",")}"
+    val body0 = new StringBuilder(header).append('\n')
+    manifestTables.foreach { t =>
+      val now = snapshot(t)
+      val before = if (full) Set.empty[String] else prevFiles.getOrElse(t, Set.empty)
+      (now -- before).toSeq.sorted.foreach(f => body0.append('+').append(t).append('\t').append(f).append('\n'))
+      (before -- now).toSeq.sorted.foreach(f => body0.append('-').append(t).append('\t').append(f).append('\n'))
+    }
     val mTmp = marker("manifest.tmp")
-    java.nio.file.Files.writeString(mTmp.toPath, snapshot.mkString("\n"))
+    java.nio.file.Files.writeString(mTmp.toPath, body0.toString)
     if (!mTmp.renameTo(marker("manifest")))
       throw new IllegalStateException(s"commitlog: cannot stage manifest $version")
     if (!intent.renameTo(marker("commit")))
       throw new IllegalStateException(s"commitlog: cannot commit $intent")
-    // bounded history: keep the newest 20 commit/resolved/manifest markers
-    // each (versions are shared, so commit and manifest stay aligned)
-    Seq(".commit", ".resolved", ".manifest").foreach { sfx =>
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(sfx)).sortBy(_.getName)
+    resolveCache.put(version, (manifestTables.toSet, snapshot))
+    // Bounded history: keep the newest 20 commit/resolved markers and the
+    // newest 20 manifests PLUS the parent-chain ancestors a retained delta
+    // still resolves through; stale `.tmp`/`.manifest.tmp` leftovers from
+    // crashed commits older than the current version are reclaimed too.
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    Seq(".commit", ".resolved").foreach { sfx =>
+      entries.filter(_.getName.endsWith(sfx)).sortBy(_.getName)
         .dropRight(20).foreach(_.delete())
     }
-    out
-  }
-
-  // ---- raw-table snapshot manifests (S1 read isolation) -------------------
-
-  /** Relative data-file listing of the appended fact table — the driver
-    * walk is the sandbox stand-in for a table format's action log; at
-    * cluster scale the SAME manifest contents come from Delta/Iceberg
-    * metadata instead of a filesystem walk.
-    */
-  private def listRawFiles(): Set[String] = {
-    val root = new java.io.File(rawPath)
-    if (!root.exists()) Set.empty
-    else {
-      val out = Set.newBuilder[String]
-      def walk(f: java.io.File): Unit =
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
-        else if (f.getName.startsWith("part-")) out += root.toPath.relativize(f.toPath).toString
-      walk(root)
-      out.result()
-    }
-  }
-
-  /** Newest COMMITTED raw-table snapshot: `(version, relative files)` from
-    * the manifest the latest `.commit` marker covers. None on a warehouse
-    * with no committed manifest yet (fresh or pre-manifest legacy) —
-    * readers then fall back to the live directory.
-    */
-  // newest-version probe is a cheap dir listing every read; the manifest
-  // PARSE is memoized per version (maintenance sessions read the fact
-  // table dozens of times between mutations — re-splitting a many-file
-  // manifest each time was measurable at bench scale)
-  @volatile private var manifestCache: Option[(Long, Seq[String])] = None
-
-  private def rawSnapshot: Option[(Long, Seq[String])] = {
-    val dir = new java.io.File(commitLogPath)
-    val names = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .map(_.getName)
-    def versions(sfx: String): Set[Long] =
-      names.filter(_.endsWith(sfx))
-        .flatMap(_.split('.').headOption.flatMap(_.toLongOption)).toSet
-    val ready = versions(".commit") & versions(".manifest")
-    if (ready.isEmpty) None
-    else {
-      val v = ready.max
-      manifestCache.filter(_._1 == v).orElse {
-        val txt = java.nio.file.Files.readString(
-          new java.io.File(dir, f"$v%09d.manifest").toPath)
-        val parsed = Some((v, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)))
-        manifestCache = parsed
-        parsed
+    val manifestVersions = entries
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption)).sorted
+    val keep = scala.collection.mutable.Set.empty[Long]
+    manifestVersions.takeRight(20).foreach { v =>
+      keep += v
+      var m = parseManifest(v)
+      while (!m.full && !m.legacy && m.parent >= 0 && !keep(m.parent) &&
+        manifestVersions.contains(m.parent)) {
+        keep += m.parent
+        m = parseManifest(m.parent)
       }
     }
+    entries.filter { f =>
+      val v = f.getName.split('.').headOption.flatMap(_.toLongOption)
+      (f.getName.endsWith(".manifest") && v.exists(!keep(_))) ||
+        ((f.getName.endsWith(".tmp") || f.getName.endsWith(".manifest.tmp")) &&
+          v.exists(_ < version))
+    }.foreach(_.delete())
+    out
   }
 
   /** ADOPT out-of-band raw files into the committed snapshot: commits a
@@ -310,24 +569,55 @@ class Datastream(spark: SparkSession, warehouse: String) {
     withCommit("adopt_raw", adoptAll = true) { () }
   }
 
-  /** Delete raw data files no retained committed manifest references —
-    * the garbage a torn mutation's un-committed append left behind (its
-    * rows were never visible through the snapshot read path), plus files
-    * superseded past the retained manifest history. Under the writer lock
-    * but NOT a commit: visible state is unchanged by construction.
-    * Returns the number of files removed.
+  /** Delete data files no retained committed manifest references — the
+    * garbage a torn mutation's un-committed write left behind (its rows
+    * were never visible through the snapshot read path), plus files a
+    * rewrite (delete purge, compaction, derived refresh) logically retired
+    * once every retained snapshot referencing them has aged out. Covers
+    * every manifest table; tables the manifest chain does not cover yet
+    * are untouched. Empty partition directories left behind are pruned.
+    * Under the writer lock but NOT a commit: visible state is unchanged by
+    * construction. Returns the number of files removed.
+    *
+    * `retainVersions` bounds how many newest snapshots keep protecting
+    * their files (the table-format retention window): the default protects
+    * every retained manifest — safe for any reader holding an older
+    * snapshot — while `retainVersions = 1` reclaims everything the CURRENT
+    * snapshot no longer references (e.g. files a just-run compaction
+    * retired), the aggressive `VACUUM ... RETAIN 0 HOURS` analog.
     */
-  def vacuumRaw(): Long = withWriterLock("vacuum_raw") {
-    val dir = new java.io.File(commitLogPath)
-    val referenced = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".manifest"))
-      .flatMap(f => java.nio.file.Files.readString(f.toPath).split('\n'))
-      .map(_.trim).filter(_.nonEmpty).toSet
-    if (rawSnapshot.isEmpty) 0L // no snapshot era yet: nothing is garbage
+  def vacuumRaw(retainVersions: Int = Int.MaxValue): Long = withWriterLock("vacuum_raw") {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val versions = committedVersions
+    if (versions.isEmpty) 0L // no snapshot era yet: nothing is garbage
     else {
-      val doomed = listRawFiles() -- referenced
-      doomed.foreach(rel => new java.io.File(s"$rawPath/$rel").delete())
-      doomed.size.toLong
+      // protect the union of every RETAINED snapshot's file set — a reader
+      // holding one of those versions must keep resolving
+      val resolved = versions.takeRight(retainVersions.min(versions.size))
+        .map(resolveManifest)
+      val coveredNow = resolveManifest(versions.last)._1
+      val referenced: Map[String, Set[String]] = resolved
+        .flatMap(_._2.toSeq)
+        .groupMapReduce(_._1)(_._2)(_ ++ _)
+      var removed = 0L
+      coveredNow.foreach { t =>
+        val doomed = listFilesUnder(t) -- referenced.getOrElse(t, Set.empty)
+        doomed.foreach { rel =>
+          if (new java.io.File(s"${tablePath(t)}/$rel").delete()) removed += 1
+        }
+        // prune now-empty partition directories (bottom-up)
+        def prune(f: java.io.File): Boolean = { // true = f was removed
+          if (!f.isDirectory) false
+          else {
+            Option(f.listFiles()).foreach(_.foreach(prune))
+            val left = Option(f.listFiles()).getOrElse(Array.empty)
+            left.isEmpty && f.delete()
+          }
+        }
+        Option(new java.io.File(tablePath(t)).listFiles())
+          .foreach(_.foreach(prune))
+      }
+      removed
     }
   }
 
@@ -609,17 +899,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
         .first()
       val n = b.getLong(0)
       val anyNullBounds = n > 0 && b.getLong(3) > 0
-      // survivors read the pre-swap registry during the temp write (doomed
-      // ids come from the checkpoint), so no separate materialization needed
       withCommit("delete_streams") {
-      overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
-        streamsPath)
       /** Rewrite only the `partCol` partitions containing doomed rows:
         * discovery scan partition-pruned by the registry bounds, exact
         * affected set from that slice (O(affected dates) on the driver),
-        * then anti-join + dynamic overwrite of those partitions only.
-        * All-doomed partitions (no survivors ⇒ nothing written for them)
-        * are deleted explicitly — dynamic overwrite alone would leave them.
+        * then anti-join the SNAPSHOT files of those partitions, append the
+        * survivors as fresh files, and logically retire the old files from
+        * the manifest this commit publishes. Nothing is deleted in place:
+        * a crash at ANY instant (including after every write) leaves the
+        * committed manifest — and so every reader — on the complete
+        * pre-mutation snapshot; the new files are orphans vacuum reclaims.
+        * Discovery and the rewrite both read through the snapshot file
+        * list, never the live directory, so orphan rows from an earlier
+        * torn mutation are neither merged nor adopted.
         *
         * The bounds window is only trusted as far as the registry is: when
         * any doomed stream has NULL bounds the discovery scans every
@@ -630,10 +922,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
         * escalates that delete to full discovery rather than letting
         * doomed datapoints silently survive.
         */
-      def purgePruned(path: String, schema: org.apache.spark.sql.types.StructType,
+      def purgePruned(table: String, schema: org.apache.spark.sql.types.StructType,
                       partCol: String): Unit =
-        if (exists(path) && n > 0) {
-          val full = spark.read.schema(schema).parquet(path)
+        commitRead(table, schema).foreach { full =>
+          if (n > 0) {
           def affectedIn(df: DataFrame): Array[java.sql.Date] =
             df.join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
               .select(partCol).distinct().collect().map(_.getDate(0))
@@ -651,41 +943,41 @@ class Datastream(spark: SparkSession, warehouse: String) {
               if (escaped) (base ++ affectedIn(outside)).distinct else base
             }
           if (affected.nonEmpty) {
-            val slice = spark.read.schema(schema).parquet(path)
-              .where(col(partCol).isin(affected.toSeq: _*))
-            // lineage-free checkpoint, not cache: an evicted cache would
-            // recompute against the partitions being overwritten
-            val (keep, keepRdds) = Plans.checkpointTracked(
-              slice.join(broadcast(doomedIds), Seq("stream_id"), "left_anti"))
-            try {
-              keep.write.mode(SaveMode.Overwrite)
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(partCol).parquet(path)
-              val kept = keep.select(partCol).distinct().collect()
-                .map(_.getDate(0)).toSet
-              affected.filterNot(kept).foreach { d =>
-                rmTree(new java.io.File(s"$path/$partCol=$d"))
-              }
-            } finally keepRdds.foreach(_.unpersist(blocking = false))
+            val prefixes = affected.toSeq.map(d => s"$partCol=$d")
+            scopeWrite(table, prefixes)
+            val old = retireFiles(table, prefixes)
+            if (old.nonEmpty) {
+              val slice = spark.read.option("basePath", tablePath(table))
+                .schema(schema)
+                .parquet(old.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*)
+              // survivors land as NEW files beside the retired ones — no
+              // checkpoint needed: the source files are immutable until
+              // vacuum, so the write never reads paths it is replacing
+              slice.join(broadcast(doomedIds), Seq("stream_id"), "left_anti")
+                .write.mode(SaveMode.Append).partitionBy(partCol)
+                .parquet(tablePath(table))
+            }
+          }
           }
         }
       /** The derived table is partitioned BY stream_id: a doomed stream's
-        * entire slice is one partition directory — delete it, rewrite
-        * nothing. Matching rides a join against the on-disk partition
-        * values (decoded from their %XX-escaped dir names); the collect is
-        * O(doomed ∩ derived).
+        * entire slice is its own partition — retire its files, write
+        * nothing. Matching rides a join against the snapshot's partition
+        * segments (decoded from their %XX-escaped dir names); the collect
+        * is O(doomed ∩ derived).
         */
-      def purgeDerived(): Unit = if (exists(derivedPath)) {
-        val dirs = Option(new java.io.File(derivedPath).listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("stream_id="))
-          .map(f => (f.getName,
-            unescapePartitionValue(f.getName.stripPrefix("stream_id="))))
+      def purgeDerived(): Unit = {
+        val dirs = rawSnapshot.flatMap(_.tableFiles("derived"))
+          .getOrElse(listFilesUnder("derived"))
+          .map(_.split('/').head).filter(_.startsWith("stream_id="))
+          .map(d => (d, unescapePartitionValue(d.stripPrefix("stream_id="))))
+          .toSeq
         if (dirs.nonEmpty) {
-          val doomedDirs = dirs.toSeq.toDF("dir", "stream_id")
+          val doomedDirs = dirs.toDF("dir", "stream_id")
             .join(doomedIds, Seq("stream_id"), "left_semi")
             .select("dir").collect().map(_.getString(0))
-          doomedDirs.foreach(d => rmTree(new java.io.File(s"$derivedPath/$d")))
+          if (doomedDirs.nonEmpty) retireFiles("derived", doomedDirs.toSeq)
+          ()
         }
       }
       // the per-path purges are independent read→rewrite pipelines; submit
@@ -695,12 +987,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
       val purges =
-        Seq(Future(purgePruned(rawPath, Schemas.rawDatapointsPartitioned, "dp_date")),
+        Seq(Future(purgePruned("raw", Schemas.rawDatapointsPartitioned, "dp_date")),
           Future(purgeDerived())) ++
           Granularity.ladder.map(g => Future(
-            purgePruned(rollupPath(g), Schemas.downsampledPartitioned,
-              "bucket_date")))
+            purgePruned(s"rollup/granularity=${g.name}",
+              Schemas.downsampledPartitioned, "bucket_date")))
       Await.result(Future.sequence(purges), scala.concurrent.duration.Duration.Inf)
+      // crash seam for tests: the instant after ALL data rewrites, before
+      // the registry swap — the widest mid-purge window, where isolation
+      // must be total (nothing committed, registry untouched)
+      if (crashBeforeCommitOf("delete_streams_purge"))
+        throw new IllegalStateException("injected crash mid delete_streams")
+      // registry swap LAST: the data rewrites above publish nothing until
+      // the manifest commits, so a crash anywhere during them leaves the
+      // warehouse fully on the pre-mutation snapshot — registry included.
+      // Only the swap→commit tail (milliseconds, vs seconds of rewrites)
+      // can leave the registry ahead of the data; the intent marker flags
+      // exactly that window. Survivors read the pre-swap registry during
+      // the temp write (doomed ids come from the checkpoint).
+      overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
+        streamsPath)
       }
       n
     } finally doomedRdds.foreach(_.unpersist(blocking = false))
@@ -758,6 +1064,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // validation is done — everything from here mutates two tables (raw
       // + registry), so it runs under an intent marker
       withCommit("append") {
+        // declared write scope = the touched date partitions, so the commit
+        // diffs this append's files with an O(batch dates) walk — per-append
+        // driver cost stays flat no matter how many files the table holds
+        val touchedDates = kept.select(to_date(col("ts")).as("d"))
+          .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")
+        scopeWrite("raw", touchedDates.toSeq)
         // the 100 TB fact-table layout: partitioned by date(ts), so
         // maintenance slices and get_data range scans prune whole partitions
         kept.withColumn("dp_date", to_date(col("ts")))
@@ -828,21 +1140,37 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   def rawDatapoints: DataFrame = rawDatapointsInRange(None, None)
 
+  /** SNAPSHOT table read: when the newest committed manifest covers
+    * `table`, the plan reads EXACTLY that file set (explicit file list +
+    * basePath, so partition-column values and pruning behave as with a
+    * directory read) — files an in-flight or crashed mutation wrote after
+    * that commit are invisible, and files a rewrite retired stay out of
+    * the plan even though they are still on disk. Uncovered (legacy)
+    * tables fall back to the live directory. None ⇔ definitely no rows
+    * (covered-and-empty, or uncovered with no directory) so callers can
+    * skip union/read nodes outright.
+    */
+  private def tableReadOpt(table: String,
+                           schema: org.apache.spark.sql.types.StructType): Option[DataFrame] =
+    rawSnapshot.flatMap(_.tableFiles(table)) match {
+      case Some(files) if files.isEmpty => None
+      case Some(files) =>
+        Some(spark.read.option("basePath", tablePath(table)).schema(schema)
+          .parquet(files.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+      case None if exists(tablePath(table)) =>
+        Some(spark.read.schema(schema).parquet(tablePath(table)))
+      case None => None
+    }
+
   /** `rawDatapoints` with optional time bounds applied as PARTITION-PRUNING
     * `dp_date` predicates on the appended side (the derived side is
     * stream_id-partitioned; its rows flow through unpruned and the caller's
-    * exact `ts` predicate still applies to both).
-    *
-    * SNAPSHOT READ: when a committed manifest exists, the appended side
-    * reads EXACTLY the file set the newest `.commit` covers (explicit file
-    * list + basePath, so `dp_date` partition values and pruning behave as
-    * with a directory read). Files an in-flight or crashed mutation wrote
-    * after that commit are invisible — a torn append leaves readers on the
-    * previous consistent snapshot instead of serving half a mutation.
-    * Rewrite-shaped mutations (delete purge, compaction) still tear under
-    * a mid-rewrite crash: THEIR old files are gone from disk while still
-    * manifest-referenced, and closing that needs retained file versions —
-    * a real table format (Delta/Iceberg), as cited on every mutation path.
+    * exact `ts` predicate still applies to both). Both sides are snapshot
+    * reads ([[tableReadOpt]]): a torn append OR a torn rewrite (delete
+    * purge, compaction, derived refresh) leaves readers on the previous
+    * consistent snapshot — rewrites append new files and logically retire
+    * old ones, so the pre-mutation file set stays intact on disk until the
+    * new manifest commits (and until vacuum, after).
     */
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp]): DataFrame = {
@@ -853,27 +1181,15 @@ class Datastream(spark: SparkSession, warehouse: String) {
     def emptyRaw =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.rawDatapoints)
-    val raw = rawSnapshot match {
-      case Some((_, files)) if files.isEmpty => emptyRaw
-      case Some((_, files)) =>
-        bounds.foldLeft(
-            spark.read.option("basePath", rawPath)
-              .schema(Schemas.rawDatapointsPartitioned)
-              .parquet(files.map(f => s"$rawPath/$f"): _*))(
-            _.where(_))
-          .select(cols: _*)
-      case None if exists(rawPath) =>
-        bounds.foldLeft(
-            spark.read.schema(Schemas.rawDatapointsPartitioned).parquet(rawPath))(
-            _.where(_))
-          .select(cols: _*)
-      case None => emptyRaw
-    }
-    if (!exists(derivedPath)) raw
-    else raw.unionByName(
+    val raw = tableReadOpt("raw", Schemas.rawDatapointsPartitioned)
+      .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
+      .getOrElse(emptyRaw)
+    tableReadOpt("derived", Schemas.rawDatapoints) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
-      spark.read.schema(Schemas.rawDatapoints).parquet(derivedPath).select(cols: _*))
+      case Some(der) => raw.unionByName(der.select(cols: _*))
+      case None => raw
+    }
   }
 
   // ---- maintenance (§2.4, T1/T6) ------------------------------------------
@@ -990,12 +1306,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
             rawDatapointsInRange(
               if (globalLo != Long.MinValue) Some(tsOf(globalLo)) else None,
               Some(tsOf(hi)))
-          else {
-            val p = rollupPath(levels(idx - 1))
-            if (!exists(p)) halt.break()
-            spark.read.schema(Schemas.downsampledPartitioned).parquet(p)
-              .drop("bucket_date")
-          }
+          else
+            // intra-commit read: the finer level's snapshot PLUS the
+            // buckets this very commit just wrote into it (a plain
+            // snapshot read would miss them; a live-directory read would
+            // adopt orphans from an earlier torn maintenance run)
+            commitRead(s"rollup/granularity=${levels(idx - 1).name}",
+                Schemas.downsampledPartitioned)
+              .getOrElse(halt.break()).drop("bucket_date")
         // pushable global bounds first, exact per-stream bound via the join
         val bounded0 = source.where(col(tsCol) < tsLit(hi))
         val bounded =
@@ -1009,12 +1327,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
           else Downsample.rollup(sliced, g)
         // partitioned by bucket date — the 100 TB layout; maintenance and
         // reads prune partitions by date before row-group pruning kicks in
+        scopeWrite(s"rollup/granularity=${g.name}")
         agg.withColumn("bucket_date", to_date(col("bucket_start")))
           .write.mode(SaveMode.Append).partitionBy("bucket_date")
           .parquet(rollupPath(g))
         produced = produced + (g -> {
-          val read = spark.read.schema(Schemas.downsampledPartitioned)
-            .parquet(rollupPath(g)).drop("bucket_date")
+          val read = commitRead(s"rollup/granularity=${g.name}",
+              Schemas.downsampledPartitioned)
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              Schemas.downsampledPartitioned))
+            .drop("bucket_date")
             .where(col("bucket_start") < tsLit(hi))
           read.join(loDf, "stream_id")
             .where(col("_lo") === Long.MinValue ||
@@ -1055,17 +1378,18 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * reprocessed tables are bit-identical to the incrementally-built ones.
     */
   def reprocessStreams(until: Timestamp): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     // recompute derived slices FIRST: the rollups below are built from
     // raw ∪ derived, so rebuilding them over a stale/torn derived table
     // would bake the tear in. Idempotent; free when nothing is derived.
     updateDerivedStreams()
     withCommit("reprocess") {
-      val rollupRoot = new java.io.File(s"$warehouse/rollup")
-      if (rollupRoot.exists()) rm(rollupRoot)
+      // drop all rollup state LOGICALLY (retire from the manifest, files
+      // reclaimed by vacuum once unreferenced): readers between this
+      // commit and the rebuild see empty rollups, exactly as the previous
+      // physical delete behaved — but a crash mid-reprocess leaves the
+      // pre-reprocess rollups intact and still served
+      Granularity.ladder.foreach(g =>
+        retireFiles(s"rollup/granularity=${g.name}", Seq("")))
       // reset every stream's per-granularity watermark — a column rewrite
       // through the swap write, no driver-side collect of the registry
       if (hasStreams)
@@ -1105,57 +1429,65 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   def compact(maxFilesPerPartition: Int = 1): Map[String, (Long, Long)] = {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
-    def dataFiles(dir: java.io.File): Long =
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .count(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")).toLong
-    def partDirs(root: String, partCol: String): Array[java.io.File] =
-      Option(new java.io.File(root).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
-    def compactTable(path: String,
+    /** Rewrite every partition whose MANIFEST-REFERENCED file count
+      * exceeds the cap: read exactly those files through the snapshot
+      * (never the live directory — orphans from torn mutations are
+      * neither merged nor adopted), append one fresh clustered file per
+      * partition value, retire the old files. Counts ("files before/
+      * after") are snapshot counts: retired-but-unvacuumed garbage never
+      * makes a partition look fat again.
+      */
+    def compactTable(table: String,
                      schema: org.apache.spark.sql.types.StructType,
-                     partCol: String, parse: String => Any,
-                     sortCols: Seq[String]): (Long, Long) = {
-      if (!exists(path)) return (0L, 0L)
-      val dirs = partDirs(path, partCol)
-      val before = dirs.map(dataFiles).sum
-      val fat = dirs.filter(dataFiles(_) > maxFilesPerPartition)
+                     partCol: String, sortCols: Seq[String]): (Long, Long) = {
+      val files = rawSnapshot.flatMap(_.tableFiles(table))
+        .getOrElse(listFilesUnder(table))
+      val byPart = files.toSeq.map(_.split('/').head)
+        .filter(_.startsWith(partCol + "="))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val before = byPart.values.sum
+      val fat = byPart.filter(_._2 > maxFilesPerPartition).keys.toSeq.sorted
+      var retiredN = 0L
       if (fat.nonEmpty) {
-        val vals: Seq[Any] = fat.toSeq.map(d =>
-          parse(unescapePartitionValue(d.getName.stripPrefix(partCol + "="))))
-        val slice = spark.read.schema(schema).parquet(path)
-          .where(col(partCol).isin(vals: _*))
+        scopeWrite(table, fat)
+        val old = retireFiles(table, fat)
+        retiredN = old.size.toLong
+        val slice = spark.read.option("basePath", tablePath(table)).schema(schema)
+          .parquet(old.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*)
         // hash-cluster on the partition value so every value's rows land in
         // ONE task (one output file each); the within-task sort leads with
-        // partCol to keep values contiguous for the partitioned writer
-        val (keep, rdds) = Plans.checkpointTracked(
-          slice.repartition(col(partCol))
-            .sortWithinPartitions((partCol +: sortCols).map(col): _*))
-        try keep.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partCol).parquet(path)
-        finally rdds.foreach(_.unpersist(blocking = false))
+        // partCol to keep values contiguous for the partitioned writer. No
+        // checkpoint needed: the source files are immutable until vacuum,
+        // so the append never reads paths it is replacing.
+        slice.repartition(col(partCol))
+          .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+          .write.mode(SaveMode.Append).partitionBy(partCol)
+          .parquet(tablePath(table))
       }
-      (before, partDirs(path, partCol).map(dataFiles).sum)
+      (before, before - retiredN + writtenSoFar(table).size)
     }
-    val date = (s: String) => java.sql.Date.valueOf(s)
     withCommit("compact") {
-      val raw = compactTable(rawPath, Schemas.rawDatapointsPartitioned,
-        "dp_date", date, Seq("stream_id", "ts"))
-      val der = compactTable(derivedPath, Schemas.rawDatapoints,
-        "stream_id", identity[String], Seq("ts"))
+      val raw = compactTable("raw", Schemas.rawDatapointsPartitioned,
+        "dp_date", Seq("stream_id", "ts"))
+      val der = compactTable("derived", Schemas.rawDatapoints,
+        "stream_id", Seq("ts"))
       val roll = Granularity.ladder.map(g => s"rollup/${g.name}" ->
-        compactTable(rollupPath(g), Schemas.downsampledPartitioned,
-          "bucket_date", date, Seq("stream_id", "bucket_start")))
+        compactTable(s"rollup/granularity=${g.name}",
+          Schemas.downsampledPartitioned, "bucket_date",
+          Seq("stream_id", "bucket_start")))
       (roll :+ ("raw" -> raw) :+ ("derived" -> der)).toMap
     }
   }
 
-  /** Finalized downsampled table at granularity `g` (read shape of S3). */
+  /** Finalized downsampled table at granularity `g` (read shape of S3) —
+    * a snapshot read, like every other table surface.
+    */
   def rollup(g: Granularity): DataFrame =
-    spark.read.schema(Schemas.downsampledPartitioned)
-      .parquet(rollupPath(g)).drop("bucket_date")
+    tableReadOpt(s"rollup/granularity=${g.name}", Schemas.downsampledPartitioned)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.downsampledPartitioned))
+      .drop("bucket_date")
 
   // ---- read path (S3) -----------------------------------------------------
 
@@ -1188,13 +1520,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
         throw new errors.UnsupportedDownsampler(
           s"stream $streamId does not declare: ${undeclared.mkString(", ")}")
       // partition pruning first (bucket_date bounds), then row-group pruning
-      // and the exact bucket_start predicate inside GetData
+      // and the exact bucket_start predicate inside GetData; snapshot read
       val pruned = Seq(
         start.map(s => col("bucket_date") >= to_date(lit(s))),
         end.map(e => col("bucket_date") <= to_date(lit(e))))
         .flatten
-        .foldLeft(spark.read.schema(Schemas.downsampledPartitioned)
-          .parquet(rollupPath(granularity)))(_.where(_))
+        .foldLeft(tableReadOpt(s"rollup/granularity=${granularity.name}",
+            Schemas.downsampledPartitioned)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Schemas.downsampledPartitioned)))(_.where(_))
         .drop("bucket_date")
       GetData.paginate(
         GetData.downsampled(pruned, streamId, start, end,
@@ -1333,30 +1668,27 @@ class Datastream(spark: SparkSession, warehouse: String) {
           col("max_value"), part), "counter_derivative")
     }
     // checkpoint, not cache: a derived stream's sources may include OTHER
-    // derived streams — partitions this write is about to replace. A plain
+    // derived streams — slices this commit is about to retire. A plain
     // cache lost mid-write would silently recompute from lineage against
-    // the half-overwritten table; the lineage-free checkpoint cannot.
+    // the table being replaced; the lineage-free checkpoint cannot.
     val (derived, rdds) = Plans.checkpointTracked(plans.reduce(_.unionByName(_)))
     try withCommit("update_derived") {
-      derived.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
+      // full-refresh semantics: every derived slice is recomputed, so the
+      // ENTIRE previous derived table is retired from the next snapshot
+      // and the recomputed slices land as fresh files. A crash anywhere
+      // leaves readers on the complete pre-refresh table; a derived
+      // stream whose recompute came back empty simply has no files in the
+      // new manifest (no stale-slice cleanup pass needed).
+      scopeWrite("derived")
+      retireFiles("derived", Seq(""))
+      derived.write.mode(SaveMode.Append)
         .partitionBy("stream_id")
         .parquet(derivedPath)
-      // dynamic overwrite writes nothing for a derived stream whose
-      // recompute came back EMPTY, which would leave its previous slice
-      // being served forever — drop those partitions explicitly. The
-      // anti-join collect is bounded by the number of empty recomputes
-      // (normally zero), not by the number of derived streams.
-      val stale = derivedMeta.select("derived_id")
-        .join(derived.select(col("stream_id").as("derived_id")).distinct(),
-          Seq("derived_id"), "left_anti")
-        .collect().map(_.getString(0)).toSet
-      if (stale.nonEmpty)
-        Option(new java.io.File(derivedPath).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("stream_id="))
-          .filter(f => stale(unescapePartitionValue(
-            f.getName.stripPrefix("stream_id="))))
-          .foreach(rmTree)
+      // a full recompute supersedes the incremental bookkeeping: the
+      // "derived" watermarks and the prev-point sidecar describe a slice
+      // history this rewrite just replaced wholesale — clear both so the
+      // next incremental refresh bootstraps cleanly from the new table
+      rmTree(new java.io.File(derivePrevPath))
       // maintain the derived streams' earliest/latest registry bounds from
       // the recomputed slices (a recompute REPLACES a slice, so this is a
       // set, not a min/max merge). Derived streams never pass through
@@ -1369,8 +1701,230 @@ class Datastream(spark: SparkSession, warehouse: String) {
           when(col("_lo").isNotNull, col("_lo")).otherwise(col("earliest_datapoint")))
         .withColumn("latest_datapoint",
           when(col("_hi").isNotNull, col("_hi")).otherwise(col("latest_datapoint")))
+        .withColumn("downsampled_until",
+          when(col("derive_op").isNotNull,
+            map_filter(coalesce(col("downsampled_until"),
+              map().cast("map<string,bigint>")), (k, _) => k =!= "derived"))
+            .otherwise(col("downsampled_until")))
         .drop("_lo", "_hi")
       overwriteSwap(updated, streamsPath)
     } finally rdds.foreach(_.unpersist(blocking = false))
+  }
+
+  /** INCREMENTAL derived-stream maintenance — the `downsampled_until`
+    * watermark pattern applied to the derived table, closing the gap where
+    * [[updateDerivedStreams]] recomputes every derived stream's ENTIRE
+    * history per call (the reference derives incrementally at append
+    * [ds :: backends/mongodb.py :: append → _process_contributes_to]; at
+    * 100 TB a daily refresh must cost O(new data), not O(history)).
+    *
+    * Per derived stream the registry carries a `"derived"` entry in its
+    * `downsampled_until` map: the granularity-aligned bound below which
+    * derived points are FINAL. A refresh reads only source rows in
+    * `[watermark, floor(until, g))` — dp_date partition pruning applies,
+    * so the scan is bounded by the new slice — emits the new derived
+    * points APPEND-ONLY into the stream's slice, and advances the
+    * watermark. Late source rows below a stream's watermark are dropped,
+    * the same T1/T3 finality contract the rollup cascade enforces.
+    *
+    * The lag boundary (derivative / counter ops need each first new row's
+    * predecessor) is stitched from a prev-point sidecar: one
+    * `(derived, source, prev_ts, prev_value)` row per pair — the same
+    * summary-row stitch `Derive.chunkedPrev` does across day chunks,
+    * persisted across refreshes. `sum` needs no stitch: the watermark is
+    * bucket-aligned, so every emitted bucket's rows lie wholly in the new
+    * slice.
+    *
+    * A stream with NO watermark (first refresh, or after a full
+    * recompute) BOOTSTRAPS: its existing slice is retired and its full
+    * history re-derived up to the bound — thereafter every refresh is
+    * incremental. Incremental-in-N-steps ≡ one-shot (asserted in tests
+    * and by the `q_derive_incremental` oracle gate): decimal bucket sums
+    * are exact under any split, and the lag stitch reproduces the
+    * unsplit window.
+    */
+  def updateDerivedStreamsIncremental(until: Timestamp): Unit = {
+    val untilUs = until.toInstant.getEpochSecond * 1000000L +
+      until.toInstant.getNano / 1000L
+    val durUs = element_at(
+      typedLit(Granularity.ladder
+        .map(g => g.name -> g.durationSeconds * 1000000L).toMap),
+      col("highest_granularity"))
+    val maxvExpr = regexp_extract(col("derive_args"),
+      "max_value\"?\\s*[:=]\\s*([0-9.eE+-]+)", 1).cast("double")
+    // per-derived work window: lo = watermark (MinValue ⇒ bootstrap),
+    // hi = floor(until, granularity); a stream already at hi has no work
+    val metaBase = streams.where(col("derive_op").isNotNull)
+      .withColumn("max_value", maxvExpr)
+      .withColumn("_dur", durUs)
+      .withColumn("_hi", lit(untilUs) - pmod(lit(untilUs), col("_dur")))
+      .withColumn("_lo", coalesce(
+        element_at(col("downsampled_until"), lit("derived")),
+        lit(Long.MinValue)))
+    val work = metaBase
+      .where(col("_lo") < col("_hi"))
+      .select(col("stream_id").as("derived_id"), col("derive_op"),
+        col("max_value"), col("highest_granularity"), col("derived_from"),
+        col("_lo"), col("_hi"))
+    // driver-side stats: op classes present, global scan bounds, whether
+    // any stream bootstraps — O(op classes), never O(derived streams)
+    val stats = work.groupBy("derive_op")
+      .agg(min("_lo").as("lo"), max("_hi").as("hi"),
+        sum(when(col("_lo") === Long.MinValue, 1L).otherwise(0L)).as("boots"))
+      .collect()
+    if (stats.isEmpty || !exists(rawPath)) return
+    val opCounts = stats.map(_.getString(0)).toSet
+    opCounts.find(!Derive.ops(_)).foreach { op =>
+      throw new errors.InvalidOperatorArguments(s"unknown derive op $op")
+    }
+    if (opCounts("counter_derivative")) {
+      val bad = work.where(col("derive_op") === "counter_derivative" &&
+          col("max_value").isNotNull && col("max_value") <= 0)
+        .select("derived_id").limit(1).collect()
+      if (bad.nonEmpty)
+        throw new errors.InvalidOperatorArguments(
+          s"counter_derivative max_value must be positive " +
+            s"(stream ${bad.head.getString(0)})")
+    }
+    val globalLo = stats.map(_.getLong(1)).min
+    val globalHi = stats.map(_.getLong(2)).max
+    val anyBootstrap = stats.map(_.getLong(3)).sum > 0
+    val routes = broadcast(work
+      .select(col("derived_id"), col("derive_op"), col("max_value"),
+        col("highest_granularity"), col("_lo"), col("_hi"),
+        explode(col("derived_from")).as("stream_id")))
+    withCommit("update_derived_incremental") {
+      // bootstrapping streams re-derive their full history: retire their
+      // current slices (files stay until vacuum; readers on the previous
+      // snapshot keep them until this commit lands)
+      if (anyBootstrap) {
+        val segs = rawSnapshot.flatMap(_.tableFiles("derived"))
+          .getOrElse(listFilesUnder("derived"))
+          .map(_.split('/').head).filter(_.startsWith("stream_id="))
+          .map(d => (d, unescapePartitionValue(d.stripPrefix("stream_id="))))
+          .toSeq
+        if (segs.nonEmpty) {
+          import spark.implicits._
+          val bootDirs = segs.toDF("dir", "stream_id")
+            .join(work.where(col("_lo") === Long.MinValue)
+              .select(col("derived_id").as("stream_id")), Seq("stream_id"),
+              "left_semi")
+            .select("dir").collect().map(_.getString(0))
+          if (bootDirs.nonEmpty) retireFiles("derived", bootDirs.toSeq)
+        }
+      }
+      scopeWrite("derived")
+      // the bounded source slice: dp_date partition pruning via the global
+      // bounds, the exact per-stream [lo, hi) window via the route join —
+      // this is THE property that makes a refresh cost O(new data)
+      val slice = rawDatapointsInRange(
+          if (globalLo != Long.MinValue) Some(tsOf(globalLo)) else None,
+          Some(tsOf(globalHi)))
+        .join(routes, Seq("stream_id"))
+        .where(unix_micros(col("ts")) < col("_hi") &&
+          (col("_lo") === Long.MinValue || unix_micros(col("ts")) >= col("_lo")))
+      // lag stitch: each (derived, source) pair's persisted prev point
+      // rides in as one extra source row BELOW the window; its own output
+      // (emitted by the previous refresh) is filtered back out below.
+      // Only lag ops get prev rows — a prev row in a `sum` group would
+      // double-count a bucket contribution.
+      val prevRows =
+        if (!exists(derivePrevPath)) None
+        else Some(spark.read.parquet(derivePrevPath)
+          .join(routes.where(col("derive_op") =!= "sum"),
+            Seq("derived_id", "stream_id"))
+          .select(col("stream_id"), col("ts"), col("value"),
+            lit(null).cast("string").as("value_json"), col("derived_id"),
+            col("derive_op"), col("max_value"), col("highest_granularity"),
+            col("_lo"), col("_hi")))
+      val src0 = prevRows.map(slice.unionByName(_)).getOrElse(slice)
+      val src = src0.withColumn("event_id", monotonically_increasing_id())
+      val part = Seq("derived_id", "stream_id")
+      def shape(out: DataFrame, valueCol: String, tsCol: String = "ts"): DataFrame =
+        out.select(col("derived_id").as("stream_id"), col(tsCol).as("ts"),
+          col(valueCol).cast("double").as("value"),
+          lit(null).cast("string").as("value_json"))
+      val rowDur = element_at(
+        typedLit(Granularity.ladder
+          .map(g => g.name -> g.durationSeconds * 1000000L).toMap),
+        col("highest_granularity"))
+      val plans = opCounts.toSeq.sorted.map {
+        case "sum" =>
+          shape(src.where(col("derive_op") === "sum")
+            .groupBy(col("derived_id"),
+              timestamp_micros(unix_micros(col("ts")) -
+                pmod(unix_micros(col("ts")), rowDur)).as("ts"))
+            .agg(sum(col("value").cast(Downsample.DecV)).cast("double").as("sum")),
+            "sum")
+        case "derivative" =>
+          shape(Derive.derivative(
+            src.where(col("derive_op") === "derivative"), part), "derivative")
+        case "counter_reset" =>
+          shape(Derive.counterReset(
+            src.where(col("derive_op") === "counter_reset"), part), "reset")
+        case "counter_derivative" =>
+          shape(Derive.counterDerivativeByCol(
+            src.where(col("derive_op") === "counter_derivative"),
+            col("max_value"), part), "counter_derivative")
+      }
+      // append-only emission: keep outputs at/above each stream's
+      // watermark (a prev row's own output re-derives below it)
+      val loDf = broadcast(work.select(col("derived_id").as("stream_id"),
+        col("_lo"), col("_hi")))
+      val out = plans.reduce(_.unionByName(_))
+        .join(loDf, Seq("stream_id"))
+        .where(col("_lo") === Long.MinValue || unix_micros(col("ts")) >= col("_lo"))
+        .drop("_lo", "_hi")
+      val (emitted, rdds) = Plans.checkpointTracked(out)
+      try {
+        emitted.write.mode(SaveMode.Append)
+          .partitionBy("stream_id")
+          .parquet(derivedPath)
+        // advance the prev-point sidecar: per (derived, source) lag pair,
+        // the max-(ts, event_id) row of this window (the unioned prev row
+        // itself loses to any newer row); untouched pairs keep their rows
+        val newPrev = src.where(col("derive_op") =!= "sum")
+          .groupBy("derived_id", "stream_id")
+          .agg(max_by(struct(col("ts"), col("value")),
+            struct(col("ts"), col("event_id"))).as("_p"))
+          .select(col("derived_id"), col("stream_id"),
+            col("_p.ts").as("ts"), col("_p.value").as("value"))
+        val mergedPrev =
+          if (!exists(derivePrevPath)) newPrev
+          else spark.read.parquet(derivePrevPath)
+            .join(newPrev.select("derived_id", "stream_id"),
+              Seq("derived_id", "stream_id"), "left_anti")
+            .unionByName(newPrev)
+        overwriteSwap(mergedPrev, derivePrevPath)
+        // registry: per worked stream, watermark → hi; bounds merge (a
+        // bootstrap SETS bounds — its slice was replaced — others extend)
+        val emittedBounds = emitted.groupBy("stream_id")
+          .agg(min("ts").as("_elo"), max("ts").as("_ehi"))
+        val updated = streams
+          .join(work.select(col("derived_id").as("stream_id"), col("_lo"),
+            col("_hi")), Seq("stream_id"), "left")
+          .join(emittedBounds, Seq("stream_id"), "left")
+          .withColumn("earliest_datapoint",
+            when(col("_elo").isNotNull,
+              when(col("_lo") === Long.MinValue, col("_elo"))
+                .otherwise(least(coalesce(col("earliest_datapoint"),
+                  col("_elo")), col("_elo"))))
+              .otherwise(col("earliest_datapoint")))
+          .withColumn("latest_datapoint",
+            when(col("_ehi").isNotNull,
+              greatest(coalesce(col("latest_datapoint"), col("_ehi")),
+                col("_ehi")))
+              .otherwise(col("latest_datapoint")))
+          .withColumn("downsampled_until",
+            when(col("_hi").isNotNull,
+              map_concat(
+                map_filter(coalesce(col("downsampled_until"),
+                  map().cast("map<string,bigint>")), (k, _) => k =!= "derived"),
+                map(lit("derived"), col("_hi"))))
+              .otherwise(col("downsampled_until")))
+          .drop("_lo", "_hi", "_elo", "_ehi")
+        overwriteSwap(updated, streamsPath)
+      } finally rdds.foreach(_.unpersist(blocking = false))
+    }
   }
 }

@@ -525,6 +525,11 @@ class DatastreamApiSpec extends SparkSpec {
     val rawBefore = ds.rawDatapoints.collect().toSet
     val rollBefore = ds.rollup(Granularity.Seconds).collect().toSet
     val stats = ds.compact()
+    // compaction retires the fragmented files LOGICALLY — they stay on
+    // disk (older snapshots still reference them) until an aggressive
+    // vacuum reclaims everything the current snapshot no longer needs
+    assert(files("raw/dp_date=2024-01-01").size > 1)
+    assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
     assert(files("raw/dp_date=2024-01-01").size == 1)
     assert(files("rollup/granularity=seconds/bucket_date=2024-01-01").size == 1)
     assert(stats("raw")._1 > stats("raw")._2)
@@ -619,6 +624,64 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.rawDatapoints.count() == 2)
   }
 
+  test("incremental derived refresh: stepwise equals one-shot; pre-watermark partitions never read") {
+    import spark.implicits._
+    def build(): (Datastream, String) = {
+      val dir = Files.createTempDirectory("graft-dinc").toString
+      val ds = new Datastream(spark, dir)
+      ds.ensureStream("s1"); ds.ensureStream("s2")
+      ds.ensureStream("d:s", deriveOp = Some("sum"), derivedFrom = Seq("s1", "s2"))
+      ds.ensureStream("d:d", deriveOp = Some("derivative"), derivedFrom = Seq("s1"))
+      ds.ensureStream("d:r", deriveOp = Some("counter_reset"), derivedFrom = Seq("s2"))
+      (ds, dir)
+    }
+    val day1 = Seq(
+      ("s1", "2024-01-01T00:00:10Z", 1.0), ("s1", "2024-01-01T00:00:40Z", 5.0),
+      ("s2", "2024-01-01T00:00:20Z", 3.0), ("s2", "2024-01-01T00:00:50Z", 2.0))
+    val day2 = Seq( // first day-2 point of each op crosses the lag boundary
+      ("s1", "2024-01-02T00:00:05Z", 2.0),
+      ("s2", "2024-01-02T00:00:25Z", 1.0))
+    def derivedRows(dir: String) =
+      spark.read.schema(Schemas.rawDatapoints).parquet(s"$dir/derived")
+        .select("stream_id", "ts", "value")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    // A: two watermarked refreshes with the day-1 raw files CORRUPTED in
+    // between — the second refresh's scan is dp_date-pruned to
+    // [watermark, until), so it must never OPEN them; an unpruned scan
+    // would die on the garbage parquet footer
+    val (a, dirA) = build()
+    a.appendMultiple(dp(day1).select("stream_id", "ts", "value"))
+    a.updateDerivedStreamsIncremental(ts("2024-01-02T00:00:00Z"))
+    val day1Dir = new java.io.File(s"$dirA/raw/dp_date=2024-01-01")
+    val day1Files = Option(day1Dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+    assert(day1Files.nonEmpty)
+    day1Files.foreach(f =>
+      java.nio.file.Files.write(f.toPath, "not parquet".getBytes))
+    a.appendMultiple(dp(day2).select("stream_id", "ts", "value"))
+    a.updateDerivedStreamsIncremental(ts("2024-01-03T00:00:00Z"))
+    // B: one-shot refresh over the full history
+    val (bDs, dirB) = build()
+    bDs.appendMultiple(dp(day1 ++ day2).select("stream_id", "ts", "value"))
+    bDs.updateDerivedStreamsIncremental(ts("2024-01-03T00:00:00Z"))
+    val stepwise = derivedRows(dirA)
+    val oneShot = derivedRows(dirB)
+    assert(stepwise === oneShot)
+    // the boundary-crossing emissions exist and used the sidecar's prev
+    // point: derivative at day-2 00:00:05 = (2.0 - 5.0) / 86365s, and the
+    // cross-boundary counter reset fired
+    val derDay2 = stepwise.collect {
+      case ("d:d", t, v) if t.toInstant.toString.startsWith("2024-01-02") => v }
+    assert(derDay2 === Set((2.0 - 5.0) / 86365.0))
+    assert(stepwise.exists { case (id, t, v) =>
+      id == "d:r" && t.toInstant.toString.startsWith("2024-01-02") && v == 1.0 })
+    // idempotent: a refresh with no new work emits nothing and the
+    // watermark stays; a new refresh past the data advances it
+    val filesBefore = derivedRows(dirA).size
+    a.updateDerivedStreamsIncremental(ts("2024-01-03T00:00:00Z"))
+    assert(derivedRows(dirA).size === filesBefore)
+  }
+
   test("updateDerivedStreams drops a derived slice whose recompute is empty") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
@@ -628,13 +691,16 @@ class DatastreamApiSpec extends SparkSpec {
     ds.appendMultiple(dp(Seq(("src", "2024-01-01T00:00:00Z", 10.0)))
       .select("stream_id", "ts", "value"))
     // plant a stale slice from an earlier world (the advice scenario: a
-    // prior refresh wrote rows; this one computes none). Dynamic overwrite
-    // alone would keep serving it; the explicit partition cleanup must
-    // remove it — including through the %3A-escaped directory name.
+    // prior refresh wrote rows; this one computes none). The out-of-band
+    // write is invisible to snapshot readers until explicitly adopted —
+    // exactly the isolation contract — so adopt it first; the refresh must
+    // then drop it, including through the %3A-escaped directory name.
     import spark.implicits._
     Seq(("d:colon", ts("2023-12-31T00:00:00Z"), 42.0, null: String))
       .toDF("stream_id", "ts", "value", "value_json")
       .write.partitionBy("stream_id").mode("append").parquet(s"$dir/derived")
+    assert(ds.getData("d:colon", Granularity.Seconds).count() == 0)
+    ds.adoptRaw()
     assert(ds.getData("d:colon", Granularity.Seconds).count() == 1)
     ds.updateDerivedStreams()
     assert(ds.getData("d:colon", Granularity.Seconds).count() == 0)

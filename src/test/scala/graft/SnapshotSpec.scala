@@ -97,6 +97,98 @@ class SnapshotSpec extends SparkSpec {
     assert(hours.head.getAs[Long]("count") === 2L)
   }
 
+  test("crash mid-delete-purge: readers serve the complete pre-mutation snapshot") {
+    val (ds, _) = freshDs
+    ds.ensureStream("keep", Map("who" -> "keep"))
+    ds.ensureStream("doom", Map("who" -> "doom"))
+    ds.appendMultiple(dp(Seq(
+      ("keep", "2024-01-01T00:00:00Z", 1.0),
+      ("keep", "2024-01-01T00:01:00Z", 2.0),
+      ("doom", "2024-01-01T00:00:30Z", 7.0),
+      ("doom", "2024-01-02T00:00:00Z", 8.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val rawBefore = ds.rawDatapoints.collect().toSet
+    val hoursBefore = ds.rollup(Granularity.Hours).collect().toSet
+    // inject the worst-case mid-purge crash: every purge write has landed
+    // on disk, neither the registry swap nor the manifest/commit happened
+    ds.crashBeforeCommitOf = Set("delete_streams_purge")
+    intercept[IllegalStateException] {
+      ds.deleteStreams(Map("who" -> "doom"))
+    }
+    ds.crashBeforeCommitOf = Set.empty
+    // every read surface — fact table, rollups, getData — is bit-identical
+    // to the pre-mutation snapshot; the rewrite's files are invisible
+    assert(ds.rawDatapoints.collect().toSet === rawBefore)
+    assert(ds.rollup(Granularity.Hours).collect().toSet === hoursBefore)
+    assert(ds.getData("doom", Granularity.Seconds).count() === 2)
+    assert(ds.tornOperations === Seq("delete_streams"))
+    // remediation: the SAME delete re-run succeeds and both streams settle
+    ds.acknowledgeTorn()
+    assert(ds.deleteStreams(Map("who" -> "doom")) === 1L)
+    assert(ds.rawDatapoints.select("stream_id").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("keep"))
+    assert(ds.rollup(Granularity.Hours).select("stream_id").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("keep"))
+    // vacuum reclaims the crashed attempt's orphans + the retired originals
+    assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
+    assert(ds.rawDatapoints.select("stream_id").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("keep"))
+  }
+
+  test("crash mid-compaction: readers serve the pre-mutation snapshot; retry compacts") {
+    val (ds, _) = freshDs
+    ds.ensureStream("s1")
+    // two appends into the same dp_date partition → a fat partition
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:00:01Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    val before = ds.rawDatapoints.collect().toSet
+    ds.crashBeforeCommitOf = Set("compact")
+    intercept[IllegalStateException] { ds.compact() }
+    ds.crashBeforeCommitOf = Set.empty
+    // the compacted file is on disk but uncommitted: readers still see the
+    // SAME rows through the pre-mutation file set (no duplicates, no loss)
+    assert(ds.rawDatapoints.collect().toSet === before)
+    assert(ds.tornOperations === Seq("compact"))
+    ds.acknowledgeTorn()
+    // retry succeeds; contents are bit-identical; aggressive vacuum leaves
+    // exactly the one compacted file per partition
+    val stats = ds.compact()
+    assert(stats("raw")._2 < stats("raw")._1)
+    assert(ds.rawDatapoints.collect().toSet === before)
+    assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
+    assert(ds.rawDatapoints.collect().toSet === before)
+  }
+
+  test("commit walk cost stays flat as the raw table accretes files") {
+    val (ds, _) = freshDs
+    ds.ensureStream("s1")
+    // one append per DATE: each commit touches exactly one fresh partition
+    def appendOne(i: Int): Long = {
+      ds.walkMeter.set(0L)
+      ds.appendMultiple(dp(Seq(
+        ("s1", f"2024-${1 + i / 28}%02d-${1 + i % 28}%02dT00:00:00Z", i.toDouble)))
+        .select("stream_id", "ts", "value"))
+      ds.walkMeter.get()
+    }
+    // warm-up past the first-manifest baseline walk, then measure early
+    (0 until 3).foreach(appendOne)
+    val early = appendOne(3)
+    // accrete 30 more partitions/files, then measure again
+    (4 until 34).foreach(appendOne)
+    val late = appendOne(34)
+    // the append's walk is scoped to its touched partitions: the cost of
+    // the 35th append equals the 4th append's, independent of how many
+    // files the table now holds (the pre-delta design re-walked ALL files
+    // twice per commit, so `late` grew linearly with table size)
+    assert(late <= early,
+      s"per-append walk cost grew from $early to $late — not O(scope)")
+    // and the delta manifests resolve to exactly the full table: every
+    // row appended across the 35 commits is served
+    assert(ds.rawDatapoints.count() === 35L)
+  }
+
   test("time-range reads prune partitions AND stay on the snapshot") {
     val (ds, dir) = freshDs
     ds.ensureStream("s1")
