@@ -154,6 +154,8 @@ object SparkEntry {
     "q_sample_strata" -> Queries.sampleStrataReport _,
     "q_pack" -> Queries.packReport _,
     "q_bpe_tokens" -> Queries.bpeTokens _,
+    "q_bpe_learn" -> Queries.bpeLearn _,
+    "q_bpe_tokens_learned" -> Queries.bpeTokensLearned _,
     "q_pack_bpe" -> Queries.packBpe _,
     "q_token_hist_bpe" -> Queries.tokenHistBpe _,
     // corpus stats: top bigrams (distributed top-k) + length histogram +
@@ -269,6 +271,8 @@ object SparkEntry {
     "q_sample_strata" -> Oracles.sampleStrataReport,
     "q_pack" -> Oracles.packReport,
     "q_bpe_tokens" -> Oracles.bpeTokens,
+    "q_bpe_learn" -> Oracles.bpeLearn,
+    "q_bpe_tokens_learned" -> Oracles.bpeTokensLearned,
     "q_pack_bpe" -> Oracles.packBpe,
     "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
@@ -1964,6 +1968,32 @@ object Queries {
   def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     ext.Bpe.tokenCounts(Sources.documents(spark, sfDir))
 
+  /** X4's remaining stand-in closed: the merge table is LEARNED from the
+    * corpus (distributed pair-counting loop, deterministic tie-breaks) and
+    * the oracle replays the SAME training iterations in SQL — word-
+    * frequency table, per-step argmax pair, leftmost non-overlapping merge
+    * application — so a drifted tie-break, a wrong apply order, or a
+    * miscounted pair breaks the hash on rank, symbols, AND weight.
+    */
+  def bpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ext.Bpe.learnMerges(Sources.documents(spark, sfDir), numMerges = 6)
+      .zipWithIndex
+      .map { case ((l, r, w), i) => (i + 1L, l, r, w) }
+      .toDF("rank", "left_sym", "right_sym", "weight")
+  }
+
+  /** `q_bpe_tokens` re-run against the LEARNED vocabulary: greedy
+    * longest-prefix token counts where the vocab is corpus chars plus the
+    * learned merges' products. The oracle learns the same vocab in SQL
+    * (the unrolled training chain) and feeds it to the same recursive-CTE
+    * tokenizer the fixture-vocab gate uses.
+    */
+  def bpeTokensLearned(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    ext.Bpe.tokenCounts(docs, ext.Bpe.learnedVocab(docs, numMerges = 6))
+  }
+
   /** Sequence packing on REAL token counts — what a training run actually
     * budgets context windows with (the `q_pack` twin swapped from the
     * whitespace estimate to the tokenizer).
@@ -2990,10 +3020,11 @@ FROM c GROUP BY 1"""
     * independent replay of `Bpe.countTokens`' decision rule, with the
     * vocabulary interpolated from the same fixture constant.
     */
-  private def bpeWordCounts: String = {
-    val vs = graft.ext.Bpe.FixtureVocab.map(t => s"('$t')").mkString(", ")
-    s"""vocab(tok) AS (VALUES $vs),
-dw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+  /** The greedy longest-prefix tokenizer replay (recursive CTE), vocab
+    * supplied by a preceding `vocab(tok)` CTE.
+    */
+  private def bpeTokenizerCtes: String =
+    """dw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
 step AS (
   SELECT w, w AS rest, 0 AS n FROM dw
   UNION ALL
@@ -3007,7 +3038,82 @@ doctok AS (
   SELECT doc_id, CAST(sum(wc.n_tok) AS BIGINT) AS n_bpe
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) words
   JOIN wc USING (w) GROUP BY 1)"""
+
+  private def bpeWordCounts: String = {
+    val vs = graft.ext.Bpe.FixtureVocab.map(t => s"('$t')").mkString(", ")
+    s"""vocab(tok) AS (VALUES $vs),
+$bpeTokenizerCtes"""
   }
+
+  /** Unrolled replay of `Bpe.learnMerges`' training loop: the word-
+    * frequency table renders each word middot-delimited (`·c·a·t·`), each
+    * iteration k counts adjacent symbol pairs (list_zip over the split
+    * symbols, weighted by word count), picks the argmax under the SAME
+    * (weight DESC, left, right) tie-break, and applies the merge as a
+    * left-to-right non-overlapping `replace` of `·l·r·` — exactly the
+    * Scala `applyMerge` order. MATERIALIZED is load-bearing: each CTE is
+    * referenced several times and inlining re-evaluates the chain
+    * exponentially.
+    */
+  private def bpeLearnChain(k: Int): String = {
+    val head =
+      """w0 AS MATERIALIZED (
+  SELECT '·' || array_to_string(string_split(word, ''), '·') || '·' AS w, cnt FROM (
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+    WHERE word <> '' GROUP BY 1) t2)"""
+    val iters = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, CAST(sum(cnt) AS BIGINT) AS w FROM (
+    SELECT unnest(list_zip(list_slice(s, 1, len(s)-1), list_slice(s, 2, len(s)))) AS z, cnt
+    FROM (SELECT string_split(trim(w, '·'), '·') AS s, cnt FROM w${i - 1}) t) t2
+  GROUP BY 1, 2),
+b$i AS MATERIALIZED (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+w$i AS MATERIALIZED (
+  SELECT replace(w, '·' || (SELECT l FROM b$i) || '·' || (SELECT r FROM b$i) || '·',
+                    '·' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '·') AS w, cnt
+  FROM w${i - 1})"""
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  val bpeLearn: String =
+    "WITH " + bpeLearnChain(6) + "\n" +
+      (1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, " +
+          s"w AS weight FROM b$i").mkString("\nUNION ALL ")
+
+  /** The learned-vocab tokenizer carries the vocab into the recursion as
+    * ONE list scalar probed by a lambda, not the correlated `max(len)`
+    * subquery `bpeTokenizerCtes` uses: DuckDB silently loses part of a
+    * computed (non-VALUES) vocab CTE's rows inside a recursive
+    * correlated subquery when a long MATERIALIZED chain feeds it
+    * (observed: merges b3..b5 invisible to `starts_with`, b1 visible) —
+    * the list-scalar form evaluates the whole vocab once and is immune.
+    */
+  val bpeTokensLearned: String =
+    s"""WITH RECURSIVE ${bpeLearnChain(6)},
+vocab AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(replace(text, ' ', ''), '')) AS tok
+  FROM documents
+  UNION
+  SELECT l || r FROM (${(1 to 6).map(i => s"SELECT l, r FROM b$i").mkString(" UNION ALL ")}) m),
+vl AS MATERIALIZED (SELECT list(tok) AS toks FROM vocab),
+dw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+step AS (
+  SELECT w, w AS rest, 0 AS n FROM dw
+  UNION ALL
+  SELECT w,
+    substring(rest, 1 + greatest(1, list_max(list_transform((SELECT toks FROM vl),
+      t -> CASE WHEN starts_with(step.rest, t) THEN len(t) ELSE 0 END)))) AS rest,
+    n + 1
+  FROM step WHERE rest <> ''),
+wc AS (SELECT w, n AS n_tok FROM step WHERE rest = ''),
+doctok AS (
+  SELECT doc_id, CAST(sum(wc.n_tok) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) words
+  JOIN wc USING (w) GROUP BY 1)
+SELECT doc_id, n_bpe FROM doctok"""
 
   val bpeTokens: String =
     s"WITH RECURSIVE $bpeWordCounts SELECT doc_id, n_bpe FROM doctok"

@@ -86,6 +86,104 @@ object Bpe {
     out.result()
   }
 
+  /** Apply one merge `(l, r) → lr` to a symbol sequence, leftmost
+    * non-overlapping in a single left-to-right pass — the standard BPE
+    * apply order (and exactly what a string `replace` of `·l·r·` with
+    * `·lr·` does on a delimiter-joined rendering, which is how the DuckDB
+    * oracle replays it).
+    */
+  private[graft] def applyMerge(s: Array[String], l: String,
+                                r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** LEARN a BPE merge table from a corpus — the standard training loop
+    * (count adjacent symbol pairs weighted by word frequency, merge the
+    * most frequent pair, repeat), distributed:
+    *
+    *  - the corpus is scanned ONCE into a distinct-word frequency table
+    *    (one shuffle) — at 100 TB the word table is orders of magnitude
+    *    smaller than the corpus (heavy-tailed vocabulary), and it is the
+    *    only thing the loop ever touches again;
+    *  - each merge step is one partial-aggregating pair-count shuffle
+    *    over the word table plus a narrow merge-apply map; the driver
+    *    only ever holds the argmax pair and the merge list (O(numMerges));
+    *  - the evolving word table is localCheckpoint'd per step so the loop
+    *    does not re-derive K generations of lineage.
+    *
+    * Determinism: ties break by (weight DESC, left ASC, right ASC) — the
+    * oracle replays the same total order. Stops early when the best
+    * pair's weight drops below `minCount` (merging hapax pairs memorizes
+    * the corpus). For production-size vocabularies (K ≈ 32k) the per-step
+    * driver round-trip dominates; there the word-frequency table (a few
+    * million rows) collapses to the driver and the classic heap-based
+    * learner finishes in memory — this loop is the shape that stays
+    * distributed when it does NOT fit.
+    *
+    * Returns `(left, right, weight)` in merge order.
+    */
+  def learnMerges(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+                  textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    import docs.sparkSession.implicits._
+    var words = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").count()
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .localCheckpoint(true)
+    var prev = words
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val best = words
+        .flatMap { case (s, c) =>
+          (0 until s.length - 1).map(i => (s(i), s(i + 1), c)) }
+        .toDF("l", "r", "cnt")
+        .groupBy("l", "r").agg(sum("cnt").as("w"))
+        .orderBy(col("w").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty || best.head._3 < minCount) done = true
+      else {
+        val (l, r, w) = best.head
+        merges += ((l, r, w))
+        words = words
+          .map { case (s, c) => (applyMerge(s, l, r), c) }
+          .localCheckpoint(true)
+        prev.unpersist(blocking = false)
+        prev = words
+        k += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** The greedy-inference vocabulary a learned merge table induces: every
+    * single character seen in the corpus (so no word is untokenizable)
+    * plus each merge's product. Feed to [[tokenCounts]].
+    */
+  def learnedVocab(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+                   textCol: String = "text"): Seq[String] = {
+    import docs.sparkSession.implicits._
+    val chars = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), "")).as("c"))
+      .where(col("c") =!= "" && col("c") =!= " ")
+      .distinct().as[String].collect().toSeq
+    (chars ++ learnMerges(docs, numMerges, minCount, textCol)
+      .map { case (l, r, _) => l + r }).distinct
+  }
+
   /** Per-document real token counts `(idCol, n_bpe)`: whitespace
     * pre-split (the same word boundary every other Text operator uses),
     * then greedy longest-match per word against the broadcast vocabulary.

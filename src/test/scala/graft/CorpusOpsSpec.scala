@@ -311,6 +311,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("different hashing scheme"))
   }
 
+  test("Bpe.learnMerges: classic corpus, exact hand-computed merge sequence") {
+    // the textbook BPE corpus {low×5, lower×2, newest×6, widest×3}; the
+    // expected sequence below is derived by hand under the declared
+    // (weight DESC, left, right) tie-break:
+    //   es(9) → est(9) → lo(7) → low(7) → ew(6) → ewest(6)
+    val df = docsDF(Seq(
+      (1L, "low low low low low", "en"),
+      (2L, "lower lower", "en"),
+      (3L, "newest newest newest newest newest newest", "en"),
+      (4L, "widest widest widest", "en")))
+    val merges = ext.Bpe.learnMerges(df, numMerges = 6)
+    assert(merges === Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L),
+      ("lo", "w", 7L), ("e", "w", 6L), ("ew", "est", 6L)))
+    // deterministic under any partitioning
+    assert(ext.Bpe.learnMerges(df.repartition(7), numMerges = 6) === merges)
+    // minCount floor stops the loop before it memorizes rare pairs
+    val floored = ext.Bpe.learnMerges(df, numMerges = 50, minCount = 3L)
+    assert(floored.nonEmpty && floored.forall(_._3 >= 3L))
+    // induced vocabulary: corpus chars + merge products; greedy inference
+    // over it collapses frequent words to their learned subwords
+    val vocab = ext.Bpe.learnedVocab(df, numMerges = 6)
+    assert(Seq("es", "est", "lo", "low", "ew", "ewest").forall(vocab.contains))
+    val vs = vocab.toSet
+    val maxLen = vocab.map(_.length).max
+    assert(ext.Bpe.tokenizeWord("newest", vs, maxLen) === Vector("n", "ewest"))
+    assert(ext.Bpe.tokenizeWord("low", vs, maxLen) === Vector("low"))
+    assert(ext.Bpe.tokenizeWord("lower", vs, maxLen) === Vector("low", "e", "r"))
+    // leftmost non-overlapping apply: (a,a) over "aaa" merges the FIRST pair
+    assert(ext.Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq
+      === Seq("aa", "a"))
+  }
+
   test("Bpe: greedy longest-prefix tokenization with unknown-char fallback") {
     import ext.Bpe
     val vocab = Set("the", "th", "he", "ab", "abc", "x")
