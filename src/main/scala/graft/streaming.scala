@@ -435,6 +435,30 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
+    * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
+    * a content hash is remembered only until the watermark passes its
+    * first sighting plus `delay`, then evicted. The trade the unbounded
+    * flavor's scaladoc cites, made concrete: a replay arriving WITHIN the
+    * watermark window is dropped exactly like `dropDuplicates`, a replay
+    * arriving after its state expired lands AGAIN (at-least-once beyond
+    * the window) — correct for re-crawl/replay loops whose lag is
+    * bounded, and the only shape whose state does not grow with corpus
+    * size. State keyed by content hash, TTL'd by the engine; RocksDB-
+    * backed at cluster scale like every stateful op here.
+    */
+  def dedupIngestBounded(docs: DataFrame, outPath: String, checkpoint: String,
+                         delay: String = "10 minutes",
+                         textCol: String = "text", tsCol: String = "ts") =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** `ingest` with the monotonicity filter applied: the strict-parity
     * streaming ingest for deployments where the batch reject/drop contract
     * must hold on the streaming path too.

@@ -153,6 +153,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded dedup ingest: in-window replay dropped, state TTLs beyond the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedupw").toString
+    def t(s: String) = ts(s)
+    val q = Streaming.dedupIngestBounded(
+      mem.toDF().toDF("ts", "text"), s"$dir/out", s"$dir/ckpt",
+      delay = "10 minutes").start()
+    try {
+      // batch 1: a document and its immediate replay — within the
+      // watermark window, so the replay is dropped
+      mem.addData((t("2024-01-01T10:00:00Z"), "docA"),
+        (t("2024-01-01T10:01:00Z"), "docA"))
+      q.processAllAvailable()
+      // batch 2: two hours later — the watermark advances to 11:50,
+      // evicting docA's state (first seen 10:00 + 10 min ≪ 11:50)
+      mem.addData((t("2024-01-01T12:00:00Z"), "docB"))
+      q.processAllAvailable()
+      // batch 3: docA replayed BEYOND its state's lifetime — it lands
+      // again (the documented at-least-once cap of bounded state); its
+      // fresh in-window replay right after is dropped again
+      mem.addData((t("2024-01-01T12:05:00Z"), "docA"),
+        (t("2024-01-01T12:06:00Z"), "docA"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("text").as[String].collect().toSeq
+      assert(out.count(_ == "docA") === 2, s"got $out")
+      assert(out.count(_ == "docB") === 1)
+    } finally q.stop()
+  }
+
   test("streaming anomaly ring carries across micro-batches and equals the batch window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
