@@ -166,6 +166,7 @@ object SparkEntry {
     "q_quality" -> Queries.quality _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
+    "q_lang_profile" -> Queries.langProfile _,
     "q_fingerprint" -> Queries.fingerprint _,
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
@@ -281,6 +282,7 @@ object SparkEntry {
     "q_quality" -> Oracles.quality,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
+    "q_lang_profile" -> Oracles.langProfile,
     "q_fingerprint" -> Oracles.fingerprint,
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
@@ -1800,6 +1802,21 @@ object Queries {
           .as("best_score"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n_docs"), sum("best_score").as("score_sum"))
+  }
+
+  /** X4's data-driven lang-ID arm: profiles LEARNED from the labeled
+    * corpus (top-8 trigrams per language, deterministic tie-breaks), then
+    * every document classified against the broadcast profile table;
+    * output is the confusion matrix. The oracle re-learns the profiles
+    * AND re-scores every document in SQL, so a drifted tie-break, a lost
+    * profile row, or a wrong argmax all break the hash.
+    */
+  def langProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val profiles = ext.Text.learnLangProfiles(docs, topK = 8)
+    ext.Text.langIdByProfiles(docs, profiles)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -3442,6 +3459,41 @@ SELECT lang, predicted, count(*) AS n_docs,
   CAST(sum(best) AS BIGINT) AS score_sum
 FROM p GROUP BY 1, 2"""
   }
+
+  /** Learned-profile twin: re-learns the top-8 trigram profile per
+    * language (count DESC, gram ASC tie-break) and re-scores every
+    * document against it — argmax with alphabetical tie-break, no-hit
+    * documents falling back to the alphabetically first profile language,
+    * exactly the Spark decision sequence.
+    */
+  val langProfile: String =
+    """WITH g AS (
+  SELECT doc_id, lang,
+    unnest([substr(text, CAST(i AS INT), 3)
+            for i in range(1, greatest(length(text) - 1, 1))]) AS gram
+  FROM documents),
+prof AS (
+  SELECT lang AS plang, gram FROM (
+    SELECT lang, gram,
+      row_number() OVER (PARTITION BY lang
+        ORDER BY count(*) DESC, gram) AS rk
+    FROM g GROUP BY lang, gram) t
+  WHERE rk <= 8),
+hits AS (
+  SELECT g.doc_id, p.plang, count(*) AS score
+  FROM g JOIN prof p USING (gram) GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, plang FROM (
+    SELECT doc_id, plang,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, plang) AS rk
+    FROM hits) t
+  WHERE rk = 1),
+pred AS (
+  SELECT d.lang,
+    coalesce(b.plang, (SELECT min(lang) FROM documents)) AS predicted
+  FROM documents d LEFT JOIN best b USING (doc_id))
+SELECT lang, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2"""
 
   val fingerprint: String =
     """WITH g AS (

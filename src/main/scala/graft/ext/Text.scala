@@ -83,6 +83,66 @@ object Text {
     }
   }
 
+  /** All character trigrams of `text` (overlapping, in order) as an array
+    * column; text shorter than 3 chars yields an empty array. Declarative
+    * sequence+transform, so the oracle's list comprehension is an exact
+    * twin.
+    */
+  private def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** LEARN per-language character-trigram profiles from a LABELED corpus —
+    * the data-driven replacement for the fixed toy tables above (their
+    * scaladoc's "broadcast a bigger marker table" arm, with the table now
+    * LEARNED instead of curated): per language, the `topK` most frequent
+    * trigrams, ties broken by gram ascending so the profile is a pure
+    * function of the data. One explode + one partial-aggregating shuffle +
+    * a per-language top-k window over trigram cardinality (bounded), never
+    * the corpus.
+    */
+  def learnLangProfiles(labeled: DataFrame, topK: Int = 8,
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    labeled.select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("gram"))
+      .groupBy("lang", "gram").count()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("count").desc, col("gram"))))
+      .where(col("rk") <= topK)
+      .select(col("lang"), col("gram"), col("count").as("weight"))
+  }
+
+  /** Classify documents against a learned profile TABLE: per document,
+    * score(lang) = number of trigram occurrences that appear in that
+    * language's profile, argmax with alphabetical tie-break (the same
+    * decision shape as `langId`/`charNgramLangId`, evidence now a
+    * broadcast table instead of compiled-in literals). The profile join
+    * filters the exploded trigrams BEFORE the aggregate, so the shuffle
+    * carries only profile hits; documents with no hits at all fall back
+    * to the alphabetically first profile language (the all-zero-scores
+    * arm of the literal flavors). Output = the input row plus
+    * `predicted`.
+    */
+  def langIdByProfiles(docs: DataFrame, profiles: DataFrame,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val fallback = profiles.agg(min("lang")).first().getString(0)
+    val hits = docs
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
+      .join(broadcast(profiles.select(col("lang").as("_plang"), col("gram"))),
+        Seq("gram"))
+      .groupBy(col(idCol), col("_plang")).agg(count(lit(1)).as("_score"))
+    val best = hits.groupBy(idCol).agg(
+      min_by(col("_plang"), struct((-col("_score")).as("s"), col("_plang")))
+        .as("_pred"))
+    docs.join(best, Seq(idCol), "left")
+      .withColumn("predicted", coalesce(col("_pred"), lit(fallback)))
+      .drop("_pred")
+  }
+
   /** Number of ASCII word tokens ([A-Za-z0-9]+ runs) plus one per
     * non-ASCII char — a BPE-ish token-count estimate that behaves sanely
     * for both alphabetic and CJK text. ASCII regex semantics are identical

@@ -311,6 +311,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("different hashing scheme"))
   }
 
+  test("learned lang profiles: top-k selection, argmax, tie and fallback arms") {
+    import spark.implicits._
+    // two "languages" with disjoint dominant trigrams
+    val labeled = docsDF(Seq(
+      (1L, "aaaa aaaa", "aa"),   // trigrams: aaa ×4, 'aa ' 'a a' ' aa' ×1
+      (2L, "bbbb bbbb", "bb")))
+    val prof = ext.Text.learnLangProfiles(labeled, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(prof === Set(("aa", "aaa", 4L), ("bb", "bbb", 4L)))
+    // classification: dominant-trigram doc → its language; a doc with no
+    // profile hits falls back to the alphabetically FIRST profile language
+    val profiles = ext.Text.learnLangProfiles(labeled, topK = 1)
+    val preds = ext.Text.langIdByProfiles(
+        docsDF(Seq((10L, "aaa zzz", "?"), (11L, "zzbbbzz", "?"),
+          (12L, "zz", "?"))),
+        profiles)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(preds(10L) === "aa")
+    assert(preds(11L) === "bb")
+    assert(preds(12L) === "aa") // no hits → fallback min(lang)
+    // exact tie in hit counts → alphabetically first language wins
+    val tied = ext.Text.langIdByProfiles(
+        docsDF(Seq((20L, "aaabbb", "?"))), profiles)
+      .select("predicted").as[String].collect()
+    assert(tied.toSeq === Seq("aa"))
+  }
+
   test("Bpe.learnMerges: classic corpus, exact hand-computed merge sequence") {
     // the textbook BPE corpus {low×5, lower×2, newest×6, widest×3}; the
     // expected sequence below is derived by hand under the declared
