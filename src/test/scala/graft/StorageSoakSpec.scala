@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+/** Model-based soak of the snapshot-manifest storage layer: a seeded
+  * random interleaving of every mutation verb — appends, tag-query
+  * deletes, compactions, vacuums — with CRASHES injected into a fraction
+  * of them, checked after each step against an in-memory model of the
+  * committed fact table. The invariant under test is the round-8 contract
+  * in one sentence: a committed mutation is exactly applied, a crashed
+  * mutation is exactly invisible, and vacuum/compact never change visible
+  * rows. Complements the hand-built SnapshotSpec scenarios with breadth:
+  * the interleavings here (e.g. crash-append → compact → vacuum → delete)
+  * are the ones nobody writes by hand.
+  */
+class StorageSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val streams = (0 until 5).map(i => s"s$i")
+
+  test("randomized mutation soak: committed = applied, crashed = invisible, vacuum/compact = no-ops on visible rows") {
+    val rnd = new scala.util.Random(20240813L)
+    val dir = Files.createTempDirectory("graft-soak").toString
+    val ds = new Datastream(spark, dir)
+    streams.foreach(s => ds.ensureStream(s, Map("team" -> s"t${s.last.toInt % 2}")))
+    // model: stream -> points of the COMMITTED world; clockUs keeps every
+    // append monotone per the facade's timestamp contract
+    val model = mutable.Map.empty[String, Vector[(Timestamp, Double)]]
+      .withDefaultValue(Vector.empty)
+    var clockUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def nextTs(): Timestamp = {
+      // jump up to ~2 days so appends cross partition boundaries often
+      clockUs += (1L + rnd.nextInt(172800)) * 1000000L
+      new Timestamp(clockUs / 1000L)
+    }
+    def appendBatch(crash: Boolean): Unit = {
+      val rows = (0 until (1 + rnd.nextInt(3))).map { _ =>
+        (streams(rnd.nextInt(streams.size)), nextTs(), rnd.nextInt(1000).toDouble)
+      }
+      if (crash) {
+        ds.crashBeforeCommitOf = Set("append")
+        intercept[IllegalStateException] {
+          ds.appendMultiple(rows.toDF("stream_id", "ts", "value"))
+        }
+        ds.crashBeforeCommitOf = Set.empty
+        // crashed: the model must NOT change
+      } else {
+        ds.appendMultiple(rows.toDF("stream_id", "ts", "value"))
+        rows.foreach { case (s, t, v) => model(s) = model(s) :+ ((t, v)) }
+      }
+    }
+    def deleteOne(crash: Boolean): Unit = {
+      // tag queries match on tags; the team tag names 2-3 streams — a
+      // delete dooms the whole team (then re-ensures its members fresh,
+      // their history gone). A CRASHED delete runs its full purge (real
+      // rewrites of every affected partition) before dying pre-swap, and
+      // must leave the model — registry included — untouched.
+      val victim = streams(rnd.nextInt(streams.size))
+      val team = s"t${victim.last.toInt % 2}"
+      val doomed = streams.filter(s => s"t${s.last.toInt % 2}" == team)
+      if (crash) {
+        ds.crashBeforeCommitOf = Set("delete_streams_purge")
+        intercept[IllegalStateException] {
+          ds.deleteStreams(Map("team" -> team))
+        }
+        ds.crashBeforeCommitOf = Set.empty
+      } else {
+        ds.deleteStreams(Map("team" -> team))
+        doomed.foreach { s =>
+          model.remove(s)
+          ds.ensureStream(s, Map("team" -> s"t${s.last.toInt % 2}"))
+        }
+      }
+    }
+    def check(label: String): Unit = {
+      val got = ds.rawDatapoints
+        .select("stream_id", "ts", "value")
+        .as[(String, Timestamp, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3)).sortBy(_._1.getTime).toVector)
+        .toMap
+      val want = model.filter(_._2.nonEmpty).view
+        .mapValues(_.sortBy(_._1.getTime)).toMap
+      assert(got === want, s"model divergence after $label")
+    }
+    var step = 0
+    (0 until 22).foreach { i =>
+      val roll = rnd.nextInt(100)
+      val label =
+        if (roll < 45) { appendBatch(crash = false); "append" }
+        else if (roll < 55) { appendBatch(crash = true); "crashed append" }
+        else if (roll < 65) { deleteOne(crash = false); "delete" }
+        else if (roll < 72) { deleteOne(crash = true); "crashed delete" }
+        else if (roll < 80) {
+          if (rnd.nextBoolean()) { ds.compact(); "compact" }
+          else {
+            ds.crashBeforeCommitOf = Set("compact")
+            intercept[IllegalStateException](ds.compact())
+            ds.crashBeforeCommitOf = Set.empty
+            "crashed compact"
+          }
+        }
+        else if (roll < 90) { ds.vacuumRaw(); s"vacuum(all)" }
+        else { ds.acknowledgeTorn(); ds.vacuumRaw(retainVersions = 1); "ack+vacuum(1)" }
+      step += 1
+      // check after every crash and every 3rd step (collect cost bound)
+      if (label.startsWith("crashed") || step % 3 == 0) check(s"step $step: $label")
+    }
+    ds.acknowledgeTorn()
+    ds.vacuumRaw(retainVersions = 1)
+    check("final vacuum")
+    // the final vacuumed table holds EXACTLY the committed rows on disk too:
+    // re-reading the raw directory without the manifest must agree, because
+    // retainVersions=1 reclaimed every orphan and every retired file
+    val onDisk = spark.read
+      .schema(Schemas.rawDatapointsPartitioned).parquet(s"$dir/raw")
+      .select("stream_id", "ts", "value")
+      .as[(String, Timestamp, Double)].collect().toSet
+    val committed = model.values.flatten.isEmpty ||
+      onDisk === model.flatMap { case (s, pts) => pts.map(p => (s, p._1, p._2)) }.toSet
+    assert(committed, "post-vacuum disk state diverges from the model")
+  }
+}
