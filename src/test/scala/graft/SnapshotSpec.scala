@@ -161,6 +161,27 @@ class SnapshotSpec extends SparkSpec {
     assert(ds.rawDatapoints.collect().toSet === before)
   }
 
+  test("rollup reads prune bucket_date partitions through the manifest file list") {
+    val (ds, _) = freshDs
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:00Z", 1.0),
+      ("s1", "2024-01-05T00:00:00Z", 2.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val df = ds.getData("s1", Granularity.Hours,
+      start = Some(ts("2024-01-01T00:00:00Z")),
+      end = Some(ts("2024-01-02T00:00:00Z")))
+    assert(df.collect().map(_.getAs[Double]("sum")).toSeq === Seq(1.0))
+    // round 8 moved this read onto the explicit manifest file list — the
+    // bucket_date bounds must still land as PARTITION filters, not just
+    // row predicates (same pin as the raw-table test above)
+    val planText = df.queryExecution.executedPlan.toString
+    val partLine = planText.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("bucket_date"),
+      s"bucket_date bounds did not reach PartitionFilters:\n$planText")
+  }
+
   test("commit walk cost stays flat as the raw table accretes files") {
     val (ds, _) = freshDs
     ds.ensureStream("s1")
