@@ -474,7 +474,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
           throw new IllegalStateException(s"injected crash after $op body")
         r
       }
-      catch { case e: Throwable => intent.renameTo(marker("failed")); throw e }
+      catch { case e: Throwable =>
+        intent.renameTo(marker("failed"))
+        scopeBefore.clear(); retiredFiles.clear()
+        throw e
+      }
     // Assemble the new snapshot per table: (previous ∪ baseline) minus
     // retirements plus this commit's written files — NEVER a directory
     // listing on a covered table, so orphans from earlier torn mutations
@@ -547,6 +551,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
         ((f.getName.endsWith(".tmp") || f.getName.endsWith(".manifest.tmp")) &&
           v.exists(_ < version))
     }.foreach(_.delete())
+    // per-commit bookkeeping must not leak into the next commit (it is
+    // cleared at start too — this keeps the idle state clean)
+    scopeBefore.clear()
+    retiredFiles.clear()
     out
   }
 
@@ -1467,15 +1475,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
       (before, before - retiredN + writtenSoFar(table).size)
     }
     withCommit("compact") {
-      val raw = compactTable("raw", Schemas.rawDatapointsPartitioned,
-        "dp_date", Seq("stream_id", "ts"))
-      val der = compactTable("derived", Schemas.rawDatapoints,
-        "stream_id", Seq("ts"))
-      val roll = Granularity.ladder.map(g => s"rollup/${g.name}" ->
-        compactTable(s"rollup/granularity=${g.name}",
-          Schemas.downsampledPartitioned, "bucket_date",
-          Seq("stream_id", "bucket_start")))
-      (roll :+ ("raw" -> raw) :+ ("derived" -> der)).toMap
+      // the per-table compactions are independent read→append pipelines
+      // over different paths — run them as concurrent Spark jobs (same
+      // pattern as the delete purges) so a 9-table pass costs the slowest
+      // table, not the sum; the commit bookkeeping they share is
+      // concurrent by construction
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val jobs: Seq[(String, Future[(Long, Long)])] =
+        Seq("raw" -> Future(compactTable("raw",
+            Schemas.rawDatapointsPartitioned, "dp_date",
+            Seq("stream_id", "ts"))),
+          "derived" -> Future(compactTable("derived", Schemas.rawDatapoints,
+            "stream_id", Seq("ts")))) ++
+          Granularity.ladder.map(g => s"rollup/${g.name}" ->
+            Future(compactTable(s"rollup/granularity=${g.name}",
+              Schemas.downsampledPartitioned, "bucket_date",
+              Seq("stream_id", "bucket_start"))))
+      jobs.map { case (k, f) =>
+        k -> Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }.toMap
     }
   }
 
@@ -1742,6 +1761,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * and by the `q_derive_incremental` oracle gate): decimal bucket sums
     * are exact under any split, and the lag stitch reproduces the
     * unsplit window.
+    *
+    * Crash windows: the data write precedes the sidecar/registry swaps,
+    * which precede the manifest commit — a crash during the (dominant)
+    * data write is fully invisible; the remaining swap→commit tail
+    * (milliseconds) can leave the watermark ahead of invisible data,
+    * which the intent marker flags and a full `updateDerivedStreams`
+    * (clearing watermark + sidecar) remediates — the same
+    * registry-ahead-of-data tail deleteStreams documents.
     */
   def updateDerivedStreamsIncremental(until: Timestamp): Unit = {
     val untilUs = until.toInstant.getEpochSecond * 1000000L +
