@@ -682,6 +682,62 @@ class DatastreamApiSpec extends SparkSpec {
     assert(derivedRows(dirA).size === filesBefore)
   }
 
+  test("incremental derive: random workloads, K random refresh cuts equal one-shot, all four op classes") {
+    import spark.implicits._
+    def build(): (Datastream, String) = {
+      val dir = Files.createTempDirectory("graft-dincr").toString
+      val ds = new Datastream(spark, dir)
+      ds.ensureStream("s1"); ds.ensureStream("s2")
+      ds.ensureStream("d:sum", deriveOp = Some("sum"),
+        derivedFrom = Seq("s1", "s2"))
+      ds.ensureStream("d:der", deriveOp = Some("derivative"),
+        derivedFrom = Seq("s1"))
+      ds.ensureStream("d:rst", deriveOp = Some("counter_reset"),
+        derivedFrom = Seq("s2"))
+      ds.ensureStream("d:cdr", deriveOp = Some("counter_derivative"),
+        deriveArgs = Some("""{"max_value": 100}"""),
+        derivedFrom = Seq("s2"))
+      (ds, dir)
+    }
+    def derivedRows(dir: String) =
+      spark.read.schema(Schemas.rawDatapoints).parquet(s"$dir/derived")
+        .select("stream_id", "ts", "value")
+        .as[(String, java.sql.Timestamp, Double)].collect().toSet
+    Seq(7L, 23L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      var clockUs = ts("2024-01-01T00:00:00Z").getTime * 1000L
+      val points = (0 until 40).map { _ =>
+        clockUs += (1L + rnd.nextInt(10800)) * 1000000L // ≤3h steps, ~2 days
+        (if (rnd.nextBoolean()) "s1" else "s2",
+          new java.sql.Timestamp(clockUs / 1000L),
+          rnd.nextInt(100).toDouble) // values wrap vs max_value=100 often
+      }
+      // 3 random interior cuts (sorted, distinct) + one past all data
+      val cutUs = rnd.shuffle(points.map(_._2.getTime * 1000L).toVector)
+        .take(3).sorted :+ (clockUs + 86400000000L)
+      val (a, dirA) = build()
+      var lo = Long.MinValue
+      cutUs.foreach { cut =>
+        val slice = points.filter(p =>
+          p._2.getTime * 1000L >= lo && p._2.getTime * 1000L < cut)
+        if (slice.nonEmpty)
+          a.appendMultiple(slice.toDF("stream_id", "ts", "value"))
+        a.updateDerivedStreamsIncremental(new java.sql.Timestamp(cut / 1000L))
+        lo = cut
+      }
+      val (b, dirB) = build()
+      b.appendMultiple(points.toDF("stream_id", "ts", "value"))
+      b.updateDerivedStreamsIncremental(
+        new java.sql.Timestamp(cutUs.last / 1000L))
+      val stepwise = derivedRows(dirA)
+      assert(stepwise === derivedRows(dirB), s"divergence for seed $seed")
+      // the workload genuinely exercised every op class
+      val classes = stepwise.map(_._1)
+      assert(Set("d:sum", "d:der", "d:rst", "d:cdr").subsetOf(classes),
+        s"seed $seed produced only $classes")
+    }
+  }
+
   test("updateDerivedStreams drops a derived slice whose recompute is empty") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
