@@ -284,8 +284,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val FullManifestEvery = 10
 
   private def parseManifest(v: Long): ManifestFile = {
-    val txt = java.nio.file.Files.readString(
-      new java.io.File(commitLogPath, f"$v%09d.manifest").toPath)
+    val f = new java.io.File(commitLogPath, f"$v%09d.manifest")
+    if (!f.exists())
+      throw new IllegalStateException(
+        s"commitlog: manifest $v missing — the delta chain is broken " +
+          "(commit-log files were removed out of band); restore them or " +
+          "adoptRaw() to re-baseline the warehouse")
+    val txt = java.nio.file.Files.readString(f.toPath)
     val lines = txt.split('\n').toSeq.map(_.stripLineEnd).filter(_.nonEmpty)
     if (!lines.headOption.exists(_.startsWith("#graft ")))
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
@@ -1794,24 +1799,28 @@ class Datastream(spark: SparkSession, warehouse: String) {
         col("max_value"), col("highest_granularity"), col("derived_from"),
         col("_lo"), col("_hi"))
     // driver-side stats: op classes present, global scan bounds, whether
-    // any stream bootstraps — O(op classes), never O(derived streams)
+    // any stream bootstraps, and the max_value validation count — all in
+    // ONE O(op classes) job, never O(derived streams); the (rare) invalid
+    // case pays a second lookup only to name the offending stream
     val stats = work.groupBy("derive_op")
       .agg(min("_lo").as("lo"), max("_hi").as("hi"),
-        sum(when(col("_lo") === Long.MinValue, 1L).otherwise(0L)).as("boots"))
+        sum(when(col("_lo") === Long.MinValue, 1L).otherwise(0L)).as("boots"),
+        sum(when(col("derive_op") === "counter_derivative" &&
+          col("max_value").isNotNull && col("max_value") <= 0, 1L)
+          .otherwise(0L)).as("bad_maxv"))
       .collect()
     if (stats.isEmpty || !exists(rawPath)) return
     val opCounts = stats.map(_.getString(0)).toSet
     opCounts.find(!Derive.ops(_)).foreach { op =>
       throw new errors.InvalidOperatorArguments(s"unknown derive op $op")
     }
-    if (opCounts("counter_derivative")) {
+    if (stats.map(_.getLong(4)).sum > 0) {
       val bad = work.where(col("derive_op") === "counter_derivative" &&
           col("max_value").isNotNull && col("max_value") <= 0)
         .select("derived_id").limit(1).collect()
-      if (bad.nonEmpty)
-        throw new errors.InvalidOperatorArguments(
-          s"counter_derivative max_value must be positive " +
-            s"(stream ${bad.head.getString(0)})")
+      throw new errors.InvalidOperatorArguments(
+        s"counter_derivative max_value must be positive " +
+          s"(stream ${bad.head.getString(0)})")
     }
     val globalLo = stats.map(_.getLong(1)).min
     val globalHi = stats.map(_.getLong(2)).max
