@@ -93,6 +93,8 @@ object SparkEntry {
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
     "q_simhash" -> ((s, d) => ext.Dedup.simhashCandidates(Sources.documents(s, d))),
     "q_dedup_corpus" -> Queries.dedupCorpus _,
+    "q_substring_dedup" -> Queries.substringDedup _,
+    "q_substring_drop" -> Queries.substringDrop _,
     "q_similarity_topk" -> Queries.similarityTopK _,
     "q_similarity_ann" -> Queries.similarityAnn _,
     "q_similarity_ivf" -> Queries.similarityIvf _,
@@ -164,6 +166,7 @@ object SparkEntry {
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
+    "q_repetition" -> Queries.repetition _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -229,6 +232,8 @@ object SparkEntry {
     "q_token_count" -> Oracles.tokenCount,
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
     "q_dedup_corpus" -> Oracles.dedupCorpus,
+    "q_substring_dedup" -> Oracles.substringDedup,
+    "q_substring_drop" -> Oracles.substringDrop,
     "q_similarity_topk" -> Oracles.similarityTopK,
     // exhaustive IVF (nProbe = nCells) equals brute force bit-for-bit —
     // with seed or k-means-refined centroids alike — so both share the
@@ -280,6 +285,7 @@ object SparkEntry {
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
     "q_quality" -> Oracles.quality,
+    "q_repetition" -> Oracles.repetition,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
     "q_lang_profile" -> Oracles.langProfile,
@@ -1183,6 +1189,25 @@ object Queries {
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** X2e substring-level dedup scored per doc (Lee et al. 2021 style):
+    * duplicated 8-token spans across the corpus, overlap ratio per doc.
+    * Runs `hashGrams = false` so the DuckDB oracle replays the span key
+    * byte-for-byte; the hashed scale path is gated by `q_substring_drop`
+    * and asserted count-identical in CorpusOpsSpec.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Dedup.substringOverlap(Sources.documents(spark, sfDir),
+      hashGrams = false)
+
+  /** The corpus deliverable over X2e — drop docs whose duplicated-span
+    * coverage exceeds 0.5, counted per language. This arm runs the DEFAULT
+    * hashed gram keys, so the xxhash64 shuffle-width optimization itself
+    * sits on the oracle gate (the string-keyed oracle must agree).
+    */
+  def substringDrop(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Dedup.dropOverlapping(Sources.documents(spark, sfDir), 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+
   /** X5: typed projection out of the JSON `props` column, aggregated per
     * event_type — all-integer output.
     */
@@ -1782,6 +1807,13 @@ object Queries {
 
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
+
+  /** X4 Gopher repetition filters: bigram dup fraction and most-frequent-
+    * bigram share per doc — the mode-based signals `quality`'s row-local
+    * ratio cannot express.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.repetitionSignals(Sources.documents(spark, sfDir))
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.tfIdfTopTerms(Sources.documents(spark, sfDir))
@@ -2526,6 +2558,50 @@ FROM events GROUP BY 1"""
   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,
   max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens_max
 FROM documents GROUP BY 1"""
+
+  /** Duplicated 8-token spans, string-keyed — the exact semantics
+    * `Dedup.substringOverlap` computes (the Spark gate arm also runs
+    * string keys; hashed keys are gated via `substringDrop`).
+    */
+  val substringDedup: String =
+    """WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+g AS MATERIALIZED (
+  SELECT doc_id,
+    unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS g
+  FROM t),
+dup AS MATERIALIZED (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM g GROUP BY doc_id),
+dg AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+       FROM g JOIN dup USING (g) GROUP BY g.doc_id)
+SELECT tot.doc_id, tot.total_grams,
+  CAST(coalesce(dg.dup_grams, 0) AS BIGINT) AS dup_grams,
+  CAST(coalesce(dg.dup_grams, 0) AS DOUBLE) / tot.total_grams AS overlap_ratio
+FROM tot LEFT JOIN dg ON tot.doc_id = dg.doc_id"""
+
+  /** Surviving-corpus counts after dropping docs with > 0.5 duplicated-span
+    * coverage — the Spark side shuffles xxhash64 gram keys, so agreement
+    * with this string-keyed replay gates the hashing scheme too.
+    */
+  val substringDrop: String =
+    """WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+g AS MATERIALIZED (
+  SELECT doc_id,
+    unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS g
+  FROM t),
+dup AS MATERIALIZED (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM g GROUP BY doc_id),
+dg AS (SELECT g.doc_id, count(*) AS dup_grams
+       FROM g JOIN dup USING (g) GROUP BY g.doc_id),
+doomed AS (
+  SELECT tot.doc_id FROM tot JOIN dg ON tot.doc_id = dg.doc_id
+  WHERE CAST(dg.dup_grams AS DOUBLE) / tot.total_grams > 0.5)
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+GROUP BY lang"""
 
   /** Exact 3-shingle Jaccard pairs ≥ 0.8 via inverted index — the exact twin
     * the LSH-banded Spark query must reproduce.
@@ -3404,6 +3480,25 @@ SELECT doc_id,
     THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
     ELSE 0.0 END AS repetition_ratio
 FROM g"""
+
+  /** Per-doc bigram mode share and dup fraction — replays the two-level
+    * `(doc, gram)` count exactly; docs under 2 tokens emit no row.
+    */
+  val repetition: String =
+    """WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+g AS (
+  SELECT doc_id,
+    unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+  FROM t),
+pc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_grams,
+  count(*) AS distinct_grams,
+  1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup_frac,
+  CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS top_frac
+FROM pc GROUP BY doc_id"""
 
   val langReport: String = {
     val m = graft.ext.Text.markers

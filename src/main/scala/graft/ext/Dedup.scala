@@ -480,4 +480,78 @@ object Dedup {
       out
     } finally { banded.unpersist(); () }
   }
+
+  /** X2e substring-level (duplicated-span) dedup, the span-granular
+    * complement to the document-granular near-dup family: a run of `k`
+    * consecutive whitespace tokens occurring more than once across the
+    * corpus marks every covering position as duplicated boilerplate
+    * (templates, license headers, scraped navigation). Per surviving doc:
+    * `(doc_id, total_grams, dup_grams, overlap_ratio)`; docs shorter than
+    * `k` tokens have no k-gram and emit no row. With `crossDocOnly` a gram
+    * must appear in more than one DISTINCT document (within-doc repetition
+    * ignored); the default counts total occurrences, so a doc repeating
+    * its own span is also flagged.
+    *
+    * This is the linear-scan rendering of the suffix-array approach in
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): the suffix array finds repeated substrings
+    * via a global sort; on Spark the same repeated-span set (at fixed span
+    * length k) is an `explode → partial-agg groupBy` — hot spans combine
+    * map-side, there is no global sort, and nothing is driver-resident.
+    *
+    * Scale posture: one row per token position (the same expansion every
+    * shingle index here pays); `hashGrams` (default) shuffles an 8-byte
+    * xxhash64 of the span instead of the k-token string, so shuffle width
+    * is constant in k. The dup-gram set is joined back on the gram key —
+    * a shuffle equi-join whose skew is bounded by the same partial-agg
+    * discipline as the shingle index's docFreqCap. The oracle gate runs
+    * `hashGrams = false` so DuckDB replays the span key byte-for-byte;
+    * a spec asserts both key schemes produce identical per-doc counts.
+    */
+  def substringOverlap(docs: DataFrame, k: Int = 8,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       hashGrams: Boolean = true,
+                       crossDocOnly: Boolean = false): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= k)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("w")) - k),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("g"))
+    val keyed =
+      if (hashGrams) grams.select(col("doc_id"), xxhash64(col("g")).as("g"))
+      else grams
+    val dup =
+      if (crossDocOnly)
+        // two-level agg, not count_distinct: (g, doc_id) partials combine
+        // map-side so a corpus-wide hot span never funnels through one task
+        keyed.groupBy("g", "doc_id").agg(count(lit(1)).as("_c"))
+          .groupBy("g").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).select("g")
+      else
+        keyed.groupBy("g").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).select("g")
+    val total = keyed.groupBy("doc_id").agg(count(lit(1)).as("total_grams"))
+    val dupPerDoc = keyed.join(dup, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    total.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        (coalesce(col("dup_grams"), lit(0L)).cast("double") /
+          col("total_grams")).as("overlap_ratio"))
+  }
+
+  /** The corpus-side deliverable over [[substringOverlap]]: drop every doc
+    * whose duplicated-span coverage exceeds `maxOverlap`. Docs shorter than
+    * `k` tokens carry no spans and always survive.
+    */
+  def dropOverlapping(docs: DataFrame, maxOverlap: Double, k: Int = 8,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      crossDocOnly: Boolean = false): DataFrame = {
+    val doomed = substringOverlap(docs, k, textCol, idCol,
+        hashGrams = true, crossDocOnly = crossDocOnly)
+      .where(col("overlap_ratio") > maxOverlap)
+      .select(col("doc_id").as(idCol))
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
 }

@@ -188,6 +188,39 @@ object Text {
         .otherwise(lit(0.0)).as("repetition_ratio"))
   }
 
+  /** Gopher-style within-doc repetition signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1): per
+    * doc, the fraction of word `n`-grams that are repeats of an earlier
+    * occurrence (`dup_frac` = 1 − distinct/total) and the share of the
+    * single MOST FREQUENT n-gram (`top_frac` = mode count / total) — the
+    * two filters that catch looped generations and boilerplate that
+    * length/stopword signals miss. [[quality]] already carries the
+    * distinct/total trigram ratio row-locally; the mode requires per-gram
+    * counts, so this op pays one explode → two-level partial-agg groupBy
+    * (`(doc, gram)` partials combine map-side, then an O(docs) rollup) —
+    * the same shape and cost class as the shingle index. Docs shorter
+    * than `n` tokens emit no row.
+    */
+  def repetitionSignals(docs: DataFrame, n: Int = 2,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("_c"))
+      .groupBy("doc_id")
+      .agg(sum("_c").as("n_grams"), count(lit(1)).as("distinct_grams"),
+        max("_c").as("_top"))
+      .select(col("doc_id"), col("n_grams"), col("distinct_grams"),
+        (lit(1.0) - col("distinct_grams").cast("double") /
+          col("n_grams").cast("double")).as("dup_frac"),
+        (col("_top").cast("double") / col("n_grams").cast("double"))
+          .as("top_frac"))
+  }
+
   /** Polynomial rolling hash of the char `k`-gram starting at 1-based
     * position `i`: fold (acc·B + codepoint) mod p, p = 2³¹−1, B = 131 —
     * exact long arithmetic (acc < 2³¹, so acc·131 + c < 2³⁹), identical

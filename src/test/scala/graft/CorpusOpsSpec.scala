@@ -98,6 +98,75 @@ class CorpusOpsSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("substringOverlap: span counts by hand, hashed ≡ string keys, " +
+      "crossDocOnly ignores within-doc repeats, short docs emit no row") {
+    // doc 1: "a b c d a b c d" → 5 4-grams; "a b c d" appears at positions
+    //   1 and 5 (within-doc repeat); also in doc 2 → cross-doc dup.
+    // doc 2: "x a b c d y" → 3 4-grams, one shared with doc 1.
+    // doc 3: "p q r s" → exactly one 4-gram, unique.
+    // doc 4: "too short" → < 4 tokens, no row.
+    val df = docsDF(Seq(
+      (1L, "a b c d a b c d", "en"),
+      (2L, "x a b c d y", "en"),
+      (3L, "p q r s", "en"),
+      (4L, "too short", "en")))
+    val scored = ext.Dedup.substringOverlap(df, k = 4, hashGrams = false)
+      .orderBy("doc_id").collect()
+    assert(scored.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // doc 1 grams: [abcd, bcda, cdab, dabc, abcd] — abcd dup (3 occs),
+    // the middle three unique → total 5, dup 2
+    assert(scored(0).getLong(1) === 5L && scored(0).getLong(2) === 2L)
+    assert(scored(0).getDouble(3) === 2.0 / 5.0)
+    // doc 2 grams: [xabc, abcd, bcdy] → dup 1 of 3
+    assert(scored(1).getLong(1) === 3L && scored(1).getLong(2) === 1L)
+    // doc 3: 1 gram, 0 dup
+    assert(scored(2).getLong(1) === 1L && scored(2).getLong(2) === 0L)
+    assert(scored(2).getDouble(3) === 0.0)
+    // hashed keys give identical per-doc numbers
+    val hashed = ext.Dedup.substringOverlap(df, k = 4, hashGrams = true)
+      .orderBy("doc_id").collect()
+    assert(hashed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === scored.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // crossDocOnly: doc 5 repeats its own span but shares nothing — its
+    // repeat no longer counts; doc 1/2's shared span still does
+    val df5 = docsDF(Seq(
+      (1L, "a b c d a b c d", "en"),
+      (2L, "x a b c d y", "en"),
+      (5L, "m n o p m n o p", "en")))
+    val cross = ext.Dedup.substringOverlap(df5, k = 4, hashGrams = true,
+        crossDocOnly = true).orderBy("doc_id").collect()
+    assert(cross(0).getLong(2) === 2L) // both abcd positions cross-doc dup
+    assert(cross(1).getLong(2) === 1L)
+    assert(cross(2).getLong(2) === 0L) // self-repeat ignored
+    // dropOverlapping at 0.3: doc 1 (2/5) and doc 2 (1/3) both exceed it;
+    // doc 3 is clean and the short doc 4 always survives
+    val kept = ext.Dedup.dropOverlapping(df, maxOverlap = 0.3, k = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(3L, 4L))
+    // at 0.45 no ratio (0.4, 1/3, 0) exceeds the bound — all four survive
+    val kept45 = ext.Dedup.dropOverlapping(df, maxOverlap = 0.45, k = 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept45 === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("repetitionSignals: mode share and dup fraction by hand, short docs drop") {
+    val df = docsDF(Seq(
+      (1L, "a b a b a", "en"), // bigrams [ab, ba, ab, ba]: n=4, distinct=2
+      (2L, "x y", "en"),       // one bigram, unique
+      (3L, "z", "en")))        // < 2 tokens → no row
+    val out = Text.repetitionSignals(df).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 0.5 && out(0).getDouble(4) === 0.5)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 1L)
+    assert(out(1).getDouble(3) === 0.0 && out(1).getDouble(4) === 1.0)
+    // trigram flavor on doc 1: [aba, bab, aba] → n=3, distinct=2, top=2/3
+    val tri = Text.repetitionSignals(df, n = 3).orderBy("doc_id").collect()
+    assert(tri.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(tri(0).getLong(1) === 3L && tri(0).getLong(2) === 2L)
+    assert(tri(0).getDouble(4) === 2.0 / 3.0)
+  }
+
   test("topNgrams counts bigrams corpus-wide with deterministic tie-break") {
     val df = docsDF(Seq(
       (1L, "a b a b c", "en"),   // a_b ×2, b_a, b_c
