@@ -129,11 +129,23 @@ object Text {
   def langIdByProfiles(docs: DataFrame, profiles: DataFrame,
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val fallback = profiles.agg(min("lang")).first().getString(0)
+    // the profile table is bounded by construction (nLangs × topK rows),
+    // so materialize it ONCE to a local relation: the fallback scalar and
+    // the broadcast side then share that single evaluation — an unpersisted
+    // `profiles` plan (e.g. learnLangProfiles composed inline) would
+    // otherwise be recomputed in full for the fallback lookup and again
+    // for the join's broadcast exchange
+    val spark = docs.sparkSession
+    val local = profiles.select(col("lang").cast("string"),
+      col("gram").cast("string")).collect().toSeq
+    require(local.nonEmpty, "langIdByProfiles: empty profile table")
+    val fallback = local.map(_.getString(0)).min
+    import spark.implicits._
+    val profLocal = local.map(r => (r.getString(0), r.getString(1)))
+      .toDF("_plang", "gram")
     val hits = docs
       .select(col(idCol), explode(charTrigrams(col(textCol))).as("gram"))
-      .join(broadcast(profiles.select(col("lang").as("_plang"), col("gram"))),
-        Seq("gram"))
+      .join(broadcast(profLocal), Seq("gram"))
       .groupBy(col(idCol), col("_plang")).agg(count(lit(1)).as("_score"))
     val best = hits.groupBy(idCol).agg(
       min_by(col("_plang"), struct((-col("_score")).as("s"), col("_plang")))
