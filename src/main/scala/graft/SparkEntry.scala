@@ -129,6 +129,7 @@ object SparkEntry {
     "q_approx_percentile" -> Queries.approxPercentile _,
     // composed prep pipeline: scrub → mix → chunk, one chained SQL twin
     "q_corpus_pipeline2" -> Queries.corpusPipeline2 _,
+    "q_corpus_pipeline3" -> Queries.corpusPipeline3 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -261,6 +262,7 @@ object SparkEntry {
     "q_sample_quota" -> Oracles.sampleQuota,
     "q_approx_percentile" -> Oracles.approxPercentile,
     "q_corpus_pipeline2" -> Oracles.corpusPipeline2,
+    "q_corpus_pipeline3" -> Oracles.corpusPipeline3,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1470,6 +1472,26 @@ object Queries {
         sum("n_chunk_chars").as("chunk_chars_sum"))
   }
 
+  /** Third end-to-end corpus recipe, composing the round-8 filters: drop
+    * docs whose most-frequent bigram exceeds 6% of all bigrams (Gopher
+    * repetition filter), then drop docs with > 50% duplicated 8-token
+    * spans computed over the SURVIVORS (order matters — the oracle replays
+    * the same staging), then report surviving docs and token mass per
+    * language. Docs too short to produce grams carry no evidence and pass
+    * both filters, exactly as the standalone operators behave.
+    */
+  def corpusPipeline3(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val repDoomed = ext.Text.repetitionSignals(docs)
+      .where(col("top_frac") > 0.06).select("doc_id")
+    val afterRep = docs.join(repDoomed, Seq("doc_id"), "left_anti")
+    val clean = ext.Dedup.dropOverlapping(afterRep, 0.5)
+    clean.select(col("lang"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+  }
+
   /** Exact-quota sampling on the gate: en capped at 100 docs, zh at 40,
     * de at 1000 (over-quota — keeps all). Per-language surviving counts
     * AND token sums: the count pins quota exactness, the token sum pins
@@ -2558,6 +2580,39 @@ FROM events GROUP BY 1"""
   CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_sum,
   max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tokens_max
 FROM documents GROUP BY 1"""
+
+  /** Pipeline3 replay: repetition filter, then span filter over the
+    * survivors, then the per-lang report — the same staging order.
+    */
+  val corpusPipeline3: String =
+    """WITH rt AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+rg AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+  FROM rt),
+rpc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY 1, 2),
+repdoomed AS MATERIALIZED (
+  SELECT doc_id FROM rpc GROUP BY doc_id
+  HAVING CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) > 0.06),
+d2 AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM repdoomed)),
+st AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM d2 WHERE len(string_split(text, ' ')) >= 8),
+sg AS MATERIALIZED (
+  SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS g
+  FROM st),
+sdup AS MATERIALIZED (SELECT g FROM sg GROUP BY g HAVING count(*) > 1),
+stot AS (SELECT doc_id, count(*) AS total_grams FROM sg GROUP BY doc_id),
+sdg AS (SELECT sg.doc_id, count(*) AS dup_grams FROM sg JOIN sdup USING (g) GROUP BY sg.doc_id),
+sdoomed AS MATERIALIZED (
+  SELECT stot.doc_id FROM stot JOIN sdg ON stot.doc_id = sdg.doc_id
+  WHERE CAST(sdg.dup_grams AS DOUBLE) / stot.total_grams > 0.5)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM sdoomed)
+GROUP BY lang"""
 
   /** Duplicated 8-token spans, string-keyed — the exact semantics
     * `Dedup.substringOverlap` computes (the Spark gate arm also runs
