@@ -52,6 +52,56 @@ class CorpusPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("substringOverlap and repetitionSignals equal the in-memory model " +
+      "for any corpus, k, and key scheme") {
+    import spark.implicits._
+    // small token alphabet forces real span collisions within and across docs
+    val docGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab"))
+    } yield ws.mkString(" ")
+    val gen = for {
+      texts <- Gen.nonEmptyListOf(docGen)
+      k <- Gen.choose(2, 4)
+      hashed <- Gen.oneOf(true, false)
+      crossOnly <- Gen.oneOf(true, false)
+    } yield (texts, k, hashed, crossOnly)
+    val prop = Prop.forAll(gen) { case (texts, k, hashed, crossOnly) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      // reference model: explicit gram lists per doc
+      val grams = texts.zipWithIndex.map { case (t, i) =>
+        val w = t.split(" ", -1)
+        i.toLong -> (if (w.length < k) Seq.empty[String]
+                     else w.sliding(k).map(_.mkString(" ")).toSeq)
+      }.toMap
+      val occTotal = grams.values.flatten.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val occDocs = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val isDup = (g: String) =>
+        if (crossOnly) occDocs(g) > 1 else occTotal(g) > 1
+      val expected = grams.collect { case (id, gs) if gs.nonEmpty =>
+        id -> ((gs.size.toLong, gs.count(isDup).toLong))
+      }
+      val got = ext.Dedup.substringOverlap(df, k = k, hashGrams = hashed,
+          crossDocOnly = crossOnly)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val rep = ext.Text.repetitionSignals(df, n = k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
+        .toMap
+      val repExpected = grams.collect { case (id, gs) if gs.nonEmpty =>
+        val byGram = gs.groupBy(identity).view.mapValues(_.size)
+        id -> ((gs.size.toLong, byGram.size.toLong,
+          byGram.values.max.toDouble / gs.size))
+      }
+      got == expected && rep == repExpected
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("sessionize equals the sequential gap-scan model for any points and gap") {
     import spark.implicits._
     val gen = for {
