@@ -216,6 +216,54 @@ object Text {
   def repetitionSignals(docs: DataFrame, n: Int = 2,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    // the signals are WITHIN-doc, so the scale shape is a pure narrow map:
+    // per-doc gram counting in a partition-local hash map, ZERO shuffle —
+    // at 100 TB the alternative two-level agg ([[repetitionSignalsAgg]],
+    // asserted equal in CorpusOpsSpec) shuffles one row per distinct
+    // (doc, gram), i.e. roughly the corpus's token count
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < n) Iterator.empty
+          else {
+            val total = w.length - n + 1
+            val m = new java.util.HashMap[String, Int](total * 2)
+            val sb = new java.lang.StringBuilder
+            var i = 0
+            while (i < total) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(w(i + j)); j += 1
+              }
+              m.merge(sb.toString, 1, (a: Int, b: Int) => a + b)
+              i += 1
+            }
+            var maxC = 0
+            val vs = m.values().iterator()
+            while (vs.hasNext) { val c = vs.next(); if (c > maxC) maxC = c }
+            Iterator.single((id, total.toLong, m.size.toLong,
+              1.0 - m.size.toDouble / total.toDouble,
+              maxC.toDouble / total.toDouble))
+          }
+        }
+      }.toDF("doc_id", "n_grams", "distinct_grams", "dup_frac", "top_frac")
+  }
+
+  /** The declarative twin of [[repetitionSignals]] — explode → two-level
+    * partial-agg groupBy. Kept as the semantic reference the narrow-map
+    * flavor is asserted bit-identical to (the doubles divide the same
+    * longs, so IEEE equality holds), and as the fallback if per-partition
+    * heap for a pathological single document ever became a concern (the
+    * hash map is bounded by ONE doc's gram count; the agg flavor spreads
+    * even that).
+    */
+  def repetitionSignalsAgg(docs: DataFrame, n: Int = 2,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)

@@ -91,12 +91,15 @@ class CorpusPropertySpec extends AnyFunSuite {
       val rep = ext.Text.repetitionSignals(df, n = k).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
         .toMap
+      val repAgg = ext.Text.repetitionSignalsAgg(df, n = k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
+        .toMap
       val repExpected = grams.collect { case (id, gs) if gs.nonEmpty =>
         val byGram = gs.groupBy(identity).view.mapValues(_.size)
         id -> ((gs.size.toLong, byGram.size.toLong,
           byGram.values.max.toDouble / gs.size))
       }
-      got == expected && rep == repExpected
+      got == expected && rep == repExpected && repAgg == repExpected
     }
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
