@@ -66,6 +66,7 @@ object SparkEntry {
     // X1 streaming arm: cross-micro-batch content-hash dedup of a
     // twice-delivered shard
     "q_streaming_dedup" -> Queries.streamingDedup _,
+    "q_streaming_filter" -> Queries.streamingFilter _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -207,6 +208,7 @@ object SparkEntry {
     "q_streaming_ladder" -> Oracles.streamingLadder,
     // the twice-delivered shard must dedup to exactly one corpus copy
     "q_streaming_dedup" -> Oracles.streamingDedup,
+    "q_streaming_filter" -> Oracles.streamingFilter,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -970,6 +972,35 @@ object Queries {
     spark.read.parquet(s"$dir/out").groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("chars_sum"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** The corpus quality filter's streaming arm: documents arrive in two
+    * deliveries (maxFilesPerTrigger=1 forces two micro-batches), each doc
+    * is repetition-scored row-locally and docs with a most-frequent-bigram
+    * share over 6% are refused BEFORE the sink. Both deliveries carry the
+    * full corpus, so the oracle is the batch repetition filter's per-lang
+    * report at exactly 2× — pinning that the stateless filter neither
+    * duplicates beyond the input nor drops across micro-batch boundaries.
+    */
+  def streamingFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dir = tempDir("graft-sfilter")
+    val srcDir = tempDir("graft-sfilter-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.filterIngest(src, s"$dir/out", s"$dir/ckpt",
+        maxTopFrac = 0.06)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
   }
 
@@ -3290,6 +3321,25 @@ GROUP BY 1, 2"""
     * the corpus, so the oracle is the plain per-language aggregate of
     * `documents` — the doubled delivery must be invisible.
     */
+  /** Batch replay of the streaming repetition filter at 2× (both
+    * deliveries carry the full corpus and the filter is stateless).
+    */
+  val streamingFilter: String =
+    """WITH rt AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+rg AS (
+  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+  FROM rt),
+rpc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY 1, 2),
+repdoomed AS MATERIALIZED (
+  SELECT doc_id FROM rpc GROUP BY doc_id
+  HAVING CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) > 0.06)
+SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_docs,
+  CAST(2 * sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM repdoomed)
+GROUP BY lang"""
+
   val streamingDedup: String =
     """SELECT lang, count(*) AS n_docs,
   CAST(sum(length(text)) AS BIGINT) AS chars_sum,

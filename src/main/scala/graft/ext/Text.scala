@@ -225,32 +225,72 @@ object Text {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val w = text.split(" ", -1)
-          if (w.length < n) Iterator.empty
-          else {
-            val total = w.length - n + 1
-            val m = new java.util.HashMap[String, Int](total * 2)
-            val sb = new java.lang.StringBuilder
-            var i = 0
-            while (i < total) {
-              sb.setLength(0)
-              var j = 0
-              while (j < n) {
-                if (j > 0) sb.append(' ')
-                sb.append(w(i + j)); j += 1
-              }
-              m.merge(sb.toString, 1, (a: Int, b: Int) => a + b)
-              i += 1
-            }
-            var maxC = 0
-            val vs = m.values().iterator()
-            while (vs.hasNext) { val c = vs.next(); if (c > maxC) maxC = c }
-            Iterator.single((id, total.toLong, m.size.toLong,
-              1.0 - m.size.toDouble / total.toDouble,
-              maxC.toDouble / total.toDouble))
+          repetitionOf(text, n).map { case (tot, dist, dup, top) =>
+            (id, tot, dist, dup, top)
           }
         }
       }.toDF("doc_id", "n_grams", "distinct_grams", "dup_frac", "top_frac")
+  }
+
+  /** One document's repetition stats `(n_grams, distinct, dup_frac,
+    * top_frac)`; `None` when the text is shorter than `n` tokens. The
+    * single code path every repetition flavor (batch scored, batch
+    * column-appending, streaming filter) funnels through.
+    */
+  private[graft] def repetitionOf(text: String, n: Int)
+      : Option[(Long, Long, Double, Double)] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) None
+    else {
+      val total = w.length - n + 1
+      val m = new java.util.HashMap[String, Int](total * 2)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j)); j += 1
+        }
+        m.merge(sb.toString, 1, (a: Int, b: Int) => a + b)
+        i += 1
+      }
+      var maxC = 0
+      val vs = m.values().iterator()
+      while (vs.hasNext) { val c = vs.next(); if (c > maxC) maxC = c }
+      Some((total.toLong, m.size.toLong,
+        1.0 - m.size.toDouble / total.toDouble,
+        maxC.toDouble / total.toDouble))
+    }
+  }
+
+  /** [[repetitionSignals]] as a column-APPENDING narrow map: every input
+    * row survives with `n_grams`/`distinct_grams`/`dup_frac`/`top_frac`
+    * appended (null for docs shorter than `n` tokens — no evidence), so
+    * filters compose downstream and the op is usable unchanged inside a
+    * Structured Streaming pipeline (stateless, no shuffle, no watermark).
+    */
+  def withRepetitionSignals(docs: DataFrame, n: Int = 2,
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val schema = docs.schema
+      .add("n_grams", LongType).add("distinct_grams", LongType)
+      .add("dup_frac", DoubleType).add("top_frac", DoubleType)
+    val ti = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { it =>
+      it.map { r =>
+        repetitionOf(r.getString(ti), n) match {
+          case Some((tot, dist, dup, top)) =>
+            // Seq[Any]: a plain Seq would numerically widen the mixed
+            // Long/Double elements to all-Double and break the row schema
+            Row.fromSeq(r.toSeq ++ Seq[Any](tot, dist, dup, top))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** The declarative twin of [[repetitionSignals]] — explode → two-level

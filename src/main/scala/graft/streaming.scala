@@ -435,6 +435,28 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Streaming corpus QUALITY FILTER: each arriving document is scored
+    * with the Gopher repetition signals (`ext.Text.withRepetitionSignals`
+    * — a stateless narrow map, so no watermark and no state store) and
+    * only docs whose most-frequent n-gram share is within `maxTopFrac`
+    * land; docs too short to produce an n-gram carry no evidence and
+    * always land, exactly as the batch operator treats them. The filter
+    * every training-ingest pipeline wants BEFORE paying storage for a
+    * crawl shard, here as a pre-sink stage that composes with
+    * [[dedupIngest]]'s hash state downstream.
+    */
+  def filterIngest(docs: DataFrame, outPath: String, checkpoint: String,
+                   maxTopFrac: Double, n: Int = 2,
+                   textCol: String = "text") =
+    ext.Text.withRepetitionSignals(docs, n, textCol)
+      .where(col("top_frac").isNull || col("top_frac") <= maxTopFrac)
+      .drop("n_grams", "distinct_grams", "dup_frac", "top_frac")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
     * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
     * a content hash is remembered only until the watermark passes its

@@ -167,6 +167,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tri(0).getDouble(4) === 2.0 / 3.0)
   }
 
+  test("withRepetitionSignals keeps every row, appends signals, nulls short docs") {
+    val df = docsDF(Seq(
+      (1L, "a b a b a", "en"), (2L, "x y", "en"), (3L, "z", "en")))
+    val out = Text.withRepetitionSignals(df).orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[String]("text") === "a b a b a")
+    assert(out(0).getAs[Long]("n_grams") === 4L)
+    assert(out(0).getAs[Double]("top_frac") === 0.5)
+    assert(out(1).getAs[Double]("top_frac") === 1.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("n_grams")))
+    assert(out(2).isNullAt(out(2).fieldIndex("top_frac")))
+    // matches the scored flavor wherever both emit
+    val scored = Text.repetitionSignals(df).orderBy("doc_id").collect()
+    assert(scored.map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+      === out.take(2).map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("top_frac"))).toSeq)
+  }
+
   test("topNgrams counts bigrams corpus-wide with deterministic tie-break") {
     val df = docsDF(Seq(
       (1L, "a b a b c", "en"),   // a_b ×2, b_a, b_c
