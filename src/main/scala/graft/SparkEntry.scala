@@ -142,6 +142,7 @@ object SparkEntry {
     // train-vs-eval decontamination, and the composed filter→dedup pipeline
     "q_split" -> Queries.splitReport _,
     "q_decontaminate" -> Queries.decontaminateReport _,
+    "q_decontaminate_spans" -> Queries.decontaminateSpansReport _,
     // persisted dedup index: build → dedup shard → append survivors →
     // re-queue comes back empty
     "q_dedup_index" -> Queries.dedupIndexReport _,
@@ -272,6 +273,7 @@ object SparkEntry {
     "q_embdup_recall" -> Oracles.embdupRecall,
     "q_split" -> Oracles.splitReport,
     "q_decontaminate" -> Oracles.decontaminateReport,
+    "q_decontaminate_spans" -> Oracles.decontaminateSpansReport,
     "q_dedup_index" -> Oracles.dedupIndexReport,
     "q_tpch_pricing" -> Oracles.tpchPricing,
     "q_tpch_topcust" -> Oracles.tpchTopCustomers,
@@ -1737,6 +1739,24 @@ object Queries {
     val held = docs.where(pmod(col("doc_id"), lit(7)) === 0)
     val corpus = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
     val clean = ext.Dedup.decontaminate(corpus, held, threshold = 0.8)
+    corpus.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(clean.groupBy("lang").agg(count(lit(1)).as("n_after")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"))
+  }
+
+  /** Span-level decontamination on the gate: same train/eval split as
+    * `q_decontaminate`, but the filter is GPT-3-style 13-token-span
+    * overlap. Runs the DEFAULT xxhash64 gram keys against a string-keyed
+    * oracle replay, so the hash scheme is itself gate-checked.
+    */
+  def decontaminateSpansReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val held = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val clean = ext.Dedup.decontaminateSpans(corpus, held)
     corpus.groupBy("lang").agg(count(lit(1)).as("n_before"))
       .join(clean.groupBy("lang").agg(count(lit(1)).as("n_after")),
         Seq("lang"), "left")
@@ -3505,6 +3525,26 @@ SELECT lang,
   CAST(count(*) FILTER (WHERE doc_id IN (SELECT id FROM contaminated))
     AS BIGINT) AS n_removed
 FROM corpus GROUP BY 1"""
+
+  /** String-keyed replay of the 13-token-span eval-overlap filter. */
+  val decontaminateSpansReport: String =
+    """WITH cg AS MATERIALIZED (
+  SELECT doc_id, unnest([array_to_string(w[i:i+12], ' ') for i in range(1, len(w) - 11)]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 7 <> 0)
+  WHERE len(w) >= 13),
+hg AS MATERIALIZED (
+  SELECT DISTINCT unnest([array_to_string(w[i:i+12], ' ') for i in range(1, len(w) - 11)]) AS g
+  FROM (SELECT string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 7 = 0)
+  WHERE len(w) >= 13),
+doomed AS MATERIALIZED (SELECT DISTINCT cg.doc_id FROM cg JOIN hg USING (g))
+SELECT lang, count(*) AS n_before,
+  CAST(count(*) FILTER (WHERE doc_id NOT IN (SELECT doc_id FROM doomed))
+    AS BIGINT) AS n_after,
+  CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM doomed))
+    AS BIGINT) AS n_removed
+FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1"""
 
   /** Corpus-pipeline twin: the same four stages chained in SQL — marker
     * langId agreement, ≥25-token quality floor, md5 exact dedup (min

@@ -508,16 +508,22 @@ object Dedup {
     * `hashGrams = false` so DuckDB replays the span key byte-for-byte;
     * a spec asserts both key schemes produce identical per-doc counts.
     */
+  /** `(doc_id, g)` — one row per k-token span position; docs shorter than
+    * `k` tokens emit nothing. Shared by the span-dedup family.
+    */
+  private def spanGrams(docs: DataFrame, k: Int,
+                        textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("g"))
+
   def substringOverlap(docs: DataFrame, k: Int = 8,
                        textCol: String = "text", idCol: String = "doc_id",
                        hashGrams: Boolean = true,
                        crossDocOnly: Boolean = false): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .where(size(col("w")) >= k)
-    val grams = toks.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(col("w")) - k),
-        i => concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("g"))
+    val grams = spanGrams(docs, k, textCol, idCol)
     val keyed =
       if (hashGrams) grams.select(col("doc_id"), xxhash64(col("g")).as("g"))
       else grams
@@ -539,6 +545,36 @@ object Dedup {
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
         (coalesce(col("dup_grams"), lit(0L)).cast("double") /
           col("total_grams")).as("overlap_ratio"))
+  }
+
+  /** SPAN-LEVEL cross-corpus decontamination: drop from `corpus` every doc
+    * sharing at least one run of `k` consecutive tokens with ANY held-out
+    * document — the published eval-overlap filter (Brown et al. 2020,
+    * "Language Models are Few-Shot Learners", arXiv:2005.14165 app. C uses
+    * 13-gram overlap; `k` defaults to 13 accordingly). Complements
+    * [[decontaminate]]'s document-similarity flavor: a doc that EMBEDS an
+    * eval item inside otherwise-novel text scores low Jaccard yet is still
+    * contaminated — span overlap catches exactly that.
+    *
+    * Scale shape mirrors [[decontaminate]]: the held side is small by
+    * contract (eval sets), so its DISTINCT span set broadcasts into a
+    * semi-join against the corpus's exploded spans — the corpus side stays
+    * shuffle-free, and the semi-join cannot expand rows however hot a span
+    * is. `hashGrams` (default) matches on 8-byte xxhash64 keys; the gate
+    * runs the default against a string-keyed DuckDB replay, so the hash
+    * scheme itself is oracle-checked.
+    */
+  def decontaminateSpans(corpus: DataFrame, held: DataFrame, k: Int = 13,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         hashGrams: Boolean = true): DataFrame = {
+    val key = (df: DataFrame) =>
+      if (hashGrams) df.select(col("doc_id"), xxhash64(col("g")).as("g"))
+      else df
+    val cg = key(spanGrams(corpus, k, textCol, idCol))
+    val hg = key(spanGrams(held, k, textCol, idCol)).select("g").distinct()
+    val doomed = cg.join(broadcast(hg), Seq("g"), "left_semi")
+      .select(col("doc_id").as(idCol)).distinct()
+    corpus.join(doomed, Seq(idCol), "left_anti")
   }
 
   /** The corpus-side deliverable over [[substringOverlap]]: drop every doc

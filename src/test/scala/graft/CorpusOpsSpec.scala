@@ -167,6 +167,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tri(0).getDouble(4) === 2.0 / 3.0)
   }
 
+  test("decontaminateSpans drops exactly the docs sharing a k-span, " +
+      "either key scheme, short docs immune") {
+    // doc 1 embeds held doc 10's exact 4-token span inside novel text;
+    // doc 2 shares only a 3-token prefix of it (below k); doc 3 is clean;
+    // doc 4 is shorter than k and can never be doomed.
+    val corpus = docsDF(Seq(
+      (1L, "novel text then s1 s2 s3 s4 and more", "en"),
+      (2L, "here s1 s2 s3 x4 diverges after three", "en"),
+      (3L, "entirely unrelated content words only here", "en"),
+      (4L, "too short", "en")))
+    val held = docsDF(Seq((10L, "eval item s1 s2 s3 s4 answer", "en")))
+    for (hashed <- Seq(true, false)) {
+      val kept = ext.Dedup.decontaminateSpans(corpus, held, k = 4,
+          hashGrams = hashed)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(2L, 3L, 4L), s"hashGrams=$hashed")
+    }
+    // k = 3 also catches doc 2's shared prefix span
+    val kept3 = ext.Dedup.decontaminateSpans(corpus, held, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept3 === Seq(3L, 4L))
+  }
+
   test("withRepetitionSignals keeps every row, appends signals, nulls short docs") {
     val df = docsDF(Seq(
       (1L, "a b a b a", "en"), (2L, "x y", "en"), (3L, "z", "en")))
