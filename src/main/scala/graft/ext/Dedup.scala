@@ -481,6 +481,17 @@ object Dedup {
     } finally { banded.unpersist(); () }
   }
 
+  /** `(doc_id, g)` — one row per k-token span position; docs shorter than
+    * `k` tokens emit nothing. Shared by the span-dedup family.
+    */
+  private def spanGrams(docs: DataFrame, k: Int,
+                        textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("g"))
+
   /** X2e substring-level (duplicated-span) dedup, the span-granular
     * complement to the document-granular near-dup family: a run of `k`
     * consecutive whitespace tokens occurring more than once across the
@@ -508,17 +519,6 @@ object Dedup {
     * `hashGrams = false` so DuckDB replays the span key byte-for-byte;
     * a spec asserts both key schemes produce identical per-doc counts.
     */
-  /** `(doc_id, g)` — one row per k-token span position; docs shorter than
-    * `k` tokens emit nothing. Shared by the span-dedup family.
-    */
-  private def spanGrams(docs: DataFrame, k: Int,
-                        textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .where(size(col("w")) >= k)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("w")) - k),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(k))))).as("g"))
-
   def substringOverlap(docs: DataFrame, k: Int = 8,
                        textCol: String = "text", idCol: String = "doc_id",
                        hashGrams: Boolean = true,

@@ -52,8 +52,8 @@ class CorpusPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
-  test("substringOverlap and repetitionSignals equal the in-memory model " +
-      "for any corpus, k, and key scheme") {
+  test("substringOverlap, repetitionSignals, and decontaminateSpans equal " +
+      "the in-memory model for any corpus, k, and key scheme") {
     import spark.implicits._
     // small token alphabet forces real span collisions within and across docs
     val docGen = for {
@@ -99,7 +99,20 @@ class CorpusPropertySpec extends AnyFunSuite {
         id -> ((gs.size.toLong, byGram.size.toLong,
           byGram.values.max.toDouble / gs.size))
       }
-      got == expected && rep == repExpected && repAgg == repExpected
+      // span decontamination: treat the list's first doc as held-out;
+      // survivors = docs sharing no k-gram with it (the held doc itself is
+      // excluded from the corpus side here)
+      val heldGrams = grams(0L).toSet
+      val corpusIds = grams.keySet - 0L
+      val expSurvivors = corpusIds.filter(id =>
+        !grams(id).exists(heldGrams.contains)).toSeq.sorted
+      val corpusDf = df.where(df("doc_id") =!= 0L)
+      val heldDf = df.where(df("doc_id") === 0L)
+      val gotSurvivors = ext.Dedup.decontaminateSpans(corpusDf, heldDf,
+          k = k, hashGrams = hashed)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      got == expected && rep == repExpected && repAgg == repExpected &&
+        gotSurvivors == expSurvivors
     }
     val result = SCTest.check(params, prop)
     assert(result.passed, result.status.toString)
