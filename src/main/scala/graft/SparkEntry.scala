@@ -170,6 +170,7 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
     "q_repetition" -> Queries.repetition _,
+    "q_token_drift" -> Queries.tokenDrift _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -292,6 +293,7 @@ object SparkEntry {
     "q_percentiles" -> Oracles.percentiles,
     "q_quality" -> Oracles.quality,
     "q_repetition" -> Oracles.repetition,
+    "q_token_drift" -> Oracles.tokenDrift,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
     "q_lang_profile" -> Oracles.langProfile,
@@ -1887,6 +1889,16 @@ object Queries {
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.repetitionSignals(Sources.documents(spark, sfDir))
+
+  /** Token-distribution drift between the en slice and the rest — counts,
+    * probabilities, and the absolute gap per token, exact IEEE on both
+    * engines (no logs).
+    */
+  def tokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    ext.Text.tokenDrift(docs.where(col("lang") === "en"),
+      docs.where(col("lang") =!= "en"), k = 40)
+  }
 
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.tfIdfTopTerms(Sources.documents(spark, sfDir))
@@ -3644,6 +3656,31 @@ SELECT doc_id,
   1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup_frac,
   CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS top_frac
 FROM pc GROUP BY doc_id"""
+
+  /** Exact replay of the drift report: same join, same long/long IEEE
+    * divisions, same (drift desc, token) cut.
+    */
+  val tokenDrift: String =
+    """WITH ca AS MATERIALIZED (
+  SELECT token, count(*) AS n_a FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang = 'en')
+  GROUP BY 1),
+cb AS MATERIALIZED (
+  SELECT token, count(*) AS n_b FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE lang <> 'en')
+  GROUP BY 1),
+j AS MATERIALIZED (
+  SELECT coalesce(ca.token, cb.token) AS token,
+    CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+    CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+SELECT token, n_a, n_b,
+  CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p_a,
+  CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p_b,
+  abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+    - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)) AS drift
+FROM j, t ORDER BY drift DESC, token LIMIT 40"""
 
   val langReport: String = {
     val m = graft.ext.Text.markers

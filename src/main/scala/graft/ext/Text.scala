@@ -529,6 +529,39 @@ object Text {
       .drop("_sq_hash", "_sq_rank")
   }
 
+  /** TOKEN-DISTRIBUTION DRIFT between two corpus slices — the mix/drift
+    * monitor a pipeline runs when a new crawl shard, a re-filtered corpus
+    * version, or two mixture strata should (or should not) look alike:
+    * per token, counts and probabilities on each side and the absolute
+    * probability gap, top `k` by gap. Probabilities are exact long/long
+    * IEEE divisions (no logs), so the report is engine-reproducible
+    * bit-for-bit — a KL/JS score can be folded from the same columns
+    * downstream if a scalar is wanted.
+    *
+    * Plan shape: one partial-agg token count per side (map-side combine
+    * absorbs Zipf-hot tokens), a full-outer join on the token key —
+    * vocabulary-sized, far smaller than either corpus — a 1-row totals
+    * aggregate broadcast back, and a TakeOrderedAndProject for the top-k;
+    * the corpora themselves are never joined or shuffled beyond the
+    * vocabulary rollup. Ties in the gap break deterministically by token.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 50,
+                 textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    val j = counts(a, "n_a").join(counts(b, "n_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = j.agg(sum("n_a").as("_ta"), sum("n_b").as("_tb"))
+    val pA = col("n_a").cast("double") / col("_ta").cast("double")
+    val pB = col("n_b").cast("double") / col("_tb").cast("double")
+    j.crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("token"), col("n_a"), col("n_b"),
+        pA.as("p_a"), pB.as("p_b"), abs(pA - pB).as("drift"))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(k)
+  }
+
   /** Corpus rebalancing to TARGET stratum proportions — the data-mixing
     * step that turns "50% en / 25% zh / …" mixture weights into per-
     * stratum keep rates. Since sampling can only shrink strata, the

@@ -167,6 +167,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tri(0).getDouble(4) === 2.0 / 3.0)
   }
 
+  test("tokenDrift: exact probabilities, one-sided tokens, gap ordering, top-k cut") {
+    val a = docsDF(Seq((1L, "x x x y", "en")))        // ta=4: x 3/4, y 1/4
+    val b = docsDF(Seq((2L, "x y y z", "en")))        // tb=4: x y 1/4 2/4, z 1/4
+    val out = ext.Text.tokenDrift(a, b, k = 2).collect()
+    // drifts: x |3/4-1/4|=0.5, y |1/4-2/4|=0.25, z |0-1/4|=0.25 → top-2 =
+    // x then y (tie with z broken by token asc)
+    assert(out.map(_.getString(0)).toSeq === Seq("x", "y"))
+    assert(out(0).getLong(1) === 3L && out(0).getLong(2) === 1L)
+    assert(out(0).getDouble(3) === 0.75 && out(0).getDouble(4) === 0.25)
+    assert(out(0).getDouble(5) === 0.5)
+    assert(out(1).getDouble(5) === 0.25)
+    // k past vocab returns the whole joined vocabulary, z with n_a = 0
+    val all = ext.Text.tokenDrift(a, b, k = 10).collect()
+    assert(all.length === 3)
+    assert(all.find(_.getString(0) == "z").get.getLong(1) === 0L)
+  }
+
   test("decontaminateSpans drops exactly the docs sharing a k-span, " +
       "either key scheme, short docs immune") {
     // doc 1 embeds held doc 10's exact 4-token span inside novel text;
