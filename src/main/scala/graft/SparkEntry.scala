@@ -171,6 +171,7 @@ object SparkEntry {
     "q_quality" -> Queries.quality _,
     "q_repetition" -> Queries.repetition _,
     "q_token_drift" -> Queries.tokenDrift _,
+    "q_image_dup" -> Queries.imageDup _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -294,6 +295,7 @@ object SparkEntry {
     "q_quality" -> Oracles.quality,
     "q_repetition" -> Oracles.repetition,
     "q_token_drift" -> Oracles.tokenDrift,
+    "q_image_dup" -> Oracles.imageDup,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
     "q_lang_profile" -> Oracles.langProfile,
@@ -1889,6 +1891,19 @@ object Queries {
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.repetitionSignals(Sources.documents(spark, sfDir))
+
+  /** X5 perceptual image dedup end-to-end on REAL pixels: every doc
+    * renders a genuine PNG whose block pattern repeats per `doc_id % 40`
+    * but whose bytes differ per doc (uniform brightness shift — md5 dedup
+    * provably finds nothing), then aHash + banding + hamming verification
+    * must rediscover EXACTLY the same-base pairs, which the oracle states
+    * in closed form. Hamming is 0 for every true pair (the hash is
+    * shift-invariant by construction), so the threshold-2 run also pins
+    * the absence of cross-base collisions.
+    */
+  def imageDup(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.imageDupCandidates(
+      ext.Multimodal.dupPngAssets(Sources.documents(spark, sfDir)))
 
   /** Token-distribution drift between the en slice and the rest — counts,
     * probabilities, and the absolute gap per token, exact IEEE on both
@@ -3656,6 +3671,15 @@ SELECT doc_id,
   1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS dup_frac,
   CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS top_frac
 FROM pc GROUP BY doc_id"""
+
+  /** The perceptual-dedup expectation in closed form: the fixture makes
+    * docs sharing `doc_id % 40` perceptual duplicates (and only those),
+    * all at hamming 0.
+    */
+  val imageDup: String =
+    """SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+FROM documents x JOIN documents y
+  ON x.doc_id % 40 = y.doc_id % 40 AND x.doc_id < y.doc_id"""
 
   /** Exact replay of the drift report: same join, same long/long IEEE
     * divisions, same (drift desc, token) cut.

@@ -129,6 +129,124 @@ object Multimodal {
       }
   }
 
+  /** PERCEPTUAL 64-bit average-hash of an image payload, the aHash every
+    * image-dedup pipeline starts from: decode (real `javax.imageio`),
+    * box-average the luminance onto an 8×8 grid, emit bit k = cell k's
+    * luminance strictly above the grid mean. All-INTEGER arithmetic
+    * (luminance = r+g+b undivided; cell = floor box average; mean = floor
+    * cell average), so the hash is exactly reproducible anywhere AND
+    * invariant to a uniform brightness shift that stays inside [0, 255]
+    * (every cell and the mean move by the same delta — comparisons are
+    * unchanged). Decode failures return None: a corrupt asset drops out
+    * of dedup instead of killing the scan.
+    */
+  private[graft] def averageHash(payload: Array[Byte]): Option[Long] =
+    if (payload == null || payload.length == 0) None
+    else scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val cells = new Array[Long](64)
+        var ci = 0
+        while (ci < 64) {
+          val gx = ci % 8; val gy = ci / 8
+          val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(ci) = sum / n; ci += 1
+        }
+        val mean = cells.sum / 64
+        var bits = 0L; var k = 0
+        while (k < 64) { if (cells(k) > mean) bits |= (1L << k); k += 1 }
+        Some(bits)
+      }
+    }.toOption.flatten
+
+  /** Perceptual image near-dup candidates over a binary asset column:
+    * aHash per asset (narrow map with per-partition codec init), SimHash-
+    * style 4×16-bit banding so candidates collide on ≥1 band (hamming ≤ 3
+    * implies ≥1 clean band by pigeonhole), exact hamming verification ≤
+    * `maxHamming`. Never all-pairs — the same bucket discipline as the
+    * text SimHash path; output `(a, b, hamming)`, a < b, distinct.
+    * Undecodable payloads drop out at the hash step.
+    */
+  def imageDupCandidates(assets: Dataset[Asset],
+                         maxHamming: Int = 2): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(a => averageHash(a.payload).map(sig => (a.asset_id, sig)))
+    }.toDF("asset_id", "sig")
+    val banded = hashed.select(col("asset_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits",
+        expr("shiftrightunsigned(sig, band * 16) & 65535"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Dup-structured real-PNG fixture: each doc renders its base pattern
+    * (`doc_id % nBases`) as an 8×8 block image (32×32 px, 4×4 px blocks)
+    * — block (i,j) bright (180) or dark (70) by bit 8·j+i of a splitmix64
+    * signature of the base, bits 0/63 forced mixed so no pattern is
+    * degenerate — PLUS a per-doc uniform brightness shift (doc_id % 13,
+    * stays inside [0,255]). Same base ⇒ same aHash (shift-invariant);
+    * different docs ⇒ different PIXELS and different payload bytes, so
+    * content-hash dedup provably cannot find these pairs — only the
+    * perceptual path can, and the expected pair set is closed-form
+    * (`a.doc_id % nBases = b.doc_id % nBases`), which is the oracle.
+    */
+  def dupPngAssets(docs: DataFrame, nBases: Int = 40): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val base = id % nBases
+          // splitmix64 of the base id; force bit 0 set and bit 63 clear so
+          // every pattern has both bright and dark blocks
+          var z = base + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val sig = ((z ^ (z >>> 31)) | 1L) & ~(1L << 63)
+          val shift = (id % 13).toInt
+          val img = new java.awt.image.BufferedImage(
+            32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val bit = (y / 4) * 8 + (x / 4)
+              val v = (if (((sig >>> bit) & 1L) == 1L) 180 else 70) + shift
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Asset(id, "image", bos.toByteArray, s"""{"base":$base}""")
+        }
+      }
+  }
+
   /** Aspect-preserving resize plan: fit each decoded asset into a
     * `targetW × targetH` box. The geometry is PURE INTEGER arithmetic
     * (floor division, no float scale factor) so the DuckDB oracle mirrors

@@ -107,6 +107,28 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert(ext.Multimodal.decodeImage(broken).isEmpty)
   }
 
+  test("averageHash: shift-invariant on real PNGs, corrupt payload None, " +
+      "dup candidates = same-base pairs only") {
+    val docs = (0L until 12L).map(i => (i, "ignored", "en"))
+      .toDF("doc_id", "text", "lang")
+    // 4 bases over 12 docs: docs i and i+4 and i+8 share a pattern but
+    // carry different brightness shifts (i % 13 differs) → different bytes
+    val assets = ext.Multimodal.dupPngAssets(docs, nBases = 4)
+    val byId = assets.collect().map(a => a.asset_id -> a.payload).toMap
+    assert(!java.util.Arrays.equals(byId(0L), byId(4L))) // bytes differ...
+    val h = (id: Long) => ext.Multimodal.averageHash(byId(id)).get
+    assert(h(0L) === h(4L) && h(4L) === h(8L)) // ...hashes don't
+    assert(Seq(0L, 1L, 2L, 3L).map(h).distinct.size === 4) // bases distinct
+    assert(ext.Multimodal.averageHash("not a png".getBytes).isEmpty)
+    assert(ext.Multimodal.averageHash(null).isEmpty)
+    val pairs = ext.Multimodal.imageDupCandidates(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L; if a % 4 == b % 4
+    } yield (a, b)).sorted
+    assert(pairs === expected)
+  }
+
   test("multimodal features have fixed dim and preserve byte counts") {
     val assets = spark.createDataset(Seq(
       ext.Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"), "{}")))
