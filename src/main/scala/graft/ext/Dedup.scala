@@ -482,10 +482,36 @@ object Dedup {
   }
 
   /** `(doc_id, g)` — one row per k-token span position; docs shorter than
-    * `k` tokens emit nothing. Shared by the span-dedup family.
+    * `k` tokens emit nothing. Shared by the span-dedup family. A tight
+    * per-partition loop for the same reason as [[shingled]]: the
+    * `transform`/`slice`/`concat_ws` formulation runs interpreted lambda
+    * bodies per position AND materializes the whole per-doc gram array
+    * before exploding; the loop streams grams straight out
+    * ([[spanGramsDeclarative]] is the twin, asserted equal in
+    * CorpusOpsSpec, and the randomized model-check pins the semantics).
     */
-  private def spanGrams(docs: DataFrame, k: Int,
-                        textCol: String, idCol: String): DataFrame =
+  private[graft] def spanGrams(docs: DataFrame, k: Int,
+                             textCol: String, idCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (w.length < k) Iterator.empty
+          else (0 to w.length - k).iterator.map { i =>
+            val sb = new java.lang.StringBuilder(w(i))
+            var o = 1
+            while (o < k) { sb.append(' ').append(w(i + o)); o += 1 }
+            (id, sb.toString)
+          }
+        }
+      }.toDF("doc_id", "g")
+  }
+
+  /** The declarative twin of [[spanGrams]] kept as its semantic reference. */
+  private[graft] def spanGramsDeclarative(docs: DataFrame, k: Int,
+                                        textCol: String,
+                                        idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .where(size(col("w")) >= k)
       .select(col("doc_id"),

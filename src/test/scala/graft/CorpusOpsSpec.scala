@@ -167,6 +167,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tri(0).getDouble(4) === 2.0 / 3.0)
   }
 
+  test("spanGrams loop equals its declarative twin, order included") {
+    val df = docsDF(Seq(
+      (1L, "a b c d a b c d", "en"), (2L, "x y z", "en"),
+      (3L, "", "en"), (4L, "one two", "en")))
+    for (k <- Seq(2, 3, 4)) {
+      val loop = ext.Dedup.spanGrams(df, k, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val decl = ext.Dedup.spanGramsDeclarative(df, k, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(loop === decl, s"k=$k")
+      assert(loop.nonEmpty)
+    }
+  }
+
   test("tokenDrift: exact probabilities, one-sided tokens, gap ordering, top-k cut") {
     val a = docsDF(Seq((1L, "x x x y", "en")))        // ta=4: x 3/4, y 1/4
     val b = docsDF(Seq((2L, "x y y z", "en")))        // tb=4: x y 1/4 2/4, z 1/4
