@@ -47,6 +47,8 @@ object SparkEntry {
     // downsample_streams maintenance (T1) → S3 read; S5 delete lifecycle;
     // T6 reprocess ≡ incremental; T1–T3 as a real streaming query
     "q_warehouse_e2e" -> Queries.warehouseE2E _,
+    // commit-log time travel: as-of read across an append + a compaction
+    "q_time_travel" -> Queries.timeTravel _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -105,6 +107,12 @@ object SparkEntry {
     "q_similarity_index" -> Queries.similarityIndex _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
+    // SemDeDup: exact arm (nCells=1, full SQL oracle) + clustered arm's
+    // structural-precision/measured-recall gate
+    "q_semdedup" -> Queries.semDedup _,
+    "q_semdedup_recall" -> Queries.semDedupRecall _,
+    // DSIR-flavored target-domain relevance scoring (exact integer ratios)
+    "q_target_coverage" -> Queries.targetCoverage _,
     // recall gates: the approximate pipelines measured against their exact
     // twins — a recall collapse (broken banding, bad probes, dead simhash
     // bands) now FAILS the gate instead of passing rows-only
@@ -179,6 +187,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
+    "q_audio_decode" -> Queries.audioDecode _,
     "q_multimodal_resize" -> Queries.multimodalResize _,
     "q_frame_sample" -> Queries.frameSample _
   )
@@ -198,6 +207,7 @@ object SparkEntry {
     "q_find_streams_or" -> Oracles.findStreamsOr,
     "q_find_streams_variant" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
+    "q_time_travel" -> Oracles.timeTravel,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -269,6 +279,9 @@ object SparkEntry {
     "q_corpus_pipeline2" -> Oracles.corpusPipeline2,
     "q_corpus_pipeline3" -> Oracles.corpusPipeline3,
     "q_embedding_norms" -> Oracles.embeddingNorms,
+    "q_semdedup" -> Oracles.semDedup,
+    "q_semdedup_recall" -> Oracles.semDedupRecall,
+    "q_target_coverage" -> Oracles.targetCoverage,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
@@ -303,6 +316,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
+    "q_audio_decode" -> Oracles.audioDecode,
     "q_multimodal_resize" -> Oracles.multimodalResize,
     "q_frame_sample" -> Oracles.frameSample
   )
@@ -406,6 +420,38 @@ object Queries {
       .select("stream_id", "ts", "value"))
     ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     ds.getData("7:click", Granularity.Hours)
+  }
+
+  /** TIME TRAVEL over the commit log: slice A (events before Jan 15) is
+    * appended and its committed snapshot version captured; slice B lands on
+    * top and a compaction REWRITES the whole table. The as-of read must
+    * still serve exactly slice A — compaction only retires the old files
+    * logically, it never deletes them — while the current read serves both
+    * slices from the compacted files. The oracle recomputes both phases
+    * straight from events, so either a leaky snapshot (slice B visible in
+    * the past) or a compaction that dropped rows breaks the hash.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-tt")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val v = ds.currentVersion.get
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    ds.compact()
+    def stats(df: DataFrame, phase: String) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    stats(ds.rawDatapointsAt(v), "as_of")
+      .unionByName(stats(ds.rawDatapoints, "current"))
   }
 
   /** Tag CRUD on the gate: two streams are ensured with a shared `team`
@@ -754,7 +800,7 @@ object Queries {
       java.nio.file.Paths.get(srcDir, "events.parquet"),
       java.nio.file.Paths.get(eventsPath))
     val src = spark.readStream.schema(schema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", Sources.tsMicrosCol(schema))
     val q = Streaming.downsample(src, Granularity.Minutes, "0 seconds", streamKeys)
       .writeStream
       .format("parquet")
@@ -866,7 +912,7 @@ object Queries {
       java.nio.file.Paths.get(eventsPath))
     val pts = spark.readStream.schema(schema).parquet(srcDir)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
       .as[Streaming.Point]
     val q = Streaming.derive(pts, "derivative")
       .toDF()
@@ -898,7 +944,7 @@ object Queries {
       java.nio.file.Paths.get(eventsPath))
     val pts = spark.readStream.schema(schema).parquet(srcDir)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val q = Streaming.ingest(pts, s"$dir/raw", s"$dir/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -936,7 +982,7 @@ object Queries {
         Seq.empty, Seq.empty, Granularity.Seconds.name)).toSeq)
     val pts = spark.readStream.schema(schema).parquet(srcDir)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val q = Streaming.ingestToWarehouse(pts, ds, s"$dir/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1030,7 +1076,7 @@ object Queries {
       java.nio.file.Paths.get(eventsPath))
     val src = spark.readStream.schema(schema).parquet(srcDir)
       .select(col("user_id"), col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val q = Streaming.sessionizeStream(src, Seq("user_id", "event_type"),
         gap = "30 minutes", delay = "0 seconds")
       .writeStream
@@ -1067,7 +1113,7 @@ object Queries {
       java.nio.file.Paths.get(eventsPath))
     val src = spark.readStream.schema(schema).parquet(srcDir)
       .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val lvl1 = Streaming.downsample(src, Granularity.Minutes, "0 seconds")
       .writeStream.format("parquet")
       .option("path", s"$dir/minutes").option("checkpointLocation", s"$dir/ckpt1")
@@ -1103,7 +1149,7 @@ object Queries {
     val src = spark.readStream.schema(schema).parquet(srcDir)
       .where(col("event_type") === "click")
       .select(col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val q = Streaming.deriveSum(src, Granularity.Minutes, "0 seconds", Seq("event_type"))
       .writeStream
       .format("parquet")
@@ -1135,7 +1181,7 @@ object Queries {
       java.nio.file.Paths.get(eventsPath))
     val src = spark.readStream.schema(schema).parquet(srcDir)
       .select(col("event_type"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
     val q = Streaming.deriveSumRequireAll(src, Granularity.Hours, "0 seconds",
         Seq.empty, Seq("click", "view", "purchase"),
         sourceCol = "event_type")
@@ -1450,6 +1496,62 @@ object Queries {
     * hyperplanes/banding in `nearDupPairs` turn this row red instead of
     * passing rows-only.
     */
+  /** X7+ target-coverage relevance scoring (the DSIR importance family's
+    * exact, log-free core): the `src0` slice is the target domain; every
+    * OTHER document is scored by distinct-bigram coverage against the
+    * target vocabulary and the 25 most-target-like docs are selected
+    * (coverage desc, doc_id asc — deterministic under ties). The oracle
+    * replays grams, vocabulary, and the exact integer-ratio scores.
+    */
+  def targetCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    ext.Text.targetCoverage(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"))
+      .orderBy(col("coverage").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
+  /** X3+ SemDeDup, oracle arm: `nCells = 1` degenerates the clustered rule
+    * to the exact global keep-lowest-id rule, which the DuckDB twin
+    * replays all-pairs — survivors (with labels) must match exactly.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Similarity.semDedup(Sources.embeddings(spark, sfDir),
+        threshold = 0.4, nCells = 1)
+      .select(col("vec_id"), col("label"))
+
+  /** Clustered SemDeDup (16 spherical-k-means cells, 1 Lloyd iteration,
+    * multi-assignment to the 3 nearest cells — the IVF-multi-probe analog
+    * that recovers pairs straddling a cell boundary) measured against the
+    * exact arm: precision is 1 BY CONSTRUCTION (a shared-cell pair is a
+    * global pair — pinned as `subset_ok`), recall carries the measured
+    * gate (0.906 at sf0.01, deterministic; single-assignment measured only
+    * 0.34 on the same data — the multi-probe is load-bearing).
+    * `n_dropped_exact` is pinned by the oracle, so the exact baseline
+    * itself is also cross-checked.
+    */
+  def semDedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val exact = ext.Similarity.semDedupDropped(emb, 0.4, nCells = 1)
+    val clustered = ext.Similarity.semDedupDropped(emb, 0.4,
+      nCells = 16, refineIters = 1, nAssign = 3)
+    val hits = exact
+      .join(clustered.withColumn("_hit", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_dropped_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+    val sub = clustered
+      .join(exact.withColumn("_in", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_dropped_clustered"),
+        sum(coalesce(col("_in"), lit(0L))).as("n_in"))
+    hits.crossJoin(sub).select(
+      col("n_dropped_exact"),
+      coalesce(col("n_in") === col("n_dropped_clustered"), lit(true))
+        .as("subset_ok"),
+      coalesce(col("n_hit").cast("double") / col("n_dropped_exact") >= 0.8,
+        lit(true)).as("recall_ok"))
+  }
+
   def embdupRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Sources.embeddings(spark, sfDir)
     val exact = ext.Similarity.exactPairs(emb, threshold = 0.3).select("a", "b")
@@ -1592,7 +1694,7 @@ object Queries {
     val pts = spark.readStream.schema(schema).parquet(srcDir)
       .where(col("user_id").isin(7, 3) && col("event_type").isin("click", "view"))
       .select(concat_ws(":", col("user_id"), col("event_type")).as("stream_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"), col("value"))
+        Sources.tsMicrosCol(schema).as("ts"), col("value"))
       .as[Streaming.Point]
     val q = Streaming.anomaly(pts, k = 20, z = 2.0, minPrior = 5)
       .toDF()
@@ -2009,6 +2111,18 @@ object Queries {
         col("channels").cast("long").as("channels"),
         col("duration_ms"))
 
+  /** X5 audio arm with a REAL codec: every document becomes a genuine WAV
+    * (JDK `javax.sound.sampled` encoder, integer sawtooth keyed by doc_id),
+    * decoded back through `AudioSystem` into integer frame metrics. The
+    * oracle replays the waveform in closed form (`generate_series`), so a
+    * decoder that misparses a header, drops a frame, or mis-signs a sample
+    * breaks the hash. No stub in this path — video is the one remaining
+    * declared fallback (the JDK has no container parser for it).
+    */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.decodeAudio(
+      ext.Multimodal.wavAssets(Sources.documents(spark, sfDir)))
+
   /** X5: aspect-preserving resize geometry over the decoded assets,
     * aggregated per kind — integer math end to end, mirrored by the oracle.
     */
@@ -2254,6 +2368,20 @@ FROM events WHERE user_id = 7 AND event_type = 'click'
 UNION ALL
 SELECT 'type_view', '3:view', count(*)
 FROM events WHERE user_id = 3 AND event_type = 'view'"""
+
+  /** Time-travel twin: per-phase stats recomputed from events with the same
+    * Jan-15 cut — the as-of phase sees only slice A, the current phase sees
+    * everything.
+    */
+  val timeTravel: String =
+    """SELECT 'as_of' AS phase, '7:click' AS stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events WHERE user_id = 7 AND event_type = 'click'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT 'current', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 7 AND event_type = 'click'"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
@@ -2835,6 +2963,75 @@ WHERE jaccard >= 0.8"""
     * top-k twin, so the threshold comparison lands on bit-identical
     * doubles — plus the pinned recall bit.
     */
+  /** Target-coverage twin: distinct bigrams per corpus doc, distinct
+    * target vocabulary, LEFT-join membership counts, exact ratio.
+    */
+  val targetCoverage: String =
+    """WITH tgt AS MATERIALIZED (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0')),
+cg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE source <> 'src0')),
+scored AS (
+  SELECT d.doc_id,
+    CAST(count(cg.gram) AS BIGINT) AS n_grams,
+    CAST(count(tgt.gram) AS BIGINT) AS n_hit
+  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+  LEFT JOIN cg ON cg.doc_id = d.doc_id
+  LEFT JOIN tgt ON tgt.gram = cg.gram
+  GROUP BY d.doc_id)
+SELECT doc_id, n_grams, n_hit,
+  CASE WHEN n_grams = 0 THEN 0.0
+       ELSE CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS coverage
+FROM scored
+ORDER BY coverage DESC, doc_id ASC
+LIMIT 25"""
+
+  /** SemDeDup exact-arm twin: all-pairs keep-lowest-id at cosine ≥ 0.4 —
+    * same ordered-double fold as every cosine here.
+    */
+  val semDedup: String =
+    """WITH nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
+  WHERE list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+  /** SemDeDup recall-gate twin: pins the exact dropped count and both
+    * booleans (subset_ok is structural; recall_ok is the measured gate).
+    */
+  val semDedupRecall: String =
+    """WITH nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
+  WHERE list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4)
+SELECT CAST(count(*) AS BIGINT) AS n_dropped_exact,
+  true AS subset_ok, true AS recall_ok
+FROM dropped"""
+
   val embdupRecall: String =
     """WITH nrm AS (
   SELECT vec_id, embedding,
@@ -3841,6 +4038,26 @@ FROM events GROUP BY 1, 2, 3"""
   CAST(3 AS BIGINT) AS channels,
   CAST(0 AS BIGINT) AS duration_ms
 FROM documents"""
+
+  /** Audio-decode twin: replay the integer sawtooth each WAV encodes —
+    * `s(i) = ((i·step) mod 2A) − A` — via a correlated `generate_series`,
+    * and restate duration (n/8 ms at 8 kHz — n is a multiple of 16, so the
+    * division is exact), peak = max |s|, energy = Σ s² per asset.
+    */
+  val audioDecode: String =
+    """WITH params AS (
+  SELECT doc_id, 400 + (doc_id % 50) * 16 AS n,
+    4000 + (doc_id % 8) * 1000 AS amp,
+    16 + (doc_id % 31) AS step
+  FROM documents),
+samples AS (
+  SELECT p.doc_id, p.n, ((t.i * p.step) % (2 * p.amp)) - p.amp AS s
+  FROM params p JOIN generate_series(0, 1183) AS t(i) ON t.i < p.n)
+SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n AS BIGINT) AS n_samples, CAST(n // 8 AS BIGINT) AS duration_ms,
+  CAST(max(abs(s)) AS BIGINT) AS peak,
+  CAST(sum(s * s) AS BIGINT) AS energy
+FROM samples GROUP BY doc_id, n"""
 
   /** Resize twin: the text-bound assets take decode's deterministic
     * FALLBACK dims (16 + n%512, 16 + 7n%512 — imageio cannot parse text

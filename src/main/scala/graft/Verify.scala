@@ -21,9 +21,16 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String) = only.forall(_(name))
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val result = fn(spark, sfDir)
+        // Result DUMPS must stay INT96 (tz-naive in pandas) so the driver's
+        // repr-based hash compare lines up with DuckDB's naive timestamps —
+        // warehouse queries flip the session default to TIMESTAMP_MICROS
+        // (Datastream ctor, for parquet stats) and that must not leak into
+        // the dump files' physical type.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        result.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

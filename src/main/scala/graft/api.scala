@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
 class Datastream(spark: SparkSession, warehouse: String) {
   import spark.implicits._
 
+  // Write timestamps as INT64 TIMESTAMP_MICROS, not Spark's
+  // compatibility-default INT96: TimestampType is µs-precision internally
+  // so the switch is lossless, INT96 min/max stats have no defined sort
+  // order (readers must ignore them — neither row-group pruning nor the
+  // manifest's file-level data-skipping stats can use INT96 files), and
+  // INT64 µs is what every modern engine (and the DuckDB oracle) speaks.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private val streamsPath = s"$warehouse/streams"
   private val rawPath = s"$warehouse/raw"
   private val derivedPath = s"$warehouse/derived"
@@ -248,6 +256,43 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Per-file (min, max) of `table`'s time column in epoch-µs, read from
+    * the parquet footer the commit just wrote — the data-skipping stats a
+    * table format records in its commit metadata. Strictly a pruning HINT:
+    * any irregularity (foreign file, missing column stats, non-µs physical
+    * type, unreadable footer) yields None and the file is simply never
+    * skipped. Called only for files written THIS commit, so collection
+    * cost is O(mutation scope), and full-manifest checkpoints carry prior
+    * stats forward without re-reading any footer.
+    */
+  private def footerTimeStats(table: String, rel: String): Option[(Long, Long)] = {
+    val colName = if (table.startsWith("rollup/")) "bucket_start" else "ts"
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"${tablePath(table)}/$rel"),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val per = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+            val s = c.getStatistics
+            if (s == null || !s.hasNonNullValue) None
+            else (s.genericGetMin, s.genericGetMax) match {
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some((mn.toLong, mx.toLong))
+              case _ => None
+            }
+          }
+        }
+        // every row group must carry stats, else the file stays unpruned
+        if (per.isEmpty || per.size != blocks.size) None
+        else Some((per.map(_._1).min, per.map(_._2).max))
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   // ---- snapshot manifests (multi-table read isolation) --------------------
 
   /** A committed snapshot: which tables the manifest chain covers and each
@@ -257,22 +302,23 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * retired stay on disk (for older readers / vacuum) but out of plans.
     */
   private case class Snapshot(version: Long, covered: Set[String],
-                              files: Map[String, Set[String]]) {
+                              files: Map[String, Set[String]],
+                              stats: Map[(String, String), (Long, Long)]) {
     def tableFiles(table: String): Option[Set[String]] =
       if (covered(table)) Some(files.getOrElse(table, Set.empty)) else None
   }
 
   private case class ManifestFile(version: Long, parent: Long, depth: Int,
                                   full: Boolean, tables: Set[String],
-                                  adds: Seq[(String, String)],
+                                  adds: Seq[(String, String, Option[(Long, Long)])],
                                   removes: Seq[(String, String)],
                                   legacy: Boolean)
 
   /** Manifest format, one file per committed version:
     *
     *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
-    *   `+<table>\t<relpath>`   file added this version
-    *   `-<table>\t<relpath>`   file removed (retired) this version
+    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>]`   file added this version
+    *   `-<table>\t<relpath>`                        file removed (retired)
     *
     * A DELTA manifest records only this commit's changes plus a pointer to
     * its parent — O(mutation) to write, like a Delta/Iceberg commit log
@@ -280,6 +326,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * lines, no parent) to bound the resolution chain — the checkpoint
     * cadence table formats use for exactly this reason. Files without the
     * header are pre-delta legacy manifests: a full raw-only file list.
+    *
+    * The optional trailing pair is the file's MIN/MAX of its table's time
+    * column (epoch-µs, from the parquet footer the commit just wrote) —
+    * the per-file stats a table format keeps for data skipping. Stats are
+    * a pruning HINT only: a file without them (foreign writer, legacy
+    * manifest, unreadable footer) is simply never skipped. Full manifests
+    * carry stats FORWARD from the resolved parent, so the checkpoint never
+    * re-reads footers — collection cost stays O(files written this commit).
     */
   private val FullManifestEvery = 10
 
@@ -294,22 +348,31 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val lines = txt.split('\n').toSeq.map(_.stripLineEnd).filter(_.nonEmpty)
     if (!lines.headOption.exists(_.startsWith("#graft ")))
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
-        lines.map(f => ("raw", f.trim)).filter(_._2.nonEmpty), Seq.empty,
-        legacy = true)
+        lines.map(f => ("raw", f.trim, Option.empty[(Long, Long)]))
+          .filter(_._2.nonEmpty),
+        Seq.empty, legacy = true)
     else {
       val attrs = lines.head.split(' ').drop(2)
         .flatMap(_.split('=') match {
           case Array(k, rest @ _*) => Some(k -> rest.mkString("="))
           case _ => None
         }).toMap
-      val entries = lines.tail.flatMap { l =>
+      val adds = Seq.newBuilder[(String, String, Option[(Long, Long)])]
+      val removes = Seq.newBuilder[(String, String)]
+      lines.tail.foreach { l =>
         l.splitAt(1) match {
-          case (sign, rest) if sign == "+" || sign == "-" =>
-            rest.split('\t') match {
-              case Array(t, f) => Some((sign == "+", t, f))
-              case _ => None
-            }
-          case _ => None
+          case ("+", rest) => rest.split('\t') match {
+            case Array(t, f) => adds += ((t, f, None))
+            case Array(t, f, mn, mx) =>
+              adds += ((t, f,
+                for (a <- mn.toLongOption; b <- mx.toLongOption) yield (a, b)))
+            case _ => ()
+          }
+          case ("-", rest) => rest.split('\t') match {
+            case Array(t, f, _*) => removes += ((t, f))
+            case _ => ()
+          }
+          case _ => ()
         }
       }
       ManifestFile(v,
@@ -318,33 +381,39 @@ class Datastream(spark: SparkSession, warehouse: String) {
         attrs.getOrElse("full", "0") == "1",
         attrs.get("tables").map(_.split(',').filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty),
-        entries.collect { case (true, t, f) => (t, f) },
-        entries.collect { case (false, t, f) => (t, f) },
+        adds.result(), removes.result(),
         legacy = false)
     }
   }
 
   // versions are immutable once committed — resolution memoizes freely
+  private type Resolved =
+    (Set[String], Map[String, Set[String]], Map[(String, String), (Long, Long)])
   private val resolveCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (Set[String], Map[String, Set[String]])]()
+    new java.util.concurrent.ConcurrentHashMap[Long, Resolved]()
 
-  private def resolveManifest(v: Long): (Set[String], Map[String, Set[String]]) = {
+  private def resolveManifest(v: Long): Resolved = {
     val hit = resolveCache.get(v)
     if (hit != null) hit
     else {
       val m = parseManifest(v)
-      val (pc, pf) =
-        if (m.full || m.legacy || m.parent < 0) (Set.empty[String], Map.empty[String, Set[String]])
+      val (pc, pf, ps) =
+        if (m.full || m.legacy || m.parent < 0)
+          (Set.empty[String], Map.empty[String, Set[String]],
+            Map.empty[(String, String), (Long, Long)])
         else resolveManifest(m.parent)
       var files = pf
+      var stats = ps
       m.removes.foreach { case (t, f) =>
         files = files.updated(t, files.getOrElse(t, Set.empty) - f)
+        stats = stats - ((t, f))
       }
-      m.adds.foreach { case (t, f) =>
+      m.adds.foreach { case (t, f, st) =>
         files = files.updated(t, files.getOrElse(t, Set.empty) + f)
+        st.foreach(s => stats = stats.updated((t, f), s))
       }
       val covered = pc ++ m.tables ++ (if (m.legacy) Set("raw") else Set.empty)
-      val out = (covered, files)
+      val out = (covered, files, stats)
       resolveCache.put(v, out)
       out
     }
@@ -366,9 +435,45 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private def rawSnapshot: Option[Snapshot] =
     committedVersions.lastOption.map { v =>
-      val (covered, files) = resolveManifest(v)
-      Snapshot(v, covered, files)
+      val (covered, files, stats) = resolveManifest(v)
+      Snapshot(v, covered, files, stats)
     }
+
+  /** Committed snapshot versions still resolvable, oldest first — the
+    * bounded commit-log retention window. Each is a valid `asOfVersion`
+    * target for time travel ([[rawDatapointsAt]], [[rollupAt]],
+    * [[getData]]). The commit history is bounded (newest 20 commits plus
+    * the delta-chain ancestors they resolve through), so time travel
+    * reaches a rolling window, exactly like a table format's
+    * `VACUUM`/log-retention interplay.
+    */
+  def snapshotVersions: Seq[Long] = committedVersions
+
+  /** Newest committed snapshot version (None on a fresh warehouse). Capture
+    * this before a mutation to time-travel back across it later.
+    */
+  def currentVersion: Option[Long] = committedVersions.lastOption
+
+  /** Resolve a PINNED historical snapshot for time travel. Fails loudly on
+    * a version outside the retained window rather than silently serving
+    * current data. Note the retention caveat: the snapshot pins the FILE
+    * SET, so it stays bit-exact across later appends, rewrites (delete
+    * purge, compaction, derived refresh — they only retire files
+    * logically), and default `vacuumRaw()` — but an aggressive
+    * `vacuumRaw(retainVersions = n)` may have reclaimed files an older
+    * snapshot references, in which case the read fails at planning (missing
+    * path), never returns partial rows.
+    */
+  private def snapshotAt(version: Long): Snapshot = {
+    val vs = committedVersions
+    if (!vs.contains(version))
+      throw new IllegalArgumentException(
+        s"time travel: version $version is not a committed, retained " +
+          s"snapshot (retained: ${vs.mkString(", ")}); commit-log history " +
+          "is bounded, older versions age out")
+    val (covered, files, stats) = resolveManifest(version)
+    Snapshot(version, covered, files, stats)
+  }
 
   // ---- commit protocol ----------------------------------------------------
 
@@ -491,16 +596,25 @@ class Datastream(spark: SparkSession, warehouse: String) {
     import scala.jdk.CollectionConverters._
     val retiredByTable: Map[String, Set[String]] =
       retiredFiles.asScala.toSet[(String, String)].groupMap(_._1)(_._2)
+    val writtenByTable: Map[String, Set[String]] =
+      manifestTables.map(t => t -> writtenSoFar(t)).toMap
     val snapshot: Map[String, Set[String]] = manifestTables.map { t =>
       val files =
         if (adoptAll) listFilesUnder(t)
         else {
           val base = prev.flatMap(_.tableFiles(t))
             .getOrElse(baseline.getOrElse(t, Set.empty))
-          (base -- retiredByTable.getOrElse(t, Set.empty)) ++ writtenSoFar(t)
+          (base -- retiredByTable.getOrElse(t, Set.empty)) ++ writtenByTable(t)
         }
       t -> files
     }.toMap
+    // data-skipping stats: footers of THIS commit's files only; prior
+    // files carry their stats forward from the resolved parent
+    val statsAll: Map[(String, String), (Long, Long)] =
+      prev.map(_.stats).getOrElse(Map.empty) ++
+        writtenByTable.toSeq.flatMap { case (t, fs) =>
+          fs.flatMap(f => footerTimeStats(t, f).map(((t, f), _)))
+        }
     // Delta vs full: deltas record only this commit's changes against the
     // resolved parent; a full manifest (checkpoint) every FullManifestEvery
     // versions bounds the resolution chain. Written (temp + rename) BEFORE
@@ -518,7 +632,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     manifestTables.foreach { t =>
       val now = snapshot(t)
       val before = if (full) Set.empty[String] else prevFiles.getOrElse(t, Set.empty)
-      (now -- before).toSeq.sorted.foreach(f => body0.append('+').append(t).append('\t').append(f).append('\n'))
+      (now -- before).toSeq.sorted.foreach { f =>
+        body0.append('+').append(t).append('\t').append(f)
+        statsAll.get((t, f)).foreach { case (mn, mx) =>
+          body0.append('\t').append(mn).append('\t').append(mx)
+        }
+        body0.append('\n')
+      }
       (before -- now).toSeq.sorted.foreach(f => body0.append('-').append(t).append('\t').append(f).append('\n'))
     }
     val mTmp = marker("manifest.tmp")
@@ -527,7 +647,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
       throw new IllegalStateException(s"commitlog: cannot stage manifest $version")
     if (!intent.renameTo(marker("commit")))
       throw new IllegalStateException(s"commitlog: cannot commit $intent")
-    resolveCache.put(version, (manifestTables.toSet, snapshot))
+    resolveCache.put(version, (manifestTables.toSet, snapshot,
+      statsAll.filter { case ((t, f), _) =>
+        snapshot.getOrElse(t, Set.empty)(f) }))
     // Bounded history: keep the newest 20 commit/resolved markers and the
     // newest 20 manifests PLUS the parent-chain ancestors a retained delta
     // still resolves through; stale `.tmp`/`.manifest.tmp` leftovers from
@@ -1165,14 +1287,75 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private def tableReadOpt(table: String,
                            schema: org.apache.spark.sql.types.StructType): Option[DataFrame] =
-    rawSnapshot.flatMap(_.tableFiles(table)) match {
+    tableReadFrom(rawSnapshot, table, schema)
+
+  /** [[tableReadOpt]] against an explicit (possibly historical) snapshot —
+    * the time-travel read path shares every property of the current-read
+    * path because it IS the same path with a pinned version.
+    *
+    * `skipRange` (epoch-µs, inclusive superset of the caller's exact time
+    * predicate) enables FILE-LEVEL DATA SKIPPING: files whose manifest
+    * min/max stats provably miss the range are dropped from the plan
+    * before Spark ever sees them — pruning below partition granularity,
+    * exactly what a table format's per-file stats buy. Files without
+    * stats are never skipped, so this is always a correctness-neutral
+    * subset of the snapshot.
+    */
+  private def tableReadFrom(snap: Option[Snapshot], table: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            skipRange: Option[(Long, Long)] = None): Option[DataFrame] =
+    snap.flatMap(_.tableFiles(table)) match {
       case Some(files) if files.isEmpty => None
       case Some(files) =>
-        Some(spark.read.option("basePath", tablePath(table)).schema(schema)
-          .parquet(files.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+        val kept = skipRange match {
+          case Some((lo, hi)) =>
+            files.filter { f =>
+              snap.get.stats.get((table, f)) match {
+                case Some((mn, mx)) => mx >= lo && mn <= hi
+                case None => true
+              }
+            }
+          case None => files
+        }
+        if (kept.isEmpty) None
+        else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
+          .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
       case None if exists(tablePath(table)) =>
         Some(spark.read.schema(schema).parquet(tablePath(table)))
       case None => None
+    }
+
+  /** Files a snapshot range read would plan for `table` after stats-based
+    * skipping (test seam for the data-skipping contract).
+    */
+  private[graft] def plannedFiles(table: String,
+                                  start: Option[Timestamp],
+                                  end: Option[Timestamp]): Set[String] = {
+    val snap = rawSnapshot
+    snap.flatMap(_.tableFiles(table)).getOrElse(Set.empty).filter { f =>
+      usSkipRange(start, end) match {
+        case Some((lo, hi)) =>
+          snap.get.stats.get((table, f)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        case None => true
+      }
+    }
+  }
+
+  /** Inclusive epoch-µs superset of a caller's time bounds, for file-level
+    * skipping (exclusive bounds only shrink the exact predicate applied
+    * later, so the inclusive superset stays correct).
+    */
+  private def usSkipRange(start: Option[Timestamp],
+                          end: Option[Timestamp]): Option[(Long, Long)] =
+    if (start.isEmpty && end.isEmpty) None
+    else {
+      def us(t: Timestamp) =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      Some((start.map(us).getOrElse(Long.MinValue),
+        end.map(us).getOrElse(Long.MaxValue)))
     }
 
   /** `rawDatapoints` with optional time bounds applied as PARTITION-PRUNING
@@ -1186,7 +1369,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * new manifest commits (and until vacuum, after).
     */
   private def rawDatapointsInRange(start: Option[Timestamp],
-                                   end: Option[Timestamp]): DataFrame = {
+                                   end: Option[Timestamp],
+                                   asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion match {
+      case Some(v) => Some(snapshotAt(v))
+      case None => rawSnapshot
+    }
     val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
     val bounds = Seq(
       start.map(s => col("dp_date") >= to_date(lit(s))),
@@ -1194,16 +1382,41 @@ class Datastream(spark: SparkSession, warehouse: String) {
     def emptyRaw =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.rawDatapoints)
-    val raw = tableReadOpt("raw", Schemas.rawDatapointsPartitioned)
+    val skip = usSkipRange(start, end)
+    val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned, skip)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
-    tableReadOpt("derived", Schemas.rawDatapoints) match {
+    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
       case Some(der) => raw.unionByName(der.select(cols: _*))
       case None => raw
     }
   }
+
+  /** TIME TRAVEL: the logical fact table (raw ∪ derived) exactly as the
+    * committed snapshot `version` published it — `SELECT ... VERSION AS OF`
+    * over the commit log. Later appends are invisible; later rewrites
+    * (delete purge, compaction, derived refresh) only retired this
+    * version's files logically, so the read is bit-identical until an
+    * aggressive vacuum reclaims them (then it fails at planning, loudly).
+    * Registry METADATA is not time-travelled: the registry is a
+    * swap-atomic dimension outside the manifest chain (documented on
+    * [[snapshotVersions]]'s scope).
+    */
+  def rawDatapointsAt(version: Long): DataFrame =
+    rawDatapointsInRange(None, None, Some(version))
+
+  /** TIME TRAVEL twin of [[rollup]]: granularity `g`'s finalized buckets as
+    * of snapshot `version`.
+    */
+  def rollupAt(g: Granularity, version: Long): DataFrame =
+    tableReadFrom(Some(snapshotAt(version)),
+        s"rollup/granularity=${g.name}", Schemas.downsampledPartitioned)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.downsampledPartitioned))
+      .drop("bucket_date")
 
   // ---- maintenance (§2.4, T1/T6) ------------------------------------------
 
@@ -1526,13 +1739,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
               valueDownsamplers: Option[Seq[String]] = None,
               timeDownsamplers: Seq[String] =
                 Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast),
-              limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+              limit: Option[Int] = None, offset: Int = 0,
+              asOfVersion: Option[Long] = None): DataFrame = {
     val meta = streamMeta(streamId) // validates existence
     if (granularity.name == meta.highest_granularity) {
       val vcols = if (meta.value_type == ValueType.Numeric) Seq("value") else Seq("value_json")
       // dp_date partition pruning first (inclusive-date superset), exact µs
       // predicate inside GetData.raw on top
-      GetData.raw(rawDatapointsInRange(start, end), streamId, start, end,
+      GetData.raw(rawDatapointsInRange(start, end, asOfVersion), streamId, start, end,
         startExclusive, endExclusive, reverse, limit, offset, vcols)
     } else {
       if (!Granularity.isCoarserOrEqual(granularity, Granularity(meta.highest_granularity)))
@@ -1549,8 +1763,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
         start.map(s => col("bucket_date") >= to_date(lit(s))),
         end.map(e => col("bucket_date") <= to_date(lit(e))))
         .flatten
-        .foldLeft(tableReadOpt(s"rollup/granularity=${granularity.name}",
-            Schemas.downsampledPartitioned)
+        .foldLeft(tableReadFrom(
+            asOfVersion.map(snapshotAt).orElse(rawSnapshot),
+            s"rollup/granularity=${granularity.name}",
+            Schemas.downsampledPartitioned,
+            usSkipRange(start, end))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             Schemas.downsampledPartitioned)))(_.where(_))

@@ -247,6 +247,101 @@ object Multimodal {
       }
   }
 
+  /** Deterministic real-WAV fixture: one PCM_S16LE mono WAV per document,
+    * built through the JDK's `javax.sound.sampled` ENCODER (header + frame
+    * layout come from `AudioSystem.write`, not hand-rolled bytes). The
+    * waveform is an integer SAWTOOTH — `s(i) = ((i·step) mod 2A) − A` with
+    * `n = 400 + 16·(id mod 50)` samples, `A = 4000 + 1000·(id mod 8)`,
+    * `step = 16 + (id mod 31)` — chosen over a sine because every sample
+    * is exact integer arithmetic, so the decode gate's oracle can restate
+    * duration/peak/energy in closed form (`generate_series` replay) with
+    * no transcendental in sight.
+    */
+  def wavAssets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (400 + (id % 50) * 16).toInt
+        val amp = (4000 + (id % 8) * 1000).toInt
+        val step = (16 + (id % 31)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((i.toLong * step) % (2L * amp)).toInt - amp
+          pcm(2 * i) = (s & 0xFF).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Asset(id, "audio", bos.toByteArray, """{"codec":"pcm_s16le"}""")
+      }
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` — parses the
+    * container (WAV/AIFF/AU ship with the JRE), checks the format is
+    * 16-bit signed mono PCM, and folds the frames into
+    * `(sample_rate, n_samples, duration_ms, peak, energy)` — all INTEGER
+    * (peak = max |s|, energy = Σ s², duration floored to ms), so results
+    * are exactly reproducible. Any failure (null, truncated header,
+    * unsupported encoding) maps to None: a corrupt asset degrades, it
+    * never kills the scan. This replaces the former declared audio stub —
+    * the remaining stand-in is video only (the JDK has no such decoder).
+    */
+  private[graft] def decodeWav(payload: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] =
+    if (payload == null || payload.length == 0) None
+    else scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var peak = 0L
+          var energy = 0L
+          var i = 0
+          while (i < n) {
+            val s: Int =
+              if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
+              else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            energy += s.toLong * s
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toLong
+          if (rate <= 0L) None
+          else Some((rate, n.toLong, n.toLong * 1000L / rate, peak, energy))
+        }
+      } finally ais.close()
+    }.toOption.flatten
+
+  /** Partition-batched audio decode: one row per decodable asset with the
+    * integer frame-fold metrics. Narrow map, no shuffle — the 100 TB shape
+    * is scan → decode → project, with payloads column-pruned away for
+    * queries that only touch the metrics.
+    */
+  def decodeAudio(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        decodeWav(a.payload).map { case (r, n, d, p, e) =>
+          (a.asset_id, r, n, d, p, e)
+        }
+      }
+    }.toDF("asset_id", "sample_rate", "n_samples", "duration_ms", "peak", "energy")
+  }
+
   /** Aspect-preserving resize plan: fit each decoded asset into a
     * `targetW × targetH` box. The geometry is PURE INTEGER arithmetic
     * (floor division, no float scale factor) so the DuckDB oracle mirrors

@@ -640,6 +640,59 @@ object Text {
       .limit(k)
   }
 
+  /** DSIR-flavored target-relevance scoring: each corpus document's
+    * coverage = |its DISTINCT word n-grams ∩ the target slice's gram
+    * vocabulary| / |its distinct grams| — the hashed-n-gram importance
+    * family's exact, log-free core (a ratio of two small integers, so the
+    * double is bit-identical across engines). Selecting the top-coverage
+    * docs is "importance resampling toward the target domain" with a
+    * deterministic tie-break instead of Gumbel noise.
+    *
+    * Docs with fewer than `n` tokens have no grams: they surface with
+    * `n_grams = 0`, `coverage = 0` — visible, never silently dropped.
+    *
+    * 100 TB: corpus grams come from the same per-partition loop as
+    * `topNgrams` + one partial-agg distinct; the target vocabulary is its
+    * own distinct (target slices are small by construction) and membership
+    * rides ONE equi-join on the gram key (AQE broadcasts a small
+    * vocabulary); per-doc scoring is one partial→final aggregate. Nothing
+    * is all-pairs and nothing collects.
+    */
+  def targetCoverage(corpus: DataFrame, target: DataFrame, n: Int = 2,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"need n>=1, got n=$n")
+    import corpus.sparkSession.implicits._
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+            if (w.length < n) Iterator.empty
+            else (0 to w.length - n).iterator.map { i =>
+              val sb = new StringBuilder(w(i))
+              var o = 1
+              while (o < n) { sb.append('_').append(w(i + o)); o += 1 }
+              (id, sb.result())
+            }
+          }
+        }.toDF(idCol, "gram").distinct()
+    val vocab = grams(target).select("gram").distinct()
+      .withColumn("_hit", lit(1L))
+    val scored = grams(corpus)
+      .join(vocab, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+    corpus.select(col(idCol).cast("long"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("coverage",
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double")))
+  }
+
   /** Exact rank-based percentiles of the token count per stratum: the
     * p-th percentile is the value at row `ceil(p·n)` of the
     * `(n_tok, doc_id)` order — `percentile_disc` semantics, all-integer

@@ -57,16 +57,25 @@ object GetData {
           reverse: Boolean = false,
           limit: Option[Int] = None, offset: Int = 0,
           valueCols: Seq[String] = Seq("value")): DataFrame = {
-    // When the source kept its raw ns-long timestamp (ts_ns), add redundant
-    // bounds on it: the derived `ts` hides the range from parquet pushdown,
-    // while the ts_ns bounds reach row-group min/max pruning. Exclusivity is
-    // safe to relax here — the exact µs predicate still applies on top.
+    // When the source kept its PHYSICAL time column — `ts_ns` (raw ns
+    // long) or `ts_ntz` (µs NTZ) — add redundant bounds on it: the derived
+    // `ts` hides the range from parquet pushdown, while physical-column
+    // bounds reach row-group min/max pruning. Exclusivity is safe to relax
+    // here — the exact µs predicate still applies on top.
     val pushable: Column =
-      if (!datapoints.columns.contains("ts_ns")) lit(true)
-      else Seq(
-        start.map(s => col("ts_ns") >= lit(us(s) * 1000L)),
-        end.map(e => col("ts_ns") < lit((us(e) + 1) * 1000L)))
-        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      if (datapoints.columns.contains("ts_ns"))
+        Seq(
+          start.map(s => col("ts_ns") >= lit(us(s) * 1000L)),
+          end.map(e => col("ts_ns") < lit((us(e) + 1) * 1000L)))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      else if (datapoints.columns.contains("ts_ntz")) {
+        def ntz(t: Timestamp) = lit(
+          java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))
+        Seq(
+          start.map(s => col("ts_ntz") >= ntz(s)),
+          end.map(e => col("ts_ntz") <= ntz(e)))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      } else lit(true)
     val filtered = datapoints
       .where(col("stream_id") === streamId)
       .where(pushable)

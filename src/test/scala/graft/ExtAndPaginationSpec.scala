@@ -129,6 +129,34 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert(pairs === expected)
   }
 
+  test("audio decode: real WAVs round-trip through javax.sound with exact integer metrics") {
+    val docs = Seq((0L, "ignored", "en"), (7L, "ignored", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val assets = ext.Multimodal.wavAssets(docs)
+    // payloads are genuine RIFF/WAVE containers, not fakes
+    val byId = assets.collect().map(a => a.asset_id -> a.payload).toMap
+    assert(new String(byId(0L).take(4), "US-ASCII") === "RIFF")
+    assert(new String(byId(0L).slice(8, 12), "US-ASCII") === "WAVE")
+    val out = ext.Multimodal.decodeAudio(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: n=400, amp=4000, step=16 — sawtooth peak is amp (i=250·16=4000
+    // ⇒ s=-4000), duration 400/8 = 50 ms
+    assert(out(0L).getLong(1) === 8000L)
+    assert(out(0L).getLong(2) === 400L)
+    assert(out(0L).getLong(3) === 50L)
+    assert(out(0L).getLong(4) === 4000L)
+    // doc 7: n=512, amp=11000, step=23; energy replayed in closed form
+    val (n7, amp7, step7) = (512, 11000L, 23L)
+    val s7 = (0 until n7).map(i => (i * step7) % (2 * amp7) - amp7)
+    assert(out(7L).getLong(2) === n7.toLong)
+    assert(out(7L).getLong(4) === s7.map(math.abs).max)
+    assert(out(7L).getLong(5) === s7.map(s => s * s).sum)
+    // corrupt containers degrade to None instead of throwing
+    assert(ext.Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(ext.Multimodal.decodeWav(byId(0L).take(16)).isEmpty)
+    assert(ext.Multimodal.decodeWav(null).isEmpty)
+  }
+
   test("multimodal features have fixed dim and preserve byte counts") {
     val assets = spark.createDataset(Seq(
       ext.Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"), "{}")))

@@ -229,4 +229,72 @@ class SnapshotSpec extends SparkSpec {
     assert(partLine.contains("dp_date"),
       s"dp_date bounds did not reach PartitionFilters:\n$planText")
   }
+
+  test("file-level data skipping: manifest ts stats prune files below partition granularity") {
+    val (ds, _) = freshDs
+    ds.ensureStream("s1")
+    // two commits land two files in the SAME dp_date partition with
+    // disjoint intra-day time ranges — partition pruning alone cannot
+    // separate them, only per-file stats can
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T12:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    val all = ds.plannedFiles("raw", None, None)
+    assert(all.size === 2)
+    val morning = ds.plannedFiles("raw",
+      Some(ts("2024-01-01T00:00:00Z")), Some(ts("2024-01-01T01:00:00Z")))
+    assert(morning.size === 1,
+      s"stats skipping kept ${morning.size} of 2 files: $morning")
+    // the skipped plan still answers the range read correctly
+    val got = ds.getData("s1", Granularity.Seconds,
+      start = Some(ts("2024-01-01T00:00:00Z")),
+      end = Some(ts("2024-01-01T01:00:00Z")))
+    assert(got.collect().map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+    // a compaction rewrite regenerates stats for its fresh files: skipping
+    // keeps working after the whole partition is rewritten into one file
+    ds.compact()
+    val afterCompact = ds.plannedFiles("raw",
+      Some(ts("2024-01-01T00:00:00Z")), Some(ts("2024-01-01T01:00:00Z")))
+    assert(afterCompact.size === 1)
+    assert(ds.getData("s1", Granularity.Seconds).count() === 2L)
+  }
+
+  test("time travel: as-of reads pin the snapshot across append, delete and rollup maintenance") {
+    val (ds, _) = freshDs
+    ds.ensureStream("keep", Map("who" -> "keep"))
+    ds.ensureStream("doom", Map("who" -> "doom"))
+    ds.appendMultiple(dp(Seq(
+      ("keep", "2024-01-01T00:00:00Z", 1.0),
+      ("doom", "2024-01-01T00:00:30Z", 7.0))).select("stream_id", "ts", "value"))
+    val v1 = ds.currentVersion.get
+    ds.appendMultiple(dp(Seq(("keep", "2024-01-02T00:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val v2 = ds.currentVersion.get
+    assert(ds.deleteStreams(Map("who" -> "doom")) === 1L)
+    // v1: both streams' first points, nothing else
+    assert(ds.rawDatapointsAt(v1).select("value").as[Double].collect().sorted.toSeq
+      === Seq(1.0, 7.0))
+    // v1 predates maintenance: no rollup buckets existed yet
+    assert(ds.rollupAt(Granularity.Hours, v1).count() === 0L)
+    // v2: the purged stream's buckets are still served as of v2, and the
+    // getData read path accepts the same pin
+    assert(ds.rollupAt(Granularity.Hours, v2)
+      .where(col("stream_id") === "doom").count() === 1L)
+    assert(ds.getData("keep", Granularity.Seconds, asOfVersion = Some(v1)).count() === 1L)
+    // current reads reflect the delete
+    assert(ds.rawDatapoints.select("stream_id").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("keep"))
+    // a version outside the retained window fails loudly
+    val err = intercept[IllegalArgumentException] { ds.rawDatapointsAt(v2 + 1000L) }
+    assert(err.getMessage.contains("time travel"))
+    // aggressive vacuum reclaims v2's retired files: the pinned read now
+    // fails at planning (missing path) rather than serving partial rows
+    assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
+    intercept[Exception] {
+      ds.rawDatapointsAt(v2).where(col("stream_id") === "doom").count()
+    }
+    ()
+  }
 }
