@@ -540,8 +540,9 @@ object Queries {
   }
 
   /** P2+ tag-query OPERATORS (the reference's Mongo query-doc pass-through
-    * [ds :: backends/mongodb.py :: find_streams]): four labeled probes mix
-    * numeric ranges, set membership, prefix match, and existence over both
+    * [ds :: backends/mongodb.py :: find_streams]): six labeled probes mix
+    * numeric ranges, set membership, prefix match, existence, and the
+    * negations (`$ne`/`$nin` — which in Mongo MATCH absent keys) over both
     * flat (`user`, `type`, `tier`) and nested (`meta.parity`) tags, each
     * matched stream joined to its raw datapoint stats. The oracle pins the
     * exact match set per probe straight from events, so an operator that
@@ -577,7 +578,18 @@ object Queries {
       // $exists:false on a key no stream carries + strict lower bound
       probe("missing", Map(
         "tier" -> Seq(Exists(false)),
-        "user" -> Seq(Gt(140)))))
+        "user" -> Seq(Gt(140)))),
+      // $ne on a present key (negation over values)
+      probe("ne", Map(
+        "type" -> Seq(Ne("click")),
+        "user" -> Seq(Lte(10)))),
+      // $nin on an ABSENT key: Mongo's negations match missing fields, so
+      // this must reduce to the user bound alone — a $nin that brackets
+      // absent-as-never-matches (like the positive operators) over-prunes
+      // and breaks this probe's row set
+      probe("nin", Map(
+        "tier" -> Seq(Nin(Seq("hot", "cold"))),
+        "user" -> Seq(Gt(150)))))
       .reduce(_.unionByName(_))
   }
 
@@ -2501,7 +2513,13 @@ SELECT 'nested_in', stream_id, n_datapoints, value_sum FROM s
 WHERE user_id % 2 = 1 AND user_id <= 20
 UNION ALL
 SELECT 'missing', stream_id, n_datapoints, value_sum FROM s
-WHERE user_id > 140"""
+WHERE user_id > 140
+UNION ALL
+SELECT 'ne', stream_id, n_datapoints, value_sum FROM s
+WHERE event_type <> 'click' AND user_id <= 10
+UNION ALL
+SELECT 'nin', stream_id, n_datapoints, value_sum FROM s
+WHERE user_id > 150"""
 
   /** `$or`/`$regex` twin: each probe's document re-expressed on the raw
     * event columns. DuckDB `regexp_matches` is unanchored (find-anywhere),

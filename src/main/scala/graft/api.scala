@@ -256,17 +256,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
   }
 
-  /** Per-file (min, max) of `table`'s time column in epoch-µs, read from
-    * the parquet footer the commit just wrote — the data-skipping stats a
-    * table format records in its commit metadata. Strictly a pruning HINT:
-    * any irregularity (foreign file, missing column stats, non-µs physical
-    * type, unreadable footer) yields None and the file is simply never
-    * skipped. Called only for files written THIS commit, so collection
-    * cost is O(mutation scope), and full-manifest checkpoints carry prior
-    * stats forward without re-reading any footer.
+  /** Per-file data-skipping stats: (min, max) of `table`'s time column in
+    * epoch-µs, plus — when the file carries a `stream_id` DATA column with
+    * ASCII-only bounds — the (min, max) stream id. Read from the parquet
+    * footer the commit just wrote: the stats a table format records in
+    * its commit metadata. Strictly a pruning HINT: any irregularity
+    * (foreign file, missing column stats, non-µs physical type,
+    * unreadable footer) yields None and the file is simply never skipped;
+    * stream bounds are dropped unless pure ASCII because parquet orders
+    * binary stats by UNSIGNED bytes while the engine compares Java
+    * strings — the two orders provably agree when the deciding position
+    * is ASCII on at least one side, which ASCII-only bounds guarantee.
+    * Called only for files written THIS commit, so collection cost is
+    * O(mutation scope), and full-manifest checkpoints carry prior stats
+    * forward without re-reading any footer.
     */
-  private def footerTimeStats(table: String, rel: String): Option[(Long, Long)] = {
-    val colName = if (table.startsWith("rollup/")) "bucket_start" else "ts"
+  private case class FileStats(tsMin: Long, tsMax: Long,
+                               sidMin: Option[String], sidMax: Option[String])
+
+  private def footerStats(table: String, rel: String): Option[FileStats] = {
+    val tsCol = if (table.startsWith("rollup/")) "bucket_start" else "ts"
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(s"${tablePath(table)}/$rel"),
@@ -275,20 +284,40 @@ class Datastream(spark: SparkSession, warehouse: String) {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = r.getFooter.getBlocks.asScala.toSeq
-        val per = blocks.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
-            val s = c.getStatistics
-            if (s == null || !s.hasNonNullValue) None
-            else (s.genericGetMin, s.genericGetMax) match {
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some((mn.toLong, mx.toLong))
+        def colStats(name: String) = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name)
+            .map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+        }
+        val ts = colStats(tsCol).map(_.flatMap { s =>
+          (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some((mn.toLong, mx.toLong))
+            case _ => None
+          }
+        })
+        // every row group must carry time stats, else the file is unpruned
+        if (ts.isEmpty || ts.exists(_.isEmpty)) None
+        else {
+          val flat = ts.flatten
+          val isAscii = (s: String) => s.forall(_ < 0x80)
+          val sid = colStats("stream_id").map(_.flatMap { s =>
+            (s.genericGetMin, s.genericGetMax) match {
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) =>
+                val (a, b) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                if (isAscii(a) && isAscii(b)) Some((a, b)) else None
               case _ => None
             }
-          }
+          })
+          val sidBounds =
+            if (sid.isEmpty || sid.exists(_.isEmpty)) None
+            else {
+              val f = sid.flatten
+              Some((f.map(_._1).min, f.map(_._2).max))
+            }
+          Some(FileStats(flat.map(_._1).min, flat.map(_._2).max,
+            sidBounds.map(_._1), sidBounds.map(_._2)))
         }
-        // every row group must carry stats, else the file stays unpruned
-        if (per.isEmpty || per.size != blocks.size) None
-        else Some((per.map(_._1).min, per.map(_._2).max))
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -303,22 +332,25 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private case class Snapshot(version: Long, covered: Set[String],
                               files: Map[String, Set[String]],
-                              stats: Map[(String, String), (Long, Long)]) {
+                              stats: Map[(String, String), FileStats]) {
     def tableFiles(table: String): Option[Set[String]] =
       if (covered(table)) Some(files.getOrElse(table, Set.empty)) else None
   }
 
   private case class ManifestFile(version: Long, parent: Long, depth: Int,
                                   full: Boolean, tables: Set[String],
-                                  adds: Seq[(String, String, Option[(Long, Long)])],
+                                  adds: Seq[(String, String, Option[FileStats])],
                                   removes: Seq[(String, String)],
                                   legacy: Boolean)
 
   /** Manifest format, one file per committed version:
     *
     *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
-    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>]`   file added this version
-    *   `-<table>\t<relpath>`                        file removed (retired)
+    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>]]`
+    *                           file added this version (stream-id bounds
+    *                           URL-encoded; present only when the footer
+    *                           had ASCII-safe stream_id stats)
+    *   `-<table>\t<relpath>`   file removed (retired) this version
     *
     * A DELTA manifest records only this commit's changes plus a pointer to
     * its parent — O(mutation) to write, like a Delta/Iceberg commit log
@@ -348,7 +380,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val lines = txt.split('\n').toSeq.map(_.stripLineEnd).filter(_.nonEmpty)
     if (!lines.headOption.exists(_.startsWith("#graft ")))
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
-        lines.map(f => ("raw", f.trim, Option.empty[(Long, Long)]))
+        lines.map(f => ("raw", f.trim, Option.empty[FileStats]))
           .filter(_._2.nonEmpty),
         Seq.empty, legacy = true)
     else {
@@ -357,15 +389,21 @@ class Datastream(spark: SparkSession, warehouse: String) {
           case Array(k, rest @ _*) => Some(k -> rest.mkString("="))
           case _ => None
         }).toMap
-      val adds = Seq.newBuilder[(String, String, Option[(Long, Long)])]
+      val adds = Seq.newBuilder[(String, String, Option[FileStats])]
       val removes = Seq.newBuilder[(String, String)]
+      def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       lines.tail.foreach { l =>
         l.splitAt(1) match {
           case ("+", rest) => rest.split('\t') match {
             case Array(t, f) => adds += ((t, f, None))
             case Array(t, f, mn, mx) =>
               adds += ((t, f,
-                for (a <- mn.toLongOption; b <- mx.toLongOption) yield (a, b)))
+                for (a <- mn.toLongOption; b <- mx.toLongOption)
+                  yield FileStats(a, b, None, None)))
+            case Array(t, f, mn, mx, smn, smx) =>
+              adds += ((t, f,
+                for (a <- mn.toLongOption; b <- mx.toLongOption)
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)))))
             case _ => ()
           }
           case ("-", rest) => rest.split('\t') match {
@@ -388,7 +426,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   // versions are immutable once committed — resolution memoizes freely
   private type Resolved =
-    (Set[String], Map[String, Set[String]], Map[(String, String), (Long, Long)])
+    (Set[String], Map[String, Set[String]], Map[(String, String), FileStats])
   private val resolveCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Resolved]()
 
@@ -400,7 +438,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       val (pc, pf, ps) =
         if (m.full || m.legacy || m.parent < 0)
           (Set.empty[String], Map.empty[String, Set[String]],
-            Map.empty[(String, String), (Long, Long)])
+            Map.empty[(String, String), FileStats])
         else resolveManifest(m.parent)
       var files = pf
       var stats = ps
@@ -453,6 +491,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * this before a mutation to time-travel back across it later.
     */
   def currentVersion: Option[Long] = committedVersions.lastOption
+
+  /** Commit history within the retained window, oldest first — the
+    * `DESCRIBE HISTORY` analog: (version, operation) for every committed
+    * mutation whose marker survives the bounded-history sweep. Versions
+    * also present in [[snapshotVersions]] are time-travel targets.
+    */
+  def history: Seq[(Long, String)] = {
+    val dir = new java.io.File(commitLogPath)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".commit"))
+      .sortBy(_.getName)
+      .flatMap { f =>
+        val txt = java.nio.file.Files.readString(f.toPath)
+        for {
+          v <- f.getName.split('.').headOption.flatMap(_.toLongOption)
+          op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("unknown")
+        } yield (v, op)
+      }.toSeq
+  }
 
   /** Resolve a PINNED historical snapshot for time travel. Fails loudly on
     * a version outside the retained window rather than silently serving
@@ -610,10 +668,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }.toMap
     // data-skipping stats: footers of THIS commit's files only; prior
     // files carry their stats forward from the resolved parent
-    val statsAll: Map[(String, String), (Long, Long)] =
+    val statsAll: Map[(String, String), FileStats] =
       prev.map(_.stats).getOrElse(Map.empty) ++
         writtenByTable.toSeq.flatMap { case (t, fs) =>
-          fs.flatMap(f => footerTimeStats(t, f).map(((t, f), _)))
+          fs.flatMap(f => footerStats(t, f).map(((t, f), _)))
         }
     // Delta vs full: deltas record only this commit's changes against the
     // resolved parent; a full manifest (checkpoint) every FullManifestEvery
@@ -634,8 +692,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
       val before = if (full) Set.empty[String] else prevFiles.getOrElse(t, Set.empty)
       (now -- before).toSeq.sorted.foreach { f =>
         body0.append('+').append(t).append('\t').append(f)
-        statsAll.get((t, f)).foreach { case (mn, mx) =>
-          body0.append('\t').append(mn).append('\t').append(mx)
+        statsAll.get((t, f)).foreach { st =>
+          body0.append('\t').append(st.tsMin).append('\t').append(st.tsMax)
+          (st.sidMin, st.sidMax) match {
+            case (Some(a), Some(b)) =>
+              def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+              body0.append('\t').append(enc(a)).append('\t').append(enc(b))
+            case _ => ()
+          }
         }
         body0.append('\n')
       }
@@ -1294,29 +1358,42 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * path because it IS the same path with a pinned version.
     *
     * `skipRange` (epoch-µs, inclusive superset of the caller's exact time
-    * predicate) enables FILE-LEVEL DATA SKIPPING: files whose manifest
-    * min/max stats provably miss the range are dropped from the plan
-    * before Spark ever sees them — pruning below partition granularity,
-    * exactly what a table format's per-file stats buy. Files without
-    * stats are never skipped, so this is always a correctness-neutral
-    * subset of the snapshot.
+    * predicate) and `skipStream` (exact stream-id equality, the hot
+    * single-stream read path) enable FILE-LEVEL DATA SKIPPING: files
+    * whose manifest min/max stats provably miss the predicate are dropped
+    * from the plan before Spark ever sees them — pruning below partition
+    * granularity, exactly what a table format's per-file stats buy. Files
+    * without the relevant stat are never skipped, so this is always a
+    * correctness-neutral subset of the snapshot.
     */
+  private def keepFile(snap: Snapshot, table: String, f: String,
+                       skipRange: Option[(Long, Long)],
+                       skipStream: Option[String]): Boolean =
+    snap.stats.get((table, f)) match {
+      case None => true
+      case Some(st) =>
+        val tsOk = skipRange.forall { case (lo, hi) =>
+          st.tsMax >= lo && st.tsMin <= hi
+        }
+        val sidOk = skipStream.forall { sid =>
+          (st.sidMin, st.sidMax) match {
+            case (Some(a), Some(b)) => sid >= a && sid <= b
+            case _ => true
+          }
+        }
+        tsOk && sidOk
+    }
+
   private def tableReadFrom(snap: Option[Snapshot], table: String,
                             schema: org.apache.spark.sql.types.StructType,
-                            skipRange: Option[(Long, Long)] = None): Option[DataFrame] =
+                            skipRange: Option[(Long, Long)] = None,
+                            skipStream: Option[String] = None): Option[DataFrame] =
     snap.flatMap(_.tableFiles(table)) match {
       case Some(files) if files.isEmpty => None
       case Some(files) =>
-        val kept = skipRange match {
-          case Some((lo, hi)) =>
-            files.filter { f =>
-              snap.get.stats.get((table, f)) match {
-                case Some((mn, mx)) => mx >= lo && mn <= hi
-                case None => true
-              }
-            }
-          case None => files
-        }
+        val kept =
+          if (skipRange.isEmpty && skipStream.isEmpty) files
+          else files.filter(keepFile(snap.get, table, _, skipRange, skipStream))
         if (kept.isEmpty) None
         else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
           .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
@@ -1325,24 +1402,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
       case None => None
     }
 
-  /** Files a snapshot range read would plan for `table` after stats-based
+  /** Files a snapshot read would plan for `table` after stats-based
     * skipping (test seam for the data-skipping contract).
     */
   private[graft] def plannedFiles(table: String,
                                   start: Option[Timestamp],
-                                  end: Option[Timestamp]): Set[String] = {
-    val snap = rawSnapshot
-    snap.flatMap(_.tableFiles(table)).getOrElse(Set.empty).filter { f =>
-      usSkipRange(start, end) match {
-        case Some((lo, hi)) =>
-          snap.get.stats.get((table, f)) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
-            case None => true
-          }
-        case None => true
-      }
+                                  end: Option[Timestamp],
+                                  streamId: Option[String] = None): Set[String] =
+    rawSnapshot match {
+      case None => Set.empty
+      case Some(snap) =>
+        snap.tableFiles(table).getOrElse(Set.empty)
+          .filter(keepFile(snap, table, _, usSkipRange(start, end), streamId))
     }
-  }
 
   /** Inclusive epoch-µs superset of a caller's time bounds, for file-level
     * skipping (exclusive bounds only shrink the exact predicate applied
@@ -1370,7 +1442,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp],
-                                   asOfVersion: Option[Long] = None): DataFrame = {
+                                   asOfVersion: Option[Long] = None,
+                                   streamId: Option[String] = None): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
@@ -1383,10 +1456,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.rawDatapoints)
     val skip = usSkipRange(start, end)
-    val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned, skip)
+    val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned,
+        skip, streamId)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
-    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip) match {
+    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, streamId) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
       case Some(der) => raw.unionByName(der.select(cols: _*))
@@ -1746,7 +1820,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
       val vcols = if (meta.value_type == ValueType.Numeric) Seq("value") else Seq("value_json")
       // dp_date partition pruning first (inclusive-date superset), exact µs
       // predicate inside GetData.raw on top
-      GetData.raw(rawDatapointsInRange(start, end, asOfVersion), streamId, start, end,
+      GetData.raw(
+        rawDatapointsInRange(start, end, asOfVersion, Some(streamId)),
+        streamId, start, end,
         startExclusive, endExclusive, reverse, limit, offset, vcols)
     } else {
       if (!Granularity.isCoarserOrEqual(granularity, Granularity(meta.highest_granularity)))
@@ -1767,7 +1843,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
             asOfVersion.map(snapshotAt).orElse(rawSnapshot),
             s"rollup/granularity=${granularity.name}",
             Schemas.downsampledPartitioned,
-            usSkipRange(start, end))
+            usSkipRange(start, end), Some(streamId))
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             Schemas.downsampledPartitioned)))(_.where(_))

@@ -105,6 +105,14 @@ object StreamRegistry {
       * and never matches — same bracketing as the comparisons.
       */
     final case class Regex(pattern: String) extends TagPred
+    /** Mongo `$ne`: matches a DIFFERENT value OR an ABSENT key — Mongo's
+      * negations include missing fields, the opposite bracketing from
+      * every positive predicate here, which is why these are their own
+      * nodes and not `!Eq`.
+      */
+    final case class Ne(v: String) extends TagPred
+    /** Mongo `$nin`: value outside the set, absent key included. */
+    final case class Nin(vs: Seq[String]) extends TagPred
   }
 
   /** One operator predicate compiled to a codegen'd Column over the
@@ -131,6 +139,8 @@ object StreamRegistry {
       case Exists(false)  => acc.isNull
       case Prefix(pre)    => acc.startsWith(pre)
       case Regex(pat)     => acc.rlike(pat)
+      case Ne(v)          => acc.isNull || acc =!= v
+      case Nin(vs)        => acc.isNull || !acc.isin(vs: _*)
     }
   }
 

@@ -260,6 +260,26 @@ class SnapshotSpec extends SparkSpec {
     assert(ds.getData("s1", Granularity.Seconds).count() === 2L)
   }
 
+  test("stream-id data skipping: single-stream reads prune files by manifest sid bounds") {
+    val (ds, _) = freshDs
+    ds.ensureStream("aaa")
+    ds.ensureStream("zzz")
+    // same date, SAME second — neither dp_date partitions nor ts stats can
+    // separate these two commits' files; only the stream-id bounds can
+    ds.appendMultiple(dp(Seq(("aaa", "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(("zzz", "2024-01-01T00:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    assert(ds.plannedFiles("raw", None, None).size === 2)
+    val one = ds.plannedFiles("raw", None, None, Some("aaa"))
+    assert(one.size === 1, s"sid skipping kept ${one.size} of 2 files: $one")
+    // a stream id outside every file's bounds plans zero files
+    assert(ds.plannedFiles("raw", None, None, Some("mmm")).isEmpty)
+    // and the single-stream read stays correct through the pruned plan
+    assert(ds.getData("aaa", Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+  }
+
   test("time travel: as-of reads pin the snapshot across append, delete and rollup maintenance") {
     val (ds, _) = freshDs
     ds.ensureStream("keep", Map("who" -> "keep"))
@@ -289,6 +309,11 @@ class SnapshotSpec extends SparkSpec {
     // a version outside the retained window fails loudly
     val err = intercept[IllegalArgumentException] { ds.rawDatapointsAt(v2 + 1000L) }
     assert(err.getMessage.contains("time travel"))
+    // DESCRIBE HISTORY analog: ops in commit order, versions resolvable
+    val hist = ds.history
+    assert(hist.map(_._1) === hist.map(_._1).sorted)
+    assert(hist.map(_._2).contains("append") && hist.map(_._2).contains("delete_streams"))
+    assert(hist.exists { case (v, op) => v === v1 && op === "append" })
     // aggressive vacuum reclaims v2's retired files: the pinned read now
     // fails at planning (missing path) rather than serving partial rows
     assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
