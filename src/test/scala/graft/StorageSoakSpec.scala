@@ -85,6 +85,27 @@ class StorageSoakSpec extends SparkSpec {
       val want = model.filter(_._2.nonEmpty).view
         .mapValues(_.sortBy(_._1.getTime)).toMap
       assert(got === want, s"model divergence after $label")
+      // RANGE read through the stats-skipping + dp_date-pruning path for a
+      // random existing stream: a wrong manifest stat (or a skip comparing
+      // the wrong bound) silently loses rows — this is the property guard
+      // for round 9's file-level data skipping
+      val sids = want.keys.toSeq.sorted
+      if (sids.nonEmpty) {
+        val sid = sids(rnd.nextInt(sids.size))
+        val pts = want(sid)
+        val lo = pts(rnd.nextInt(pts.size))._1
+        val hi = pts(rnd.nextInt(pts.size))._1
+        val (s, e) = if (lo.getTime <= hi.getTime) (lo, hi) else (hi, lo)
+        val gotRange = ds.getData(sid, Granularity.Seconds,
+            start = Some(s), end = Some(e))
+          .select("ts", "value").as[(Timestamp, Double)].collect()
+          .sortBy(_._1.getTime).toVector
+        val wantRange = pts.filter(p =>
+          p._1.getTime >= s.getTime && p._1.getTime <= e.getTime)
+          .sortBy(_._1.getTime)
+        assert(gotRange === wantRange,
+          s"range-read divergence after $label (stream $sid, [$s, $e])")
+      }
     }
     var step = 0
     (0 until 22).foreach { i =>
