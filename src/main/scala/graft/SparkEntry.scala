@@ -111,6 +111,9 @@ object SparkEntry {
     // structural-precision/measured-recall gate
     "q_semdedup" -> Queries.semDedup _,
     "q_semdedup_recall" -> Queries.semDedupRecall _,
+    // continuous-ingest SemDeDup: shard deduped against the persisted IVF
+    // index at exhaustive probing (exact), survivors folded back in
+    "q_semdedup_index" -> Queries.semDedupIndex _,
     // DSIR-flavored target-domain relevance scoring (exact integer ratios)
     "q_target_coverage" -> Queries.targetCoverage _,
     // recall gates: the approximate pipelines measured against their exact
@@ -281,6 +284,7 @@ object SparkEntry {
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
+    "q_semdedup_index" -> Oracles.semDedupIndex,
     "q_target_coverage" -> Oracles.targetCoverage,
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
@@ -1522,6 +1526,33 @@ object Queries {
         docs.where(col("source") === "src0"))
       .orderBy(col("coverage").desc, col("doc_id").asc)
       .limit(25)
+  }
+
+  /** X3+ continuous-ingest SemDeDup against the PERSISTED IVF index: the
+    * even-id half of the corpus is indexed (8 refined cells); the odd-id
+    * shard is then deduped against the INDEX ALONE at exhaustive probing
+    * (nProbe = nCells ⇒ every drop decision exact), and the surviving
+    * shard is appended back into the index — the full incremental
+    * lifecycle. The oracle recomputes the exact cross-half rule all-pairs,
+    * and the appended index's row count pins that exactly the survivors
+    * landed.
+    */
+  def semDedupIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-semidx")
+    val emb = Sources.embeddings(spark, sfDir)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    ext.Ivf.buildIndex(even, s"$dir/ivf", nCells = 8, refineIters = 1)
+    // materialize the drop decisions BEFORE the append mutates the index:
+    // the survivor plan reads the index's parquet lazily, and re-evaluating
+    // it after the fold-in would let appended odd vectors judge each other
+    val survivors = ext.Similarity.semDedupAgainstIndex(
+      odd, s"$dir/ivf", threshold = 0.4, nProbe = 8).localCheckpoint(true)
+    ext.Ivf.appendToIndex(survivors, s"$dir/ivf")
+    val indexed = spark.read.parquet(s"${ext.Ivf.indexDir(s"$dir/ivf")}/cells")
+      .agg(count(lit(1)).as("n_indexed"))
+    survivors.select(col("vec_id"), col("label"))
+      .crossJoin(broadcast(indexed))
   }
 
   /** X3+ SemDeDup, oracle arm: `nCells = 1` degenerates the clustered rule
@@ -3010,6 +3041,32 @@ SELECT doc_id, n_grams, n_hit,
 FROM scored
 ORDER BY coverage DESC, doc_id ASC
 LIMIT 25"""
+
+  /** Index-backed SemDeDup twin: an odd-id vector is dropped iff SOME
+    * even-id (indexed) vector has cosine ≥ 0.4 to it — exhaustive probing
+    * makes the engine's index decision exactly this rule — and the
+    * post-append index must hold every even vector plus every survivor.
+    */
+  val semDedupIndex: String =
+    """WITH nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT o.vec_id
+  FROM nrm o JOIN nrm e ON o.vec_id % 2 = 1 AND e.vec_id % 2 = 0
+  WHERE list_reduce(list_transform(range(1, len(o.embedding) + 1),
+      i -> CAST(o.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (o.nrm * e.nrm) >= 0.4),
+surv AS (
+  SELECT vec_id, label FROM embeddings
+  WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM dropped))
+SELECT s.vec_id, s.label,
+  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) +
+       (SELECT count(*) FROM surv) AS BIGINT) AS n_indexed
+FROM surv s"""
 
   /** SemDeDup exact-arm twin: all-pairs keep-lowest-id at cosine ≥ 0.4 —
     * same ordered-double fold as every cosine here.

@@ -290,10 +290,14 @@ object Similarity {
                       refineIters: Int = 1, nAssign: Int = 2,
                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import corpus.sparkSession.implicits._
-    val assigned =
-      if (nCells <= 1) corpus.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("v"), lit(0).as("cell"))
-      else {
+    // nCells <= 1 is the EXACT global rule, i.e. an all-pairs baseline by
+    // definition: take the exactPairs broadcast-and-scan shape (guardrailed
+    // collect, no join node) rather than a degenerate constant-key
+    // self-join, which Catalyst would plan as a nested-loop join
+    if (nCells <= 1)
+      return exactPairs(corpus, threshold, vecCol, idCol)
+        .select(col("b").as("vec_id")).distinct()
+    val assigned = {
         val cents = Ivf.refineCentroids(corpus,
           Ivf.centroids(corpus, nCells, vecCol, idCol), refineIters, vecCol, idCol)
         val centB = corpus.sparkSession.sparkContext.broadcast(
@@ -331,6 +335,31 @@ object Similarity {
       semDedupDropped(corpus, threshold, nCells, refineIters, nAssign, vecCol, idCol)
         .withColumnRenamed("vec_id", idCol),
       Seq(idCol), "left_anti")
+
+  /** CONTINUOUS-INGEST SemDeDup: dedup an arriving shard against the
+    * PERSISTED IVF index (the [[Ivf.buildIndex]] layout) instead of
+    * against a full corpus — the embedding-space analog of
+    * `DedupIndex.dedupeAgainstIndex`. A new vector is DROPPED when its
+    * best indexed match under `nProbe`-cell probing has cosine ≥
+    * `threshold`; survivors are returned for the caller to fold in via
+    * [[Ivf.appendToIndex]], keeping per-shard ingest O(shard) — the index
+    * is both the dedup state and the ANN serving structure, maintained by
+    * the same append/refresh lifecycle the IVF gates already pin.
+    *
+    * At `nProbe = nCells` the probe is exhaustive and every decision
+    * EXACT (the gate configuration, SQL-replayable); production uses
+    * bounded probes, whose recall the IVF recall gates measure.
+    */
+  def semDedupAgainstIndex(newVecs: DataFrame, indexPath: String,
+                           threshold: Double, nProbe: Int = 8,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): DataFrame = {
+    val dropped = Ivf.queryIndex(indexPath, newVecs, k = 1, nProbe,
+        vecCol, idCol)
+      .where(col("cosine") >= threshold)
+      .select(col("query_vec_id").as(idCol))
+    newVecs.join(dropped, Seq(idCol), "left_anti")
+  }
 
   /** Embedding-cosine near-dup candidates: pairs colliding in ≥1 LSH band
     * with exact cosine ≥ `threshold`. Never all-pairs.
