@@ -142,6 +142,8 @@ object SparkEntry {
     // composed prep pipeline: scrub → mix → chunk, one chained SQL twin
     "q_corpus_pipeline2" -> Queries.corpusPipeline2 _,
     "q_corpus_pipeline3" -> Queries.corpusPipeline3 _,
+    // round-9 composition: coverage selection → embedding semantic dedup
+    "q_corpus_pipeline4" -> Queries.corpusPipeline4 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -183,6 +185,7 @@ object SparkEntry {
     "q_repetition" -> Queries.repetition _,
     "q_token_drift" -> Queries.tokenDrift _,
     "q_image_dup" -> Queries.imageDup _,
+    "q_audio_dup" -> Queries.audioDup _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -281,6 +284,7 @@ object SparkEntry {
     "q_approx_percentile" -> Oracles.approxPercentile,
     "q_corpus_pipeline2" -> Oracles.corpusPipeline2,
     "q_corpus_pipeline3" -> Oracles.corpusPipeline3,
+    "q_corpus_pipeline4" -> Oracles.corpusPipeline4,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
@@ -313,6 +317,7 @@ object SparkEntry {
     "q_repetition" -> Oracles.repetition,
     "q_token_drift" -> Oracles.tokenDrift,
     "q_image_dup" -> Oracles.imageDup,
+    "q_audio_dup" -> Oracles.audioDup,
     "q_lang_report" -> Oracles.langReport,
     "q_lang_ngram" -> Oracles.langNgram,
     "q_lang_profile" -> Oracles.langProfile,
@@ -1528,6 +1533,35 @@ object Queries {
       .limit(25)
   }
 
+  /** Composed pipeline #4 — the round-9 ops chained end to end: score
+    * every non-`src0` document's bigram coverage against the `src0`
+    * target vocabulary, keep the 100 most-target-like (coverage desc,
+    * doc_id asc), semantically dedup THEIR embeddings (exact arm, cosine
+    * ≥ 0.4, keep-lowest-id), and report the surviving per-language doc and
+    * token counts. One chained SQL twin replays all four stages — gating
+    * the COMPOSITION of text relevance and embedding dedup, not just each
+    * op alone.
+    */
+  def corpusPipeline4(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val selected = ext.Text.targetCoverage(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"))
+      .orderBy(col("coverage").desc, col("doc_id").asc)
+      .limit(100)
+      .select("doc_id")
+    val emb = Sources.embeddings(spark, sfDir)
+      .join(selected.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_semi")
+    val survivors = ext.Similarity.semDedup(emb, threshold = 0.4, nCells = 1)
+      .select(col("vec_id").as("doc_id"))
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("lang"),
+        size(ext.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+  }
+
   /** X3+ continuous-ingest SemDeDup against the PERSISTED IVF index: the
     * even-id half of the corpus is indexed (8 refined cells); the odd-id
     * shard is then deduped against the INDEX ALONE at exhaustive probing
@@ -2049,6 +2083,18 @@ object Queries {
   def imageDup(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.imageDupCandidates(
       ext.Multimodal.dupPngAssets(Sources.documents(spark, sfDir)))
+
+  /** X5+ perceptual AUDIO dedup over real decoded samples: WAVs sharing a
+    * base envelope pattern per `doc_id % 40` but carrying per-doc
+    * amplitude scales / sign inversions (13 pairwise-distinct,
+    * fingerprint-invariant transforms — no two same-base docs share one
+    * within 500 docs), so md5 dedup provably finds nothing and the
+    * energy-envelope fingerprint must rediscover the closed-form pair set
+    * exactly — the audio twin of `q_image_dup`.
+    */
+  def audioDup(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.audioDupCandidates(
+      ext.Multimodal.dupWavAssets(Sources.documents(spark, sfDir)))
 
   /** Token-distribution drift between the en slice and the rest — counts,
     * probabilities, and the absolute gap per token, exact IEEE on both
@@ -3042,6 +3088,54 @@ FROM scored
 ORDER BY coverage DESC, doc_id ASC
 LIMIT 25"""
 
+  /** Pipeline-4 twin: coverage top-100 → within-selection semantic dedup →
+    * per-lang report, all four stages chained.
+    */
+  val corpusPipeline4: String =
+    """WITH tgt AS MATERIALIZED (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0')),
+cg AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE source <> 'src0')),
+scored AS (
+  SELECT d.doc_id,
+    count(cg.gram) AS n_grams, count(tgt.gram) AS n_hit
+  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+  LEFT JOIN cg ON cg.doc_id = d.doc_id
+  LEFT JOIN tgt ON tgt.gram = cg.gram
+  GROUP BY d.doc_id),
+sel AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN n_grams = 0 THEN 0.0
+         ELSE CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS coverage
+  FROM scored
+  ORDER BY coverage DESC, doc_id ASC
+  LIMIT 100),
+nrm AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+    sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings e JOIN sel s ON e.vec_id = s.doc_id),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
+  WHERE list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4)
+SELECT d.lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_sum
+FROM documents d
+JOIN nrm ON nrm.vec_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT vec_id FROM dropped)
+GROUP BY d.lang"""
+
   /** Index-backed SemDeDup twin: an odd-id vector is dropped iff SOME
     * even-id (indexed) vector has cosine ≥ 0.4 to it — exhaustive probing
     * makes the engine's index decision exactly this rule — and the
@@ -3949,6 +4043,14 @@ FROM pc GROUP BY doc_id"""
     * all at hamming 0.
     */
   val imageDup: String =
+    """SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+FROM documents x JOIN documents y
+  ON x.doc_id % 40 = y.doc_id % 40 AND x.doc_id < y.doc_id"""
+
+  /** Audio-dup twin: the same closed-form same-base pair set — identical
+    * fingerprints, so hamming is exactly 0.
+    */
+  val audioDup: String =
     """SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
 FROM documents x JOIN documents y
   ON x.doc_id % 40 = y.doc_id % 40 AND x.doc_id < y.doc_id"""

@@ -293,8 +293,12 @@ object Multimodal {
     * never kills the scan. This replaces the former declared audio stub —
     * the remaining stand-in is video only (the JDK has no such decoder).
     */
-  private[graft] def decodeWav(payload: Array[Byte])
-      : Option[(Long, Long, Long, Long, Long)] =
+  /** Parse a 16-bit signed mono PCM container into (sample_rate, samples)
+    * through the real `javax.sound.sampled` decoder — shared by the
+    * metric fold and the perceptual fingerprint. None on anything the
+    * decoder rejects or a non-PCM16-mono format.
+    */
+  private def wavSamples(payload: Array[Byte]): Option[(Long, Array[Int])] =
     if (payload == null || payload.length == 0) None
     else scala.util.Try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -302,29 +306,167 @@ object Multimodal {
       try {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleRate <= 0f)
           None
         else {
           val bytes = ais.readAllBytes()
           val n = bytes.length / 2
-          var peak = 0L
-          var energy = 0L
+          val out = new Array[Int](n)
           var i = 0
           while (i < n) {
-            val s: Int =
+            out(i) =
               if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xFF)
               else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)
-            val a = math.abs(s.toLong)
-            if (a > peak) peak = a
-            energy += s.toLong * s
             i += 1
           }
-          val rate = fmt.getSampleRate.toLong
-          if (rate <= 0L) None
-          else Some((rate, n.toLong, n.toLong * 1000L / rate, peak, energy))
+          Some((fmt.getSampleRate.toLong, out))
         }
       } finally ais.close()
     }.toOption.flatten
+
+  private[graft] def decodeWav(payload: Array[Byte])
+      : Option[(Long, Long, Long, Long, Long)] =
+    wavSamples(payload).map { case (rate, samples) =>
+      var peak = 0L
+      var energy = 0L
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i).toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        energy += s * s
+        i += 1
+      }
+      val n = samples.length.toLong
+      (rate, n, n * 1000L / rate, peak, energy)
+    }
+
+  /** PERCEPTUAL 64-bit audio fingerprint over real decoded samples — the
+    * energy-envelope cousin of the image aHash: decode (javax.sound),
+    * split the PCM stream into 64 equal frames, compute each frame's
+    * integer energy Σs², emit bit k = `64·energy(k) > totalEnergy`
+    * (strictly above the mean, stated as a cross-multiplied integer
+    * comparison so NO division ever rounds). All-integer ⇒ exactly
+    * reproducible anywhere, and invariant BY CONSTRUCTION to amplitude
+    * scaling and sign inversion: scaling every sample by integer s
+    * multiplies every frame energy and the total by s² exactly, negation
+    * squares away — so a rescaled or inverted copy gets the SAME
+    * fingerprint while content-hash dedup sees different bytes. Too-short
+    * (< 64 samples) or undecodable payloads return None.
+    */
+  private[graft] def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    wavSamples(payload).flatMap { case (_, samples) =>
+      val n = samples.length
+      if (n < 64) None
+      else {
+        val energies = new Array[Long](64)
+        var total = 0L
+        var k = 0
+        while (k < 64) {
+          val from = k * n / 64
+          val until = (k + 1) * n / 64
+          var e = 0L
+          var i = from
+          while (i < until) {
+            val s = samples(i).toLong
+            e += s * s
+            i += 1
+          }
+          energies(k) = e
+          total += e
+          k += 1
+        }
+        var bits = 0L
+        k = 0
+        while (k < 64) {
+          if (64L * energies(k) > total) bits |= (1L << k)
+          k += 1
+        }
+        Some(bits)
+      }
+    }
+
+  /** Perceptual audio near-dup candidates over a binary asset column:
+    * fingerprint per asset (narrow map), SimHash-style 4×16-bit banding so
+    * candidates collide on ≥1 band, exact hamming verification ≤
+    * `maxHamming`. Never all-pairs — identical structure to
+    * [[imageDupCandidates]], one fingerprint family per modality.
+    * Undecodable payloads drop out at the hash step.
+    */
+  def audioDupCandidates(assets: Dataset[Asset],
+                         maxHamming: Int = 0): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets.mapPartitions { it =>
+      it.flatMap(a => audioFingerprint(a.payload).map(sig => (a.asset_id, sig)))
+    }.toDF("asset_id", "sig")
+    val banded = hashed.select(col("asset_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits",
+        expr("shiftrightunsigned(sig, band * 16) & 65535"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Dup-structured real-WAV fixture (the audio twin of [[dupPngAssets]]):
+    * each doc renders its base pattern (`doc_id % nBases`) as a 512-sample
+    * sawtooth whose per-frame amplitude ENVELOPE (1× or 2×) follows the
+    * bits of a splitmix64 signature of the base — so the energy-envelope
+    * fingerprint recovers (essentially) the signature — then applies a
+    * per-doc transform t = doc_id % 13: integer amplitude scale
+    * `1 + (t % 7)` and sign inversion for t ≥ 7. The 13 transforms are
+    * pairwise distinct and all fingerprint-INVARIANT (scale multiplies
+    * every frame energy by s² exactly; negation squares away), and within
+    * 500 docs no two same-base docs share a transform (that would need
+    * doc ids congruent mod lcm(40,13) = 520) — so md5 dedup provably
+    * finds NOTHING while the perceptual path must rediscover the
+    * closed-form same-base pair set exactly. Peak sample 2·2180·7 =
+    * 30 520 < 2¹⁵, so every scale stays exactly representable in PCM16.
+    */
+  def dupWavAssets(docs: DataFrame, nBases: Int = 40): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % nBases
+          var z = base + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          // force both envelope levels present so no base is degenerate
+          val sig = ((z ^ (z >>> 31)) | 1L) & ~(1L << 63)
+          val amp = (1200 + (sig & 7L) * 140L).toInt          // ≤ 2180
+          val step = (17 + ((sig >>> 4) % 29L)).toInt
+          val t = (id % 13).toInt
+          val scale = 1 + (t % 7)
+          val negate = t >= 7
+          val n = 512 // 64 frames × 8 samples
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val saw = ((i.toLong * step) % (2L * amp)).toInt - amp
+            val env = if (((sig >>> (i / 8)) & 1L) == 1L) 2 else 1
+            val s0 = saw * env * scale
+            val s = if (negate) -s0 else s0
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Asset(id, "audio", bos.toByteArray, s"""{"base":$base}""")
+        }
+      }
+  }
 
   /** Partition-batched audio decode: one row per decodable asset with the
     * integer frame-fold metrics. Narrow map, no shuffle — the 100 TB shape

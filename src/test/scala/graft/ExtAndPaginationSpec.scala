@@ -157,6 +157,30 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert(ext.Multimodal.decodeWav(null).isEmpty)
   }
 
+  test("audioFingerprint: scale/sign-invariant on real WAVs, corrupt payload None, " +
+      "dup candidates = same-base pairs only") {
+    val docs = (0L until 12L).map(i => (i, "ignored", "en"))
+      .toDF("doc_id", "text", "lang")
+    // 4 bases over 12 docs: i, i+4, i+8 share a base but carry different
+    // amplitude scales / sign inversions (t = i % 13 differs) → bytes differ
+    val assets = ext.Multimodal.dupWavAssets(docs, nBases = 4)
+    val byId = assets.collect().map(a => a.asset_id -> a.payload).toMap
+    assert(!java.util.Arrays.equals(byId(0L), byId(4L)))
+    val h = (id: Long) => ext.Multimodal.audioFingerprint(byId(id)).get
+    assert(h(0L) === h(4L) && h(4L) === h(8L)) // transforms don't move the print
+    assert(Seq(0L, 1L, 2L, 3L).map(h).distinct.size === 4) // bases distinct
+    // doc 7 takes the sign-inversion branch (t = 7): still the base's print
+    assert(h(7L) === h(3L))
+    assert(ext.Multimodal.audioFingerprint("not a wav".getBytes).isEmpty)
+    assert(ext.Multimodal.audioFingerprint(null).isEmpty)
+    val pairs = ext.Multimodal.audioDupCandidates(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L; if a % 4 == b % 4
+    } yield (a, b)).sorted
+    assert(pairs === expected)
+  }
+
   test("multimodal features have fixed dim and preserve byte counts") {
     val assets = spark.createDataset(Seq(
       ext.Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"), "{}")))
