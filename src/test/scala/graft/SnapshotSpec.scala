@@ -280,6 +280,26 @@ class SnapshotSpec extends SparkSpec {
       .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
   }
 
+  test("sid stats survive hostile ASCII stream ids (tabs, %, spaces) via URL encoding") {
+    val (ds, _) = freshDs
+    // ASCII control/format characters that would corrupt a naive TSV
+    // manifest line: tab (the field separator), %, space, '='
+    val weird = "we ird%\tid="
+    ds.ensureStream(weird)
+    ds.ensureStream("plain")
+    ds.appendMultiple(dp(Seq((weird, "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(("plain", "2024-01-01T00:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    // the manifest parsed back cleanly (a torn line would lose coverage)
+    assert(ds.rawDatapoints.count() === 2)
+    // sid bounds round-tripped: each single-stream read plans ONE file
+    assert(ds.plannedFiles("raw", None, None, Some(weird)).size === 1)
+    assert(ds.plannedFiles("raw", None, None, Some("plain")).size === 1)
+    assert(ds.getData(weird, Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+  }
+
   test("time travel: as-of reads pin the snapshot across append, delete and rollup maintenance") {
     val (ds, _) = freshDs
     ds.ensureStream("keep", Map("who" -> "keep"))
