@@ -49,6 +49,9 @@ object SparkEntry {
     "q_warehouse_e2e" -> Queries.warehouseE2E _,
     // commit-log time travel: as-of read across an append + a compaction
     "q_time_travel" -> Queries.timeTravel _,
+    // DESCRIBE HISTORY ledger: exact (version, op) rows for a fixed
+    // mutation sequence (vacuum is not a commit and must not appear)
+    "q_history" -> Queries.historyLedger _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -214,6 +217,7 @@ object SparkEntry {
     "q_find_streams_variant" -> Oracles.findStreamsNested,
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_time_travel" -> Oracles.timeTravel,
+    "q_history" -> Oracles.historyLedger,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -461,6 +465,26 @@ object Queries {
           col("n_rows"), col("value_sum"))
     stats(ds.rawDatapointsAt(v), "as_of")
       .unionByName(stats(ds.rawDatapoints, "current"))
+  }
+
+  /** DESCRIBE HISTORY surface on the gate: a fixed mutation sequence on a
+    * fresh warehouse must leave exactly the expected (version, op) ledger —
+    * the oracle pins the literal rows, so a verb that stops committing
+    * (or commits twice) breaks the row set.
+    */
+  def historyLedger(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-hist")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.compact()
+    ds.vacuumRaw(retainVersions = 1) // not a commit: must NOT appear
+    ds.history.toDF("version", "op")
   }
 
   /** Tag CRUD on the gate: two streams are ensured with a shared `team`
@@ -2471,6 +2495,15 @@ UNION ALL
 SELECT 'current', '7:click', count(*),
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
 FROM events WHERE user_id = 7 AND event_type = 'click'"""
+
+  /** History-ledger twin: the literal commit sequence (ensure and vacuum
+    * never commit; append, downsample, compact each commit exactly once).
+    */
+  val historyLedger: String =
+    """SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'append'),
+  (CAST(2 AS BIGINT), 'downsample'),
+  (CAST(3 AS BIGINT), 'compact')) AS t(version, op)"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
