@@ -96,8 +96,6 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors
@@ -106,10 +104,19 @@ object Bench {
     val total = if (ok.nonEmpty) ok.sum else 0.0
     def secMap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"$k\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val cpuJson = s""","cpu_total":${f"${cpuSecs.values.sum}%.3f"},""" +
+    val qs = secMap(results.filter { case (_, v) => v >= 0 })
+    // Two output lines, most-detailed FIRST: the driver's artifact capture
+    // keeps the TAIL of stdout, so nine rounds of single-line output were
+    // head-truncated into `parsed: null` (and round 9's visible fragment —
+    // the taskrun map — was misread as a 20× wall regression). The FINAL
+    // line is the short wall-clock contract JSON ({"metric","value","unit",
+    // "queries","sf"}, ~2.5 KB at 113 queries with %.3f values); the
+    // cpu/taskrun diagnostics ride the earlier "detail" line, which may be
+    // truncated without harming parseability of the last line.
+    println(s"""{"metric":"detail","cpu_total":${f"${cpuSecs.values.sum}%.3f"},""" +
       s""""cpu_queries":${secMap(cpuSecs)},""" +
-      s""""taskrun_queries":${secMap(runSecs)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$cpuJson$errJson,"sf":"$sfDir"}""")
+      s""""taskrun_queries":${secMap(runSecs)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -37,6 +37,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
   // INT64 µs is what every modern engine (and the DuckDB oracle) speaks.
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
+  /** All warehouse metadata I/O (commit log, manifests, registry swap,
+    * vacuum, pointers) goes through the Hadoop FileSystem API resolved
+    * from the warehouse URI — see [[WarehouseIO]] for the per-store
+    * rename-semantics contract. The warehouse therefore addresses
+    * `file://`, `hdfs://` or `s3a://` with one code path.
+    */
+  private val io = new WarehouseIO(spark.sessionState.newHadoopConf(), warehouse)
+
   private val streamsPath = s"$warehouse/streams"
   private val rawPath = s"$warehouse/raw"
   private val derivedPath = s"$warehouse/derived"
@@ -45,12 +53,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val derivePrevPath = s"$warehouse/derive_prev"
   private def rollupPath(g: Granularity) = s"$warehouse/rollup/granularity=${g.name}"
 
-  private def exists(path: String): Boolean = new java.io.File(path).exists()
+  private def exists(path: String): Boolean = io.exists(path)
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
+  private def rmTree(path: String): Unit = io.rmTree(path)
 
   /** Decode Spark's URI-style %XX partition-directory escaping (e.g. ':' →
     * `%3A`) — safer than re-implementing the escape when matching on-disk
@@ -101,13 +106,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // move the live copy ASIDE (not away) before promoting the new one:
     // every rename result is checked, and on failure the original is
     // restored — a swap must never be able to silently lose the registry
-    val dst = new java.io.File(path)
-    val bak = new java.io.File(path + ".bak-" + System.nanoTime())
-    val hadOld = dst.exists()
-    if (hadOld && !dst.renameTo(bak))
+    val bak = path + ".bak-" + System.nanoTime()
+    val hadOld = io.exists(path)
+    if (hadOld && !io.rename(path, bak))
       throw new IllegalStateException(s"overwriteSwap: cannot move $path aside")
-    if (!new java.io.File(tmp).renameTo(dst)) {
-      if (hadOld) bak.renameTo(dst)
+    if (!io.rename(tmp, path)) {
+      if (hadOld) io.rename(bak, path)
       throw new IllegalStateException(s"overwriteSwap: cannot promote $tmp to $path")
     }
     if (hadOld) rmTree(bak)
@@ -123,27 +127,27 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * then delete remaining `.swap-*`/`.bak-*` siblings.
     */
   private def recoverSwap(path: String): Unit = {
-    val dst = new java.io.File(path)
-    val name = dst.getName
-    val siblings = Option(dst.getParentFile.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    val swaps = siblings.filter(_.getName.startsWith(name + ".swap-"))
-    val baks = siblings.filter(_.getName.startsWith(name + ".bak-"))
-    if (!dst.exists()) {
-      def suffixNanos(f: java.io.File, marker: String): Long =
-        try f.getName.substring(name.length + marker.length).toLong
+    val p = new org.apache.hadoop.fs.Path(path)
+    val name = p.getName
+    val parent = p.getParent.toString
+    val siblings = io.childNames(parent)
+    val swaps = siblings.filter(_.startsWith(name + ".swap-"))
+    val baks = siblings.filter(_.startsWith(name + ".bak-"))
+    if (!io.exists(path)) {
+      def suffixNanos(n: String, marker: String): Long =
+        try n.substring(name.length + marker.length).toLong
         catch { case _: NumberFormatException => Long.MinValue }
-      val committed = swaps.filter(s => new java.io.File(s, "_SUCCESS").exists())
+      val committed = swaps.filter(s => io.exists(s"$parent/$s/_SUCCESS"))
       val pick =
         if (committed.nonEmpty) Some(committed.maxBy(suffixNanos(_, ".swap-")))
         else baks.sortBy(suffixNanos(_, ".bak-")).lastOption
       pick.foreach { src =>
-        if (!src.renameTo(dst))
+        if (!io.rename(s"$parent/$src", path))
           throw new IllegalStateException(
-            s"recoverSwap: cannot restore $src to $path")
+            s"recoverSwap: cannot restore $parent/$src to $path")
       }
     }
-    (swaps ++ baks).filter(_.exists()).foreach(rmTree)
+    (swaps ++ baks).map(s => s"$parent/$s").filter(io.exists).foreach(rmTree)
   }
 
   // ---- commit log (multi-table mutation atomicity witness) ---------------
@@ -189,21 +193,39 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * is what let the reference's expiring-lease design be simplified away.
     */
   private def withWriterLock[T](op: String)(body: => T): T = {
-    new java.io.File(warehouse).mkdirs()
-    val ch = java.nio.channels.FileChannel.open(
-      java.nio.file.Paths.get(s"$warehouse/.writer_lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val lock =
-      try ch.tryLock()
-      catch { case _: java.nio.channels.OverlappingFileLockException => null }
-    if (lock == null) {
-      ch.close()
-      throw new errors.MaintenanceLockContended(
-        s"warehouse $warehouse is locked by another writer (op $op)")
+    io.mkdirs(warehouse)
+    if (io.isLocal) {
+      // local warehouse: kernel-arbitrated advisory lock — cannot leak
+      // past a crashed holder, which is what let the reference's
+      // expiring-lease design be simplified away here
+      val ch = java.nio.channels.FileChannel.open(
+        io.localPath(s"$warehouse/.writer_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null) {
+        ch.close()
+        throw new errors.MaintenanceLockContended(
+          s"warehouse $warehouse is locked by another writer (op $op)")
+      }
+      try body
+      finally { lock.release(); ch.close() }
+    } else {
+      // remote store: atomic create-exclusive lock file (HDFS namespace
+      // op / S3 conditional PUT). Caveat documented on
+      // [[WarehouseIO.createExclusive]]: a crashed holder leaks the file
+      // and the operator must remove it — the production answer on such
+      // stores is an expiring lease, as the reference carried.
+      val lockPath = s"$warehouse/.writer_lock_held"
+      if (!io.createExclusive(lockPath, s"$op@${System.nanoTime()}"))
+        throw new errors.MaintenanceLockContended(
+          s"warehouse $warehouse is locked by another writer (op $op); " +
+            s"if the holder crashed, remove $lockPath manually")
+      try body
+      finally { io.deleteFile(lockPath); () }
     }
-    try body
-    finally { lock.release(); ch.close() }
   }
 
   /** Warehouse tables covered by snapshot manifests, keyed by path
@@ -239,21 +261,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * driver cost flat as tables accrete files.
     */
   private def listFilesUnder(table: String, prefix: String = ""): Set[String] = {
-    val root = new java.io.File(tablePath(table))
-    val start = if (prefix.isEmpty) root else new java.io.File(root, prefix)
-    if (!start.exists()) Set.empty
-    else {
-      val out = Set.newBuilder[String]
-      def walk(f: java.io.File): Unit =
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
-        else {
-          walkMeter.incrementAndGet()
-          if (isDataFile(f.getName))
-            out += root.toPath.relativize(f.toPath).toString
-        }
-      walk(start)
-      out.result()
-    }
+    val all = io.walkFiles(tablePath(table), prefix)
+    walkMeter.addAndGet(all.size)
+    all.filter(rel => isDataFile(rel.split('/').last)).toSet
   }
 
   /** Per-file data-skipping stats: (min, max) of `table`'s time column in
@@ -370,13 +380,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val FullManifestEvery = 10
 
   private def parseManifest(v: Long): ManifestFile = {
-    val f = new java.io.File(commitLogPath, f"$v%09d.manifest")
-    if (!f.exists())
+    val f = f"$commitLogPath/$v%09d.manifest"
+    if (!io.exists(f))
       throw new IllegalStateException(
         s"commitlog: manifest $v missing — the delta chain is broken " +
           "(commit-log files were removed out of band); restore them or " +
           "adoptRaw() to re-baseline the warehouse")
-    val txt = java.nio.file.Files.readString(f.toPath)
+    val txt = io.readString(f)
     val lines = txt.split('\n').toSeq.map(_.stripLineEnd).filter(_.nonEmpty)
     if (!lines.headOption.exists(_.startsWith("#graft ")))
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
@@ -458,8 +468,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
   }
 
   private def committedVersions: Seq[Long] = {
-    val names = Option(new java.io.File(commitLogPath).listFiles())
-      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+    val names = io.childNames(commitLogPath)
     def versions(sfx: String): Set[Long] =
       names.filter(_.endsWith(sfx))
         .flatMap(_.split('.').headOption.flatMap(_.toLongOption)).toSet
@@ -498,18 +507,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * also present in [[snapshotVersions]] are time-travel targets.
     */
   def history: Seq[(Long, String)] = {
-    val dir = new java.io.File(commitLogPath)
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".commit"))
-      .sortBy(_.getName)
-      .flatMap { f =>
-        val txt = java.nio.file.Files.readString(f.toPath)
+    io.childNames(commitLogPath)
+      .filter(_.endsWith(".commit"))
+      .sorted
+      .flatMap { n =>
+        val txt = io.readString(s"$commitLogPath/$n")
         for {
-          v <- f.getName.split('.').headOption.flatMap(_.toLongOption)
+          v <- n.split('.').headOption.flatMap(_.toLongOption)
           op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("unknown")
         } yield (v, op)
-      }.toSeq
+      }
   }
 
   /** Resolve a PINNED historical snapshot for time travel. Fails loudly on
@@ -613,17 +621,15 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
 
   private def withCommit[T](op: String, adoptAll: Boolean = false)(body: => T): T = withWriterLock(op) {
-    val dir = new java.io.File(commitLogPath)
-    dir.mkdirs()
-    val version = 1L + Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap(f => f.getName.split('.').headOption.flatMap(_.toLongOption))
+    io.mkdirs(commitLogPath)
+    val version = 1L + io.childNames(commitLogPath)
+      .flatMap(_.split('.').headOption.flatMap(_.toLongOption))
       .foldLeft(0L)(math.max)
-    def marker(suffix: String) = new java.io.File(dir, f"$version%09d.$suffix")
+    def marker(suffix: String) = f"$commitLogPath/$version%09d.$suffix"
     val tmp = marker("tmp")
-    java.nio.file.Files.writeString(tmp.toPath,
-      s"""{"version":$version,"op":"$op"}""")
+    io.writeString(tmp, s"""{"version":$version,"op":"$op"}""")
     val intent = marker("intent")
-    if (!tmp.renameTo(intent))
+    if (!io.rename(tmp, intent))
       throw new IllegalStateException(s"commitlog: cannot stage intent $intent")
     scopeBefore.clear()
     retiredFiles.clear()
@@ -643,7 +649,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
         r
       }
       catch { case e: Throwable =>
-        intent.renameTo(marker("failed"))
+        io.rename(intent, marker("failed"))
         scopeBefore.clear(); retiredFiles.clear()
         throw e
       }
@@ -706,10 +712,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
       (before -- now).toSeq.sorted.foreach(f => body0.append('-').append(t).append('\t').append(f).append('\n'))
     }
     val mTmp = marker("manifest.tmp")
-    java.nio.file.Files.writeString(mTmp.toPath, body0.toString)
-    if (!mTmp.renameTo(marker("manifest")))
+    io.writeString(mTmp, body0.toString)
+    if (!io.rename(mTmp, marker("manifest")))
       throw new IllegalStateException(s"commitlog: cannot stage manifest $version")
-    if (!intent.renameTo(marker("commit")))
+    if (!io.rename(intent, marker("commit")))
       throw new IllegalStateException(s"commitlog: cannot commit $intent")
     resolveCache.put(version, (manifestTables.toSet, snapshot,
       statsAll.filter { case ((t, f), _) =>
@@ -718,14 +724,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // newest 20 manifests PLUS the parent-chain ancestors a retained delta
     // still resolves through; stale `.tmp`/`.manifest.tmp` leftovers from
     // crashed commits older than the current version are reclaimed too.
-    val entries = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+    val entries = io.childNames(commitLogPath)
     Seq(".commit", ".resolved").foreach { sfx =>
-      entries.filter(_.getName.endsWith(sfx)).sortBy(_.getName)
-        .dropRight(20).foreach(_.delete())
+      entries.filter(_.endsWith(sfx)).sorted
+        .dropRight(20).foreach(n => io.deleteFile(s"$commitLogPath/$n"))
     }
     val manifestVersions = entries
-      .filter(_.getName.endsWith(".manifest"))
-      .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption)).sorted
+      .filter(_.endsWith(".manifest"))
+      .flatMap(_.split('.').headOption.flatMap(_.toLongOption)).sorted
     val keep = scala.collection.mutable.Set.empty[Long]
     manifestVersions.takeRight(20).foreach { v =>
       keep += v
@@ -736,12 +742,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
         m = parseManifest(m.parent)
       }
     }
-    entries.filter { f =>
-      val v = f.getName.split('.').headOption.flatMap(_.toLongOption)
-      (f.getName.endsWith(".manifest") && v.exists(!keep(_))) ||
-        ((f.getName.endsWith(".tmp") || f.getName.endsWith(".manifest.tmp")) &&
+    entries.filter { n =>
+      val v = n.split('.').headOption.flatMap(_.toLongOption)
+      (n.endsWith(".manifest") && v.exists(!keep(_))) ||
+        ((n.endsWith(".tmp") || n.endsWith(".manifest.tmp")) &&
           v.exists(_ < version))
-    }.foreach(_.delete())
+    }.foreach(n => io.deleteFile(s"$commitLogPath/$n"))
     // per-commit bookkeeping must not leak into the next commit (it is
     // cleared at start too — this keeps the idle state clean)
     scopeBefore.clear()
@@ -802,19 +808,18 @@ class Datastream(spark: SparkSession, warehouse: String) {
       coveredNow.foreach { t =>
         val doomed = listFilesUnder(t) -- referenced.getOrElse(t, Set.empty)
         doomed.foreach { rel =>
-          if (new java.io.File(s"${tablePath(t)}/$rel").delete()) removed += 1
+          if (io.deleteFile(s"${tablePath(t)}/$rel")) removed += 1
         }
-        // prune now-empty partition directories (bottom-up)
-        def prune(f: java.io.File): Boolean = { // true = f was removed
-          if (!f.isDirectory) false
-          else {
-            Option(f.listFiles()).foreach(_.foreach(prune))
-            val left = Option(f.listFiles()).getOrElse(Array.empty)
-            left.isEmpty && f.delete()
+        // prune now-empty partition directories (bottom-up; a dir whose
+        // filtered listing is empty may still hold checksum remnants, so
+        // the removal is a recursive delete)
+        def prune(st: org.apache.hadoop.fs.FileStatus): Unit =
+          if (st.isDirectory) {
+            io.children(st.getPath.toString).foreach(prune)
+            if (io.children(st.getPath.toString).isEmpty)
+              io.rmTree(st.getPath.toString)
           }
-        }
-        Option(new java.io.File(tablePath(t)).listFiles())
-          .foreach(_.foreach(prune))
+        io.children(tablePath(t)).foreach(prune)
       }
       removed
     }
@@ -828,15 +833,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * on success) or restoring the warehouse.
     */
   def tornOperations: Seq[String] = {
-    val dir = new java.io.File(commitLogPath)
-    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".intent") || f.getName.endsWith(".failed"))
-      .sortBy(_.getName)
-      .map { f =>
-        val txt = java.nio.file.Files.readString(f.toPath)
+    io.childNames(commitLogPath)
+      .filter(n => n.endsWith(".intent") || n.endsWith(".failed"))
+      .sorted
+      .map { n =>
+        val txt = io.readString(s"$commitLogPath/$n")
         "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
-          .map(_.group(1)).getOrElse(f.getName)
-      }.toSeq
+          .map(_.group(1)).getOrElse(n)
+      }
   }
 
   /** Mark every surviving torn-operation witness as remediated: each
@@ -849,14 +853,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * forever, even after full remediation. Returns the number resolved.
     */
   def acknowledgeTorn(): Int = {
-    val dir = new java.io.File(commitLogPath)
-    val torn = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.endsWith(".intent") || f.getName.endsWith(".failed"))
-    torn.foreach { f =>
-      val resolved = new java.io.File(dir,
-        f.getName.replaceAll("\\.(intent|failed)$", ".resolved"))
-      if (!f.renameTo(resolved))
-        throw new IllegalStateException(s"commitlog: cannot resolve $f")
+    val torn = io.childNames(commitLogPath)
+      .filter(n => n.endsWith(".intent") || n.endsWith(".failed"))
+    torn.foreach { n =>
+      val resolved = n.replaceAll("\\.(intent|failed)$", ".resolved")
+      if (!io.rename(s"$commitLogPath/$n", s"$commitLogPath/$resolved"))
+        throw new IllegalStateException(s"commitlog: cannot resolve $n")
     }
     torn.length
   }
@@ -1316,18 +1318,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * territory, like every multi-table atomicity note in this file.
     */
   def appendBatch(batch: DataFrame, batchId: Long): Unit = {
-    val hwm = new java.io.File(s"$warehouse/ingest_batch_hwm")
-    val last =
-      if (hwm.exists()) java.nio.file.Files.readString(hwm.toPath).trim.toLong
-      else -1L
+    // The watermark is MONOTONIC marker files (`ingest_batch_hwm.v<id>`),
+    // not an overwritten file: readers take the max marker, the writer
+    // creates a fresh name per advance and sweeps older ones after — so no
+    // store class needs atomic overwrite-rename (S3 has none), a crash
+    // mid-sweep only leaves extra markers whose max is still correct, and
+    // a legacy plain `ingest_batch_hwm` file keeps counting.
+    val hwmBase = s"$warehouse/ingest_batch_hwm"
+    def markerIds = io.childNames(warehouse)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+    val legacy =
+      if (io.exists(hwmBase)) io.readString(hwmBase).trim.toLongOption
+      else None
+    val last = (markerIds ++ legacy).foldLeft(-1L)(math.max)
     if (batchId <= last) return
     appendMultiple(batch, checkTimestamp = false)
-    val tmp = java.nio.file.Paths.get(
-      s"$warehouse/ingest_batch_hwm.tmp-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, batchId.toString)
-    java.nio.file.Files.move(tmp, hwm.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    io.writeString(s"$hwmBase.v$batchId", batchId.toString)
+    markerIds.filter(_ < batchId)
+      .foreach(v => io.deleteFile(s"$hwmBase.v$v"))
+    if (legacy.nonEmpty) io.deleteFile(hwmBase)
     ()
   }
 
@@ -2005,7 +2015,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // "derived" watermarks and the prev-point sidecar describe a slice
       // history this rewrite just replaced wholesale — clear both so the
       // next incremental refresh bootstraps cleanly from the new table
-      rmTree(new java.io.File(derivePrevPath))
+      rmTree(derivePrevPath)
       // maintain the derived streams' earliest/latest registry bounds from
       // the recomputed slices (a recompute REPLACES a slice, so this is a
       // set, not a min/max merge). Derived streams never pass through

@@ -146,10 +146,33 @@ object Ivf {
 
   // ---- versioned-pointer plumbing ----------------------------------------
 
+  /** Pointer I/O goes through the Hadoop FileSystem API (the index lives
+    * beside the warehouse it serves — `file://`, `hdfs://` or `s3a://`;
+    * store-class semantics documented on [[graft.WarehouseIO]]).
+    */
+  private def io(path: String): graft.WarehouseIO =
+    new graft.WarehouseIO(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      path)
+
+  /** The live version is the max over `CURRENT.v<N>` MARKER files — a
+    * commit CREATES a fresh marker (atomic on every store class: visible
+    * only once closed/PUT) rather than overwriting a single `CURRENT`
+    * file, because overwrite-rename is atomic on POSIX but not on
+    * HDFS+S3A's rename semantics. A crash mid-sweep leaves extra markers
+    * whose max is still the committed version; a legacy single `CURRENT`
+    * file (pre-marker layout) keeps resolving until the next commit
+    * migrates it.
+    */
   private def currentVersion(path: String): Option[Long] = {
-    val f = new java.io.File(path, "CURRENT")
-    if (!f.exists()) None
-    else Some(java.nio.file.Files.readString(f.toPath).trim.stripPrefix("v").toLong)
+    val s = io(path)
+    val markers = s.childNames(path)
+      .filter(_.startsWith("CURRENT.v"))
+      .flatMap(_.stripPrefix("CURRENT.v").toLongOption)
+    if (markers.nonEmpty) Some(markers.max)
+    else if (s.exists(s"$path/CURRENT"))
+      Some(s.readString(s"$path/CURRENT").trim.stripPrefix("v").toLong)
+    else None
   }
 
   /** Directory holding the LIVE index tables (`centroids/`, `cells/`):
@@ -159,10 +182,6 @@ object Ivf {
   def indexDir(path: String): String =
     currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
 
-  private def rmTreeLocal(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTreeLocal))
-    f.delete(); ()
-  }
 
   /** Write a complete index version (centroids + assignment) into a fresh
     * `v<N>` directory, then atomically move the CURRENT pointer onto it
@@ -191,21 +210,18 @@ object Ivf {
   }
 
   private def commitVersion(path: String, v: Long): Unit = {
-    val tmp = java.nio.file.Paths.get(path, s"CURRENT.tmp-${System.nanoTime()}")
-    java.nio.file.Files.writeString(tmp, s"v$v")
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // reclaim superseded state: older v* dirs, pre-versioned root tables,
-    // and stray pointer temps — all invisible since the pointer moved
-    val root = new java.io.File(path)
-    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+    val s = io(path)
+    // the marker CREATE is the commit point (see [[currentVersion]]) —
+    // everything after is reclamation of now-invisible state
+    s.writeString(s"$path/CURRENT.v$v", s"v$v")
+    s.childNames(path).foreach { n =>
       val stale =
-        (f.getName.matches("v\\d+") && f.getName != s"v$v") ||
-          Seq("centroids", "cells", "centroids_next", "cells_next")
-            .contains(f.getName) ||
-          f.getName.startsWith("CURRENT.tmp-")
-      if (stale) rmTreeLocal(f)
+        (n.matches("v\\d+") && n != s"v$v") ||
+          Seq("centroids", "cells", "centroids_next", "cells_next").contains(n) ||
+          n.startsWith("CURRENT.tmp-") || n == "CURRENT" ||
+          (n.startsWith("CURRENT.v") &&
+            n.stripPrefix("CURRENT.v").toLongOption.exists(_ < v))
+      if (stale) s.rmTree(s"$path/$n")
     }
   }
 

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Warehouse storage layer: every commit-log, manifest, registry-swap,
+  * vacuum and version-pointer file operation the engine performs routes
+  * through this thin wrapper over the Hadoop `FileSystem` API, resolved
+  * from the warehouse URI — so one code path addresses `file://` (tests,
+  * single box), `hdfs://` and `s3a://` warehouses, exactly like Spark's
+  * own readers ([ds :: datastream/api.py :: Datastream] keeps all state in
+  * MongoDB; this engine's analog of that storage indirection is the Hadoop
+  * fs abstraction the rest of the Spark ecosystem shares).
+  *
+  * Rename semantics per store class (the commit protocol's load-bearing
+  * primitive — every caller renames onto a NON-EXISTENT destination, never
+  * onto an existing one, so overwrite-rename atomicity is required
+  * nowhere):
+  *
+  *  - `file://` — POSIX `rename(2)`: atomic for files and directories.
+  *  - `hdfs://` — namespace metadata op: atomic for files and directories.
+  *  - `s3a://`  — NOT a rename: O(data) server-side copy + delete, and a
+  *    concurrent lister can observe both names. The single-file commit
+  *    markers stay correct under the single-writer lock (the copy is
+  *    invisible until complete and readers gate on the `.commit` suffix
+  *    appearing, which is the copy's last step), but the REGISTRY
+  *    directory swap loses its atomicity window and large-table writes
+  *    pay the copy. A production S3 deployment should front the warehouse
+  *    with a real table format's putIfAbsent-style commit (or S3's
+  *    conditional PUT) — documented here rather than papered over.
+  *
+  * The `FileSystem` instance is private (`newInstance`, not the global
+  * cache) so disabling checksum sidecars for the engine's tiny marker
+  * files cannot leak into Spark's shared cached filesystem, and it is
+  * memoized per (scheme, authority) so facade churn in tests does not
+  * accumulate handles.
+  */
+private[graft] final class WarehouseIO(conf: Configuration, root: String) {
+  private val rootPath = new Path(root)
+  private[graft] val fs: FileSystem = WarehouseIO.fsFor(rootPath, conf)
+
+  /** Local warehouses keep the `java.nio` advisory OS file lock (T5):
+    * kernel-arbitrated, leak-proof across crashed holders. Remote stores
+    * have no such primitive — [[createExclusive]] is the fallback there.
+    */
+  private[graft] val isLocal: Boolean = {
+    val s = fs.getUri.getScheme
+    s == null || s == "file"
+  }
+
+  /** The local-filesystem path of `p` (only meaningful when [[isLocal]]). */
+  private[graft] def localPath(p: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new Path(p).toUri.getPath)
+
+  private def q(p: String): Path = new Path(p)
+
+  def exists(p: String): Boolean = fs.exists(q(p))
+
+  def mkdirs(p: String): Unit = { fs.mkdirs(q(p)); () }
+
+  /** Delete a single file (not recursive); false if absent or undeletable. */
+  def deleteFile(p: String): Boolean =
+    try fs.delete(q(p), false)
+    catch { case _: java.io.IOException => false }
+
+  /** Recursive delete, idempotent (absent path is a no-op). */
+  def rmTree(p: String): Unit = {
+    try { fs.delete(q(p), true); () }
+    catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** Rename onto a non-existent destination; false (never throw) on
+    * failure so callers keep their explicit restore-on-failure handling.
+    */
+  def rename(src: String, dst: String): Boolean =
+    try fs.rename(q(src), q(dst))
+    catch { case _: java.io.IOException => false }
+
+  /** Non-recursive child statuses; empty for a missing directory. */
+  def children(dir: String): Seq[FileStatus] =
+    try fs.listStatus(q(dir)).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  def childNames(dir: String): Seq[String] = children(dir).map(_.getPath.getName)
+
+  /** Every regular file under `root`/`prefix` (recursive), as paths
+    * RELATIVE to `root` — the commit protocol's scope walk. Uses the
+    * streaming `listFiles` iterator, which object-store implementations
+    * back with paginated LIST calls rather than per-directory round trips.
+    */
+  def walkFiles(rootDir: String, prefix: String = ""): Seq[String] = {
+    val start = if (prefix.isEmpty) q(rootDir) else new Path(rootDir, prefix)
+    if (!fs.exists(start)) Seq.empty
+    else {
+      val base = fs.makeQualified(q(rootDir)).toUri.getPath
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(start, true)
+      while (it.hasNext) {
+        val p = it.next().getPath.toUri.getPath
+        out += p.stripPrefix(base).stripPrefix("/")
+      }
+      out.result()
+    }
+  }
+
+  def readString(p: String): String = {
+    val in = fs.open(q(p))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Create/overwrite `p` with `s`. Visibility is at close: HDFS exposes
+    * the full content once closed, S3 PUTs are all-or-nothing — so a
+    * reader never sees a partial marker, though overwrite-in-place is NOT
+    * atomic across stores; commit paths therefore always write a fresh
+    * name and rename or version-select instead of overwriting live files.
+    */
+  def writeString(p: String, s: String): Unit = {
+    val out = fs.create(q(p), true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomically create `p` iff absent (the remote-store writer-lock
+    * primitive): HDFS `create(overwrite=false)` is namespace-atomic; on
+    * S3A it maps to a conditional PUT on recent Hadoop versions. False ⇔
+    * already held. Unlike the OS lock, a crashed holder LEAKS the file —
+    * the operator removes it manually; an expiring-lease design (as the
+    * reference carried) is the production answer on such stores.
+    */
+  def createExclusive(p: String, s: String): Boolean =
+    try {
+      val out = fs.create(q(p), false)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
+}
+
+private[graft] object WarehouseIO {
+  // one private instance per (scheme, authority): checksum flags below are
+  // ours alone (the global FileSystem.get cache is shared with Spark)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
+  private def fsFor(p: Path, conf: Configuration): FileSystem = {
+    val uri = p.toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    cache.computeIfAbsent(key, _ => {
+      val fs = FileSystem.newInstance(uri, conf)
+      // no .crc sidecars for commit-log markers/manifests (they would
+      // pollute name-based version listings); data files are written by
+      // Spark's own fs instance, unaffected
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+      fs
+    })
+  }
+}
