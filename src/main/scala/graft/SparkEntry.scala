@@ -447,15 +447,24 @@ object Queries {
   def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tempDir("graft-tt")
     val ds = new Datastream(spark, dir)
-    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click", "team" -> "alpha"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
       highestGranularity = Granularity.Minutes)
     val dp = Sources.eventsAsDatapoints(spark, sfDir)
-      .where(col("user_id") === 7 && col("event_type") === "click")
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
       .select("stream_id", "ts", "value")
     val cut = ts("2024-01-15T00:00:00Z")
     ds.appendMultiple(dp.where(col("ts") < lit(cut)))
     val v = ds.currentVersion.get
+    // every mutation below lands AFTER the capture: slice B, a tag rewrite,
+    // a whole-stream delete (registry row + data purge), a full compaction.
+    // The pinned read must see through NONE of them — data (slice A of both
+    // streams) AND registry (team=alpha, 3:view still present) as of v.
     ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    ds.updateTags(Map("type" -> "click"), Map("team" -> "beta"))
+    ds.deleteStreams(Map("type" -> "view"))
     ds.compact()
     def stats(df: DataFrame, phase: String) =
       df.groupBy("stream_id")
@@ -463,8 +472,20 @@ object Queries {
           sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
         .select(lit(phase).as("phase"), col("stream_id"),
           col("n_rows"), col("value_sum"))
+    // registry probes ride the same schema: n_rows = match count, the
+    // oracle pins each literal (absence pinned by the hash too)
+    def regProbe(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(label).as("phase"), lit("-").as("stream_id"),
+          col("n_rows"), lit(0.0).as("value_sum"))
     stats(ds.rawDatapointsAt(v), "as_of")
       .unionByName(stats(ds.rawDatapoints, "current"))
+      .unionByName(regProbe("reg_asof_alpha", ds.findStreamsAt(Map("team" -> "alpha"), v)))
+      .unionByName(regProbe("reg_asof_beta", ds.findStreamsAt(Map("team" -> "beta"), v)))
+      .unionByName(regProbe("reg_asof_view", ds.findStreamsAt(Map("type" -> "view"), v)))
+      .unionByName(regProbe("reg_cur_alpha", ds.findStreams(Map("team" -> "alpha"))))
+      .unionByName(regProbe("reg_cur_beta", ds.findStreams(Map("team" -> "beta"))))
+      .unionByName(regProbe("reg_cur_view", ds.findStreams(Map("type" -> "view"))))
   }
 
   /** DESCRIBE HISTORY surface on the gate: a fixed mutation sequence on a
@@ -2483,8 +2504,11 @@ SELECT 'type_view', '3:view', count(*)
 FROM events WHERE user_id = 3 AND event_type = 'view'"""
 
   /** Time-travel twin: per-phase stats recomputed from events with the same
-    * Jan-15 cut — the as-of phase sees only slice A, the current phase sees
-    * everything.
+    * Jan-15 cut — the as-of phase sees only slice A of BOTH streams (3:view
+    * is deleted after the capture; the pinned read must still serve it),
+    * the current phase sees 7:click's full history only. Registry probes
+    * are literal: as of the capture 7:click carried team=alpha and 3:view
+    * existed; currently team=beta and 3:view is gone.
     */
   val timeTravel: String =
     """SELECT 'as_of' AS phase, '7:click' AS stream_id, count(*) AS n_rows,
@@ -2492,9 +2516,22 @@ FROM events WHERE user_id = 3 AND event_type = 'view'"""
 FROM events WHERE user_id = 7 AND event_type = 'click'
   AND ts < TIMESTAMP '2024-01-15 00:00:00'
 UNION ALL
+SELECT 'as_of', '3:view', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 3 AND event_type = 'view'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
 SELECT 'current', '7:click', count(*),
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
-FROM events WHERE user_id = 7 AND event_type = 'click'"""
+FROM events WHERE user_id = 7 AND event_type = 'click'
+UNION ALL
+SELECT * FROM (VALUES
+  ('reg_asof_alpha', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('reg_asof_beta',  '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('reg_asof_view',  '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('reg_cur_alpha',  '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('reg_cur_beta',   '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('reg_cur_view',   '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) AS r(a, b, c, d)"""
 
   /** History-ledger twin: the literal commit sequence (ensure and vacuum
     * never commit; append, downsample, compact each commit exactly once).

@@ -46,6 +46,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private val io = new WarehouseIO(spark.sessionState.newHadoopConf(), warehouse)
 
   private val streamsPath = s"$warehouse/streams"
+  // immutable registry generations (time-travelled metadata): one parquet
+  // dir per swap under streams_versions/g<N>, live = max CURRENT.g<N> marker
+  private val streamsVersionsPath = s"$warehouse/streams_versions"
   private val rawPath = s"$warehouse/raw"
   private val derivedPath = s"$warehouse/derived"
   // prev-point sidecar for incremental derived maintenance: one row per
@@ -118,6 +121,75 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // a successful swap owns the path: any sibling leftovers are garbage
     // from an earlier crashed swap — clear them so they cannot accumulate
     recoverSwap(path)
+  }
+
+  /** The live registry generation (max `CURRENT.g<N>` marker), or None on
+    * a warehouse still carrying only the legacy single `streams` dir.
+    */
+  private def registryGen: Option[Long] =
+    io.childNames(streamsVersionsPath)
+      .filter(_.startsWith("CURRENT.g"))
+      .flatMap(_.stripPrefix("CURRENT.g").toLongOption)
+      .maxOption
+
+  private def registryDir(gen: Long): String = s"$streamsVersionsPath/g$gen"
+
+  /** Swap-write the registry as a fresh IMMUTABLE generation — the
+    * metadata analog of the fact tables' snapshot manifests. Where
+    * [[overwriteSwap]] replaces the live directory in place (correct for
+    * the derive-prev sidecar, which nothing time-travels), the registry
+    * must stay addressable AS OF any retained commit: each manifest
+    * records the generation current at its commit
+    * ([[ManifestFile.registry]]), so `getData(asOfVersion=)` /
+    * [[streamsAt]] resolve tags, watermarks and derive config exactly as
+    * that snapshot published them — closing the documented round-9 gap
+    * where an as-of read saw today's registry against yesterday's data.
+    *
+    * Commit point is the `CURRENT.g<N>` marker CREATE (atomic on every
+    * store class — see [[WarehouseIO]]); the parquet write and dir rename
+    * before it are invisible to readers, and a crash at any instant
+    * leaves the previous generation live. Generations referenced by a
+    * retained manifest are protected from the post-swap sweep; the rest
+    * (superseded, unreferenced) are reclaimed immediately — the same
+    * retention interplay the data files get from vacuum. Single-writer
+    * (every caller holds the writer lock).
+    */
+  private def swapRegistry(df: DataFrame): Unit = {
+    val next = registryGen.getOrElse(0L) + 1
+    // a crash between a previous swap's dir rename and its marker create
+    // leaves an UNPUBLISHED g<next> orphan — reclaim it, its content was
+    // never visible
+    if (exists(registryDir(next))) rmTree(registryDir(next))
+    val tmp = s"$streamsVersionsPath/g$next.tmp-${System.nanoTime()}"
+    // one job: the plan may READ the pre-swap registry; its files are
+    // untouched until the marker below publishes the new generation
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    if (!io.rename(tmp, registryDir(next)))
+      throw new IllegalStateException(
+        s"swapRegistry: cannot promote $tmp to generation g$next")
+    io.writeString(s"$streamsVersionsPath/CURRENT.g$next", s"g$next")
+    // the legacy live dir is never consulted once a generation exists
+    if (exists(streamsPath)) rmTree(streamsPath)
+    sweepRegistryGenerations(next)
+  }
+
+  /** Reclaim registry generations that are neither current nor referenced
+    * by any retained manifest, plus superseded markers and crashed-swap
+    * temp dirs. O(retained commits) manifest-header reads (memoized).
+    */
+  private def sweepRegistryGenerations(current: Long): Unit = {
+    val referenced = committedVersions
+      .flatMap(v => scala.util.Try(parseManifest(v)).toOption)
+      .flatMap(_.registry).toSet + current
+    io.childNames(streamsVersionsPath).foreach { n =>
+      if (n.matches("g\\d+") && !referenced(n.stripPrefix("g").toLong))
+        rmTree(s"$streamsVersionsPath/$n")
+      else if (n.startsWith("CURRENT.g") &&
+        n.stripPrefix("CURRENT.g").toLongOption.exists(_ < current))
+        { io.deleteFile(s"$streamsVersionsPath/$n"); () }
+      else if (n.contains(".tmp-"))
+        rmTree(s"$streamsVersionsPath/$n")
+    }
   }
 
   /** Startup (and post-swap) recovery for `overwriteSwap` leftovers: if the
@@ -351,7 +423,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
                                   full: Boolean, tables: Set[String],
                                   adds: Seq[(String, String, Option[FileStats])],
                                   removes: Seq[(String, String)],
-                                  legacy: Boolean)
+                                  legacy: Boolean,
+                                  registry: Option[Long])
 
   /** Manifest format, one file per committed version:
     *
@@ -379,7 +452,20 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private val FullManifestEvery = 10
 
+  // manifests are immutable once committed and version numbers never
+  // recycle (the counter majorizes every retained marker) — memoize parses
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, ManifestFile]()
+
   private def parseManifest(v: Long): ManifestFile = {
+    val hit = manifestCache.get(v)
+    if (hit != null) return hit
+    val out = parseManifestUncached(v)
+    manifestCache.put(v, out)
+    out
+  }
+
+  private def parseManifestUncached(v: Long): ManifestFile = {
     val f = f"$commitLogPath/$v%09d.manifest"
     if (!io.exists(f))
       throw new IllegalStateException(
@@ -392,7 +478,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
         lines.map(f => ("raw", f.trim, Option.empty[FileStats]))
           .filter(_._2.nonEmpty),
-        Seq.empty, legacy = true)
+        Seq.empty, legacy = true, registry = None)
     else {
       val attrs = lines.head.split(' ').drop(2)
         .flatMap(_.split('=') match {
@@ -430,7 +516,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
         attrs.get("tables").map(_.split(',').filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty),
         adds.result(), removes.result(),
-        legacy = false)
+        legacy = false,
+        // registry generation current when this version committed — the
+        // metadata half of the snapshot; absent on pre-generation commits
+        registry = attrs.get("registry").flatMap(_.stripPrefix("g").toLongOption))
     }
   }
 
@@ -689,9 +778,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val prevDepth = prev.map(s => parseManifest(s.version))
       .map(m => if (m.legacy) FullManifestEvery else m.depth).getOrElse(0)
     val full = prev.isEmpty || adoptAll || prevDepth + 1 >= FullManifestEvery
+    // the registry generation live as this version commits — the metadata
+    // half of the snapshot (mutation bodies that swap the registry do so
+    // before this line, so the POST-mutation generation is recorded)
+    val regAttr = registryGen.map(g => s" registry=g$g").getOrElse("")
     val header = s"#graft v2 parent=${prev.map(_.version).getOrElse(-1L)} " +
       s"depth=${if (full) 0 else prevDepth + 1} full=${if (full) "1" else "0"} " +
-      s"tables=${manifestTables.mkString(",")}"
+      s"tables=${manifestTables.mkString(",")}" + regAttr
     val body0 = new StringBuilder(header).append('\n')
     manifestTables.foreach { t =>
       val now = snapshot(t)
@@ -875,17 +968,49 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   // ---- registry -----------------------------------------------------------
 
-  private def hasStreams: Boolean = exists(streamsPath)
+  private def hasStreams: Boolean = registryGen.isDefined || exists(streamsPath)
 
-  def streams: DataFrame =
-    if (hasStreams) spark.read.parquet(streamsPath)
-    else Seq.empty[StreamMeta].toDF()
+  def streams: DataFrame = registryGen match {
+    case Some(g) => spark.read.parquet(registryDir(g))
+    case None if exists(streamsPath) => spark.read.parquet(streamsPath)
+    case None => Seq.empty[StreamMeta].toDF()
+  }
 
-  def streamMeta(streamId: String): StreamMeta = {
-    val hit = streams.where(col("stream_id") === streamId).as[StreamMeta].collect()
+  /** REGISTRY TIME TRAVEL: the stream metadata (tags, watermarks, derive
+    * config, bounds) exactly as committed snapshot `version` published it
+    * — the metadata half of [[rawDatapointsAt]]. Resolution: the version's
+    * manifest records the registry generation live at its commit; that
+    * generation directory is immutable and protected from the sweep while
+    * the manifest is retained. A commit written before registry versioning
+    * existed carries no generation — the read falls back to the CURRENT
+    * registry with the pre-round-10 caveat (documented, not silent: that
+    * is exactly the state such a warehouse is in).
+    */
+  def streamsAt(version: Long): DataFrame = {
+    snapshotAt(version) // validates the version is committed and retained
+    parseManifest(version).registry match {
+      case Some(g) =>
+        if (!exists(registryDir(g)))
+          throw new IllegalStateException(
+            s"registry generation g$g for snapshot $version was reclaimed " +
+              "out of band — commit-log and streams_versions disagree")
+        spark.read.parquet(registryDir(g))
+      case None => streams
+    }
+  }
+
+  /** [[findStreams]] against a pinned snapshot's registry. */
+  def findStreamsAt(tagQuery: Map[String, String], version: Long): DataFrame =
+    StreamRegistry.findStreams(streamsAt(version), tagQuery)
+
+  private def streamMetaFrom(reg: DataFrame, streamId: String): StreamMeta = {
+    val hit = reg.where(col("stream_id") === streamId).as[StreamMeta].collect()
     if (hit.isEmpty) throw new errors.StreamNotFound(s"no such stream: $streamId")
     hit.head
   }
+
+  def streamMeta(streamId: String): StreamMeta =
+    streamMetaFrom(streams, streamId)
 
   /** Idempotent stream creation; re-ensure with same id returns existing
     * metadata. Derived streams must share their sources' granularity.
@@ -922,7 +1047,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // lock covers the read-modify-swap (a racing ensure would otherwise
     // silently lose one of the two registry rows).
     withWriterLock("ensure")(
-      overwriteSwap(streams.unionByName(Seq(meta).toDF()), streamsPath))
+      swapRegistry(streams.unionByName(Seq(meta).toDF())))
     meta
   }
 
@@ -982,7 +1107,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val incoming = metas.toDF()
       .join(streams.select("stream_id"), Seq("stream_id"), "left_anti")
     withWriterLock("ensure_batch")(
-      overwriteSwap(streams.unionByName(incoming), streamsPath))
+      swapRegistry(streams.unionByName(incoming)))
   }
 
   def findStreams(tagQuery: Map[String, String] = Map.empty): DataFrame =
@@ -1023,7 +1148,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val updated = streams.join(matched, Seq("stream_id"), "left")
       .withColumn("tags", when(col("_m").isNotNull, merged).otherwise(col("tags")))
       .drop("_m")
-    withWriterLock("update_tags")(overwriteSwap(updated, streamsPath))
+    withWriterLock("update_tags")(swapRegistry(updated))
     n
   }
 
@@ -1042,7 +1167,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val updated = streams.join(matched, Seq("stream_id"), "left")
       .withColumn("tags", when(col("_m").isNotNull, pruned).otherwise(col("tags")))
       .drop("_m")
-    withWriterLock("remove_tags")(overwriteSwap(updated, streamsPath))
+    withWriterLock("remove_tags")(swapRegistry(updated))
     n
   }
 
@@ -1206,8 +1331,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // can leave the registry ahead of the data; the intent marker flags
       // exactly that window. Survivors read the pre-swap registry during
       // the temp write (doomed ids come from the checkpoint).
-      overwriteSwap(all.join(doomedIds, Seq("stream_id"), "left_anti"),
-        streamsPath)
+      swapRegistry(all.join(doomedIds, Seq("stream_id"), "left_anti"))
       }
       n
     } finally doomedRdds.foreach(_.unpersist(blocking = false))
@@ -1298,7 +1422,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
         // keeps the many re-reads across a maintenance session from listing
         // and scheduling 32 shards of a few-KB table (shard only at true
         // millions-of-streams scale)
-        overwriteSwap(updated, streamsPath)
+        swapRegistry(updated)
       }
     } finally joined.unpersist()
   }
@@ -1397,7 +1521,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private def tableReadFrom(snap: Option[Snapshot], table: String,
                             schema: org.apache.spark.sql.types.StructType,
                             skipRange: Option[(Long, Long)] = None,
-                            skipStream: Option[String] = None): Option[DataFrame] =
+                            skipStream: Option[String] = None,
+                            pinned: Boolean = false): Option[DataFrame] =
     snap.flatMap(_.tableFiles(table)) match {
       case Some(files) if files.isEmpty => None
       case Some(files) =>
@@ -1407,6 +1532,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
         if (kept.isEmpty) None
         else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
           .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+      // an explicitly PINNED historical snapshot must never fall through
+      // to the live directory: a legacy-era manifest that does not cover
+      // `table` cannot say what that table held at its commit, and
+      // silently serving current files would contradict the snapshotAt
+      // contract ("fails at planning, never returns partial rows")
+      case None if pinned && snap.isDefined =>
+        throw new IllegalStateException(
+          s"time travel: snapshot ${snap.get.version} does not cover table " +
+            s"'$table' (pre-coverage legacy manifest) — the table's state " +
+            "at that version is unknowable; read it live or pin a newer " +
+            "version")
       case None if exists(tablePath(table)) =>
         Some(spark.read.schema(schema).parquet(tablePath(table)))
       case None => None
@@ -1467,10 +1603,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
         Schemas.rawDatapoints)
     val skip = usSkipRange(start, end)
     val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned,
-        skip, streamId)
+        skip, streamId, pinned = asOfVersion.nonEmpty)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
-    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, streamId) match {
+    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, streamId,
+        pinned = asOfVersion.nonEmpty) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
       case Some(der) => raw.unionByName(der.select(cols: _*))
@@ -1496,7 +1633,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   def rollupAt(g: Granularity, version: Long): DataFrame =
     tableReadFrom(Some(snapshotAt(version)),
-        s"rollup/granularity=${g.name}", Schemas.downsampledPartitioned)
+        s"rollup/granularity=${g.name}", Schemas.downsampledPartitioned,
+        pinned = true)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.downsampledPartitioned))
@@ -1676,7 +1814,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 .otherwise(greatest(coalesce(o, lit(Long.MinValue)), u))))
             .otherwise(col("downsampled_until")))
         .drop("_sel")
-      overwriteSwap(updated, streamsPath)
+      swapRegistry(updated)
     }
     }
     produced
@@ -1703,10 +1841,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // reset every stream's per-granularity watermark — a column rewrite
       // through the swap write, no driver-side collect of the registry
       if (hasStreams)
-        overwriteSwap(
+        swapRegistry(
           streams.withColumn("downsampled_until",
-            map().cast("map<string,bigint>")),
-          streamsPath)
+            map().cast("map<string,bigint>")))
     }
     downsampleStreams(until)
     // the warehouse is now rebuilt from its raw tables — any torn-mutation
@@ -1825,7 +1962,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 Seq(Downsamplers.TimeFirst, Downsamplers.TimeLast),
               limit: Option[Int] = None, offset: Int = 0,
               asOfVersion: Option[Long] = None): DataFrame = {
-    val meta = streamMeta(streamId) // validates existence
+    // pinned reads resolve METADATA from the same snapshot as the data:
+    // granularity checks, declared-downsampler validation and value-type
+    // projection below all follow the as-of registry ([[streamsAt]])
+    val meta = asOfVersion match {
+      case Some(v) => streamMetaFrom(streamsAt(v), streamId)
+      case None => streamMeta(streamId) // validates existence
+    }
     if (granularity.name == meta.highest_granularity) {
       val vcols = if (meta.value_type == ValueType.Numeric) Seq("value") else Seq("value_json")
       // dp_date partition pruning first (inclusive-date superset), exact µs
@@ -1853,7 +1996,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
             asOfVersion.map(snapshotAt).orElse(rawSnapshot),
             s"rollup/granularity=${granularity.name}",
             Schemas.downsampledPartitioned,
-            usSkipRange(start, end), Some(streamId))
+            usSkipRange(start, end), Some(streamId),
+            pinned = asOfVersion.nonEmpty)
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             Schemas.downsampledPartitioned)))(_.where(_))
@@ -2034,7 +2178,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
               map().cast("map<string,bigint>")), (k, _) => k =!= "derived"))
             .otherwise(col("downsampled_until")))
         .drop("_lo", "_hi")
-      overwriteSwap(updated, streamsPath)
+      swapRegistry(updated)
     } finally rdds.foreach(_.unpersist(blocking = false))
   }
 
@@ -2262,7 +2406,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 map(lit("derived"), col("_hi"))))
               .otherwise(col("downsampled_until")))
           .drop("_lo", "_hi", "_elo", "_ehi")
-        overwriteSwap(updated, streamsPath)
+        swapRegistry(updated)
       } finally rdds.foreach(_.unpersist(blocking = false))
     }
   }

@@ -294,10 +294,16 @@ class DatastreamApiSpec extends SparkSpec {
   test("ensures leave O(1) registry files; 1000-stream batch ensure in one swap") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
-    def registryFiles(): Int =
-      Option(new java.io.File(s"$dir/streams").listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .count(_.getName.endsWith(".parquet"))
+    // registry = immutable generations under streams_versions/; with no
+    // manifest pinning older generations, exactly ONE live parquet file
+    // must exist across the whole tree after any number of ensures
+    def registryFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/streams_versions"))
+    }
     (0 until 8).foreach(i => ds.ensureStream(s"single$i"))
     assert(registryFiles() == 1) // swap write: never one tiny file per ensure
     // batch: 1000 streams + one derived-from-a-batch-sibling, ONE swap
@@ -370,30 +376,41 @@ class DatastreamApiSpec extends SparkSpec {
     assert(markers().exists(m => m.startsWith("000000100") && m.endsWith(".commit")))
   }
 
-  test("registry swap recovery: a crash between the two renames is repaired at startup") {
+  test("registry generations: crash orphans stay invisible and are reclaimed; legacy swap leftovers repaired") {
     val dir = Files.createTempDirectory("graft-ds").toString
     val ds = new Datastream(spark, dir)
     ds.ensureStream("s1"); ds.ensureStream("s2")
     assert(ds.streams.count() == 2)
-    // simulate the JVM dying after the live registry was moved aside but
-    // before the committed temp was promoted: no streams/ dir, a stale
-    // .bak, and the fully-written .swap (parquet _SUCCESS present)
-    val live = new java.io.File(s"$dir/streams")
-    assert(new java.io.File(s"$dir/streams.swap-100").mkdirs())
-    assert(new java.io.File(s"$dir/streams.swap-100/_stale").createNewFile())
-    assert(live.renameTo(new java.io.File(s"$dir/streams.swap-200")))
-    // recovery must pick the newest COMMITTED swap (200, which has
-    // _SUCCESS), not the uncommitted 100, and clear both leftovers
+    val sv = s"$dir/streams_versions"
+    def names() = Option(new java.io.File(sv).list()).map(_.toSeq).getOrElse(Seq.empty)
+    val cur = names().filter(_.startsWith("CURRENT.g"))
+      .map(_.stripPrefix("CURRENT.g").toLong).max
+    // crash shape: a swap died AFTER renaming its generation dir into
+    // place but BEFORE creating the CURRENT marker — the unpublished
+    // g<cur+1> orphan must be invisible to readers and reclaimed (not
+    // collided with) by the next swap
+    val orphan = new java.io.File(s"$sv/g${cur + 1}")
+    assert(orphan.mkdirs())
+    assert(new java.io.File(orphan, "_stale").createNewFile())
     val ds2 = new Datastream(spark, dir)
-    assert(ds2.streams.count() == 2)
-    assert(live.exists())
-    assert(!new java.io.File(s"$dir/streams.swap-100").exists())
-    assert(!new java.io.File(s"$dir/streams.swap-200").exists())
-    // second shape: only a .bak survives (crash with no committed temp)
-    assert(live.renameTo(new java.io.File(s"$dir/streams.bak-300")))
-    val ds3 = new Datastream(spark, dir)
-    assert(ds3.streams.count() == 2)
-    assert(live.exists() && !new java.io.File(s"$dir/streams.bak-300").exists())
+    assert(ds2.streams.count() == 2) // reader resolves markers, not dirs
+    ds2.ensureStream("s3")
+    assert(ds2.streams.count() == 3)
+    assert(!new java.io.File(orphan, "_stale").exists()) // orphan reclaimed
+    // legacy warehouse (pre-generation single `streams` dir): swap-crash
+    // leftovers are repaired at construction, and the first new-style
+    // swap migrates the registry into generations
+    val dir2 = Files.createTempDirectory("graft-ds").toString
+    ds2.streams.coalesce(1).write.parquet(s"$dir2/streams")
+    val live = new java.io.File(s"$dir2/streams")
+    assert(live.renameTo(new java.io.File(s"$dir2/streams.bak-300")))
+    val ds3 = new Datastream(spark, dir2)
+    assert(ds3.streams.count() == 3) // .bak restored at construction
+    assert(live.exists() && !new java.io.File(s"$dir2/streams.bak-300").exists())
+    ds3.ensureStream("s4")
+    assert(ds3.streams.count() == 4)
+    assert(!live.exists()) // migrated: legacy dir retired by the swap
+    assert(new java.io.File(dir2, "streams_versions").isDirectory)
   }
 
   test("deleteStreams purges out-of-band rows: null registry bounds disable the pruning window") {

@@ -300,6 +300,34 @@ class SnapshotSpec extends SparkSpec {
       .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
   }
 
+  test("registry time travel: as-of metadata pins tags, existence and getData validation") {
+    val (ds, _) = freshDs
+    ds.ensureStream("s", Map("team" -> "alpha"))
+    ds.ensureStream("gone", Map("who" -> "doom"))
+    ds.appendMultiple(dp(Seq(
+      ("s", "2024-01-01T00:00:00Z", 1.0),
+      ("gone", "2024-01-01T00:00:30Z", 7.0))).select("stream_id", "ts", "value"))
+    val v = ds.currentVersion.get
+    // metadata mutations after the capture: a tag rewrite and a delete
+    assert(ds.updateTags(Map("team" -> "alpha"), Map("team" -> "beta")) === 1L)
+    assert(ds.deleteStreams(Map("who" -> "doom")) === 1L)
+    // as-of registry: original tag value, deleted stream still present
+    assert(ds.findStreamsAt(Map("team" -> "alpha"), v).count() === 1L)
+    assert(ds.findStreamsAt(Map("team" -> "beta"), v).count() === 0L)
+    assert(ds.streamsAt(v).where(col("stream_id") === "gone").count() === 1L)
+    // current registry reflects both mutations
+    assert(ds.findStreams(Map("team" -> "beta")).count() === 1L)
+    assert(ds.streams.where(col("stream_id") === "gone").count() === 0L)
+    // getData(asOfVersion) resolves METADATA as-of too: the deleted
+    // stream is readable at the pin, gone from the live read path
+    assert(ds.getData("gone", Granularity.Seconds, asOfVersion = Some(v))
+      .count() === 1L)
+    intercept[errors.StreamNotFound] { ds.getData("gone", Granularity.Seconds) }
+    // generations referenced by a retained manifest survive later swaps
+    ds.ensureStream("later")
+    assert(ds.findStreamsAt(Map("team" -> "alpha"), v).count() === 1L)
+  }
+
   test("time travel: as-of reads pin the snapshot across append, delete and rollup maintenance") {
     val (ds, _) = freshDs
     ds.ensureStream("keep", Map("who" -> "keep"))
