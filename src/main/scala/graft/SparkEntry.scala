@@ -39,6 +39,7 @@ object SparkEntry {
     "q_getdata_paginated" -> Queries.getDataPaginated _,
     // §2.1 S4 + §2.3 J1 find_streams + broadcast semi-join (P2 flat+nested)
     "q_find_streams_semijoin" -> Queries.findStreamsSemijoin _,
+    "q_find_streams_scan" -> Queries.findStreamsScan _,
     "q_find_streams_nested" -> Queries.findStreamsNested _,
     "q_find_streams_ops" -> Queries.findStreamsOps _,
     "q_find_streams_or" -> Queries.findStreamsOr _,
@@ -114,6 +115,7 @@ object SparkEntry {
     // structural-precision/measured-recall gate
     "q_semdedup" -> Queries.semDedup _,
     "q_semdedup_recall" -> Queries.semDedupRecall _,
+    "q_semdedup_recall64" -> Queries.semDedupRecall64 _,
     // continuous-ingest SemDeDup: shard deduped against the persisted IVF
     // index at exhaustive probing (exact), survivors folded back in
     "q_semdedup_index" -> Queries.semDedupIndex _,
@@ -211,6 +213,7 @@ object SparkEntry {
     "q_getdata_reverse" -> Oracles.getDataReverse,
     "q_getdata_paginated" -> Oracles.getDataPaginated,
     "q_find_streams_semijoin" -> Oracles.findStreamsSemijoin,
+    "q_find_streams_scan" -> Oracles.findStreamsScan,
     "q_find_streams_nested" -> Oracles.findStreamsNested,
     "q_find_streams_ops" -> Oracles.findStreamsOps,
     "q_find_streams_or" -> Oracles.findStreamsOr,
@@ -292,6 +295,7 @@ object SparkEntry {
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
+    "q_semdedup_recall64" -> Oracles.semDedupRecall64,
     "q_semdedup_index" -> Oracles.semDedupIndex,
     "q_target_coverage" -> Oracles.targetCoverage,
     "q_ann_recall" -> Oracles.recallAllLabels,
@@ -541,6 +545,33 @@ object Queries {
       probe("tier_hot", Map("tier" -> "hot")),     // merged-in new key
       probe("type_view", Map("type" -> "view")))   // untouched tag survives
       .reduce(_.unionByName(_))
+  }
+
+  /** J1 wired into the STORAGE layer: four streams land in four separate
+    * commits (four files with disjoint manifest sid bounds), then a tag
+    * query (`grp=hot`) drives [[Datastream.datapointsForStreams]] — the
+    * matched stream-id SET prunes the snapshot's file list via the
+    * manifest sid/ts stats BEFORE Spark plans the scan (asserted directly
+    * by SnapshotSpec's plannedFiles test; here the oracle pins that the
+    * pruned read is still exact, bounds inclusive, per matched stream).
+    */
+  def findStreamsScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-tagscan")
+    val ds = new Datastream(spark, dir)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+    Seq((7, "click", "hot"), (3, "view", "hot"),
+        (5, "click", "cold"), (2, "view", "cold")).foreach { case (u, t, g) =>
+      ds.ensureStream(s"$u:$t", Map("grp" -> g, "type" -> t),
+        highestGranularity = Granularity.Minutes)
+      ds.appendMultiple(dp
+        .where(col("user_id") === u && col("event_type") === t)
+        .select("stream_id", "ts", "value"))
+    }
+    ds.datapointsForStreams(Map("grp" -> "hot"),
+        end = Some(ts("2024-01-15T00:00:00Z")))
+      .groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(38,10)")).cast("double").as("value_sum"))
   }
 
   /** O2 pagination: limit+offset over the ordered downsampled fetch. The
@@ -1652,6 +1683,14 @@ object Queries {
     * 0.34 on the same data — the multi-probe is load-bearing).
     * `n_dropped_exact` is pinned by the oracle, so the exact baseline
     * itself is also cross-checked.
+    *
+    * SF-DEPENDENCE (designed canary, same contract as `q_neardup_recall`'s
+    * 0.75): the 0.8 floor is a measured property of THESE embeddings at
+    * sf0.01 — a different scale factor or regenerated fixture shifts the
+    * measured recall and may need a re-derived floor, which is the point:
+    * a silent recall collapse should fail the gate, not pass it. The
+    * 64-cell arm (`q_semdedup_recall64`) re-measures the dial at a
+    * realistic cell count (0.981 sf0.01 / 0.919 sf0.1, floor 0.85).
     */
   def semDedupRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Sources.embeddings(spark, sfDir)
@@ -1671,6 +1710,39 @@ object Queries {
       coalesce(col("n_in") === col("n_dropped_clustered"), lit(true))
         .as("subset_ok"),
       coalesce(col("n_hit").cast("double") / col("n_dropped_exact") >= 0.8,
+        lit(true)).as("recall_ok"))
+  }
+
+  /** Clustered SemDeDup at a REALISTIC cell count: nCells = 64 — at this
+    * cell count Σ|cell|² actually bounds the pair work (the r9 16-cell
+    * arm is ~n²/16; 64 cells is ~n²/64 even on the sf0.01 fixture's 500
+    * vectors, ~8 per cell) — so the recall dial is measured where the
+    * scale path genuinely cuts work. nAssign = 6 compensates for the
+    * thin cells (multi-probe across more boundaries). Same gates as the
+    * 16-cell arm: precision pinned exactly (`subset_ok`), recall
+    * measured: 0.981 at sf0.01 (500 vecs), 0.919 at sf0.1 (2000 vecs) —
+    * the 0.85 floor carries margin at BOTH shipped scales but is still a
+    * fixture-dependent canary by design (regenerated embeddings at a new
+    * scale may need a re-measured floor; see `q_neardup_recall`).
+    */
+  def semDedupRecall64(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    val exact = ext.Similarity.semDedupDropped(emb, 0.4, nCells = 1)
+    val clustered = ext.Similarity.semDedupDropped(emb, 0.4,
+      nCells = 64, refineIters = 1, nAssign = 6)
+    val hits = exact
+      .join(clustered.withColumn("_hit", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_dropped_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+    val sub = clustered
+      .join(exact.withColumn("_in", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_dropped_clustered"),
+        sum(coalesce(col("_in"), lit(0L))).as("n_in"))
+    hits.crossJoin(sub).select(
+      col("n_dropped_exact"),
+      coalesce(col("n_in") === col("n_dropped_clustered"), lit(true))
+        .as("subset_ok"),
+      coalesce(col("n_hit").cast("double") / col("n_dropped_exact") >= 0.85,
         lit(true)).as("recall_ok"))
   }
 
@@ -2233,7 +2305,10 @@ object Queries {
     * encoder, dims pinned by doc_id), decoded back through
     * `javax.imageio` — the oracle states each asset's expected
     * width/height/channels in closed form, so a decoder that misreads a
-    * single image breaks the row set. No stub in this path.
+    * single image breaks the row set. Every 37th doc carries a CORRUPT
+    * (provably non-image) payload instead: the oracle pins, per asset,
+    * the `decode_ok` health flag AND the fallback geometry the corrupt
+    * arm must degrade to. No stub in this path.
     */
   def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.decode(
@@ -2243,7 +2318,8 @@ object Queries {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("channels").cast("long").as("channels"),
-        col("duration_ms"))
+        col("duration_ms"),
+        col("decode_ok"))
 
   /** X5 audio arm with a REAL codec: every document becomes a genuine WAV
     * (JDK `javax.sound.sampled` encoder, integer sawtooth keyed by doc_id),
@@ -2269,7 +2345,10 @@ object Queries {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
         sum("out_w").as("out_w_sum"), sum("out_h").as("out_h_sum"),
-        max("out_w").as("out_w_max"), max("out_h").as("out_h_max"))
+        max("out_w").as("out_w_max"), max("out_h").as("out_h_max"),
+        // text-bound assets all take the fallback arm: the health flag
+        // must report ZERO real decodes, pinned by the oracle
+        sum(col("decode_ok").cast("long")).as("n_decoded"))
   }
 
   /** X5: frame-sampling layout over video-like binary payloads. */
@@ -2493,6 +2572,19 @@ FROM part ORDER BY bucket_start"""
     * counts from events. `team_alpha` intentionally yields no row — both
     * streams must have lost or overridden that tag.
     */
+  /** Tag-scan twin: the hot streams' pre-cut rows, inclusive end bound —
+    * the pruned multi-stream read must reproduce plain SQL filters.
+    */
+  val findStreamsScan: String =
+    """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id,
+  count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events
+WHERE ((user_id = 7 AND event_type = 'click')
+    OR (user_id = 3 AND event_type = 'view'))
+  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1"""
+
   val tagCrud: String =
     """SELECT 'team_beta' AS probe, '7:click' AS stream_id, count(*) AS n_rows
 FROM events WHERE user_id = 7 AND event_type = 'click'
@@ -3255,6 +3347,26 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)"""
     * booleans (subset_ok is structural; recall_ok is the measured gate).
     */
   val semDedupRecall: String =
+    """WITH nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
+  WHERE list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (x.nrm * y.nrm) >= 0.4)
+SELECT CAST(count(*) AS BIGINT) AS n_dropped_exact,
+  true AS subset_ok, true AS recall_ok
+FROM dropped"""
+
+  /** 64-cell arm: same exact-baseline twin as [[semDedupRecall]] — the
+    * clustered side's gates are booleans pinned true.
+    */
+  val semDedupRecall64: String =
     """WITH nrm AS (
   SELECT vec_id, embedding,
     sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -4280,10 +4392,13 @@ FROM events GROUP BY 1, 2, 3"""
     */
   val multimodalDecode: String =
     """SELECT doc_id AS asset_id,
-  CAST(16 + doc_id % 64 AS BIGINT) AS width,
-  CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 37 = 0 THEN 16 + (32 + doc_id % 64) % 512
+       ELSE 16 + doc_id % 64 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 37 = 0 THEN 16 + ((32 + doc_id % 64) * 7) % 512
+       ELSE 16 + (doc_id * 7) % 64 END AS BIGINT) AS height,
   CAST(3 AS BIGINT) AS channels,
-  CAST(0 AS BIGINT) AS duration_ms
+  CAST(0 AS BIGINT) AS duration_ms,
+  doc_id % 37 <> 0 AS decode_ok
 FROM documents"""
 
   /** Audio-decode twin: replay the integer sawtooth each WAV encodes —
@@ -4326,7 +4441,8 @@ SELECT kind, count(*) AS n_assets,
   CAST(sum(out_w) AS BIGINT) AS out_w_sum,
   CAST(sum(out_h) AS BIGINT) AS out_h_sum,
   CAST(max(out_w) AS BIGINT) AS out_w_max,
-  CAST(max(out_h) AS BIGINT) AS out_h_max
+  CAST(max(out_h) AS BIGINT) AS out_h_max,
+  CAST(0 AS BIGINT) AS n_decoded
 FROM r GROUP BY 1"""
 
   /** frames(n) = least(greatest(1, n // 4096), ceil(n / 4096)) for n > 0 —

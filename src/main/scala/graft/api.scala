@@ -324,6 +324,15 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private[graft] val walkMeter = new java.util.concurrent.atomic.AtomicLong
 
+  /** Manifest-files-parsed meter: each `parseManifest` call reads ONE
+    * commit-log manifest from storage. Tests assert the delta-chain
+    * resolve cost per commit stays bounded by the full-checkpoint cadence
+    * (≤ 10-long chain to the last checkpoint + memoized ancestors), never
+    * O(total versions) — the storage cost that would otherwise grow
+    * without bound on a long-lived warehouse.
+    */
+  private[graft] val manifestParseMeter = new java.util.concurrent.atomic.AtomicLong
+
   /** Relative data-file listing under `table`/`prefix` (`""` = whole
     * table). The driver walk is the sandbox stand-in for a table format's
     * file metadata; at cluster scale the SAME contents come from
@@ -466,6 +475,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
   }
 
   private def parseManifestUncached(v: Long): ManifestFile = {
+    manifestParseMeter.incrementAndGet()
     val f = f"$commitLogPath/$v%09d.manifest"
     if (!io.exists(f))
       throw new IllegalStateException(
@@ -1492,43 +1502,61 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * path because it IS the same path with a pinned version.
     *
     * `skipRange` (epoch-µs, inclusive superset of the caller's exact time
-    * predicate) and `skipStream` (exact stream-id equality, the hot
-    * single-stream read path) enable FILE-LEVEL DATA SKIPPING: files
-    * whose manifest min/max stats provably miss the predicate are dropped
-    * from the plan before Spark ever sees them — pruning below partition
-    * granularity, exactly what a table format's per-file stats buy. Files
-    * without the relevant stat are never skipped, so this is always a
+    * predicate) and `skipStreams` (a SORTED stream-id set — the hot
+    * single-stream read path wraps its one id; the J1 find_streams →
+    * fact-scan path passes the whole matched set) enable FILE-LEVEL DATA
+    * SKIPPING: files whose manifest min/max stats provably miss the
+    * predicate are dropped from the plan before Spark ever sees them —
+    * pruning below partition granularity, exactly what a table format's
+    * per-file stats buy. A file survives the sid check iff ANY requested
+    * id falls inside its [sidMin, sidMax] bounds (binary search per file,
+    * so a snapshot with many files pays O(log |ids|) each). Files without
+    * the relevant stat are never skipped, so this is always a
     * correctness-neutral subset of the snapshot.
     */
   private def keepFile(snap: Snapshot, table: String, f: String,
                        skipRange: Option[(Long, Long)],
-                       skipStream: Option[String]): Boolean =
+                       skipStreams: Option[IndexedSeq[String]]): Boolean =
     snap.stats.get((table, f)) match {
       case None => true
       case Some(st) =>
         val tsOk = skipRange.forall { case (lo, hi) =>
           st.tsMax >= lo && st.tsMin <= hi
         }
-        val sidOk = skipStream.forall { sid =>
+        val sidOk = skipStreams.forall { sids =>
           (st.sidMin, st.sidMax) match {
-            case (Some(a), Some(b)) => sid >= a && sid <= b
+            case (Some(a), Some(b)) => anyIdInRange(sids, a, b)
             case _ => true
           }
         }
         tsOk && sidOk
     }
 
+  /** Does the SORTED `sorted` contain any element in `[lo, hi]`? Binary
+    * search for the first element ≥ lo, then one bound check.
+    */
+  private def anyIdInRange(sorted: IndexedSeq[String], lo: String,
+                           hi: String): Boolean = {
+    var a = 0
+    var b = sorted.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (sorted(m) < lo) a = m + 1 else b = m
+    }
+    a < sorted.length && sorted(a) <= hi
+  }
+
   private def tableReadFrom(snap: Option[Snapshot], table: String,
                             schema: org.apache.spark.sql.types.StructType,
                             skipRange: Option[(Long, Long)] = None,
-                            skipStream: Option[String] = None,
+                            skipStreams: Option[IndexedSeq[String]] = None,
                             pinned: Boolean = false): Option[DataFrame] =
     snap.flatMap(_.tableFiles(table)) match {
       case Some(files) if files.isEmpty => None
       case Some(files) =>
         val kept =
-          if (skipRange.isEmpty && skipStream.isEmpty) files
-          else files.filter(keepFile(snap.get, table, _, skipRange, skipStream))
+          if (skipRange.isEmpty && skipStreams.isEmpty) files
+          else files.filter(keepFile(snap.get, table, _, skipRange, skipStreams))
         if (kept.isEmpty) None
         else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
           .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
@@ -1554,12 +1582,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private[graft] def plannedFiles(table: String,
                                   start: Option[Timestamp],
                                   end: Option[Timestamp],
-                                  streamId: Option[String] = None): Set[String] =
+                                  streamIds: Option[Seq[String]] = None): Set[String] =
     rawSnapshot match {
       case None => Set.empty
       case Some(snap) =>
+        val sids = streamIds.map(_.sorted.toIndexedSeq)
         snap.tableFiles(table).getOrElse(Set.empty)
-          .filter(keepFile(snap, table, _, usSkipRange(start, end), streamId))
+          .filter(keepFile(snap, table, _, usSkipRange(start, end), sids))
     }
 
   /** Inclusive epoch-µs superset of a caller's time bounds, for file-level
@@ -1589,7 +1618,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp],
                                    asOfVersion: Option[Long] = None,
-                                   streamId: Option[String] = None): DataFrame = {
+                                   streamIds: Option[Seq[String]] = None): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
@@ -1602,11 +1631,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.rawDatapoints)
     val skip = usSkipRange(start, end)
+    val sids = streamIds.map(_.sorted.toIndexedSeq)
     val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned,
-        skip, streamId, pinned = asOfVersion.nonEmpty)
+        skip, sids, pinned = asOfVersion.nonEmpty)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
-    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, streamId,
+    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, sids,
         pinned = asOfVersion.nonEmpty) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
@@ -1974,7 +2004,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       // dp_date partition pruning first (inclusive-date superset), exact µs
       // predicate inside GetData.raw on top
       GetData.raw(
-        rawDatapointsInRange(start, end, asOfVersion, Some(streamId)),
+        rawDatapointsInRange(start, end, asOfVersion, Some(Seq(streamId))),
         streamId, start, end,
         startExclusive, endExclusive, reverse, limit, offset, vcols)
     } else {
@@ -1996,7 +2026,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
             asOfVersion.map(snapshotAt).orElse(rawSnapshot),
             s"rollup/granularity=${granularity.name}",
             Schemas.downsampledPartitioned,
-            usSkipRange(start, end), Some(streamId),
+            usSkipRange(start, end), Some(IndexedSeq(streamId)),
             pinned = asOfVersion.nonEmpty)
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2007,6 +2037,45 @@ class Datastream(spark: SparkSession, warehouse: String) {
           startExclusive, endExclusive, reverse, requested, timeDownsamplers),
         limit, offset)
     }
+  }
+
+  /** Streams matching `tagQuery` may never drive file skipping beyond this
+    * count: the matched-id set is driver-collected to filter the manifest
+    * file list, and a tag query matching a huge slice of the registry
+    * would (a) bloat the driver and (b) skip almost nothing anyway — a
+    * near-total selection overlaps nearly every file. Past the cap the
+    * read silently degrades to the plain snapshot scan + semi-join, which
+    * is always correct.
+    */
+  private val MaxSkipIds = 4096
+
+  /** J1 composed with the storage layer: the fact table restricted to the
+    * streams matching `tagQuery` (and the optional time range), with
+    * MANIFEST FILE SKIPPING driven by the matched stream-id SET — a file
+    * stays in the plan only if some matched id falls inside its
+    * [sidMin, sidMax] manifest bounds (and its ts bounds overlap the
+    * range). On a warehouse where streams land in distinct commits —
+    * ingest-per-source, the common shape — a 2-stream tag selection plans
+    * a strict subset of the snapshot's files before Spark sees the scan.
+    * Exactness is still enforced by the broadcast semi-join on top
+    * ([[StreamRegistry.selectDatapoints]]); the skip is a plan-size
+    * optimization, never a correctness dependency.
+    */
+  def datapointsForStreams(tagQuery: Map[String, String],
+                           start: Option[Timestamp] = None,
+                           end: Option[Timestamp] = None): DataFrame = {
+    val matched = StreamRegistry.findStreams(streams, tagQuery)
+      .select("stream_id")
+    val ids = matched.limit(MaxSkipIds + 1).collect().map(_.getString(0)).toSeq
+    val skip = if (ids.length > MaxSkipIds) None else Some(ids)
+    // dp_date partition pruning + file skipping inside the range read are
+    // DATE/µs supersets; the exact inclusive ts bounds apply on top
+    val exact = Seq(
+      start.map(s => col("ts") >= lit(s)),
+      end.map(e => col("ts") <= lit(e))).flatten
+    StreamRegistry.selectDatapoints(
+      exact.foldLeft(rawDatapointsInRange(start, end, None, skip))(_.where(_)),
+      matched)
   }
 
   /** Batch materialization of a derived stream's datapoints from its

@@ -30,7 +30,8 @@ object Multimodal {
 
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte], meta: String)
   case class Decoded(asset_id: Long, kind: String, width: Int, height: Int,
-                     channels: Int, n_bytes: Long, duration_ms: Long)
+                     channels: Int, n_bytes: Long, duration_ms: Long,
+                     decode_ok: Boolean)
 
   /** Bind the documents table as fake assets: payload = UTF-8 text bytes,
     * kind cycles deterministically, meta carries the source metadata as
@@ -67,21 +68,25 @@ object Multimodal {
     * geometry, which the resize oracle mirrors in exact integer
     * arithmetic. `duration_ms` is fallback-only either way: the JDK has
     * no media-container parser, so a real deployment swaps that one field
-    * for an FFI probe.
+    * for an FFI probe. `decode_ok` is the DECODE HEALTH flag: true only on
+    * the real-codec arm, so a 100 TB scan can filter (or quarantine)
+    * corrupt assets instead of silently mixing fallback geometry into
+    * downstream stats.
     */
   private def decodeOne(a: Asset): Decoded = {
     val n = if (a.payload == null) 0L else a.payload.length.toLong
     decodeImage(a.payload) match {
       case Some((w, h, c)) =>
         Decoded(a.asset_id, a.kind, width = w, height = h, channels = c,
-          n_bytes = n, duration_ms = 0L)
+          n_bytes = n, duration_ms = 0L, decode_ok = true)
       case None =>
         Decoded(a.asset_id, a.kind,
           width = (16 + n % 512).toInt,
           height = (16 + (n * 7) % 512).toInt,
           channels = 3,
           n_bytes = n,
-          duration_ms = if (a.kind == "image") 0L else n * 20L)
+          duration_ms = if (a.kind == "image") 0L else n * 20L,
+          decode_ok = false)
     }
   }
 
@@ -102,6 +107,13 @@ object Multimodal {
     * function of position — so the decode gate's oracle states each
     * asset's expected dimensions in closed form while the payload itself
     * is a genuine PNG byte stream produced by the JDK encoder.
+    *
+    * CORRUPT arm: every 37th doc instead carries a deterministic
+    * NON-image payload (length `32 + id % 64`, first byte 0x01 — no
+    * imageio plugin's signature starts with 0x01, so the decode provably
+    * fails) — the fixture for the `decode_ok` health flag: those assets
+    * must come back with `decode_ok = false` and the closed-form fallback
+    * geometry, both pinned by the decode gate's oracle.
     */
   def pngAssets(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
@@ -109,24 +121,33 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, lang) =>
-          val w = (16 + id % 64).toInt
-          val h = (16 + (id * 7) % 64).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xFFFFFF).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Asset(id, "image", bos.toByteArray, s"""{"lang":"$lang"}""")
+          if (id % 37 == 0) {
+            val len = (32 + id % 64).toInt
+            val bytes = Array.tabulate[Byte](len)(i =>
+              if (i == 0) 0x01.toByte else ((i * 13 + id) & 0xFF).toByte)
+            Asset(id, "image", bytes, s"""{"lang":"$lang"}""")
+          } else pngAsset(id, lang)
         }
       }
+  }
+
+  private def pngAsset(id: Long, lang: String): Asset = {
+    val w = (16 + id % 64).toInt
+    val h = (16 + (id * 7) % 64).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + id) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Asset(id, "image", bos.toByteArray, s"""{"lang":"$lang"}""")
   }
 
   /** PERCEPTUAL 64-bit average-hash of an image payload, the aHash every
@@ -431,7 +452,21 @@ object Multimodal {
     */
   def dupWavAssets(docs: DataFrame, nBases: Int = 40): Dataset[Asset] = {
     import docs.sparkSession.implicits._
+    // the "md5 dedup provably finds nothing" property above only holds
+    // below lcm(nBases, 13): two docs congruent mod the lcm would emit
+    // byte-identical WAVs. The fixture is therefore CLAMPED to its
+    // validity domain — ids past the bound are excluded up front (a
+    // deliberate, documented bound, not silent truncation: the fixture
+    // exists to pin the perceptual-vs-md5 contrast, which is vacuous once
+    // byte-identical twins appear). The sf0.01 correctness corpus (500
+    // docs) sits entirely below the default bound of 520.
+    val idBound = {
+      @annotation.tailrec def gcd(a: Long, b: Long): Long =
+        if (b == 0) a else gcd(b, a % b)
+      nBases.toLong * 13 / gcd(nBases.toLong, 13)
+    }
     docs.select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id < idBound)
       .mapPartitions { it =>
         it.map { id =>
           val base = id % nBases
@@ -502,7 +537,8 @@ object Multimodal {
       when(wide, lit(targetW.toLong))
         .otherwise(expr(s"(cast(width as bigint) * $targetH) div height")).as("out_w"),
       when(wide, expr(s"(cast(height as bigint) * $targetW) div width"))
-        .otherwise(lit(targetH.toLong)).as("out_h"))
+        .otherwise(lit(targetH.toLong)).as("out_h"),
+      col("decode_ok"))
   }
 
   /** STUB feature extraction: fixed-dim float vector from payload bytes

@@ -87,10 +87,13 @@ class ExtAndPaginationSpec extends SparkSpec {
       .map(d => d.asset_id -> d).toMap
     assert(out(0L).width == 20 && out(0L).n_bytes == 4L && out(0L).duration_ms == 0L)
     assert(out(1L).duration_ms == 20L && out(1L).channels == 3)
+    // the health flag marks both fallback decodes as NOT ok
+    assert(!out(0L).decode_ok && !out(1L).decode_ok)
   }
 
   test("multimodal decode: real PNGs round-trip through javax.imageio with true dims") {
-    val docs = Seq((5L, "ignored", "en"), (100L, "ignored", "fr"))
+    val docs = Seq((5L, "ignored", "en"), (100L, "ignored", "fr"),
+        (37L, "ignored", "de")) // 37 ⇒ the fixture's CORRUPT arm
       .toDF("doc_id", "text", "lang")
     val assets = ext.Multimodal.pngAssets(docs)
     // payloads are genuine PNG byte streams (magic bytes), not fakes
@@ -102,6 +105,11 @@ class ExtAndPaginationSpec extends SparkSpec {
     // dims = the generator's closed form, recovered by the REAL decoder
     assert(out(5L).width == 21 && out(5L).height == 51 && out(5L).channels == 3)
     assert(out(100L).width == 52 && out(100L).height == 76 && out(100L).channels == 3)
+    assert(out(5L).decode_ok && out(100L).decode_ok)
+    // the corrupt asset is flagged and takes the closed-form fallback:
+    // n = 32 + 37 % 64 = 69 ⇒ width 16 + 69 = 85, height 16 + 483 % 512 = 499
+    assert(!out(37L).decode_ok)
+    assert(out(37L).width == 85 && out(37L).height == 499)
     // a truncated PNG degrades to the fallback instead of throwing
     val broken = assets.collect().head.payload.take(10)
     assert(ext.Multimodal.decodeImage(broken).isEmpty)

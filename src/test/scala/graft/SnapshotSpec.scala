@@ -271,13 +271,39 @@ class SnapshotSpec extends SparkSpec {
     ds.appendMultiple(dp(Seq(("zzz", "2024-01-01T00:00:00Z", 2.0)))
       .select("stream_id", "ts", "value"))
     assert(ds.plannedFiles("raw", None, None).size === 2)
-    val one = ds.plannedFiles("raw", None, None, Some("aaa"))
+    val one = ds.plannedFiles("raw", None, None, Some(Seq("aaa")))
     assert(one.size === 1, s"sid skipping kept ${one.size} of 2 files: $one")
     // a stream id outside every file's bounds plans zero files
-    assert(ds.plannedFiles("raw", None, None, Some("mmm")).isEmpty)
+    assert(ds.plannedFiles("raw", None, None, Some(Seq("mmm"))).isEmpty)
     // and the single-stream read stays correct through the pruned plan
     assert(ds.getData("aaa", Granularity.Seconds).collect()
       .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+  }
+
+  test("multi-stream data skipping: a 2-stream tag selection plans strictly fewer files") {
+    val (ds, _) = freshDs
+    // five streams, five commits, same date AND second: only sid bounds
+    // can separate the five files — the exact J1 tag-scan shape
+    val sids = Seq("app:a", "app:b", "app:c", "app:d", "app:e")
+    sids.zipWithIndex.foreach { case (s, i) =>
+      ds.ensureStream(s, Map("name" -> s.stripPrefix("app:"),
+        "grp" -> (if (i < 2) "hot" else "cold")))
+      ds.appendMultiple(dp(Seq((s, "2024-01-01T00:00:00Z", i.toDouble)))
+        .select("stream_id", "ts", "value"))
+    }
+    val all = ds.plannedFiles("raw", None, None)
+    assert(all.size === 5)
+    // the stream-id SET plans exactly the two matching files
+    val two = ds.plannedFiles("raw", None, None, Some(Seq("app:a", "app:b")))
+    assert(two.size === 2, s"expected 2 of 5 files, planned: $two")
+    assert(two.subsetOf(all))
+    // sorted-bounds overlap, not equality: an id BETWEEN two files' bounds
+    // (each file here is single-stream, min = max) plans zero files
+    assert(ds.plannedFiles("raw", None, None, Some(Seq("app:ab"))).isEmpty)
+    // the public tag-scan read is exact through the pruned plan
+    val hot = ds.datapointsForStreams(Map("grp" -> "hot"))
+    assert(hot.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      === Seq(0.0, 1.0))
   }
 
   test("sid stats survive hostile ASCII stream ids (tabs, %, spaces) via URL encoding") {
@@ -294,8 +320,8 @@ class SnapshotSpec extends SparkSpec {
     // the manifest parsed back cleanly (a torn line would lose coverage)
     assert(ds.rawDatapoints.count() === 2)
     // sid bounds round-tripped: each single-stream read plans ONE file
-    assert(ds.plannedFiles("raw", None, None, Some(weird)).size === 1)
-    assert(ds.plannedFiles("raw", None, None, Some("plain")).size === 1)
+    assert(ds.plannedFiles("raw", None, None, Some(Seq(weird))).size === 1)
+    assert(ds.plannedFiles("raw", None, None, Some(Seq("plain"))).size === 1)
     assert(ds.getData(weird, Granularity.Seconds).collect()
       .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
   }

@@ -144,4 +144,39 @@ class StorageSoakSpec extends SparkSpec {
       onDisk === model.flatMap { case (s, pts) => pts.map(p => (s, p._1, p._2)) }.toSet
     assert(committed, "post-vacuum disk state diverges from the model")
   }
+
+  test("commit-path soak: delta-chain resolve cost stays bounded past checkpoint cadence ×10") {
+    // 110 commits = full-manifest cadence (10) × 11: deep enough that an
+    // O(total versions) resolve path would show as a growing meter. The
+    // assertion is on MANIFEST FILES PARSED (the storage reads a resolve
+    // costs), the driver-time proxy that is immune to ambient load.
+    val dir = Files.createTempDirectory("graft-soak-commits").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s0")
+    var us = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def next(): Timestamp = { us += 3600L * 1000000L; new Timestamp(us / 1000L) }
+    val perCommit = mutable.Buffer.empty[Long]
+    (1 to 110).foreach { i =>
+      val before = ds.manifestParseMeter.get()
+      ds.appendMultiple(Seq(("s0", next(), i.toDouble))
+        .toDF("stream_id", "ts", "value"))
+      perCommit += ds.manifestParseMeter.get() - before
+    }
+    // WARM path (long-lived writer): ancestors are memoized per immutable
+    // version, so each commit parses O(1) NEW manifests — flat at v20 and
+    // still flat at v110, far past the checkpoint cadence ×10
+    val steady = perCommit.drop(20)
+    assert(steady.max <= 12,
+      s"per-commit manifest parses grew past the cadence bound: " +
+        s"max=${steady.max}, trail=${perCommit.takeRight(10).mkString(",")}")
+    // COLD reader at v110 (fresh caches, same warehouse): resolution walks
+    // the delta chain only back to the last FULL checkpoint — ≤ cadence
+    // manifests, never the 110-long history
+    val cold = new Datastream(spark, dir)
+    val before = cold.manifestParseMeter.get()
+    assert(cold.rawDatapoints.count() === 110L)
+    val parses = cold.manifestParseMeter.get() - before
+    assert(parses <= 12,
+      s"cold resolve at v110 parsed $parses manifests (expected ≤ cadence+2)")
+  }
 }
