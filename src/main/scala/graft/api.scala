@@ -363,7 +363,36 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * forward without re-reading any footer.
     */
   private case class FileStats(tsMin: Long, tsMax: Long,
-                               sidMin: Option[String], sidMax: Option[String])
+                               sidMin: Option[String], sidMax: Option[String],
+                               sidBloom: Option[Seq[Long]] = None)
+
+  /** 256-bit / 4-probe bloom helpers over a file's EXACT stream-id set
+    * (read from the parquet dictionary pages, see [[footerStats]]). The
+    * bloom closes the gap sid BOUNDS leave on multi-stream files: a file
+    * holding streams {a, z} has bounds [a, z] that wrongly keep it for a
+    * query on m; the bloom's membership probes skip it. FNV-1a base hash
+    * with a mixed second hash (Kirsch–Mitzenmacher double hashing); at the
+    * 64-distinct-id cap the false-positive rate is ~0.16 and falls below
+    * 0.01 under 20 ids — a pruning HINT, absence (or a false positive)
+    * only costs reading a file the bounds already admitted.
+    */
+  private def sidBloomProbes(sid: String): Seq[Int] = {
+    var h = 0xcbf29ce484222325L
+    sid.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL); h *= 0x100000001b3L
+    }
+    val h2 = (h ^ (h >>> 29)) * 0xbf58476d1ce4e5b9L
+    (0 until 4).map(i => (((h + i * (h2 | 1L)) & Long.MaxValue) % 256).toInt)
+  }
+
+  private def sidBloomBits(sids: Iterable[String]): Seq[Long] = {
+    val bits = new Array[Long](4)
+    for (s <- sids; p <- sidBloomProbes(s)) bits(p >>> 6) |= 1L << (p & 63)
+    bits.toSeq
+  }
+
+  private def sidBloomMaybeContains(bits: Seq[Long], sid: String): Boolean =
+    sidBloomProbes(sid).forall(p => (bits(p >>> 6) & (1L << (p & 63))) != 0)
 
   private def footerStats(table: String, rel: String): Option[FileStats] = {
     val tsCol = if (table.startsWith("rollup/")) "bucket_start" else "ts"
@@ -406,8 +435,43 @@ class Datastream(spark: SparkSession, warehouse: String) {
               val f = sid.flatten
               Some((f.map(_._1).min, f.map(_._2).max))
             }
+          // EXACT per-file stream set from the parquet DICTIONARY pages:
+          // valid only when every data page of every row group is
+          // dictionary-encoded (EncodingStats pins this; a plain-encoding
+          // fallback on a high-cardinality chunk yields None). Capped at
+          // 64 distinct ids — past that the 256-bit bloom saturates.
+          val sidBloom =
+            if (sidBounds.isEmpty) None
+            else {
+              val perBlock = blocks.map { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == "stream_id")
+                  .flatMap { c =>
+                    val es = c.getEncodingStats
+                    if (es == null || es.hasNonDictionaryEncodedPages) None
+                    else Option(r.getDictionaryReader(b)
+                        : org.apache.parquet.column.page.DictionaryPageReadStore)
+                      .flatMap { store =>
+                      val cd = r.getFooter.getFileMetaData.getSchema
+                        .getColumnDescription(c.getPath.toArray)
+                      Option(store.readDictionaryPage(cd)).flatMap { dp =>
+                        scala.util.Try {
+                          val dict = dp.getEncoding.initDictionary(cd, dp)
+                          (0 to dict.getMaxId)
+                            .map(i => dict.decodeToBinary(i).toStringUsingUTF8)
+                            .toSet
+                        }.toOption
+                      }
+                    }
+                  }
+              }
+              if (perBlock.isEmpty || perBlock.exists(_.isEmpty)) None
+              else {
+                val all = perBlock.flatMap(_.get).toSet
+                if (all.size > 64) None else Some(sidBloomBits(all))
+              }
+            }
           Some(FileStats(flat.map(_._1).min, flat.map(_._2).max,
-            sidBounds.map(_._1), sidBounds.map(_._2)))
+            sidBounds.map(_._1), sidBounds.map(_._2), sidBloom))
         }
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -438,10 +502,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
   /** Manifest format, one file per committed version:
     *
     *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
-    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>]]`
+    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>[\t<bloomHex>]]]`
     *                           file added this version (stream-id bounds
     *                           URL-encoded; present only when the footer
-    *                           had ASCII-safe stream_id stats)
+    *                           had ASCII-safe stream_id stats; bloomHex =
+    *                           the file's 256-bit stream-id bloom as 64
+    *                           hex chars, present when every page was
+    *                           dictionary-encoded with ≤ 64 distinct ids)
     *   `-<table>\t<relpath>`   file removed (retired) this version
     *
     * A DELTA manifest records only this commit's changes plus a pointer to
@@ -510,6 +577,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
                   yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)))))
+            case Array(t, f, mn, mx, smn, smx, bl) =>
+              val bloom =
+                if (bl.length == 64 && bl.forall(c => c.isDigit ||
+                    (c >= 'a' && c <= 'f')))
+                  scala.util.Try(bl.grouped(16)
+                    .map(java.lang.Long.parseUnsignedLong(_, 16)).toSeq).toOption
+                else None
+              adds += ((t, f,
+                for (a <- mn.toLongOption; b <- mx.toLongOption)
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom)))
             case _ => ()
           }
           case ("-", rest) => rest.split('\t') match {
@@ -807,6 +884,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
             case (Some(a), Some(b)) =>
               def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
               body0.append('\t').append(enc(a)).append('\t').append(enc(b))
+              // optional 7th field: the 256-bit stream-id bloom as 64 hex
+              // chars (positional, so it requires the bounds fields)
+              st.sidBloom.foreach { bl =>
+                body0.append('\t').append(bl.map(l => f"$l%016x").mkString)
+              }
             case _ => ()
           }
         }
@@ -1524,10 +1606,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
           st.tsMax >= lo && st.tsMin <= hi
         }
         val sidOk = skipStreams.forall { sids =>
-          (st.sidMin, st.sidMax) match {
+          val boundsOk = (st.sidMin, st.sidMax) match {
             case (Some(a), Some(b)) => anyIdInRange(sids, a, b)
             case _ => true
           }
+          // the bloom catches what bounds cannot: a multi-stream file
+          // whose [min, max] admits ids it does not actually contain
+          boundsOk && (st.sidBloom match {
+            case Some(bits) => sids.exists(sidBloomMaybeContains(bits, _))
+            case None => true
+          })
         }
         tsOk && sidOk
     }
@@ -2063,8 +2151,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   def datapointsForStreams(tagQuery: Map[String, String],
                            start: Option[Timestamp] = None,
-                           end: Option[Timestamp] = None): DataFrame = {
-    val matched = StreamRegistry.findStreams(streams, tagQuery)
+                           end: Option[Timestamp] = None,
+                           asOfVersion: Option[Long] = None): DataFrame = {
+    // pinned reads resolve the TAG QUERY against the registry generation
+    // recorded in that snapshot's manifest ([[streamsAt]]) — metadata and
+    // data travel together, as in getData's pinned path
+    val registry = asOfVersion.map(streamsAt).getOrElse(streams)
+    val matched = StreamRegistry.findStreams(registry, tagQuery)
       .select("stream_id")
     val ids = matched.limit(MaxSkipIds + 1).collect().map(_.getString(0)).toSeq
     val skip = if (ids.length > MaxSkipIds) None else Some(ids)
@@ -2074,7 +2167,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
       start.map(s => col("ts") >= lit(s)),
       end.map(e => col("ts") <= lit(e))).flatten
     StreamRegistry.selectDatapoints(
-      exact.foldLeft(rawDatapointsInRange(start, end, None, skip))(_.where(_)),
+      exact.foldLeft(
+        rawDatapointsInRange(start, end, asOfVersion, skip))(_.where(_)),
       matched)
   }
 

@@ -306,6 +306,34 @@ class SnapshotSpec extends SparkSpec {
       === Seq(0.0, 1.0))
   }
 
+  test("sid bloom skips a multi-stream file whose [min,max] bounds admit the queried id") {
+    val (ds, _) = freshDs
+    ds.ensureStream("aaa")
+    ds.ensureStream("zzz")
+    // ONE commit, ONE file, both streams ⇒ the file's sid bounds are
+    // [aaa, zzz] — bounds alone CANNOT skip a query for mmm; only the
+    // dictionary-page bloom knows mmm is absent. Several rows per stream:
+    // parquet keeps a dictionary only when it compresses (an all-unique
+    // column falls back to PLAIN and such files simply carry no bloom)
+    ds.appendMultiple(dp(Seq(
+      ("aaa", "2024-01-01T00:00:00Z", 1.0),
+      ("aaa", "2024-01-01T00:00:01Z", 2.0),
+      ("aaa", "2024-01-01T00:00:02Z", 3.0),
+      ("zzz", "2024-01-01T00:00:00Z", 4.0),
+      ("zzz", "2024-01-01T00:00:01Z", 5.0),
+      ("zzz", "2024-01-01T00:00:02Z", 6.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    val all = ds.plannedFiles("raw", None, None)
+    // precondition: ONE file holding BOTH streams (else bounds would skip)
+    assert(all.size === 1)
+    assert(ds.plannedFiles("raw", None, None, Some(Seq("mmm"))).isEmpty,
+      "bloom failed to skip an id inside the bounds but absent from the file")
+    // both resident streams still plan their file and read correctly
+    assert(ds.plannedFiles("raw", None, None, Some(Seq("aaa"))) === all)
+    assert(ds.getData("zzz", Granularity.Seconds).collect()
+      .map(_.getAs[Double]("value")).toSeq === Seq(4.0, 5.0, 6.0))
+  }
+
   test("sid stats survive hostile ASCII stream ids (tabs, %, spaces) via URL encoding") {
     val (ds, _) = freshDs
     // ASCII control/format characters that would corrupt a naive TSV
@@ -324,6 +352,29 @@ class SnapshotSpec extends SparkSpec {
     assert(ds.plannedFiles("raw", None, None, Some(Seq("plain"))).size === 1)
     assert(ds.getData(weird, Granularity.Seconds).collect()
       .map(_.getAs[Double]("value")).toSeq === Seq(1.0))
+  }
+
+  test("pinned legacy-era snapshot refuses uncovered tables instead of serving live files") {
+    val (ds, dir) = freshDs
+    // fabricate a PRE-COVERAGE legacy commit: a headerless manifest covers
+    // only `raw` (empty file list ⇒ zero rows), exactly the shape an
+    // upgraded warehouse's oldest retained versions have
+    val clog = java.nio.file.Paths.get(dir, "commitlog")
+    java.nio.file.Files.createDirectories(clog)
+    java.nio.file.Files.writeString(clog.resolve("000000001.manifest"), "")
+    java.nio.file.Files.writeString(clog.resolve("000000001.commit"),
+      """{"op":"legacy"}""")
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-01T00:10:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    // current reads are healthy: post-legacy commits cover the rollups
+    assert(ds.rollup(Granularity.Hours).count() === 1L)
+    // the pinned v1 read cannot know what the rollup held at that commit —
+    // it must fail AT PLANNING, never fall through to the live directory
+    val e = intercept[IllegalStateException](
+      ds.rollupAt(Granularity.Hours, 1L))
+    assert(e.getMessage.contains("does not cover"))
   }
 
   test("registry time travel: as-of metadata pins tags, existence and getData validation") {
@@ -352,6 +403,12 @@ class SnapshotSpec extends SparkSpec {
     // generations referenced by a retained manifest survive later swaps
     ds.ensureStream("later")
     assert(ds.findStreamsAt(Map("team" -> "alpha"), v).count() === 1L)
+    // the TAG-SCAN read composes both pins: the as-of registry resolves
+    // the query (doomed stream still matches) and the as-of snapshot
+    // serves its data; the live read matches nothing
+    assert(ds.datapointsForStreams(Map("who" -> "doom"), asOfVersion = Some(v))
+      .select("value").collect().map(_.getDouble(0)).toSeq === Seq(7.0))
+    assert(ds.datapointsForStreams(Map("who" -> "doom")).count() === 0L)
   }
 
   test("time travel: as-of reads pin the snapshot across append, delete and rollup maintenance") {
