@@ -191,6 +191,7 @@ object SparkEntry {
     "q_token_drift" -> Queries.tokenDrift _,
     "q_image_dup" -> Queries.imageDup _,
     "q_audio_dup" -> Queries.audioDup _,
+    "q_lm_score" -> Queries.lmScore _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -199,6 +200,8 @@ object SparkEntry {
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
     "q_audio_decode" -> Queries.audioDecode _,
+    "q_video_decode" -> Queries.videoDecode _,
+    "q_video_dup" -> Queries.videoDup _,
     "q_multimodal_resize" -> Queries.multimodalResize _,
     "q_frame_sample" -> Queries.frameSample _
   )
@@ -334,6 +337,9 @@ object SparkEntry {
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
     "q_audio_decode" -> Oracles.audioDecode,
+    "q_video_decode" -> Oracles.videoDecode,
+    "q_video_dup" -> Oracles.videoDup,
+    "q_lm_score" -> Oracles.lmScore,
     "q_multimodal_resize" -> Oracles.multimodalResize,
     "q_frame_sample" -> Oracles.frameSample
   )
@@ -2181,6 +2187,19 @@ object Queries {
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
 
+  /** X4 CCNet-slot LM quality scoring: an add-one-smoothed bigram model
+    * learned from the `en` slice (the curated reference), every document
+    * scored by its position-ordered inverse-probability fold. The oracle
+    * re-learns the counts AND replays every doc's fold in SQL
+    * (`list_reduce` over `list(… ORDER BY i)`) — a drifted count, a
+    * reordered sum, or a wrong smoothing constant all break the hash.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val model = ext.Text.learnBigramLm(docs.where(col("lang") === "en"))
+    ext.Text.lmSurprise(docs, model)
+  }
+
   /** X4 Gopher repetition filters: bigram dup fraction and most-frequent-
     * bigram share per doc — the mode-based signals `quality`'s row-local
     * ratio cannot express.
@@ -2332,6 +2351,31 @@ object Queries {
   def audioDecode(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.decodeAudio(
       ext.Multimodal.wavAssets(Sources.documents(spark, sfDir)))
+
+  /** X5 video arm with a REAL codec — the last modality stub is gone:
+    * every document becomes a genuine MJPEG AVI (RIFF container written
+    * per the public AVI spec, each frame a real JDK-encoded JPEG), parsed
+    * back through the RIFF walker + per-frame `javax.imageio` decode. The
+    * oracle restates every column in closed form — geometry, actual
+    * decoded frame count, exact-integer duration, and `frame_bits` (the
+    * decoded bright/dark luminance pattern, which only survives a decode
+    * that really rasterizes every JPEG) — and every 41st doc carries a
+    * corrupt non-RIFF payload pinning the `decode_ok` health flag.
+    */
+  def videoDecode(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.decodeVideo(
+      ext.Multimodal.aviAssets(Sources.documents(spark, sfDir)))
+
+  /** X5+ perceptual VIDEO dedup over real decoded frames: AVIs sharing a
+    * base bright/dark frame pattern per `doc_id % 40` but carrying per-doc
+    * fingerprint-invariant brightness grades (13 pairwise-distinct within
+    * the clamped id domain), so md5 dedup provably finds nothing and the
+    * temporal fingerprint must rediscover the closed-form pair set exactly
+    * — completing the image/audio/video perceptual-dedup triad.
+    */
+  def videoDup(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.videoDupCandidates(
+      ext.Multimodal.dupAviAssets(Sources.documents(spark, sfDir)))
 
   /** X5: aspect-preserving resize geometry over the decoded assets,
     * aggregated per kind — integer math end to end, mirrored by the oracle.
@@ -4420,6 +4464,76 @@ SELECT doc_id AS asset_id, CAST(8000 AS BIGINT) AS sample_rate,
   CAST(max(abs(s)) AS BIGINT) AS peak,
   CAST(sum(s * s) AS BIGINT) AS energy
 FROM samples GROUP BY doc_id, n"""
+
+  /** Video-decode twin: every output column restated in closed-form
+    * arithmetic — geometry and frame count from the fixture formulas,
+    * duration as `n · period_ms` (period is a whole-ms multiple so the
+    * µs→ms division is exact), and `frame_bits` rebuilt bit-by-bit from
+    * the bright-iff-`(id+k) % 3 ≠ 0` rule the frames encode; the corrupt
+    * arm (`doc_id % 41 = 0`) must degrade to zeros + `decode_ok = false`.
+    */
+  val videoDecode: String =
+    """WITH p AS (
+  SELECT doc_id, 8 + doc_id % 24 AS n, 20 + 5 * (doc_id % 10) AS period_ms
+  FROM documents)
+SELECT doc_id AS asset_id,
+  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE 16 + doc_id % 48 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE 16 + (doc_id * 5) % 48 END AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE n END AS BIGINT) AS n_frames,
+  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE n * period_ms END AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE
+    list_sum(list_transform(range(0, CAST(n AS INT)), k ->
+      CASE WHEN (doc_id + k) % 3 <> 0 THEN CAST(1 AS BIGINT) << k
+           ELSE CAST(0 AS BIGINT) END))
+    END AS BIGINT) AS frame_bits,
+  doc_id % 41 <> 0 AS decode_ok
+FROM p"""
+
+  /** LM-surprise twin: re-learn the unigram/bigram counts and vocabulary
+    * size from the `en` slice, then replay every document's fold — each
+    * pair's inverse probability is an exact integer-to-double division,
+    * summed in POSITION order via `list_reduce` over an ordered list
+    * aggregate, exactly the Spark loop's sequence of IEEE adds.
+    */
+  val lmScore: String =
+    """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tw) GROUP BY 1),
+v AS (SELECT count(*) AS vs FROM uni),
+bi AS (
+  SELECT p[1] AS a, p[2] AS b, count(*) AS c FROM (
+    SELECT unnest([[w[i], w[i + 1]] for i in range(1, len(w))]) AS p FROM tw)
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_id,
+    unnest([{'i': i, 'a': w[i], 'b': w[i + 1]} for i in range(1, len(w))]) AS pr
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+scored AS (
+  SELECT p.doc_id, p.pr.i AS i,
+    CAST(coalesce(u.c, 0) + v.vs AS DOUBLE)
+      / CAST(coalesce(b.c, 0) + 1 AS DOUBLE) AS invp,
+    CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p CROSS JOIN v
+  LEFT JOIN uni u ON u.t = p.pr.a
+  LEFT JOIN bi b ON b.a = p.pr.a AND b.b = p.pr.b),
+folded AS (
+  SELECT doc_id, count(*) AS n_pairs,
+    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(invp ORDER BY i)),
+      (acc, x) -> acc + x) AS s
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(coalesce(f.n_unseen, 0) AS BIGINT) AS n_unseen,
+  CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END AS surprise
+FROM documents d LEFT JOIN folded f USING (doc_id)"""
+
+  /** Video-dup twin: the same closed-form same-base pair set as the image
+    * and audio fixtures — identical fingerprints, hamming exactly 0.
+    */
+  val videoDup: String =
+    """SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+FROM documents x JOIN documents y
+  ON x.doc_id % 40 = y.doc_id % 40 AND x.doc_id < y.doc_id"""
 
   /** Resize twin: the text-bound assets take decode's deterministic
     * FALLBACK dims (16 + n%512, 16 + 7n%512 — imageio cannot parse text

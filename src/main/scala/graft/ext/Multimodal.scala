@@ -519,6 +519,330 @@ object Multimodal {
     }.toDF("asset_id", "sample_rate", "n_samples", "duration_ms", "peak", "energy")
   }
 
+  // ---------------------------------------------------------------------
+  // VIDEO — real MJPEG-in-AVI codec (container + frames both genuinely
+  // parsed, no stub left in any modality)
+  // ---------------------------------------------------------------------
+
+  /** Little-endian RIFF chunk writer used by the AVI fixture. The AVI/RIFF
+    * layout is the public Microsoft "AVI RIFF File Reference" structure:
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    * 00dc…))` — every u32 little-endian, every chunk padded to even length.
+    */
+  private final class RiffOut {
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def u32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fourcc(id); u32(body.length.toLong); out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0) // RIFF chunks are word-aligned
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Encode one uniform-gray JPEG frame through the JDK encoder. Uniform
+    * frames are the fixture's point: a constant block's DCT is DC-only, so
+    * JPEG quantization moves the decoded level by at most a couple of
+    * counts — a ≥128 luminance threshold with levels ≤62 / ≥180 is
+    * decode-exact however the decoder rounds.
+    */
+  private def jpegFrame(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (level << 16) | (level << 8) | level
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Build a complete MJPEG AVI from pre-encoded JPEG frames: `avih` holds
+    * the frame period (µs), count, and geometry; one `vids`/`MJPG` stream
+    * (`strh` rate/scale = 1e6/periodUs fps, `strf` a BITMAPINFOHEADER with
+    * biCompression 'MJPG'); every frame an `00dc` chunk in the `movi`
+    * list. No idx1 — readers that stream `movi` (ours, ffmpeg) don't need
+    * the seek index.
+    */
+  private[graft] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                              periodUs: Int): Array[Byte] = {
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val strh = new RiffOut
+    strh.fourcc("vids"); strh.fourcc("MJPG"); strh.u32(0) // flags
+    strh.u16(0); strh.u16(0)                              // priority, language
+    strh.u32(0)                                           // initial frames
+    strh.u32(periodUs.toLong)                             // dwScale
+    strh.u32(1000000L)                                    // dwRate (rate/scale = fps)
+    strh.u32(0); strh.u32(frames.length.toLong)           // start, length
+    strh.u32(maxFrame.toLong); strh.u32(0xFFFFFFFFL)      // sugg. buffer, quality
+    strh.u32(0)                                           // sample size
+    strh.u16(0); strh.u16(0); strh.u16(w); strh.u16(h)    // rcFrame
+    val strf = new RiffOut
+    strf.u32(40L); strf.u32(w.toLong); strf.u32(h.toLong) // biSize, w, h
+    strf.u16(1); strf.u16(24)                             // planes, bit count
+    strf.fourcc("MJPG"); strf.u32(w.toLong * h * 3)       // compression, image size
+    strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0)
+    val strl = new RiffOut
+    strl.fourcc("strl")
+    strl.chunk("strh", strh.bytes); strl.chunk("strf", strf.bytes)
+    val avih = new RiffOut
+    avih.u32(periodUs.toLong)                             // dwMicroSecPerFrame
+    avih.u32(0); avih.u32(0); avih.u32(0)                 // bytes/sec, padding, flags
+    avih.u32(frames.length.toLong)                        // dwTotalFrames
+    avih.u32(0); avih.u32(1)                              // initial frames, streams
+    avih.u32(maxFrame.toLong)                             // suggested buffer
+    avih.u32(w.toLong); avih.u32(h.toLong)                // width, height
+    avih.u32(0); avih.u32(0); avih.u32(0); avih.u32(0)    // reserved
+    val hdrl = new RiffOut
+    hdrl.fourcc("hdrl")
+    hdrl.chunk("avih", avih.bytes); hdrl.chunk("LIST", strl.bytes)
+    val movi = new RiffOut
+    movi.fourcc("movi")
+    frames.foreach(f => movi.chunk("00dc", f))
+    val riffBody = new RiffOut
+    riffBody.fourcc("AVI ")
+    riffBody.chunk("LIST", hdrl.bytes); riffBody.chunk("LIST", movi.bytes)
+    val riff = new RiffOut
+    riff.chunk("RIFF", riffBody.bytes)
+    riff.bytes
+  }
+
+  /** REAL video decode: parse the RIFF/AVI container (walk top-level LISTs,
+    * read `avih` for the frame period, iterate the `movi` list's `00dc`/
+    * `00db` chunks) and decode EVERY frame through `javax.imageio` —
+    * returns `(width, height, n_frames, duration_ms, frame_bits)` where
+    * width/height come from the decoded rasters (all frames must agree),
+    * `n_frames` counts actually-decoded frames (not the header claim),
+    * `duration_ms = n_frames · periodUs / 1000` exact-integer, and
+    * `frame_bits` sets bit k iff frame k's integer mean luminance
+    * (Σ(r+g+b) / 3n, floor) is ≥ 128 — the decoded bright/dark pattern,
+    * capped at 64 frames. Any failure (null, not RIFF/AVI, torn chunk,
+    * undecodable frame, inconsistent dims) maps to None: corrupt assets
+    * degrade, they never kill the scan. This closes the last declared
+    * modality stub — image (`javax.imageio`), audio (`javax.sound`), and
+    * video (this parser + per-frame imageio) are all real codecs now.
+    */
+  private[graft] def decodeAvi(payload: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long)] =
+    if (payload == null || payload.length < 24) None
+    else scala.util.Try {
+      def u32(off: Int): Long =
+        (payload(off) & 0xFFL) | ((payload(off + 1) & 0xFFL) << 8) |
+          ((payload(off + 2) & 0xFFL) << 16) | ((payload(off + 3) & 0xFFL) << 24)
+      def fourcc(off: Int): String =
+        new String(payload, off, 4, "US-ASCII")
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+      else {
+        val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+        var periodUs = -1L
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var ok = true
+        // walk chunks in [from, until); LIST subtype selects recursion
+        def walk(from: Int, until: Int): Unit = {
+          var p = from
+          while (ok && p + 8 <= until) {
+            val id = fourcc(p)
+            val sz = u32(p + 4)
+            val body = p + 8
+            val end = body + sz.toInt
+            if (sz < 0 || end > until) { ok = false }
+            else {
+              if (id == "LIST" && sz >= 4) {
+                val sub = fourcc(body)
+                if (sub == "hdrl" || sub == "movi" || sub == "strl")
+                  walk(body + 4, end)
+              } else if (id == "avih" && sz >= 40) {
+                periodUs = u32(body)
+              } else if (id.endsWith("dc") || id.endsWith("db")) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, body, sz.toInt))
+                if (img == null) ok = false
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  var sum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = img.getRGB(x, y)
+                      sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  frames += ((w, h, (sum / (3L * w * h)).toInt))
+                }
+              }
+              p = end + (sz.toInt & 1) // skip pad byte
+            }
+          }
+        }
+        walk(12, riffEnd)
+        if (!ok || periodUs <= 0 || frames.isEmpty ||
+          frames.exists(f => f._1 != frames.head._1 || f._2 != frames.head._2))
+          None
+        else {
+          var bits = 0L
+          var k = 0
+          val n = math.min(frames.length, 64)
+          while (k < n) {
+            if (frames(k)._3 >= 128) bits |= (1L << k)
+            k += 1
+          }
+          Some((frames.head._1, frames.head._2, frames.length,
+            frames.length.toLong * periodUs / 1000L, bits))
+        }
+      }
+    }.toOption.flatten
+
+  /** Deterministic real-AVI fixture: one MJPEG AVI per document — geometry
+    * `w = 16 + id%48`, `h = 16 + 5·id%48`, `n = 8 + id%24` frames at
+    * period `20000 + 5000·(id%10)` µs, frame k uniform BRIGHT (200) iff
+    * `(id + k) % 3 ≠ 0` else DARK (50) — so the decode gate's oracle can
+    * restate every output column, including the decoded `frame_bits`
+    * pattern, in closed-form SQL arithmetic while the payload itself is a
+    * genuine RIFF container full of genuine JPEGs.
+    *
+    * CORRUPT arm: every 41st doc carries deterministic non-RIFF bytes
+    * (first byte 0x00 — no RIFF magic), pinning the `decode_ok` health
+    * flag exactly as the image fixture's 0x01 arm does.
+    */
+  def aviAssets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, lang) =>
+          if (id % 41 == 0) {
+            val len = (48 + id % 64).toInt
+            val bytes = Array.tabulate[Byte](len)(i =>
+              if (i == 0) 0x00.toByte else ((i * 29 + id) & 0xFF).toByte)
+            Asset(id, "video", bytes, s"""{"lang":"$lang"}""")
+          } else {
+            val w = (16 + id % 48).toInt
+            val h = (16 + (id * 5) % 48).toInt
+            val n = (8 + id % 24).toInt
+            val periodUs = (20000 + (id % 10) * 5000).toInt
+            val frames = (0 until n).map { k =>
+              jpegFrame(w, h, if ((id + k) % 3 != 0) 200 else 50)
+            }
+            Asset(id, "video", aviBytes(frames, w, h, periodUs),
+              s"""{"lang":"$lang","codec":"mjpeg"}""")
+          }
+        }
+      }
+  }
+
+  /** Partition-batched video decode with the health flag: one row per
+    * asset; undecodable payloads degrade to zeros + `decode_ok = false`
+    * (filterable, never fatal). Narrow map, no shuffle — scan → decode →
+    * project, payloads column-pruned away for metadata-only readers.
+    */
+  def decodeVideo(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        decodeAvi(a.payload) match {
+          case Some((w, h, n, d, bits)) =>
+            (a.asset_id, w.toLong, h.toLong, n.toLong, d, bits, true)
+          case None => (a.asset_id, 0L, 0L, 0L, 0L, 0L, false)
+        }
+      }
+    }.toDF("asset_id", "width", "height", "n_frames", "duration_ms",
+      "frame_bits", "decode_ok")
+  }
+
+  /** PERCEPTUAL 64-bit video fingerprint: the decoded bright/dark frame
+    * pattern over the first 64 frames (bit k = frame k's mean luminance
+    * ≥ 128) — the temporal cousin of the image aHash and audio
+    * energy-envelope prints. Threshold decisions are invariant to any
+    * brightness grade that keeps every frame on its side of 128 (JPEG
+    * moves a uniform frame's decoded level by at most a couple of counts,
+    * so levels ≤62 / ≥180 have ~66 counts of margin). Payloads with fewer
+    * than 64 decodable frames return None — too short to fingerprint.
+    */
+  private[graft] def videoFingerprint(payload: Array[Byte]): Option[Long] =
+    decodeAvi(payload).collect { case (_, _, n, _, bits) if n >= 64 => bits }
+
+  /** Perceptual video near-dup candidates: fingerprint per asset (narrow
+    * map with per-partition codec init), 4×16-bit banding, exact hamming
+    * verification — identical bucket discipline to [[imageDupCandidates]]
+    * and [[audioDupCandidates]]; one fingerprint family per modality,
+    * never all-pairs.
+    */
+  def videoDupCandidates(assets: Dataset[Asset],
+                         maxHamming: Int = 0): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(a => videoFingerprint(a.payload).map(sig => (a.asset_id, sig)))
+    }.toDF("asset_id", "sig")
+    val banded = hashed.select(col("asset_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits",
+        expr("shiftrightunsigned(sig, band * 16) & 65535"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("a"), col("y.asset_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Dup-structured real-AVI fixture (the video member of the
+    * [[dupPngAssets]] / [[dupWavAssets]] family): each doc renders its
+    * base pattern (`doc_id % nBases`) as 64 uniform frames whose
+    * bright/dark sequence follows the bits of a splitmix64 signature of
+    * the base (bit 0 forced set, bit 63 forced clear so no pattern is
+    * degenerate), 16×16 px, then applies a per-doc fingerprint-INVARIANT
+    * brightness grade t = doc_id % 13: bright = 180 + t, dark = 40 + 2t
+    * (every graded level stays ≥180 / ≤64 — the threshold at 128 cannot
+    * flip under JPEG's ±2 on uniform frames). Same base ⇒ identical
+    * fingerprint; different docs ⇒ different JPEG bytes, so md5 dedup
+    * provably finds nothing within the `lcm(nBases, 13)` id domain the
+    * fixture clamps to (same bound discipline as the WAV twin) — the
+    * oracle is the closed-form same-base pair set at hamming 0.
+    */
+  def dupAviAssets(docs: DataFrame, nBases: Int = 40): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    val idBound = {
+      @annotation.tailrec def gcd(a: Long, b: Long): Long =
+        if (b == 0) a else gcd(b, a % b)
+      nBases.toLong * 13 / gcd(nBases.toLong, 13)
+    }
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .filter((id: Long) => id < idBound)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val base = id % nBases
+          var z = base + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          val sig = ((z ^ (z >>> 31)) | 1L) & ~(1L << 63)
+          val t = (id % 13).toInt
+          val bright = 180 + t
+          val dark = 40 + 2 * t
+          val frames = (0 until 64).map { k =>
+            jpegFrame(16, 16, if (((sig >>> k) & 1L) == 1L) bright else dark)
+          }
+          Asset(id, "video", aviBytes(frames, 16, 16, 40000),
+            s"""{"base":$base}""")
+        }
+      }
+  }
+
   /** Aspect-preserving resize plan: fit each decoded asset into a
     * `targetW × targetH` box. The geometry is PURE INTEGER arithmetic
     * (floor division, no float scale factor) so the DuckDB oracle mirrors

@@ -693,6 +693,94 @@ object Text {
           .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double")))
   }
 
+  /** A learned add-one-smoothed bigram language model: unigram counts,
+    * bigram counts, and the vocabulary size — the CCNet-style reference
+    * model a perplexity filter scores against. A model artifact, not a
+    * table: like a shipped KenLM binary (or this repo's BPE vocab and
+    * lang-ID profile tables) it is learned DISTRIBUTED but held as
+    * driver state and broadcast once to every scoring task.
+    */
+  case class BigramLm(vocabSize: Long, uni: Map[String, Long],
+                      bi: Map[(String, String), Long])
+
+  /** Learn [[BigramLm]] counts from a reference slice: one corpus scan
+    * into partial→final unigram and adjacent-bigram counts. The collect is
+    * guarded by `maxVocab` with a `head(max+1)` fail-fast — the reference
+    * slice is model-sized BY CONTRACT (CCNet's KenLM is ~a few hundred MB
+    * learned from a curated slice, not the whole crawl); feeding a
+    * 100 TB corpus in as the "model" is misuse and dies loudly instead of
+    * OOMing the driver.
+    */
+  def learnBigramLm(target: DataFrame, textCol: String = "text",
+                    maxVocab: Int = 1 << 20): BigramLm = {
+    import target.sparkSession.implicits._
+    val toks = target.select(col(textCol)).as[String]
+    val uniRows = toks.flatMap(t =>
+        if (t == null) Iterator.empty else t.split(" ", -1).iterator)
+      .groupBy(col("value").as("t")).agg(count(lit(1)).as("c"))
+      .head(maxVocab + 1)
+    require(uniRows.length <= maxVocab,
+      s"bigram LM vocabulary exceeds maxVocab=$maxVocab — the reference " +
+        "slice must be model-sized; score against a curated target, not " +
+        "the corpus itself")
+    val biRows = toks.flatMap { t =>
+        if (t == null) Iterator.empty
+        else {
+          val w = t.split(" ", -1)
+          (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
+        }
+      }.groupBy(col("_1").as("a"), col("_2").as("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    BigramLm(uniRows.length.toLong,
+      uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      biRows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+  }
+
+  /** CCNet-slot LM quality scoring, log-free: per document, walk adjacent
+    * token pairs IN POSITION ORDER and fold the add-one-smoothed INVERSE
+    * conditional probability `(c(t_i) + V) / (c(t_i, t_{i+1}) + 1)` into a
+    * running sum; `surprise` = that sum / n_pairs — the arithmetic-mean
+    * cousin of perplexity (which is the geometric mean of the same inverse
+    * probabilities). The swap is deliberate: every step is an exact-IEEE
+    * integer division and a position-ordered double add, so the DuckDB
+    * oracle replays the fold bit-for-bit (`list_reduce` over
+    * `list(... ORDER BY i)`), where a log/exp formulation would hash-drift
+    * on libm differences. High surprise = far from the reference slice —
+    * the same ranking CCNet's perplexity filter cuts on.
+    *
+    * Output per doc: `n_pairs`, `n_unseen` (bigrams absent from the
+    * model — the OOV-transition count), `surprise` (0.0 when the doc has
+    * no pairs — visible, never dropped).
+    *
+    * 100 TB: the model rides one broadcast; scoring is a ZERO-SHUFFLE
+    * narrow map (allocation-light per-partition loop), the same posture as
+    * BPE tokenization — the corpus never shuffles and never joins.
+    */
+  def lmSurprise(corpus: DataFrame, model: BigramLm,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    corpus.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, text) =>
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+          var sum = 0.0
+          var unseen = 0L
+          var i = 0
+          while (i < w.length - 1) {
+            val cUni = m.uni.getOrElse(w(i), 0L)
+            val cBi = m.bi.getOrElse((w(i), w(i + 1)), 0L)
+            if (cBi == 0L) unseen += 1
+            sum += (cUni + m.vocabSize).toDouble / (cBi + 1L).toDouble
+            i += 1
+          }
+          val nPairs = math.max(w.length - 1, 0).toLong
+          (id, nPairs, unseen, if (nPairs == 0) 0.0 else sum / nPairs.toDouble)
+        }
+      }.toDF(idCol, "n_pairs", "n_unseen", "surprise")
+  }
+
   /** Exact rank-based percentiles of the token count per stratum: the
     * p-th percentile is the value at row `ceil(p·n)` of the
     * `(n_tok, doc_id)` order — `percentile_disc` semantics, all-integer

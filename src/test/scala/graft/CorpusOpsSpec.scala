@@ -336,6 +336,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: hand-computed counts, smoothing, ordered fold, OOV arm, " +
+      "vocab guardrail") {
+    // target: "a b a" and "a b" → uni a:3 b:2 (V=2); bi (a,b):2 (b,a):1
+    val target = docsDF(Seq((1L, "a b a", "en"), (2L, "a b", "en")))
+    val m = Text.learnBigramLm(target)
+    assert(m.vocabSize === 2L)
+    assert(m.uni === Map("a" -> 3L, "b" -> 2L))
+    assert(m.bi === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    val corpus = docsDF(Seq(
+      (10L, "a b c", "en"), // (a,b): (3+2)/(2+1); (b,c): OOV → (2+2)/(0+1)
+      (11L, "solo", "en"),  // no pairs → surprise 0.0
+      (12L, "", "en")))     // split('') = [''] → 1 token, no pairs
+    val out = Text.lmSurprise(corpus, m).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_pairs") === 2L)
+    assert(out(0).getAs[Long]("n_unseen") === 1L)
+    assert(out(0).getAs[Double]("surprise") === (5.0 / 3.0 + 4.0) / 2.0)
+    assert(out(1).getAs[Long]("n_pairs") === 0L)
+    assert(out(1).getAs[Double]("surprise") === 0.0)
+    assert(out(2).getAs[Long]("n_pairs") === 0L)
+    // model-sized contract: an over-budget vocabulary dies loudly
+    val boom = intercept[IllegalArgumentException] {
+      Text.learnBigramLm(target, maxVocab = 1)
+    }
+    assert(boom.getMessage.contains("maxVocab"))
+  }
+
   test("rollingAnomaly: window excludes current row, warm-up stays false, spike flags") {
     // 8 constant points then a spike: priors of the spike are all 5.0
     val rows = (0 until 8).map(i =>

@@ -189,6 +189,71 @@ class ExtAndPaginationSpec extends SparkSpec {
     assert(pairs === expected)
   }
 
+  test("video decode: real MJPEG AVIs round-trip through the RIFF parser " +
+      "+ per-frame imageio with closed-form metrics") {
+    val docs = Seq((5L, "ignored", "en"), (100L, "ignored", "fr"),
+        (82L, "ignored", "de")) // 82 = 2·41 ⇒ the fixture's CORRUPT arm
+      .toDF("doc_id", "text", "lang")
+    val assets = ext.Multimodal.aviAssets(docs)
+    val byId = assets.collect().map(a => a.asset_id -> a.payload).toMap
+    // payloads are genuine RIFF/AVI containers, not fakes
+    assert(new String(byId(5L).take(4), "US-ASCII") === "RIFF")
+    assert(new String(byId(5L).slice(8, 12), "US-ASCII") === "AVI ")
+    // ...and the frames inside are genuine JPEGs (SOI marker after the
+    // first 00dc chunk header somewhere in movi)
+    assert(byId(5L).sliding(2).exists(p =>
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8))
+    val out = ext.Multimodal.decodeVideo(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def expected(id: Long): (Long, Long, Long, Long, Long) = {
+      val n = 8 + id % 24
+      val bits = (0L until math.min(n, 64L)).map(k =>
+        if ((id + k) % 3 != 0) 1L << k else 0L).sum
+      (16 + id % 48, 16 + (id * 5) % 48, n,
+        n * (20 + 5 * (id % 10)), bits)
+    }
+    for (id <- Seq(5L, 100L)) {
+      val (w, h, n, d, bits) = expected(id)
+      assert(out(id).getLong(1) === w && out(id).getLong(2) === h)
+      assert(out(id).getLong(3) === n && out(id).getLong(4) === d)
+      assert(out(id).getLong(5) === bits)
+      assert(out(id).getBoolean(6))
+    }
+    // the corrupt asset is flagged and zeroed, not fatal
+    assert(!out(82L).getBoolean(6))
+    assert((1 to 5).forall(i => out(82L).getLong(i) === 0L))
+    // torn containers (truncated mid-chunk) degrade to None
+    assert(ext.Multimodal.decodeAvi(byId(5L).take(byId(5L).length / 2)).isEmpty)
+    assert(ext.Multimodal.decodeAvi("not an avi".getBytes).isEmpty)
+    assert(ext.Multimodal.decodeAvi(null).isEmpty)
+  }
+
+  test("videoFingerprint: brightness-grade-invariant on real AVIs, corrupt " +
+      "payload None, dup candidates = same-base pairs only") {
+    val docs = (0L until 12L).map(i => (i, "ignored", "en"))
+      .toDF("doc_id", "text", "lang")
+    // 4 bases over 12 docs: i, i+4, i+8 share a frame pattern but carry
+    // different brightness grades (t = i % 13 differs) → bytes differ
+    val assets = ext.Multimodal.dupAviAssets(docs, nBases = 4)
+    val byId = assets.collect().map(a => a.asset_id -> a.payload).toMap
+    assert(!java.util.Arrays.equals(byId(0L), byId(4L)))
+    val h = (id: Long) => ext.Multimodal.videoFingerprint(byId(id)).get
+    assert(h(0L) === h(4L) && h(4L) === h(8L)) // grades don't move the print
+    assert(Seq(0L, 1L, 2L, 3L).map(h).distinct.size === 4) // bases distinct
+    // the decode-fixture AVIs are too short to fingerprint (< 64 frames)
+    val shortAvi = ext.Multimodal.aviAssets(
+      Seq((5L, "ignored", "en")).toDF("doc_id", "text", "lang"))
+      .collect().head.payload
+    assert(ext.Multimodal.videoFingerprint(shortAvi).isEmpty)
+    assert(ext.Multimodal.videoFingerprint("not an avi".getBytes).isEmpty)
+    val pairs = ext.Multimodal.videoDupCandidates(assets)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L; if a % 4 == b % 4
+    } yield (a, b)).sorted
+    assert(pairs === expected)
+  }
+
   test("multimodal features have fixed dim and preserve byte counts") {
     val assets = spark.createDataset(Seq(
       ext.Multimodal.Asset(7L, "image", "hello world".getBytes("UTF-8"), "{}")))
