@@ -73,6 +73,7 @@ object SparkEntry {
     // twice-delivered shard
     "q_streaming_dedup" -> Queries.streamingDedup _,
     "q_streaming_filter" -> Queries.streamingFilter _,
+    "q_streaming_lm" -> Queries.streamingLm _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -238,6 +239,7 @@ object SparkEntry {
     // the twice-delivered shard must dedup to exactly one corpus copy
     "q_streaming_dedup" -> Oracles.streamingDedup,
     "q_streaming_filter" -> Oracles.streamingFilter,
+    "q_streaming_lm" -> Oracles.streamingLm,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -1151,6 +1153,38 @@ object Queries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = Streaming.filterIngest(src, s"$dir/out", s"$dir/ckpt",
         maxTopFrac = 0.06)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** The LM quality filter's streaming arm: the bigram model is learned
+    * BATCH from the `en` slice, then the corpus is delivered TWICE in
+    * forced-separate micro-batches through `filterIngestLm` — each batch
+    * scored by the same broadcast-model narrow fold as the batch path.
+    * The oracle replays the scoring in SQL and doubles the kept
+    * aggregates (append-only sink, two deliveries land twice), so a
+    * drifted fold, a lost micro-batch, or a threshold slip all break the
+    * hash.
+    */
+  def streamingLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val model = ext.Text.learnBigramLm(
+      Sources.documents(spark, sfDir).where(col("lang") === "en"))
+    val dir = tempDir("graft-slm")
+    val srcDir = tempDir("graft-slm-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.filterIngestLm(src, model, s"$dir/out", s"$dir/ckpt",
+        maxSurprise = 32.0)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -4526,6 +4560,43 @@ SELECT d.doc_id,
   CAST(coalesce(f.n_unseen, 0) AS BIGINT) AS n_unseen,
   CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END AS surprise
 FROM documents d LEFT JOIN folded f USING (doc_id)"""
+
+  /** Streaming-LM twin: the same learned-model replay as [[lmScore]],
+    * restricted to kept docs (surprise ≤ 32.0, no-pair docs score 0.0 and
+    * are kept) and doubled — two deliveries land twice in the append-only
+    * sink.
+    */
+  val streamingLm: String =
+    """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tw) GROUP BY 1),
+v AS (SELECT count(*) AS vs FROM uni),
+bi AS (
+  SELECT p[1] AS a, p[2] AS b, count(*) AS c FROM (
+    SELECT unnest([[w[i], w[i + 1]] for i in range(1, len(w))]) AS p FROM tw)
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_id,
+    unnest([{'i': i, 'a': w[i], 'b': w[i + 1]} for i in range(1, len(w))]) AS pr
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+scored AS (
+  SELECT p.doc_id, p.pr.i AS i,
+    CAST(coalesce(u.c, 0) + v.vs AS DOUBLE)
+      / CAST(coalesce(b.c, 0) + 1 AS DOUBLE) AS invp
+  FROM pairs p CROSS JOIN v
+  LEFT JOIN uni u ON u.t = p.pr.a
+  LEFT JOIN bi b ON b.a = p.pr.a AND b.b = p.pr.b),
+folded AS (
+  SELECT doc_id, count(*) AS n_pairs,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(invp ORDER BY i)),
+      (acc, x) -> acc + x) AS s
+  FROM scored GROUP BY doc_id),
+kept AS (
+  SELECT d.lang, d.text
+  FROM documents d LEFT JOIN folded f USING (doc_id)
+  WHERE (CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END) <= 32.0)
+SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_docs,
+  CAST(2 * sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
+FROM kept GROUP BY lang"""
 
   /** Video-dup twin: the same closed-form same-base pair set as the image
     * and audio fixtures — identical fingerprints, hamming exactly 0.

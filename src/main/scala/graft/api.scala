@@ -364,7 +364,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private case class FileStats(tsMin: Long, tsMax: Long,
                                sidMin: Option[String], sidMax: Option[String],
-                               sidBloom: Option[Seq[Long]] = None)
+                               sidBloom: Option[Seq[Long]] = None,
+                               len: Option[Long] = None)
 
   /** 256-bit / 4-probe bloom helpers over a file's EXACT stream-id set
     * (read from the parquet dictionary pages, see [[footerStats]]). The
@@ -401,6 +402,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
         new org.apache.hadoop.fs.Path(s"${tablePath(table)}/$rel"),
         spark.sessionState.newHadoopConf())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      // the file's byte length, recorded in the manifest so snapshot reads
+      // can synthesize FileStatus objects with ZERO plan-time FS listings
+      // (files are immutable once committed, so the length never drifts)
+      val fileLen = in.getLength
       try {
         import scala.jdk.CollectionConverters._
         val blocks = r.getFooter.getBlocks.asScala.toSeq
@@ -471,7 +476,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
               }
             }
           Some(FileStats(flat.map(_._1).min, flat.map(_._2).max,
-            sidBounds.map(_._1), sidBounds.map(_._2), sidBloom))
+            sidBounds.map(_._1), sidBounds.map(_._2), sidBloom,
+            len = Some(fileLen)))
         }
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -502,13 +508,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
   /** Manifest format, one file per committed version:
     *
     *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
-    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>[\t<bloomHex>]]]`
+    *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>[\t<bloomHex>]]][\tlen=<bytes>]`
     *                           file added this version (stream-id bounds
     *                           URL-encoded; present only when the footer
     *                           had ASCII-safe stream_id stats; bloomHex =
     *                           the file's 256-bit stream-id bloom as 64
     *                           hex chars, present when every page was
-    *                           dictionary-encoded with ≤ 64 distinct ids)
+    *                           dictionary-encoded with ≤ 64 distinct ids;
+    *                           `len=` is a TAGGED order-free field — the
+    *                           file's byte length, letting snapshot reads
+    *                           synthesize FileStatus objects with zero
+    *                           plan-time FS listings — safe to tag because
+    *                           URL-encoding means no positional string
+    *                           token can start with "len=")
     *   `-<table>\t<relpath>`   file removed (retired) this version
     *
     * A DELTA manifest records only this commit's changes plus a pointer to
@@ -567,16 +579,24 @@ class Datastream(spark: SparkSession, warehouse: String) {
       def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
       lines.tail.foreach { l =>
         l.splitAt(1) match {
-          case ("+", rest) => rest.split('\t') match {
+          case ("+", rest) =>
+            // tagged fields first (order-free `len=<n>`), then the
+            // positional arities — a positional token can never start
+            // with "len=" (strings are URL-encoded, '=' → %3D)
+            val toks = rest.split('\t')
+            val len = toks.collectFirst {
+              case s if s.startsWith("len=") => s.stripPrefix("len=").toLongOption
+            }.flatten
+            toks.filterNot(_.startsWith("len=")) match {
             case Array(t, f) => adds += ((t, f, None))
             case Array(t, f, mn, mx) =>
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, None, None)))
+                  yield FileStats(a, b, None, None, None, len)))
             case Array(t, f, mn, mx, smn, smx) =>
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)))))
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), None, len)))
             case Array(t, f, mn, mx, smn, smx, bl) =>
               val bloom =
                 if (bl.length == 64 && bl.forall(c => c.isDigit ||
@@ -586,7 +606,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 else None
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom)))
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom, len)))
             case _ => ()
           }
           case ("-", rest) => rest.split('\t') match {
@@ -891,6 +911,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
               }
             case _ => ()
           }
+          // TAGGED optional field (order-free, unlike the positional
+          // bounds/bloom): the file's byte length. Safe to tag because
+          // every positional string field is URL-encoded ('=' → %3D), so
+          // no positional token can ever start with "len="
+          st.len.foreach(n => body0.append('\t').append("len=").append(n))
         }
         body0.append('\n')
       }
@@ -1646,8 +1671,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
           if (skipRange.isEmpty && skipStreams.isEmpty) files
           else files.filter(keepFile(snap.get, table, _, skipRange, skipStreams))
         if (kept.isEmpty) None
-        else Some(spark.read.option("basePath", tablePath(table)).schema(schema)
-          .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+        else tableLayout(table) match {
+          case Some((partCol, tsCol)) =>
+            Some(indexedRead(snap.get, table, schema, kept.toSeq.sorted,
+              partCol, tsCol))
+          case None =>
+            Some(spark.read.option("basePath", tablePath(table)).schema(schema)
+              .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
+        }
       // an explicitly PINNED historical snapshot must never fall through
       // to the live directory: a legacy-era manifest that does not cover
       // `table` cannot say what that table held at its commit, and
@@ -1663,6 +1694,79 @@ class Datastream(spark: SparkSession, warehouse: String) {
         Some(spark.read.schema(schema).parquet(tablePath(table)))
       case None => None
     }
+
+  /** Partition layout + manifest-stats time column per warehouse table,
+    * for the Catalyst FileIndex read path; None = table served by the
+    * legacy explicit-file-list read.
+    */
+  private def tableLayout(table: String): Option[(String, String)] = table match {
+    case "raw" => Some(("dp_date", "ts"))
+    case "derived" => Some(("stream_id", "ts"))
+    case t if t.startsWith("rollup/") => Some(("bucket_date", "bucket_start"))
+    case _ => None
+  }
+
+  /** Resolve a FileStatus per kept snapshot file. Files whose manifest
+    * stats carry a recorded byte LENGTH get a SYNTHESIZED status — zero
+    * plan-time FS calls, exactly how Delta/Iceberg serve scans from the
+    * log alone (safe because committed files are immutable; the synthetic
+    * mtime is 0, so the `_metadata.file_modification_time` pseudo-column
+    * is not meaningful on this path). Stat-less files (legacy manifests,
+    * foreign writers) fall back to one listing per containing directory.
+    */
+  private def statusesFor(snap: Snapshot, table: String, rels: Seq[String])
+      : Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    val root = tablePath(table)
+    val (known, unknown) = rels.partition(r =>
+      snap.stats.get((table, r)).exists(_.len.isDefined))
+    val synth = known.map { r =>
+      r -> new org.apache.hadoop.fs.FileStatus(
+        snap.stats((table, r)).len.get, false, 1, 134217728L, 0L,
+        new org.apache.hadoop.fs.Path(s"$root/$r"))
+    }
+    val listed = unknown.groupBy { r =>
+      r.lastIndexOf('/') match { case -1 => ""; case i => r.substring(0, i) }
+    }.toSeq.flatMap { case (dir, rs) =>
+      val base = if (dir.isEmpty) root else s"$root/$dir"
+      val byName = io.children(base).map(st => st.getPath.getName -> st).toMap
+      rs.map { r =>
+        val name = r.substring(r.lastIndexOf('/') + 1)
+        r -> byName.getOrElse(name, throw new IllegalStateException(
+          s"snapshot file missing on storage: $root/$r — reclaimed by an " +
+            "over-aggressive vacuum, or foreign deletion"))
+      }
+    }
+    synth ++ listed
+  }
+
+  /** Serve a covered snapshot read through [[plans.GraftFileIndex]]: the
+    * hint-pruned manifest file set becomes a Catalyst [[org.apache.spark
+    * .sql.execution.datasources.FileIndex]], so partition filters AND
+    * pushed data filters (time bounds, stream-id sets) prune files INSIDE
+    * the planner — an ad-hoc `.where` over the returned frame gets
+    * manifest data-skipping with no facade hint, the Delta-style
+    * `TahoeFileIndex` integration. Output columns are re-selected into the
+    * declared schema order, so the switch is invisible to callers.
+    */
+  private def indexedRead(snap: Snapshot, table: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          kept: Seq[String], partCol: String,
+                          tsCol: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val partitionSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filter(_.name == partCol))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == partCol))
+    val index = new plans.GraftFileIndex(tablePath(table),
+      statusesFor(snap, table, kept), partitionSchema, tsCol,
+      (rel, r, s) => keepFile(snap, table, rel, r, s))
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    org.apache.spark.sql.GraftBridge.ofRelation(spark, relation)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+  }
 
   /** Files a snapshot read would plan for `table` after stats-based
     * skipping (test seam for the data-skipping contract).

@@ -781,6 +781,43 @@ object Text {
       }.toDF(idCol, "n_pairs", "n_unseen", "surprise")
   }
 
+  /** [[lmSurprise]] as a row-preserving append — every input column plus
+    * `lm_pairs`/`lm_unseen`/`lm_surprise` — so the LM quality filter
+    * composes in pipelines and in Structured Streaming (a stateless
+    * zero-shuffle narrow map lifts to micro-batches unchanged; the model
+    * rides the closure's broadcast like the BPE vocab).
+    */
+  def withLmSurprise(docs: DataFrame, model: BigramLm,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val schema = docs.schema
+      .add("lm_pairs", LongType).add("lm_unseen", LongType)
+      .add("lm_surprise", DoubleType)
+    val ti = docs.schema.fieldIndex(textCol)
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val text = r.getString(ti)
+        val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+        var sum = 0.0
+        var unseen = 0L
+        var i = 0
+        while (i < w.length - 1) {
+          val cUni = m.uni.getOrElse(w(i), 0L)
+          val cBi = m.bi.getOrElse((w(i), w(i + 1)), 0L)
+          if (cBi == 0L) unseen += 1
+          sum += (cUni + m.vocabSize).toDouble / (cBi + 1L).toDouble
+          i += 1
+        }
+        val nPairs = math.max(w.length - 1, 0).toLong
+        Row.fromSeq(r.toSeq ++ Seq[Any](nPairs, unseen,
+          if (nPairs == 0) 0.0 else sum / nPairs.toDouble))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Exact rank-based percentiles of the token count per stratum: the
     * p-th percentile is the value at row `ceil(p·n)` of the
     * `(n_tok, doc_id)` order — `percentile_disc` semantics, all-integer

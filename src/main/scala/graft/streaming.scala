@@ -457,6 +457,26 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** LM-quality-filtered streaming ingest — the CCNet deployment shape:
+    * the bigram model is learned BATCH from a curated reference slice
+    * (`Text.learnBigramLm`) and shipped to the stream like a KenLM
+    * binary; each micro-batch's documents are scored by the same
+    * zero-shuffle narrow fold as the batch path (`Text.withLmSurprise`,
+    * stateless — no watermark or state store needed) and docs whose
+    * surprise exceeds `maxSurprise` are dropped before landing.
+    */
+  def filterIngestLm(docs: DataFrame, model: ext.Text.BigramLm,
+                     outPath: String, checkpoint: String,
+                     maxSurprise: Double, textCol: String = "text") =
+    ext.Text.withLmSurprise(docs, model, textCol)
+      .where(col("lm_surprise") <= maxSurprise)
+      .drop("lm_pairs", "lm_unseen", "lm_surprise")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
     * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
     * a content hash is remembered only until the watermark passes its

@@ -23,6 +23,15 @@ object GraftBridge {
   def backingRdds(df: Dataset[_]): Seq[RDD[_]] =
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
 
+  /** A DataFrame over a [[org.apache.spark.sql.sources.BaseRelation]] —
+    * the constructor `spark.read` uses internally, needed to serve the
+    * engine's snapshot `FileIndex` (`graft.plans.GraftFileIndex`) through
+    * an ordinary `HadoopFsRelation` scan.
+    */
+  def ofRelation(spark: SparkSession,
+                 rel: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].baseRelationToDataFrame(rel)
+
   /** Block until the listener bus has delivered every queued event — task
     * metrics arrive asynchronously, so a bench snapshotting listener-
     * accumulated counters must drain the bus on both sides of the timed

@@ -360,6 +360,13 @@ class CorpusOpsSpec extends SparkSpec {
       Text.learnBigramLm(target, maxVocab = 1)
     }
     assert(boom.getMessage.contains("maxVocab"))
+    // the row-preserving append carries every input column plus the same
+    // scores (the streaming filter's scoring path)
+    val withCols = Text.withLmSurprise(corpus, m).orderBy("doc_id").collect()
+    assert(withCols(0).getAs[String]("text") === "a b c")
+    assert(withCols(0).getAs[Long]("lm_pairs") === 2L)
+    assert(withCols(0).getAs[Double]("lm_surprise") === (5.0 / 3.0 + 4.0) / 2.0)
+    assert(withCols(1).getAs[Double]("lm_surprise") === 0.0)
   }
 
   test("rollingAnomaly: window excludes current row, warm-up stays false, spike flags") {
