@@ -1659,6 +1659,12 @@ class Datastream(spark: SparkSession, warehouse: String) {
     a < sorted.length && sorted(a) <= hi
   }
 
+  // memoized FileIndex-backed reads; bounded, cleared wholesale past 256
+  // entries (keys embed the immutable snapshot version + exact file set,
+  // so entries can never serve stale data — the bound is purely memory)
+  private val indexedReadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def tableReadFrom(snap: Option[Snapshot], table: String,
                             schema: org.apache.spark.sql.types.StructType,
                             skipRange: Option[(Long, Long)] = None,
@@ -1673,8 +1679,21 @@ class Datastream(spark: SparkSession, warehouse: String) {
         if (kept.isEmpty) None
         else tableLayout(table) match {
           case Some((partCol, tsCol)) =>
-            Some(indexedRead(snap.get, table, schema, kept.toSeq.sorted,
-              partCol, tsCol))
+            // memoized per (version, table, file set, schema): snapshot
+            // file sets are immutable per version, so the analyzed frame
+            // (and its FileIndex's statuses) are freely reusable — a
+            // lifecycle verb re-reading the same slice pays relation
+            // construction once
+            val keptSorted = kept.toSeq.sorted
+            val filesDigest = java.security.MessageDigest.getInstance("MD5")
+              .digest(keptSorted.mkString("\n").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val key = s"${snap.get.version}|$table|" +
+              s"${schema.fieldNames.mkString(",")}|$filesDigest"
+            if (indexedReadCache.size > 256) indexedReadCache.clear()
+            Some(indexedReadCache.computeIfAbsent(key, _ =>
+              indexedRead(snap.get, table, schema, keptSorted,
+                partCol, tsCol)))
           case None =>
             Some(spark.read.option("basePath", tablePath(table)).schema(schema)
               .parquet(kept.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*))
