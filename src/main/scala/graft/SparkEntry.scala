@@ -150,6 +150,7 @@ object SparkEntry {
     "q_corpus_pipeline3" -> Queries.corpusPipeline3 _,
     // round-9 composition: coverage selection → embedding semantic dedup
     "q_corpus_pipeline4" -> Queries.corpusPipeline4 _,
+    "q_corpus_pipeline5" -> Queries.corpusPipeline5 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_audio_decode" -> Queries.audioDecode _,
     "q_video_decode" -> Queries.videoDecode _,
     "q_video_dup" -> Queries.videoDup _,
+    "q_video_frames" -> Queries.videoFrames _,
     "q_multimodal_resize" -> Queries.multimodalResize _,
     "q_frame_sample" -> Queries.frameSample _
   )
@@ -297,6 +299,7 @@ object SparkEntry {
     "q_corpus_pipeline2" -> Oracles.corpusPipeline2,
     "q_corpus_pipeline3" -> Oracles.corpusPipeline3,
     "q_corpus_pipeline4" -> Oracles.corpusPipeline4,
+    "q_corpus_pipeline5" -> Oracles.corpusPipeline5,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
@@ -341,6 +344,7 @@ object SparkEntry {
     "q_audio_decode" -> Oracles.audioDecode,
     "q_video_decode" -> Oracles.videoDecode,
     "q_video_dup" -> Oracles.videoDup,
+    "q_video_frames" -> Oracles.videoFrames,
     "q_lm_score" -> Oracles.lmScore,
     "q_multimodal_resize" -> Oracles.multimodalResize,
     "q_frame_sample" -> Oracles.frameSample
@@ -1678,6 +1682,28 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
   }
 
+  /** Composed pipeline #5 — the CCNet-shaped recipe: bigram-LM surprise
+    * cut against the `en` reference (keep surprise ≤ 32.0, the quality
+    * filter), then exact dedup (min doc_id per md5), then a per-language
+    * integer report over the survivors (docs, pair totals, OOV-transition
+    * totals — integers only, so group order cannot perturb the hash).
+    * Every stage is individually oracle-proven; this gates the LM op IN
+    * COMPOSITION, like pipelines 1–4 do for the other X families.
+    */
+  def corpusPipeline5(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val model = ext.Text.learnBigramLm(docs.where(col("lang") === "en"))
+    val kept = ext.Text.withLmSurprise(docs, model)
+      .where(col("lm_surprise") <= 32.0)
+    val keeper = kept.groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    kept.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("lm_pairs").as("pairs_sum"),
+        sum("lm_unseen").as("unseen_sum"))
+  }
+
   /** X3+ continuous-ingest SemDeDup against the PERSISTED IVF index: the
     * even-id half of the corpus is indexed (8 refined cells); the odd-id
     * shard is then deduped against the INDEX ALONE at exhaustive probing
@@ -2410,6 +2436,18 @@ object Queries {
   def videoDup(spark: SparkSession, sfDir: String): DataFrame =
     ext.Multimodal.videoDupCandidates(
       ext.Multimodal.dupAviAssets(Sources.documents(spark, sfDir)))
+
+  /** X5 real frame EXTRACTION: every 4th decoded frame of each AVI as its
+    * own row — the batch shape a training loader's frame sampler emits —
+    * with per-frame decoded geometry and the decode-exact brightness
+    * threshold. The oracle restates every sampled row in closed form
+    * (which frames survive the stride, each frame's dims, and its
+    * bright/dark state), so a sampler that drops, duplicates, or
+    * misindexes a frame breaks the row set. Corrupt assets emit nothing.
+    */
+  def videoFrames(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Multimodal.sampleDecodedFrames(
+      ext.Multimodal.aviAssets(Sources.documents(spark, sfDir)), stride = 4)
 
   /** X5: aspect-preserving resize geometry over the decoded assets,
     * aggregated per kind — integer math end to end, mirrored by the oracle.
@@ -4508,7 +4546,7 @@ FROM samples GROUP BY doc_id, n"""
     */
   val videoDecode: String =
     """WITH p AS (
-  SELECT doc_id, 8 + doc_id % 24 AS n, 20 + 5 * (doc_id % 10) AS period_ms
+  SELECT doc_id, 6 + doc_id % 14 AS n, 20 + 5 * (doc_id % 10) AS period_ms
   FROM documents)
 SELECT doc_id AS asset_id,
   CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE 16 + doc_id % 48 END AS BIGINT) AS width,
@@ -4561,6 +4599,48 @@ SELECT d.doc_id,
   CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END AS surprise
 FROM documents d LEFT JOIN folded f USING (doc_id)"""
 
+  /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
+    * rule and the per-lang integer aggregate — one SQL statement replays
+    * all three stages.
+    */
+  val corpusPipeline5: String =
+    """WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM tw) GROUP BY 1),
+v AS (SELECT count(*) AS vs FROM uni),
+bi AS (
+  SELECT p[1] AS a, p[2] AS b, count(*) AS c FROM (
+    SELECT unnest([[w[i], w[i + 1]] for i in range(1, len(w))]) AS p FROM tw)
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_id,
+    unnest([{'i': i, 'a': w[i], 'b': w[i + 1]} for i in range(1, len(w))]) AS pr
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+scored AS (
+  SELECT p.doc_id, p.pr.i AS i,
+    CAST(coalesce(u.c, 0) + v.vs AS DOUBLE)
+      / CAST(coalesce(b.c, 0) + 1 AS DOUBLE) AS invp,
+    CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM pairs p CROSS JOIN v
+  LEFT JOIN uni u ON u.t = p.pr.a
+  LEFT JOIN bi b ON b.a = p.pr.a AND b.b = p.pr.b),
+folded AS (
+  SELECT doc_id, count(*) AS n_pairs,
+    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(invp ORDER BY i)),
+      (acc, x) -> acc + x) AS s
+  FROM scored GROUP BY doc_id),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text,
+    CAST(coalesce(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+    CAST(coalesce(f.n_unseen, 0) AS BIGINT) AS n_unseen
+  FROM documents d LEFT JOIN folded f USING (doc_id)
+  WHERE (CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END) <= 32.0),
+keeper AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_pairs) AS BIGINT) AS pairs_sum,
+  CAST(sum(n_unseen) AS BIGINT) AS unseen_sum
+FROM kept JOIN keeper USING (doc_id) GROUP BY lang"""
+
   /** Streaming-LM twin: the same learned-model replay as [[lmScore]],
     * restricted to kept docs (surprise ≤ 32.0, no-pair docs score 0.0 and
     * are kept) and doubled — two deliveries land twice in the append-only
@@ -4605,6 +4685,22 @@ FROM kept GROUP BY lang"""
     """SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
 FROM documents x JOIN documents y
   ON x.doc_id % 40 = y.doc_id % 40 AND x.doc_id < y.doc_id"""
+
+  /** Decoded-frame-sampling twin: the sampled frame set in closed form —
+    * indices ≡ 0 (mod 4) below each asset's frame count, fixture geometry,
+    * bright iff `(id + k) % 3 ≠ 0`; corrupt assets (`doc_id % 41 = 0`)
+    * contribute no rows.
+    */
+  val videoFrames: String =
+    """WITH p AS (
+  SELECT doc_id, 6 + doc_id % 14 AS n,
+    16 + doc_id % 48 AS w, 16 + (doc_id * 5) % 48 AS h
+  FROM documents WHERE doc_id % 41 <> 0),
+f AS (SELECT doc_id, unnest(range(0, CAST(n AS INT))) AS k, w, h FROM p)
+SELECT doc_id AS asset_id, CAST(k AS INTEGER) AS frame_index,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  (doc_id + k) % 3 <> 0 AS bright
+FROM f WHERE k % 4 = 0"""
 
   /** Resize twin: the text-bound assets take decode's deterministic
     * FALLBACK dims (16 + n%512, 16 + 7n%512 — imageio cannot parse text

@@ -630,8 +630,16 @@ object Multimodal {
     * modality stub — image (`javax.imageio`), audio (`javax.sound`), and
     * video (this parser + per-frame imageio) are all real codecs now.
     */
-  private[graft] def decodeAvi(payload: Array[Byte])
-      : Option[(Int, Int, Int, Long, Long)] =
+  /** Shared RIFF/AVI parse: walk the container, read `avih`'s frame period
+    * and decode every `decodeEvery`-th `00dc`/`00db` frame through
+    * `javax.imageio` into `(index, width, height, integer mean luminance)`
+    * — skipped frames are COUNTED but never rasterized, so a strided
+    * sampler pays only for the frames it keeps. Returns
+    * `(periodUs, totalFrames, decoded)`; None on anything unparseable
+    * (null, not RIFF/AVI, torn chunk, undecodable sampled frame).
+    */
+  private def parseAvi(payload: Array[Byte], decodeEvery: Int = 1)
+      : Option[(Long, Int, Seq[(Int, Int, Int, Int)])] =
     if (payload == null || payload.length < 24) None
     else scala.util.Try {
       def u32(off: Int): Long =
@@ -643,7 +651,8 @@ object Multimodal {
       else {
         val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
         var periodUs = -1L
-        val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var total = 0
+        val decoded = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
         var ok = true
         // walk chunks in [from, until); LIST subtype selects recursion
         def walk(from: Int, until: Int): Unit = {
@@ -662,23 +671,27 @@ object Multimodal {
               } else if (id == "avih" && sz >= 40) {
                 periodUs = u32(body)
               } else if (id.endsWith("dc") || id.endsWith("db")) {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(payload, body, sz.toInt))
-                if (img == null) ok = false
-                else {
-                  val w = img.getWidth; val h = img.getHeight
-                  var sum = 0L
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val rgb = img.getRGB(x, y)
-                      sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                      x += 1
+                val k = total
+                total += 1
+                if (k % decodeEvery == 0) {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload, body, sz.toInt))
+                  if (img == null) ok = false
+                  else {
+                    val w = img.getWidth; val h = img.getHeight
+                    var sum = 0L
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                        x += 1
+                      }
+                      y += 1
                     }
-                    y += 1
+                    decoded += ((k, w, h, (sum / (3L * w * h)).toInt))
                   }
-                  frames += ((w, h, (sum / (3L * w * h)).toInt))
                 }
               }
               p = end + (sz.toInt & 1) // skip pad byte
@@ -686,25 +699,29 @@ object Multimodal {
           }
         }
         walk(12, riffEnd)
-        if (!ok || periodUs <= 0 || frames.isEmpty ||
-          frames.exists(f => f._1 != frames.head._1 || f._2 != frames.head._2))
-          None
-        else {
-          var bits = 0L
-          var k = 0
-          val n = math.min(frames.length, 64)
-          while (k < n) {
-            if (frames(k)._3 >= 128) bits |= (1L << k)
-            k += 1
-          }
-          Some((frames.head._1, frames.head._2, frames.length,
-            frames.length.toLong * periodUs / 1000L, bits))
-        }
+        if (!ok || periodUs <= 0 || total == 0) None
+        else Some((periodUs, total, decoded.toSeq))
       }
     }.toOption.flatten
 
+  private[graft] def decodeAvi(payload: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long)] =
+    parseAvi(payload).flatMap { case (periodUs, total, frames) =>
+      if (frames.isEmpty ||
+        frames.exists(f => f._2 != frames.head._2 || f._3 != frames.head._3))
+        None
+      else {
+        var bits = 0L
+        frames.foreach { case (k, _, _, lum) =>
+          if (k < 64 && lum >= 128) bits |= (1L << k)
+        }
+        Some((frames.head._2, frames.head._3, total,
+          total.toLong * periodUs / 1000L, bits))
+      }
+    }
+
   /** Deterministic real-AVI fixture: one MJPEG AVI per document — geometry
-    * `w = 16 + id%48`, `h = 16 + 5·id%48`, `n = 8 + id%24` frames at
+    * `w = 16 + id%48`, `h = 16 + 5·id%48`, `n = 6 + id%14` frames at
     * period `20000 + 5000·(id%10)` µs, frame k uniform BRIGHT (200) iff
     * `(id + k) % 3 ≠ 0` else DARK (50) — so the decode gate's oracle can
     * restate every output column, including the decoded `frame_bits`
@@ -729,7 +746,7 @@ object Multimodal {
           } else {
             val w = (16 + id % 48).toInt
             val h = (16 + (id * 5) % 48).toInt
-            val n = (8 + id % 24).toInt
+            val n = (6 + id % 14).toInt
             val periodUs = (20000 + (id % 10) * 5000).toInt
             val frames = (0 until n).map { k =>
               jpegFrame(w, h, if ((id + k) % 3 != 0) 200 else 50)
@@ -877,6 +894,34 @@ object Multimodal {
       if (a.payload != null) a.payload.foreach { b => v((b & 0xFF) % dim) += 1.0f }
       (a.asset_id, v.toSeq)
     }.toDF("asset_id", "embedding")
+  }
+
+  /** REAL decoded-frame sampling: every `stride`-th frame of each AVI
+    * payload, decoded through the RIFF walker + per-frame imageio and
+    * exploded to one row per sampled frame — `(asset_id, frame_index,
+    * width, height, bright)` where `bright` is the decode-exact ≥128
+    * luminance threshold (JPEG-noise-robust by the fixture's ~66-count
+    * margin; the raw mean is deliberately NOT emitted — it is decoder-
+    * rounding-dependent, the threshold is not). The batch shape a training
+    * loader's frame extractor emits: narrow flatMap, no shuffle, payloads
+    * column-pruned for metadata-only readers. Undecodable payloads emit
+    * nothing (filterable upstream via `decodeVideo`'s health flag).
+    */
+  def sampleDecodedFrames(assets: Dataset[Asset], stride: Int = 4): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        parseAvi(a.payload, decodeEvery = stride) match {
+          case None => Iterator.empty
+          case Some((_, _, frames)) =>
+            frames.iterator.map { case (k, w, h, lum) =>
+              (a.asset_id, k, w, h, lum >= 128)
+            }
+        }
+      }
+    }.toDF("asset_id", "frame_index", "width", "height", "bright")
   }
 
   /** Frame sampling for video-like payloads: every `stride`-th `frameSize`

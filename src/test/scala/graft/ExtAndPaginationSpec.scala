@@ -206,7 +206,7 @@ class ExtAndPaginationSpec extends SparkSpec {
     val out = ext.Multimodal.decodeVideo(assets).collect()
       .map(r => r.getLong(0) -> r).toMap
     def expected(id: Long): (Long, Long, Long, Long, Long) = {
-      val n = 8 + id % 24
+      val n = 6 + id % 14
       val bits = (0L until math.min(n, 64L)).map(k =>
         if ((id + k) % 3 != 0) 1L << k else 0L).sum
       (16 + id % 48, 16 + (id * 5) % 48, n,
@@ -252,6 +252,25 @@ class ExtAndPaginationSpec extends SparkSpec {
       a <- 0L until 12L; b <- (a + 1) until 12L; if a % 4 == b % 4
     } yield (a, b)).sorted
     assert(pairs === expected)
+  }
+
+  test("sampleDecodedFrames: every stride-th REAL frame with decoded dims " +
+      "and threshold state; corrupt assets emit nothing") {
+    val docs = Seq((5L, "ignored", "en"), (82L, "ignored", "de")) // 82 corrupt
+      .toDF("doc_id", "text", "lang")
+    val assets = ext.Multimodal.aviAssets(docs)
+    val rows = ext.Multimodal.sampleDecodedFrames(assets, stride = 4)
+      .orderBy("asset_id", "frame_index").collect()
+    // doc 5: n = 11 frames ⇒ sampled indices 0, 4, 8; corrupt doc 82: none
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((5L, 0), (5L, 4), (5L, 8)))
+    rows.foreach { r =>
+      assert(r.getInt(2) === 21 && r.getInt(3) === 41) // 16+5%48, 16+25%48
+      assert(r.getBoolean(4) === ((5 + r.getInt(1)) % 3 != 0))
+    }
+    // stride 1 = every frame
+    assert(ext.Multimodal.sampleDecodedFrames(assets, stride = 1)
+      .count() === 11L)
   }
 
   test("multimodal features have fixed dim and preserve byte counts") {
