@@ -550,7 +550,7 @@ object Multimodal {
     * counts — a ≥128 luminance threshold with levels ≤62 / ≥180 is
     * decode-exact however the decoder rounds.
     */
-  private def jpegFrame(w: Int, h: Int, level: Int): Array[Byte] = {
+  private[graft] def jpegFrame(w: Int, h: Int, level: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (level << 16) | (level << 8) | level

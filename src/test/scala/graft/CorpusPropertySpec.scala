@@ -19,6 +19,74 @@ class CorpusPropertySpec extends AnyFunSuite {
       8 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('一', '二', 'ß')))
   } yield cs.mkString
 
+  test("AVI codec round-trip: arbitrary frame patterns, dims and periods " +
+      "survive encode -> container parse -> per-frame decode exactly") {
+    val shapeGen = for {
+      n <- Gen.choose(1, 40)
+      w <- Gen.choose(8, 40)
+      h <- Gen.choose(8, 40)
+      periodMs <- Gen.choose(1, 100) // periodUs = 1000·ms ⇒ exact ms duration
+      bits <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (n, w, h, periodMs, bits)
+    val prop = Prop.forAll(shapeGen) { case (n, w, h, periodMs, bits) =>
+      val frames = bits.map(b =>
+        ext.Multimodal.jpegFrame(w, h, if (b) 200 else 50))
+      val avi = ext.Multimodal.aviBytes(frames, w, h, periodMs * 1000)
+      val expectedBits = bits.take(64).zipWithIndex
+        .collect { case (true, k) => 1L << k }.sum
+      ext.Multimodal.decodeAvi(avi) ==
+        Some((w, h, n, n.toLong * periodMs, expectedBits))
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bigram LM: learned counts and every document's surprise equal the " +
+      "in-memory model for any corpus and reference slice") {
+    import spark.implicits._
+    // word-soup docs over a small vocabulary so bigrams genuinely repeat
+    val docGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "dd", "e"))
+    } yield ws.mkString(" ")
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(docGen), Gen.nonEmptyListOf(docGen)) { (target, corpus) =>
+      val tDf = target.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val cDf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val m = ext.Text.learnBigramLm(tDf)
+      // in-memory model: same split contract (split(" ", -1) keeps empties)
+      val uniRef = target.flatMap(_.split(" ", -1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val biRef = target.flatMap(t => t.split(" ", -1).sliding(2).collect {
+        case Array(a, b) => (a, b)
+      }).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val countsOk = m.uni == uniRef && m.bi == biRef &&
+        m.vocabSize == uniRef.size.toLong
+      val got = ext.Text.lmSurprise(cDf, m).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      val scoresOk = corpus.zipWithIndex.forall { case (t, i) =>
+        val w = t.split(" ", -1)
+        var sum = 0.0
+        var unseen = 0L
+        (0 until w.length - 1).foreach { j =>
+          val cBi = biRef.getOrElse((w(j), w(j + 1)), 0L)
+          if (cBi == 0L) unseen += 1
+          sum += (uniRef.getOrElse(w(j), 0L) + m.vocabSize).toDouble /
+            (cBi + 1L).toDouble
+        }
+        val nPairs = math.max(w.length - 1, 0).toLong
+        val expect = if (nPairs == 0) 0.0 else sum / nPairs.toDouble
+        got(i.toLong) == ((nPairs, unseen, expect))
+      }
+      countsOk && scoresOk
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunk: count formula, per-chunk substrings, and overlap reconstruction hold for any (text, window, stride)") {
     import spark.implicits._
     val wsGen = for {
