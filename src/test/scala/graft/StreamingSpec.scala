@@ -153,6 +153,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LM-filtered streaming ingest scores each micro-batch with the " +
+      "broadcast model and equals the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model from a tiny reference: uni a:3 b:2 (V=2); bi (a,b):2 (b,a):1
+    val target = Seq((1L, "a b a", "en"), (2L, "a b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = ext.Text.learnBigramLm(target)
+    val mem = MemoryStream[(Long, String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-slm-t").toString
+    // "a b": surprise (3+2)/(2+1) = 5/3 ≤ 2.0 → kept
+    // "b c": OOV transition (2+2)/(0+1) = 4.0 > 2.0 → dropped
+    val q = Streaming.filterIngestLm(
+      mem.toDF().toDF("doc_id", "text", "lang"), model,
+      s"$dir/out", s"$dir/ckpt", maxSurprise = 2.0)
+      .start()
+    try {
+      mem.addData((10L, "a b", "en"), (11L, "b c", "en"))
+      q.processAllAvailable()
+      // "b b": known unigram, unseen transition → (2+2)/(0+1) = 4.0 > 2
+      mem.addData((12L, "a b a b", "en"), (13L, "b b", "de"))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "deliveries must land in separate micro-batches")
+      val kept = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // "a b a b": pairs (a,b),(b,a),(a,b) → (5/3 + 5/2 + 5/3)/3 ≈ 1.94 ≤ 2
+      assert(kept === Seq(10L, 12L))
+      // the streaming survivors equal the batch filter over the same rows
+      val all = Seq((10L, "a b", "en"), (11L, "b c", "en"),
+        (12L, "a b a b", "en"), (13L, "b b", "de"))
+        .toDF("doc_id", "text", "lang")
+      val batchKept = ext.Text.withLmSurprise(all, model)
+        .where(col("lm_surprise") <= 2.0)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batchKept === kept)
+    } finally q.stop()
+  }
+
   test("bounded dedup ingest: in-window replay dropped, state TTLs beyond the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
