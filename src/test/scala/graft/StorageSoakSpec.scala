@@ -105,6 +105,19 @@ class StorageSoakSpec extends SparkSpec {
           .sortBy(_._1.getTime)
         assert(gotRange === wantRange,
           s"range-read divergence after $label (stream $sid, [$s, $e])")
+        // the SAME selection as an AD-HOC Catalyst-filtered read (no
+        // facade hint): the pushed sid/ts predicates drive manifest
+        // skipping inside the planner via GraftFileIndex — a wrong bound
+        // extraction or an over-eager skip silently loses rows that the
+        // hinted path above would still serve
+        import org.apache.spark.sql.functions.{col, lit}
+        val gotAdHoc = ds.rawDatapoints
+          .where(col("stream_id") === sid &&
+            col("ts") >= lit(s) && col("ts") <= lit(e))
+          .select("ts", "value").as[(Timestamp, Double)].collect()
+          .sortBy(_._1.getTime).toVector
+        assert(gotAdHoc === wantRange,
+          s"ad-hoc FileIndex read divergence after $label (stream $sid, [$s, $e])")
       }
     }
     var step = 0
