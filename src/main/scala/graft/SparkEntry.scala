@@ -53,6 +53,7 @@ object SparkEntry {
     // DESCRIBE HISTORY ledger: exact (version, op) rows for a fixed
     // mutation sequence (vacuum is not a commit and must not appear)
     "q_history" -> Queries.historyLedger _,
+    "q_stats_count" -> Queries.statsCount _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -178,6 +179,7 @@ object SparkEntry {
     "q_chunk" -> Queries.chunkReport _,
     "q_sample_strata" -> Queries.sampleStrataReport _,
     "q_pack" -> Queries.packReport _,
+    "q_curriculum" -> Queries.curriculum _,
     "q_bpe_tokens" -> Queries.bpeTokens _,
     "q_bpe_learn" -> Queries.bpeLearn _,
     "q_bpe_tokens_learned" -> Queries.bpeTokensLearned _,
@@ -194,6 +196,7 @@ object SparkEntry {
     "q_image_dup" -> Queries.imageDup _,
     "q_audio_dup" -> Queries.audioDup _,
     "q_lm_score" -> Queries.lmScore _,
+    "q_classifier" -> Queries.classifier _,
     "q_lang_report" -> Queries.langReport _,
     "q_lang_ngram" -> Queries.langNgram _,
     "q_lang_profile" -> Queries.langProfile _,
@@ -227,6 +230,7 @@ object SparkEntry {
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
+    "q_stats_count" -> Oracles.statsCount,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -321,6 +325,7 @@ object SparkEntry {
     "q_chunk" -> Oracles.chunkReport,
     "q_sample_strata" -> Oracles.sampleStrataReport,
     "q_pack" -> Oracles.packReport,
+    "q_curriculum" -> Oracles.curriculum,
     "q_bpe_tokens" -> Oracles.bpeTokens,
     "q_bpe_learn" -> Oracles.bpeLearn,
     "q_bpe_tokens_learned" -> Oracles.bpeTokensLearned,
@@ -346,6 +351,7 @@ object SparkEntry {
     "q_video_dup" -> Oracles.videoDup,
     "q_video_frames" -> Oracles.videoFrames,
     "q_lm_score" -> Oracles.lmScore,
+    "q_classifier" -> Oracles.classifier,
     "q_multimodal_resize" -> Oracles.multimodalResize,
     "q_frame_sample" -> Oracles.frameSample
   )
@@ -522,6 +528,41 @@ object Queries {
     ds.compact()
     ds.vacuumRaw(retainVersions = 1) // not a commit: must NOT appear
     ds.history.toDF("version", "op")
+  }
+
+  /** METADATA-ONLY COUNT on the gate: two streams land in two commits
+    * split at Jan 15, then four counts probe the manifest-stats count
+    * path — unbounded (zero data I/O by construction), a mid-range that
+    * mixes fully-covered files (manifest `rows=`) with boundary scans, a
+    * PINNED as-of count that must exclude the second commit, and a
+    * far-future range that skipping must answer as 0. The oracle
+    * recomputes every arm straight from events, so a drifted `rows=`
+    * stat, a mis-classified boundary file, or a leaky pin breaks the
+    * hash.
+    */
+  def statsCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-cnt")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val v = ds.currentVersion.get
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    Seq(
+      ("all", ds.countDatapoints()),
+      ("mid", ds.countDatapoints(Some(ts("2024-01-10T00:00:00Z")),
+        Some(ts("2024-01-20T00:00:00Z")))),
+      ("asof", ds.countDatapoints(asOfVersion = Some(v))),
+      ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None))
+    ).toDF("label", "n")
   }
 
   /** Tag CRUD on the gate: two streams are ensured with a shared `team`
@@ -2260,6 +2301,22 @@ object Queries {
     ext.Text.lmSurprise(docs, model)
   }
 
+  /** X4 trained corpus classifier (the GPT-3 "WebText-like vs crawl" /
+    * FineWeb-Edu filter slot): class-conditional unigram models learned
+    * from a TRAIN SPLIT (`doc_id % 5 = 0`) of the en and non-en slices,
+    * then every document scored zero-shuffle and labeled with the
+    * least-surprised class. The oracle relearns both models and replays
+    * every per-class ordered fold bit-for-bit.
+    */
+  def classifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 5 === 0)
+    val classes = Seq(
+      "en" -> ext.Text.learnClassUnigrams(train.where(col("lang") === "en")),
+      "other" -> ext.Text.learnClassUnigrams(train.where(col("lang") =!= "en")))
+    ext.Text.classifyBySurprise(docs, classes)
+  }
+
   /** X4 Gopher repetition filters: bigram dup fraction and most-frequent-
     * bigram share per doc — the mode-based signals `quality`'s row-local
     * ratio cannot express.
@@ -2551,6 +2608,17 @@ object Queries {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Curriculum shard export: every document's exact global rank in
+    * `(n_chars, doc_id)` order (shortest-first — the classic length
+    * curriculum) plus the sized shard / in-shard position a
+    * curriculum-ordered export writes — computed by the scalable
+    * range-partition + offset-stitch rank, which the oracle's single
+    * global `row_number()` must match row-for-row.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Pack.shardByRank(Sources.documents(spark, sfDir),
+      orderCol = "n_chars", shardSize = 64L)
+
   /** REAL tokenizer on the gate: per-document greedy longest-match token
     * counts against the fixture vocabulary — the oracle re-tokenizes
     * every distinct word through a recursive CTE replaying the same
@@ -2749,6 +2817,24 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append'),
   (CAST(2 AS BIGINT), 'downsample'),
   (CAST(3 AS BIGINT), 'compact')) AS t(version, op)"""
+
+  /** Metadata-count twin: every arm recomputed as a plain count over
+    * events with the same INCLUSIVE bounds; `asof` counts only the
+    * pre-cut commit.
+    */
+  val statsCount: String =
+    """WITH dp AS (
+  SELECT ts FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT 'all' AS label, count(*) AS n FROM dp
+UNION ALL SELECT 'mid', count(*) FROM dp
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+UNION ALL SELECT 'asof', count(*) FROM dp
+  WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL SELECT 'future', count(*) FROM dp
+  WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
@@ -3903,6 +3989,19 @@ SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1"""
 
+  /** Curriculum twin: the global-window formulation the range-partition +
+    * offset-stitch rank must equal row-for-row.
+    */
+  val curriculum: String =
+    """WITH r AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+  FROM documents)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+  CAST((rank - 1) // 64 AS BIGINT) AS shard,
+  CAST((rank - 1) % 64 AS BIGINT) AS pos
+FROM r"""
+
   /** Shared BPE word-count CTEs: the recursive tokenizer twin. Each
     * DISTINCT corpus word is consumed left to right, each step eating the
     * LONGEST vocabulary prefix (or one character when nothing matches —
@@ -4598,6 +4697,49 @@ SELECT d.doc_id,
   CAST(coalesce(f.n_unseen, 0) AS BIGINT) AS n_unseen,
   CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END AS surprise
 FROM documents d LEFT JOIN folded f USING (doc_id)"""
+
+  /** Classifier twin: both class-unigram models relearned from the same
+    * train split, each document's per-class inverse-probability fold
+    * replayed in position order (`list_reduce` over `list(... ORDER BY
+    * i)`), the argmin decision restated with the same strict-< /
+    * label-order tie-break as the Spark loop.
+    */
+  val classifier: String =
+    """WITH tr AS (
+  SELECT lang, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 0),
+uni_en AS (SELECT t, count(*) AS c
+  FROM (SELECT unnest(w) AS t FROM tr WHERE lang = 'en') GROUP BY 1),
+uni_ot AS (SELECT t, count(*) AS c
+  FROM (SELECT unnest(w) AS t FROM tr WHERE lang <> 'en') GROUP BY 1),
+m_en AS (SELECT count(*) + CAST(coalesce(sum(c), 0) AS BIGINT) AS base FROM uni_en),
+m_ot AS (SELECT count(*) + CAST(coalesce(sum(c), 0) AS BIGINT) AS base FROM uni_ot),
+toks AS (
+  SELECT doc_id,
+    unnest([{'i': i, 't': w[i]} for i in range(1, len(w) + 1)]) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+sc AS (
+  SELECT tt.doc_id, tt.tk.i AS i,
+    CAST(me.base AS DOUBLE) / CAST(coalesce(ue.c, 0) + 1 AS DOUBLE) AS inv_en,
+    CAST(mo.base AS DOUBLE) / CAST(coalesce(uo.c, 0) + 1 AS DOUBLE) AS inv_ot
+  FROM toks tt CROSS JOIN m_en me CROSS JOIN m_ot mo
+  LEFT JOIN uni_en ue ON ue.t = tt.tk.t
+  LEFT JOIN uni_ot uo ON uo.t = tt.tk.t),
+folded AS (
+  SELECT doc_id, count(*) AS n,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(inv_en ORDER BY i)),
+      (acc, x) -> acc + x) AS se,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(inv_ot ORDER BY i)),
+      (acc, x) -> acc + x) AS so
+  FROM sc GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+    CAST(coalesce(f.n, 0) AS BIGINT) AS n_tok,
+    CASE WHEN f.n IS NULL THEN 0.0 ELSE f.se / f.n END AS s_en,
+    CASE WHEN f.n IS NULL THEN 0.0 ELSE f.so / f.n END AS s_other
+  FROM documents d LEFT JOIN folded f USING (doc_id))
+SELECT doc_id, n_tok, s_en, s_other,
+  CASE WHEN s_other < s_en THEN 'other' ELSE 'en' END AS label
+FROM scored"""
 
   /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
     * rule and the per-lang integer aggregate — one SQL statement replays

@@ -365,7 +365,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private case class FileStats(tsMin: Long, tsMax: Long,
                                sidMin: Option[String], sidMax: Option[String],
                                sidBloom: Option[Seq[Long]] = None,
-                               len: Option[Long] = None)
+                               len: Option[Long] = None,
+                               rows: Option[Long] = None)
 
   /** 256-bit / 4-probe bloom helpers over a file's EXACT stream-id set
     * (read from the parquet dictionary pages, see [[footerStats]]). The
@@ -477,7 +478,10 @@ class Datastream(spark: SparkSession, warehouse: String) {
             }
           Some(FileStats(flat.map(_._1).min, flat.map(_._2).max,
             sidBounds.map(_._1), sidBounds.map(_._2), sidBloom,
-            len = Some(fileLen)))
+            len = Some(fileLen),
+            // exact row count from the footer's block metadata — lets
+            // fully-covered range counts be served from the manifest alone
+            rows = Some(blocks.map(_.getRowCount).sum)))
         }
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -515,12 +519,15 @@ class Datastream(spark: SparkSession, warehouse: String) {
     *                           the file's 256-bit stream-id bloom as 64
     *                           hex chars, present when every page was
     *                           dictionary-encoded with ≤ 64 distinct ids;
-    *                           `len=` is a TAGGED order-free field — the
-    *                           file's byte length, letting snapshot reads
-    *                           synthesize FileStatus objects with zero
-    *                           plan-time FS listings — safe to tag because
+    *                           `len=` / `rows=` are TAGGED order-free
+    *                           fields — the file's byte length (letting
+    *                           snapshot reads synthesize FileStatus
+    *                           objects with zero plan-time FS listings)
+    *                           and its exact row count (letting
+    *                           fully-covered range counts be served from
+    *                           the manifest alone) — safe to tag because
     *                           URL-encoding means no positional string
-    *                           token can start with "len=")
+    *                           token can start with a tag prefix)
     *   `-<table>\t<relpath>`   file removed (retired) this version
     *
     * A DELTA manifest records only this commit's changes plus a pointer to
@@ -580,23 +587,25 @@ class Datastream(spark: SparkSession, warehouse: String) {
       lines.tail.foreach { l =>
         l.splitAt(1) match {
           case ("+", rest) =>
-            // tagged fields first (order-free `len=<n>`), then the
-            // positional arities — a positional token can never start
-            // with "len=" (strings are URL-encoded, '=' → %3D)
+            // tagged fields first (order-free `len=<n>` / `rows=<n>`),
+            // then the positional arities — a positional token can never
+            // start with a tag prefix (strings are URL-encoded, '=' → %3D)
             val toks = rest.split('\t')
-            val len = toks.collectFirst {
-              case s if s.startsWith("len=") => s.stripPrefix("len=").toLongOption
+            def tagged(tag: String) = toks.collectFirst {
+              case s if s.startsWith(tag) => s.stripPrefix(tag).toLongOption
             }.flatten
-            toks.filterNot(_.startsWith("len=")) match {
+            val len = tagged("len=")
+            val rows = tagged("rows=")
+            toks.filterNot(s => s.startsWith("len=") || s.startsWith("rows=")) match {
             case Array(t, f) => adds += ((t, f, None))
             case Array(t, f, mn, mx) =>
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, None, None, None, len)))
+                  yield FileStats(a, b, None, None, None, len, rows)))
             case Array(t, f, mn, mx, smn, smx) =>
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), None, len)))
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), None, len, rows)))
             case Array(t, f, mn, mx, smn, smx, bl) =>
               val bloom =
                 if (bl.length == 64 && bl.forall(c => c.isDigit ||
@@ -606,7 +615,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
                 else None
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
-                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom, len)))
+                  yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom, len, rows)))
             case _ => ()
           }
           case ("-", rest) => rest.split('\t') match {
@@ -911,11 +920,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
               }
             case _ => ()
           }
-          // TAGGED optional field (order-free, unlike the positional
-          // bounds/bloom): the file's byte length. Safe to tag because
-          // every positional string field is URL-encoded ('=' → %3D), so
-          // no positional token can ever start with "len="
+          // TAGGED optional fields (order-free, unlike the positional
+          // bounds/bloom): the file's byte length and exact row count.
+          // Safe to tag because every positional string field is
+          // URL-encoded ('=' → %3D), so no positional token can ever
+          // start with "len=" or "rows="
           st.len.foreach(n => body0.append('\t').append("len=").append(n))
+          st.rows.foreach(n => body0.append('\t').append("rows=").append(n))
         }
         body0.append('\n')
       }
@@ -1854,6 +1865,71 @@ class Datastream(spark: SparkSession, warehouse: String) {
       case Some(der) => raw.unionByName(der.select(cols: _*))
       case None => raw
     }
+  }
+
+  /** METADATA-ONLY datapoint count over the logical fact table
+    * (raw ∪ derived) with optional INCLUSIVE time bounds — the
+    * `SELECT count(*)` a monitoring dashboard or ingest audit fires
+    * constantly, served Delta-style from the commit log: a file whose
+    * manifest stats prove it lies FULLY inside the range contributes its
+    * recorded exact `rows=` count with zero I/O; only boundary-straddling
+    * files (and stat-less legacy files) are actually scanned, with the
+    * exact µs predicate applied. Unbounded counts over a stats-covered
+    * table touch NO data files at all. At 100 TB that is the difference
+    * between a O(boundary files) metadata operation and a full scan —
+    * and the result is bit-identical to the scan by construction
+    * (committed files are immutable; `rows=` was read from the footer the
+    * commit itself wrote).
+    *
+    * Pinned (`asOfVersion`) counts follow the same contract as every
+    * other time-travel read: a snapshot that does not cover a table fails
+    * at planning instead of silently counting live files.
+    */
+  def countDatapoints(start: Option[Timestamp] = None,
+                      end: Option[Timestamp] = None,
+                      asOfVersion: Option[Long] = None): Long = {
+    val snap = asOfVersion match {
+      case Some(v) => Some(snapshotAt(v))
+      case None => rawSnapshot
+    }
+    val range = usSkipRange(start, end)
+    def filtered(df: DataFrame): DataFrame = {
+      val withStart = start.map(t => df.where(col("ts") >= lit(t))).getOrElse(df)
+      end.map(t => withStart.where(col("ts") <= lit(t))).getOrElse(withStart)
+    }
+    def tableCount(table: String,
+                   schema: org.apache.spark.sql.types.StructType): Long =
+      snap.flatMap(_.tableFiles(table)) match {
+        case Some(files) =>
+          val s = snap.get
+          val kept = files.filter(keepFile(s, table, _, range, None))
+          val (interior, boundary) = kept.partition { f =>
+            s.stats.get((table, f)).exists { st =>
+              st.rows.isDefined && range.forall { case (lo, hi) =>
+                st.tsMin >= lo && st.tsMax <= hi
+              }
+            }
+          }
+          val metaRows = interior.iterator
+            .map(f => s.stats((table, f)).rows.get).sum
+          val scanned =
+            if (boundary.isEmpty) 0L
+            else filtered(spark.read.option("basePath", tablePath(table))
+              .schema(schema)
+              .parquet(boundary.toSeq.sorted
+                .map(f => s"${tablePath(table)}/$f"): _*)).count()
+          metaRows + scanned
+        case None if asOfVersion.nonEmpty && snap.isDefined =>
+          throw new IllegalStateException(
+            s"time travel: snapshot ${snap.get.version} does not cover " +
+              s"table '$table' (pre-coverage legacy manifest) — the " +
+              "table's state at that version is unknowable")
+        case None if exists(tablePath(table)) =>
+          filtered(spark.read.schema(schema).parquet(tablePath(table))).count()
+        case None => 0L
+      }
+    tableCount("raw", Schemas.rawDatapointsPartitioned) +
+      tableCount("derived", Schemas.rawDatapoints)
   }
 
   /** TIME TRAVEL: the logical fact table (raw ∪ derived) exactly as the

@@ -66,6 +66,66 @@ object Pack {
       .select(col("_id").as(idCol), col("_n").as(tokCol), col("bin"))
   }
 
+  /** Curriculum shard export: every document's EXACT global rank in
+    * `(orderCol, idCol)` order, and from it the sized output shard and
+    * in-shard position a curriculum-ordered training export writes —
+    * `shard = (rank-1) div shardSize`, `pos = (rank-1) mod shardSize`.
+    * The naive formulation is one global window (`row_number() OVER
+    * (ORDER BY score, id)`), which coalesces the corpus into a single
+    * task; this one is the classic scalable total-order rank instead:
+    *
+    *   1. `repartitionByRange(orderCol, idCol)` — the one full-data
+    *      shuffle, every partition a contiguous slice of the total order
+    *      (ties impossible: `idCol` is unique);
+    *   2. a per-partition `mapPartitions` walk over the within-partition
+    *      sort emits LOCAL ranks — narrow, no window exchange;
+    *   3. per-partition counts (= max local rank) aggregate to a
+    *      partition-count-sized table; the exclusive prefix over THAT
+    *      (the only single-partition window) runs over `numPartitions`
+    *      rows — metadata-scale at any corpus size;
+    *   4. offsets equi-join back on partition id (AQE broadcasts the
+    *      small side at runtime).
+    *
+    * The local-rank table is eagerly checkpointed so steps 3 and 4 read
+    * ONE materialization (a 3-long projection, ~24 B/doc — never the
+    * corpus columns); without it each consumer would re-run the range
+    * shuffle and AQE could hand them different partition layouts. The
+    * result is bit-identical to the global window — which is exactly
+    * what the DuckDB oracle computes.
+    */
+  def shardByRank(df: DataFrame, orderCol: String, shardSize: Long,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(shardSize > 0, "shardSize must be > 0")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val src = df.select(col(orderCol).as("_s"), col(idCol).cast("long").as("_id"))
+    val ranged = src.repartitionByRange(col("_s"), col("_id"))
+      .sortWithinPartitions("_s", "_id")
+    val schema = new StructType()
+      .add("_pid", LongType).add("_lrank", LongType).add("_id", LongType)
+    // eagerly materialized ONCE: the counts aggregate and the offset join
+    // below both consume `ranked`, and without pinning it each would
+    // re-execute the range shuffle independently — AQE may then give the
+    // two executions different partition layouts, making the (pid, lrank)
+    // pairs inconsistent between them. The checkpoint holds only the
+    // 3-long projection (~24 B/doc), never the corpus columns.
+    val ranked = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var r = 0L
+      it.map { row => r += 1; Row(pid, r, row.getLong(1)) }
+    }(org.apache.spark.sql.Encoders.row(schema)).localCheckpoint(true)
+    val counts = ranked.groupBy("_pid").agg(max("_lrank").as("_n"))
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_n").over(w), lit(0L)))
+      .select("_pid", "_off")
+    ranked.join(offsets, "_pid")
+      .withColumn("rank", col("_off") + col("_lrank"))
+      .withColumn("shard", expr(s"(rank - 1) div $shardSize"))
+      .withColumn("pos", expr(s"(rank - 1) % $shardSize"))
+      .select(col("_id").as(idCol), col("rank"), col("shard"), col("pos"))
+  }
+
   /** Exclusive prefix sums over a `(_blk, _bsum)` table, ordered by
     * `_blk`: returns `(_blk, _off)`. Recursive — a level that still
     * exceeds `maxSingle` rows aggregates into superblocks of `fanout`

@@ -874,4 +874,99 @@ object Text {
         sum("n_tokens").as("tokens_sum"),
         sum("n_bpeish").as("bpeish_sum"))
   }
+
+  // ---- trained corpus classifier (the GPT-3/FineWeb-Edu filter slot) -----
+
+  /** Class-conditional unigram counts learned from a reference slice:
+    * `vocab` distinct tokens, `total` token occurrences, per-token
+    * `counts`. One slice per class; the slices are model-sized BY
+    * CONTRACT (the curated "positive" corpus a pipeline's quality/domain
+    * classifier is trained against is curated precisely because it is
+    * small next to the crawl), so like [[BigramLm]] the collect is
+    * guarded by `maxVocab` with a fail-fast.
+    */
+  case class ClassUnigrams(vocab: Long, total: Long, counts: Map[String, Long])
+
+  /** Learn [[ClassUnigrams]] from one labeled slice: a distributed
+    * partial→final token count, collected once and broadcast to scoring
+    * tasks like a shipped model artifact.
+    */
+  def learnClassUnigrams(slice: DataFrame, textCol: String = "text",
+                         maxVocab: Int = 1 << 20): ClassUnigrams = {
+    import slice.sparkSession.implicits._
+    val rows = slice.select(col(textCol)).as[String]
+      .flatMap(t => if (t == null) Iterator.empty else t.split(" ", -1).iterator)
+      .groupBy(col("value").as("t")).agg(count(lit(1)).as("c"))
+      .head(maxVocab + 1)
+    require(rows.length <= maxVocab,
+      s"class-unigram vocabulary exceeds maxVocab=$maxVocab — train the " +
+        "classifier on a curated model-sized slice, not the corpus itself")
+    ClassUnigrams(rows.length.toLong, rows.map(_.getLong(1)).sum,
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  /** Trained corpus classifier, the GPT-3 "WebText-like vs raw crawl" /
+    * FineWeb-Edu filter slot, log-free like [[lmSurprise]]: per document
+    * and per class, walk tokens IN POSITION ORDER and fold the add-one-
+    * smoothed INVERSE class-conditional unigram probability
+    * `(total_c + vocab_c) / (count_c(t) + 1)` into a running sum; the
+    * per-class `surprise` is that sum / n_tok (0.0 for empty docs). The
+    * predicted label is the LEAST-surprised class — the same argmax-
+    * posterior decision a naive-Bayes classifier makes, with the
+    * arithmetic-mean-of-inverse-probabilities surrogate replacing the
+    * log-sum so every step is an exact-IEEE long→double division plus a
+    * position-ordered add that the DuckDB oracle replays bit-for-bit
+    * (`list_reduce` over `list(... ORDER BY i)`); a log formulation
+    * would hash-drift on libm. Ties break on class-label order.
+    *
+    * Output per doc: `n_tok`, one `s_<label>` surprise column per class
+    * (class-label order), `label`.
+    *
+    * 100 TB: the models ride one broadcast; scoring is a ZERO-SHUFFLE
+    * narrow map — the corpus never shuffles, never joins, and the argmin
+    * happens inside the same per-partition loop.
+    */
+  def classifyBySurprise(corpus: DataFrame,
+                         classes: Seq[(String, ClassUnigrams)],
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(classes.nonEmpty, "classifyBySurprise needs at least one class")
+    require(classes.map(_._1).distinct.length == classes.length,
+      "class labels must be distinct")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+    val ordered = classes.sortBy(_._1)
+    val labels = ordered.map(_._1)
+    val schema = ordered.foldLeft(
+        new StructType().add(idCol, LongType).add("n_tok", LongType)) {
+        (s, c) => s.add(s"s_${c._1}", DoubleType)
+      }.add("label", StringType)
+    val bc = corpus.sparkSession.sparkContext.broadcast(ordered.map(_._2))
+    import corpus.sparkSession.implicits._
+    corpus.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+          val s = new Array[Double](ms.length)
+          var k = 0
+          while (k < ms.length) {
+            val m = ms(k)
+            val base = m.total + m.vocab
+            var sum = 0.0
+            var i = 0
+            while (i < w.length) {
+              sum += base.toDouble / (m.counts.getOrElse(w(i), 0L) + 1L).toDouble
+              i += 1
+            }
+            s(k) = if (w.length == 0) 0.0 else sum / w.length.toDouble
+            k += 1
+          }
+          var best = 0
+          k = 1
+          while (k < s.length) { if (s(k) < s(best)) best = k; k += 1 }
+          Row.fromSeq(Seq[Any](id, w.length.toLong) ++ s.toSeq :+ labels(best))
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

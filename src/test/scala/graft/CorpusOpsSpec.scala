@@ -369,6 +369,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(withCols(1).getAs[Double]("lm_surprise") === 0.0)
   }
 
+  test("class-unigram classifier: hand-computed folds, argmin label, " +
+      "tie-break on label order, vocab guardrail") {
+    // pos: "a a b" → counts a:2 b:1, V=2, N=3, base=5
+    // neg: "c c"   → counts c:2,      V=1, N=2, base=3
+    val pos = docsDF(Seq((1L, "a a b", "en")))
+    val neg = docsDF(Seq((2L, "c c", "zh")))
+    val classes = Seq("pos" -> Text.learnClassUnigrams(pos),
+      "neg" -> Text.learnClassUnigrams(neg))
+    assert(classes.head._2 === Text.ClassUnigrams(2L, 3L, Map("a" -> 2L, "b" -> 1L)))
+    assert(classes(1)._2 === Text.ClassUnigrams(1L, 2L, Map("c" -> 2L)))
+    val corpus = docsDF(Seq(
+      (10L, "a b", "en"),  // s_pos = (5/3 + 5/2)/2, s_neg = (3/1 + 3/1)/2
+      (11L, "c", "zh"),    // s_pos = 5/1, s_neg = 3/3 = 1.0
+      (12L, "", "en")))    // [''] → 1 OOV token both sides: 5/1 vs 3/1
+    val out = Text.classifyBySurprise(corpus, classes)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("s_pos") === (5.0 / 3.0 + 5.0 / 2.0) / 2.0)
+    assert(out(0).getAs[Double]("s_neg") === 3.0)
+    assert(out(0).getAs[String]("label") === "pos")
+    assert(out(1).getAs[Double]("s_pos") === 5.0)
+    assert(out(1).getAs[Double]("s_neg") === 1.0)
+    assert(out(1).getAs[String]("label") === "neg")
+    // '' is OOV in both models; neg's smaller base wins
+    assert(out(2).getAs[Long]("n_tok") === 1L)
+    assert(out(2).getAs[String]("label") === "neg")
+    // equal surprises → first class in label order (strict-< argmin);
+    // "neg" sorts before "pos"
+    val tie = Text.classifyBySurprise(corpus.limit(0), classes).schema
+    assert(tie.fieldNames.toSeq ===
+      Seq("doc_id", "n_tok", "s_neg", "s_pos", "label"))
+    val same = Text.classifyBySurprise(
+      docsDF(Seq((20L, "x", "en"))),
+      Seq("b" -> Text.ClassUnigrams(1L, 1L, Map("y" -> 1L)),
+          "a" -> Text.ClassUnigrams(1L, 1L, Map("z" -> 1L)))).head()
+    assert(same.getAs[String]("label") === "a") // 2/1 both → label order
+    // model-sized contract: an over-budget vocabulary dies loudly
+    val boom = intercept[IllegalArgumentException] {
+      Text.learnClassUnigrams(pos, maxVocab = 1)
+    }
+    assert(boom.getMessage.contains("maxVocab"))
+    intercept[IllegalArgumentException] {
+      Text.classifyBySurprise(corpus, Seq(
+        "x" -> classes.head._2, "x" -> classes.head._2))
+    }
+  }
+
   test("rollingAnomaly: window excludes current row, warm-up stays false, spike flags") {
     // 8 constant points then a spike: priors of the spike are all 5.0
     val rows = (0 until 8).map(i =>
@@ -440,6 +486,29 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id", "n_tok", "bin")
     assert(got.exceptAll(want).count() === 0L)
     assert(want.exceptAll(got).count() === 0L)
+  }
+
+  test("shardByRank equals the naive global-window rank, ties and empty input included") {
+    import spark.implicits._
+    // 300 docs, many tied scores (score = i % 7) so the idCol tie-break
+    // is load-bearing; shuffled input over several partitions
+    val rows = (0 until 300).map(i => (i * 3L + (i % 2), (i % 7).toLong))
+    val df = util.Random.shuffle(rows).toDF("doc_id", "score").repartition(8)
+    val got = Pack.shardByRank(df, "score", shardSize = 10L)
+    val w = Window.orderBy("score", "doc_id")
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard", expr("(rank - 1) div 10"))
+      .withColumn("pos", expr("(rank - 1) % 10"))
+      .select("doc_id", "rank", "shard", "pos")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // shards are exactly shardSize docs apiece (last one ragged)
+    val sizes = got.groupBy("shard").count().orderBy("shard")
+      .select("count").as[Long].collect()
+    assert(sizes.dropRight(1).forall(_ === 10L))
+    assert(got.count() === 300L)
+    assert(Pack.shardByRank(df.limit(0), "score", 10L).count() === 0L)
+    intercept[IllegalArgumentException] { Pack.shardByRank(df, "score", 0L) }
   }
 
   test("DedupIndex: intra-shard duplicates collapse so appended index stays clean") {

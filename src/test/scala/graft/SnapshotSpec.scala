@@ -525,4 +525,55 @@ class SnapshotSpec extends SparkSpec {
     }
     ()
   }
+
+  test("metadata-only count: interior files answer from manifest rows= with " +
+      "zero data I/O; boundary files scan; skipped files untouched") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    // coalesce(1): exactly ONE multi-row file per date partition, so the
+    // interior/boundary classification below is deterministic
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:00Z", 1.0),
+      ("s1", "2024-01-01T06:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-02T00:00:00Z", 3.0),
+      ("s1", "2024-01-02T06:00:00Z", 4.0),
+      ("s1", "2024-01-02T12:00:00Z", 5.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    val v2 = ds.currentVersion.get
+    ds.appendMultiple(dp(Seq(("s1", "2024-01-05T00:00:00Z", 6.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    assert(ds.countDatapoints() === 6L)
+    // inclusive bounds, boundary file scanned with the exact µs predicate:
+    // the Jan-2 file straddles the end bound, so only 2 of its 3 rows count
+    assert(ds.countDatapoints(Some(ts("2024-01-01T00:00:00Z")),
+      Some(ts("2024-01-02T06:00:00Z"))) === 4L)
+    // pinned count excludes the later commit entirely
+    assert(ds.countDatapoints(asOfVersion = Some(v2)) === 5L)
+    // PROOF the interior/skipped files are never read: garbage their bytes
+    // on disk — the same counts must still come back (Jan-1 is interior →
+    // manifest rows=; Jan-5 is outside the range → skipped; only the
+    // boundary Jan-2 file is genuinely opened)
+    for (d <- Seq("dp_date=2024-01-01", "dp_date=2024-01-05");
+         f <- Option(new java.io.File(s"$dir/raw/$d").listFiles())
+           .getOrElse(Array.empty[java.io.File])
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    assert(ds.countDatapoints(Some(ts("2024-01-01T00:00:00Z")),
+      Some(ts("2024-01-02T06:00:00Z"))) === 4L)
+    // unbounded count touches NO data file at all — every file interior
+    assert(ds.countDatapoints() === 6L)
+    assert(ds.countDatapoints(asOfVersion = Some(v2)) === 5L)
+    // far-future range: stats skipping answers 0 without a scan
+    assert(ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None) === 0L)
+    // ...but a range that SPLITS the corrupted Jan-1 file (its bounds are
+    // [00:00, 06:00]; the range starts inside them) forces a scan and
+    // fails loudly — proving boundary files really are read, not estimated
+    intercept[Exception] {
+      ds.countDatapoints(Some(ts("2024-01-01T03:00:00Z")),
+        Some(ts("2024-01-01T23:00:00Z")))
+    }
+    ()
+  }
 }
