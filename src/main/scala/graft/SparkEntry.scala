@@ -54,6 +54,7 @@ object SparkEntry {
     // mutation sequence (vacuum is not a commit and must not appear)
     "q_history" -> Queries.historyLedger _,
     "q_stats_count" -> Queries.statsCount _,
+    "q_zorder" -> Queries.zorderCompaction _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -231,6 +232,7 @@ object SparkEntry {
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
     "q_stats_count" -> Oracles.statsCount,
+    "q_zorder" -> Oracles.zorderCompaction,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -563,6 +565,47 @@ object Queries {
       ("asof", ds.countDatapoints(asOfVersion = Some(v))),
       ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None))
     ).toDF("label", "n")
+  }
+
+  /** Z-ORDER compaction on the gate: all 30 (user, type) streams land in
+    * one commit, `compactZOrder` re-clusters each day's files on the
+    * (stream-rank, ts) Morton interleave, and the gate both replays the
+    * data exactly (per-stream aggregates + a ranged single-stream read
+    * through the clustered layout) and pins `layout_ok` — the rewrite
+    * produced multiple files per day AND single-stream / intra-range
+    * plans pruned strictly below the full file count, i.e. the layout
+    * actually buys multi-dimension skipping, not just a rewrite.
+    */
+  def zorderCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-zorder")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStreams(Sources.eventsAsDatapoints(spark, sfDir)
+      .select("stream_id").distinct().collect().map(_.getString(0)).sorted
+      .map(id => StreamMeta(id, Map.empty, ValueType.Numeric,
+        Seq.empty, Seq.empty, Granularity.Seconds.name)).toSeq)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .select("stream_id", "ts", "value"))
+    val (_, after) = ds.compactZOrder(maxRecordsPerFile = 64)
+    val nDays = Sources.events(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    val all = ds.plannedFiles("raw", None, None)
+    val one = ds.plannedFiles("raw", None, None, Some(Seq("7:click")))
+    val slice = ds.plannedFiles("raw",
+      Some(ts("2024-01-10T00:00:00Z")), Some(ts("2024-01-12T00:00:00Z")))
+    val layoutOk = after > nDays && one.size < all.size && slice.size < all.size
+    val full = ds.rawDatapoints.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+      .select(lit("full").as("phase"), col("stream_id"),
+        col("n_rows"), col("value_sum"))
+    val ranged = ds.getData("7:click", Granularity.Seconds,
+        start = Some(ts("2024-01-10T00:00:00Z")),
+        end = Some(ts("2024-01-20T00:00:00Z")), endExclusive = true)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+      .select(lit("ranged").as("phase"), lit("7:click").as("stream_id"),
+        col("n_rows"), col("value_sum"))
+    full.unionByName(ranged).withColumn("layout_ok", lit(layoutOk))
   }
 
   /** Tag CRUD on the gate: two streams are ensured with a shared `team`
@@ -2835,6 +2878,27 @@ UNION ALL SELECT 'asof', count(*) FROM dp
   WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
 UNION ALL SELECT 'future', count(*) FROM dp
   WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'"""
+
+  /** Z-order twin: the rewrite must be layout-only — per-stream counts
+    * and decimal sums straight from events, the ranged arm re-filtered,
+    * `layout_ok` pinned TRUE (a rewrite that failed to split files or to
+    * prune on either dimension flips it and breaks the hash).
+    */
+  val zorderCompaction: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events)
+SELECT 'full' AS phase, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+  true AS layout_ok
+FROM dp GROUP BY 2
+UNION ALL
+SELECT 'ranged', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), true
+FROM dp
+WHERE stream_id = '7:click'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'"""
 
   val getDataRange: String =
     """SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value

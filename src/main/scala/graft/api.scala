@@ -2254,6 +2254,101 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** 16-bit Morton spread: bits of a 16-bit value moved to the even bit
+    * positions of a 32-bit value (classic staged shift-and-mask), all
+    * long column arithmetic — stays inside whole-stage codegen.
+    */
+  private def zSpread(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    var x = c0.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** SQL fragment scaling column `name` (a 0-based offset) to a full
+    * 16-bit key over a `domain`-sized value space: multiply-then-`div`
+    * when the domain is small (≤ 2^16 — exact and overflow-free since
+    * value < domain ≤ 2^16 ⇒ product < 2^32), `div`-by-bucket when large
+    * (no overflow at any domain size). Both fill the HIGH key bits, so
+    * the two interleaved dimensions carry equal weight in the z-curve —
+    * a low-cardinality dimension scaled naively would occupy only the
+    * low bits and the "z-order" would degenerate to a plain sort on the
+    * other dimension. Integral `div` throughout: double division would
+    * lose exactness past 2^53.
+    */
+  private def zKey16(name: String, domain: Long): String = {
+    val d = math.max(domain, 1L)
+    if (d <= 65536L) s"(($name * 65536) div $d)"
+    else s"least($name div ${d / 65536L}, 65535)"
+  }
+
+  /** Z-ORDER clustering rewrite of the raw fact table — the OPTIMIZE
+    * ZORDER BY (stream_id, ts) analog. [[compact]] collapses each
+    * dp_date partition to ONE file, which is right for the reference's
+    * thousands-of-streams monitoring shape but wrong at 100 TB, where a
+    * single day is far bigger than any sane file: this rewrite instead
+    * splits each partition into `maxRecordsPerFile`-sized files whose
+    * rows are contiguous on the Morton interleave of (stream-rank,
+    * ts-offset), so every output file covers a NARROW sid × ts rectangle
+    * and the existing manifest-stats skipping ([[keepFile]]: sid bounds +
+    * bloom, ts bounds) prunes on BOTH dimensions at once — a plain
+    * (stream_id, ts) sort gives narrow sid bounds but each file spans the
+    * whole day, a (ts) sort the reverse.
+    *
+    * The z-key inputs cost no extra scan: stream ranks come from a
+    * registry-scale window (the dimension table — millions of rows at
+    * most, metadata next to the fact table), ts bounds from the manifest
+    * stats. One range shuffle on (dp_date, z) clusters the rewrite; the
+    * partitioned writer cuts files every `maxRecordsPerFile` rows, i.e.
+    * along z-contiguous boundaries. Snapshot-isolated like every rewrite:
+    * old files retire logically, readers stay on the previous manifest
+    * until the commit lands.
+    */
+  def compactZOrder(maxRecordsPerFile: Long = 1L << 20): (Long, Long) = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be > 0")
+    withCommit("compact") {
+      val files = rawSnapshot.flatMap(_.tableFiles("raw"))
+        .getOrElse(listFilesUnder("raw"))
+      if (files.isEmpty) (0L, 0L)
+      else {
+        val parts = files.toSeq.map(_.split('/').head)
+          .filter(_.startsWith("dp_date=")).distinct.sorted
+        scopeWrite("raw", parts)
+        val old = retireFiles("raw", parts)
+        val slice = spark.read.option("basePath", rawPath)
+          .schema(Schemas.rawDatapointsPartitioned)
+          .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
+        val nStreams = math.max(streams.count(), 1L)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("stream_id")
+        val ranks = streams.select(col("stream_id"))
+          .withColumn("_sr", row_number().over(w).cast("long") - 1L)
+        // ts bounds straight from the manifest stats — zero data I/O
+        val sts = rawSnapshot.map(_.stats).getOrElse(Map.empty)
+          .collect { case (("raw", f), st) if old(f) => st }
+        val (tsLo, tsHi) =
+          if (sts.isEmpty) (0L, 0L)
+          else (sts.map(_.tsMin).min, sts.map(_.tsMax).max)
+        val zed = slice.join(ranks, Seq("stream_id"), "left")
+          .withColumn("_us", expr(s"unix_micros(ts) - ${tsLo}L"))
+          .withColumn("_sr0", coalesce(col("_sr"), lit(0L)))
+          .withColumn("_z",
+            zSpread(expr(zKey16("_us", tsHi - tsLo + 1L))) * 2L +
+              zSpread(expr(zKey16("_sr0", nStreams))))
+        zed.repartitionByRange(col("dp_date"), col("_z"),
+            col("stream_id"), col("ts"))
+          .sortWithinPartitions("dp_date", "_z", "stream_id", "ts")
+          // restore the exact schema column order (the join moved
+          // stream_id to the front) — order-preserving projection
+          .select(Schemas.rawDatapointsPartitioned.fieldNames.toSeq.map(col): _*)
+          .write.mode(SaveMode.Append)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("dp_date").parquet(rawPath)
+        (old.size.toLong, writtenSoFar("raw").size.toLong)
+      }
+    }
+  }
+
   /** Finalized downsampled table at granularity `g` (read shape of S3) —
     * a snapshot read, like every other table surface.
     */

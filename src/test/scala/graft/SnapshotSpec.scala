@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import java.time.Instant
 
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
@@ -523,6 +524,51 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception] {
       ds.rawDatapointsAt(v2).where(col("stream_id") === "doom").count()
     }
+    ()
+  }
+
+  test("z-order compaction: clustered files skip on BOTH the stream and " +
+      "time dimensions; data bit-identical") {
+    val (ds, _) = freshDs
+    val sids = (0 until 4).map(i => s"s$i")
+    sids.foreach(s => ds.ensureStream(s))
+    // 4 streams × 64 points interleaved across ONE day — a single dp_date
+    // partition, so only file-level stats can prune anything. 1350 s
+    // stride × 64 spans the day exactly; +k keeps (sid, ts) unique.
+    val t0 = Instant.parse("2024-01-01T00:00:00Z")
+    val rows = for (i <- 0 until 64; (s, k) <- sids.zipWithIndex)
+      yield (s, t0.plusSeconds(i.toLong * 1350 + k).toString, (i + k).toDouble)
+    ds.appendMultiple(dp(rows).select("stream_id", "ts", "value").coalesce(1))
+    val before = ds.rawDatapoints
+      .agg(count(lit(1)), sum("value")).first()
+    val (was, now) = ds.compactZOrder(maxRecordsPerFile = 64)
+    assert(was === 1L)
+    assert(now >= 4L, s"expected >= 4 clustered files, got $now")
+    val all = ds.plannedFiles("raw", None, None)
+    assert(all.size === now.toInt)
+    // one stream: the z-layout confines each sid to a subset of files
+    // (bounds + per-file bloom), so strictly fewer files plan
+    val oneSid = ds.plannedFiles("raw", None, None, Some(Seq("s0")))
+    assert(oneSid.size < all.size,
+      s"sid skipping kept ${oneSid.size} of ${all.size}")
+    // a narrow intra-day slice: strictly fewer files on the ts dimension
+    val slice = ds.plannedFiles("raw",
+      Some(ts("2024-01-01T03:00:00Z")), Some(ts("2024-01-01T06:00:00Z")))
+    assert(slice.size < all.size,
+      s"ts skipping kept ${slice.size} of ${all.size}")
+    // both dimensions together prune at least as hard as either alone
+    val bothDims = ds.plannedFiles("raw",
+      Some(ts("2024-01-01T03:00:00Z")), Some(ts("2024-01-01T06:00:00Z")),
+      Some(Seq("s0")))
+    assert(bothDims.size <= math.min(oneSid.size, slice.size))
+    // the rewrite changed layout only: row count and sum are identical,
+    // and a ranged single-stream read still answers exactly
+    val after = ds.rawDatapoints.agg(count(lit(1)), sum("value")).first()
+    assert(after === before)
+    assert(ds.getData("s0", Granularity.Seconds,
+      start = Some(ts("2024-01-01T03:00:00Z")),
+      end = Some(ts("2024-01-01T06:00:00Z")), endExclusive = true)
+      .count() === 8L) // 1350s stride: i = 8..15 land in [3h, 6h)
     ()
   }
 
