@@ -76,6 +76,7 @@ object SparkEntry {
     "q_streaming_dedup" -> Queries.streamingDedup _,
     "q_streaming_filter" -> Queries.streamingFilter _,
     "q_streaming_lm" -> Queries.streamingLm _,
+    "q_streaming_classifier" -> Queries.streamingClassifier _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -153,6 +154,7 @@ object SparkEntry {
     // round-9 composition: coverage selection → embedding semantic dedup
     "q_corpus_pipeline4" -> Queries.corpusPipeline4 _,
     "q_corpus_pipeline5" -> Queries.corpusPipeline5 _,
+    "q_corpus_pipeline6" -> Queries.corpusPipeline6 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -248,6 +250,7 @@ object SparkEntry {
     "q_streaming_dedup" -> Oracles.streamingDedup,
     "q_streaming_filter" -> Oracles.streamingFilter,
     "q_streaming_lm" -> Oracles.streamingLm,
+    "q_streaming_classifier" -> Oracles.streamingClassifier,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -306,6 +309,7 @@ object SparkEntry {
     "q_corpus_pipeline3" -> Oracles.corpusPipeline3,
     "q_corpus_pipeline4" -> Oracles.corpusPipeline4,
     "q_corpus_pipeline5" -> Oracles.corpusPipeline5,
+    "q_corpus_pipeline6" -> Oracles.corpusPipeline6,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
@@ -1281,6 +1285,40 @@ object Queries {
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
   }
 
+  /** The trained classifier's streaming arm on the gate: class models
+    * learned BATCH from the train split, then the SAME document shard
+    * delivered twice as forced-separate micro-batches through
+    * `filterIngestClassifier` — each batch labeled by the stateless
+    * zero-shuffle scoring map, only `en`-labeled docs landing. The
+    * oracle relearns the models, replays the argmin decision, and
+    * doubles the kept per-lang aggregates.
+    */
+  def streamingClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val docs = Sources.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 5 === 0)
+    val classes = Seq(
+      "en" -> ext.Text.learnClassUnigrams(train.where(col("lang") === "en")),
+      "other" -> ext.Text.learnClassUnigrams(train.where(col("lang") =!= "en")))
+    val dir = tempDir("graft-sclf")
+    val srcDir = tempDir("graft-sclf-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.filterIngestClassifier(src, classes,
+        s"$dir/out", s"$dir/ckpt", keep = "en")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
   /** The sessionizer's streaming arm on the gate: events stream through
     * `session_window` (30-minute gap, zero-delay watermark, append mode)
     * under `Trigger.AvailableNow`; emitted sessions are exactly those
@@ -1786,6 +1824,29 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum("lm_pairs").as("pairs_sum"),
         sum("lm_unseen").as("unseen_sum"))
+  }
+
+  /** Composed pipeline #6 — the trained-filter recipe: classifier labels
+    * from class-unigram models learned on the train split → keep docs the
+    * classifier calls `en` → exact dedup (min doc_id per md5) → per-lang
+    * report. One chained SQL twin replays all three stages, so the
+    * classifier now gates standalone, streaming, and composed, like the
+    * LM before it.
+    */
+  def corpusPipeline6(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 5 === 0)
+    val classes = Seq(
+      "en" -> ext.Text.learnClassUnigrams(train.where(col("lang") === "en")),
+      "other" -> ext.Text.learnClassUnigrams(train.where(col("lang") =!= "en")))
+    val kept = ext.Text.withClassLabel(docs, classes)
+      .where(col("clf_label") === "en")
+    val keeper = kept.groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    kept.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
   }
 
   /** X3+ continuous-ingest SemDeDup against the PERSISTED IVF index: the
@@ -4762,13 +4823,16 @@ SELECT d.doc_id,
   CASE WHEN f.n_pairs IS NULL THEN 0.0 ELSE f.s / f.n_pairs END AS surprise
 FROM documents d LEFT JOIN folded f USING (doc_id)"""
 
-  /** Classifier twin: both class-unigram models relearned from the same
-    * train split, each document's per-class inverse-probability fold
-    * replayed in position order (`list_reduce` over `list(... ORDER BY
-    * i)`), the argmin decision restated with the same strict-< /
-    * label-order tie-break as the Spark loop.
+  /** Shared classifier CTE block (the twin of `Text.learnClassUnigrams` +
+    * `classifyBySurprise`/`withClassLabel`): both class-unigram models
+    * relearned from the same train split, each document's per-class
+    * inverse-probability fold replayed in position order (`list_reduce`
+    * over `list(... ORDER BY i)`), ending in a `lab` relation carrying
+    * per-doc scores. `label = 'en'` ⇔ NOT (s_other < s_en) — the same
+    * strict-< / label-order tie-break as the Spark loop. Reused by the
+    * standalone, streaming, and pipeline-6 twins.
     */
-  val classifier: String =
+  private val classifierCtes: String =
     """WITH tr AS (
   SELECT lang, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 0),
 uni_en AS (SELECT t, count(*) AS c
@@ -4795,15 +4859,36 @@ folded AS (
     list_reduce(list_prepend(CAST(0 AS DOUBLE), list(inv_ot ORDER BY i)),
       (acc, x) -> acc + x) AS so
   FROM sc GROUP BY doc_id),
-scored AS (
-  SELECT d.doc_id,
+lab AS (
+  SELECT d.doc_id, d.lang, d.text,
     CAST(coalesce(f.n, 0) AS BIGINT) AS n_tok,
     CASE WHEN f.n IS NULL THEN 0.0 ELSE f.se / f.n END AS s_en,
     CASE WHEN f.n IS NULL THEN 0.0 ELSE f.so / f.n END AS s_other
-  FROM documents d LEFT JOIN folded f USING (doc_id))
+  FROM documents d LEFT JOIN folded f USING (doc_id))"""
+
+  val classifier: String = classifierCtes + """
 SELECT doc_id, n_tok, s_en, s_other,
   CASE WHEN s_other < s_en THEN 'other' ELSE 'en' END AS label
-FROM scored"""
+FROM lab"""
+
+  /** Streaming-classifier twin: the kept (`en`-labeled) slice's per-lang
+    * aggregates doubled — two deliveries land twice in the append sink.
+    */
+  val streamingClassifier: String = classifierCtes + """
+SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_docs,
+  CAST(2 * sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
+FROM lab WHERE NOT (s_other < s_en) GROUP BY lang"""
+
+  /** Pipeline-6 twin: the classifier replay chained into the dedup
+    * keeper rule and the per-lang report — one SQL statement replays all
+    * three stages.
+    */
+  val corpusPipeline6: String = classifierCtes + """,
+kept AS (SELECT doc_id, lang, text FROM lab WHERE NOT (s_other < s_en)),
+keeper AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
+FROM kept JOIN keeper USING (doc_id) GROUP BY lang"""
 
   /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
     * rule and the per-lang integer aggregate — one SQL statement replays

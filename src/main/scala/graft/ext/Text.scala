@@ -948,25 +948,64 @@ object Text {
         val ms = bc.value
         it.map { case (id, text) =>
           val w = if (text == null) Array.empty[String] else text.split(" ", -1)
-          val s = new Array[Double](ms.length)
-          var k = 0
-          while (k < ms.length) {
-            val m = ms(k)
-            val base = m.total + m.vocab
-            var sum = 0.0
-            var i = 0
-            while (i < w.length) {
-              sum += base.toDouble / (m.counts.getOrElse(w(i), 0L) + 1L).toDouble
-              i += 1
-            }
-            s(k) = if (w.length == 0) 0.0 else sum / w.length.toDouble
-            k += 1
-          }
+          val s = ms.map(meanInverseProb(w, _))
           var best = 0
-          k = 1
+          var k = 1
           while (k < s.length) { if (s(k) < s(best)) best = k; k += 1 }
-          Row.fromSeq(Seq[Any](id, w.length.toLong) ++ s.toSeq :+ labels(best))
+          Row.fromSeq(Seq[Any](id, w.length.toLong) ++ s :+ labels(best))
         }
       }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** The classifier's per-class score: the mean add-one-smoothed INVERSE
+    * unigram probability, folded over tokens in position order — shared
+    * by the batch and streaming paths so both are bit-identical.
+    */
+  private def meanInverseProb(w: Array[String], m: ClassUnigrams): Double = {
+    val base = m.total + m.vocab
+    var sum = 0.0
+    var i = 0
+    while (i < w.length) {
+      sum += base.toDouble / (m.counts.getOrElse(w(i), 0L) + 1L).toDouble
+      i += 1
+    }
+    if (w.length == 0) 0.0 else sum / w.length.toDouble
+  }
+
+  /** [[classifyBySurprise]] as a row-preserving append — every input
+    * column plus `clf_label` — so the trained filter composes in
+    * pipelines and in Structured Streaming (a stateless zero-shuffle
+    * narrow map lifts to micro-batches unchanged; the class models ride
+    * the closure's broadcast like the LM and BPE artifacts).
+    */
+  def withClassLabel(docs: DataFrame,
+                     classes: Seq[(String, ClassUnigrams)],
+                     textCol: String = "text"): DataFrame = {
+    require(classes.nonEmpty, "withClassLabel needs at least one class")
+    require(classes.map(_._1).distinct.length == classes.length,
+      "class labels must be distinct")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StringType
+    val ordered = classes.sortBy(_._1)
+    val labels = ordered.map(_._1)
+    val schema = docs.schema.add("clf_label", StringType)
+    val ti = docs.schema.fieldIndex(textCol)
+    val bc = docs.sparkSession.sparkContext.broadcast(ordered.map(_._2))
+    docs.mapPartitions { it =>
+      val ms = bc.value
+      it.map { r =>
+        val text = r.getString(ti)
+        val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+        var best = 0
+        var bestS = meanInverseProb(w, ms(0))
+        var k = 1
+        while (k < ms.length) {
+          val s = meanInverseProb(w, ms(k))
+          if (s < bestS) { best = k; bestS = s }
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ labels(best))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

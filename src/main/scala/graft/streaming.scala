@@ -477,6 +477,28 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Trained-classifier-filtered streaming ingest — the deployment shape
+    * of the crawl-vs-curated filter (GPT-3's WebText-like classifier in
+    * front of the raw crawl): the class-conditional unigram models are
+    * learned BATCH from curated slices (`Text.learnClassUnigrams`) and
+    * shipped to the stream; each micro-batch is labeled by the same
+    * zero-shuffle argmin-surprise map as the batch path
+    * (`Text.withClassLabel`, stateless — no watermark or state store)
+    * and only documents labeled `keep` land.
+    */
+  def filterIngestClassifier(docs: DataFrame,
+                             classes: Seq[(String, ext.Text.ClassUnigrams)],
+                             outPath: String, checkpoint: String,
+                             keep: String, textCol: String = "text") =
+    ext.Text.withClassLabel(docs, classes, textCol)
+      .where(col("clf_label") === keep)
+      .drop("clf_label")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
     * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
     * a content hash is remembered only until the watermark passes its

@@ -192,6 +192,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier-filtered streaming ingest labels each micro-batch with " +
+      "the broadcast models and equals the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pos: "a a b" → a:2 b:1, V=2, base=5; neg: "c c" → c:2, V=1, base=3
+    val classes = Seq(
+      "pos" -> ext.Text.learnClassUnigrams(
+        Seq((1L, "a a b", "en")).toDF("doc_id", "text", "lang")),
+      "neg" -> ext.Text.learnClassUnigrams(
+        Seq((2L, "c c", "zh")).toDF("doc_id", "text", "lang")))
+    val mem = MemoryStream[(Long, String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sclf-t").toString
+    val q = Streaming.filterIngestClassifier(
+      mem.toDF().toDF("doc_id", "text", "lang"), classes,
+      s"$dir/out", s"$dir/ckpt", keep = "pos")
+      .start()
+    try {
+      // "a b": s_pos = (5/3 + 5/2)/2 < s_neg = 3 → kept
+      // "c":   s_pos = 5 > s_neg = 1 → dropped
+      mem.addData((10L, "a b", "en"), (11L, "c", "zh"))
+      q.processAllAvailable()
+      mem.addData((12L, "a a", "en"), (13L, "c c c", "zh"))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "deliveries must land in separate micro-batches")
+      val kept = spark.read.parquet(s"$dir/out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept === Seq(10L, 12L))
+      // the streaming survivors equal the batch label filter
+      val all = Seq((10L, "a b", "en"), (11L, "c", "zh"),
+        (12L, "a a", "en"), (13L, "c c c", "zh"))
+        .toDF("doc_id", "text", "lang")
+      val batchKept = ext.Text.withClassLabel(all, classes)
+        .where(col("clf_label") === "pos")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batchKept === kept)
+    } finally q.stop()
+  }
+
   test("bounded dedup ingest: in-window replay dropped, state TTLs beyond the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
