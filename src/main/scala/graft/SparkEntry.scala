@@ -567,7 +567,8 @@ object Queries {
       ("mid", ds.countDatapoints(Some(ts("2024-01-10T00:00:00Z")),
         Some(ts("2024-01-20T00:00:00Z")))),
       ("asof", ds.countDatapoints(asOfVersion = Some(v))),
-      ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None))
+      ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None)),
+      ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click"))))
     ).toDF("label", "n")
   }
 
@@ -2928,7 +2929,7 @@ SELECT * FROM (VALUES
     */
   val statsCount: String =
     """WITH dp AS (
-  SELECT ts FROM events
+  SELECT ts, CAST(user_id AS VARCHAR) || ':' || event_type AS sid FROM events
   WHERE (user_id = 7 AND event_type = 'click')
      OR (user_id = 3 AND event_type = 'view'))
 SELECT 'all' AS label, count(*) AS n FROM dp
@@ -2938,7 +2939,8 @@ UNION ALL SELECT 'mid', count(*) FROM dp
 UNION ALL SELECT 'asof', count(*) FROM dp
   WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
 UNION ALL SELECT 'future', count(*) FROM dp
-  WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'"""
+  WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'
+UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'"""
 
   /** Z-order twin: the rewrite must be layout-only — per-stream counts
     * and decimal sums straight from events, the ranged arm re-filtered,

@@ -1881,33 +1881,49 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * (committed files are immutable; `rows=` was read from the footer the
     * commit itself wrote).
     *
+    * Stream-scoped counts (`streamIds`) ride the same path: a file
+    * counts from the manifest only when its stats also PROVE stream
+    * purity — `sidMin == sidMax` and that one id is requested (string
+    * bounds cannot prove subset membership for a wider range, and the
+    * bloom is one-sided) — otherwise it joins the boundary scan with the
+    * exact `stream_id IN` predicate. Per-stream files (the derived
+    * table's layout, or a z-ordered day at high `maxRecordsPerFile`
+    * resolution) make most of the table provably pure.
+    *
     * Pinned (`asOfVersion`) counts follow the same contract as every
     * other time-travel read: a snapshot that does not cover a table fails
     * at planning instead of silently counting live files.
     */
   def countDatapoints(start: Option[Timestamp] = None,
                       end: Option[Timestamp] = None,
-                      asOfVersion: Option[Long] = None): Long = {
+                      asOfVersion: Option[Long] = None,
+                      streamIds: Option[Seq[String]] = None): Long = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
     }
     val range = usSkipRange(start, end)
+    val sids = streamIds.map(_.sorted.toIndexedSeq)
+    val sidSet = streamIds.map(_.toSet)
     def filtered(df: DataFrame): DataFrame = {
       val withStart = start.map(t => df.where(col("ts") >= lit(t))).getOrElse(df)
-      end.map(t => withStart.where(col("ts") <= lit(t))).getOrElse(withStart)
+      val withEnd = end.map(t => withStart.where(col("ts") <= lit(t))).getOrElse(withStart)
+      sidSet.map(s => withEnd.where(col("stream_id").isInCollection(s.toSeq)))
+        .getOrElse(withEnd)
     }
     def tableCount(table: String,
                    schema: org.apache.spark.sql.types.StructType): Long =
       snap.flatMap(_.tableFiles(table)) match {
         case Some(files) =>
           val s = snap.get
-          val kept = files.filter(keepFile(s, table, _, range, None))
+          val kept = files.filter(keepFile(s, table, _, range, sids))
           val (interior, boundary) = kept.partition { f =>
             s.stats.get((table, f)).exists { st =>
               st.rows.isDefined && range.forall { case (lo, hi) =>
                 st.tsMin >= lo && st.tsMax <= hi
-              }
+              } && sidSet.forall(set =>
+                st.sidMin.isDefined && st.sidMin == st.sidMax &&
+                  set(st.sidMin.get))
             }
           }
           val metaRows = interior.iterator

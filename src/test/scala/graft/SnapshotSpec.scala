@@ -613,6 +613,11 @@ class SnapshotSpec extends SparkSpec {
     assert(ds.countDatapoints(asOfVersion = Some(v2)) === 5L)
     // far-future range: stats skipping answers 0 without a scan
     assert(ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None) === 0L)
+    // stream-scoped: every file is single-stream, so sid purity is
+    // provable from the bounds and the corrupted files are still never
+    // opened; an unknown id skips everything
+    assert(ds.countDatapoints(streamIds = Some(Seq("s1"))) === 6L)
+    assert(ds.countDatapoints(streamIds = Some(Seq("zz"))) === 0L)
     // ...but a range that SPLITS the corrupted Jan-1 file (its bounds are
     // [00:00, 06:00]; the range starts inside them) forces a scan and
     // fails loudly — proving boundary files really are read, not estimated
