@@ -588,11 +588,17 @@ object Queries {
       .select("stream_id").distinct().collect().map(_.getString(0)).sorted
       .map(id => StreamMeta(id, Map.empty, ValueType.Numeric,
         Seq.empty, Seq.empty, Granularity.Seconds.name)).toSeq)
-    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
-      .select("stream_id", "ts", "value"))
-    val (_, after) = ds.compactZOrder(maxRecordsPerFile = 64)
+    val pts = Sources.eventsAsDatapoints(spark, sfDir)
+      .select("stream_id", "ts", "value")
+    ds.appendMultiple(pts)
     val nDays = Sources.events(spark, sfDir)
       .select(to_date(col("ts"))).distinct().count()
+    // scale-adaptive file sizing: ~3 clustered files per day at ANY sf, so
+    // the gate's file count (and its per-file commit-stats cost) stays
+    // flat as the fixture grows — the shape a real OPTIMIZE targets, vs a
+    // constant row cap that explodes into thousands of tiny files
+    val perFile = math.max(pts.count() / math.max(nDays * 3, 1L), 1L)
+    val (_, after) = ds.compactZOrder(maxRecordsPerFile = perFile)
     val all = ds.plannedFiles("raw", None, None)
     val one = ds.plannedFiles("raw", None, None, Some(Seq("7:click")))
     val slice = ds.plannedFiles("raw",

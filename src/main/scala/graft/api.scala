@@ -2274,7 +2274,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * positions of a 32-bit value (classic staged shift-and-mask), all
     * long column arithmetic — stays inside whole-stage codegen.
     */
-  private def zSpread(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def zSpread(c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     var x = c0.bitwiseAND(lit(0xFFFFL))
     x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
     x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
@@ -2293,7 +2293,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * other dimension. Integral `div` throughout: double division would
     * lose exactness past 2^53.
     */
-  private def zKey16(name: String, domain: Long): String = {
+  private[graft] def zKey16(name: String, domain: Long): String = {
     val d = math.max(domain, 1L)
     if (d <= 65536L) s"(($name * 65536) div $d)"
     else s"least($name div ${d / 65536L}, 65535)"

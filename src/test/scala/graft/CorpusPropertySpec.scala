@@ -217,6 +217,30 @@ class CorpusPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("shardByRank equals the sequential sort-rank model for any ids, " +
+      "scores and shard sizes") {
+    import spark.implicits._
+    val rowsGen = for {
+      ids <- Gen.nonEmptyContainerOf[Set, Long](Gen.choose(0L, 500L))
+      scores <- Gen.listOfN(ids.size, Gen.choose(0L, 9L)) // dense ⇒ many ties
+    } yield ids.toList.sorted.zip(scores)
+    val prop = Prop.forAll(rowsGen, Gen.choose(1L, 64L)) { (rows, shard0) =>
+      val shardSize = shard0 max 1L
+      val df = scala.util.Random.shuffle(rows).toDF("doc_id", "score")
+        .repartition(5)
+      val got = ext.Pack.shardByRank(df, "score", shardSize)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex.map {
+        case ((id, _), i) =>
+          id -> (i + 1L, i.toLong / shardSize, i.toLong % shardSize)
+      }.toMap
+      got == want
+    }
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("packContiguous equals the sequential prefix-sum model for any ids, budget, blockSize") {
     import spark.implicits._
     val rowsGen = for {

@@ -572,6 +572,32 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("z-key scaling and Morton spread: strictly monotone per dimension, " +
+      "even-bit lanes, full 16-bit reach on both domain branches") {
+    val (ds, _) = freshDs
+    import spark.implicits._
+    val xs = Seq(0L, 1L, 2L, 255L, 256L, 32767L, 65535L)
+    val spreadVals = xs.toDF("x")
+      .select(ds.zSpread(col("x"))).as[Long].collect().toSeq
+    // strictly monotone (so per-dimension order survives the interleave)
+    assert(spreadVals.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    // all bits land on even lanes — the other dimension's lanes stay free
+    assert(spreadVals.forall(v => (v & 0xAAAAAAAAL) == 0L))
+    assert(spreadVals.last === 0x55555555L)
+    // small-domain branch: multiply-then-div fills the TOP key bits
+    val small = Seq(0L, 1L, 2L, 3L).toDF("x")
+      .selectExpr(ds.zKey16("x", 4L)).as[Long].collect().toSeq
+    assert(small === Seq(0L, 16384L, 32768L, 49152L))
+    // large-domain branch: bucket div, clamped, reaches 65535 at the top
+    val dom = 1L << 40
+    val big = Seq(0L, dom / 2, dom - 1).toDF("x")
+      .selectExpr(ds.zKey16("x", dom)).as[Long].collect().toSeq
+    assert(big.head === 0L)
+    assert(big(1) === 32768L)
+    assert(big(2) === 65535L)
+    ()
+  }
+
   test("metadata-only count: interior files answer from manifest rows= with " +
       "zero data I/O; boundary files scan; skipped files untouched") {
     val (ds, dir) = freshDs
