@@ -55,6 +55,7 @@ object SparkEntry {
     "q_history" -> Queries.historyLedger _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
+    "q_table_detail" -> Queries.tableDetailReport _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -235,6 +236,7 @@ object SparkEntry {
     "q_history" -> Oracles.historyLedger,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
+    "q_table_detail" -> Oracles.tableDetail,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -570,6 +572,30 @@ object Queries {
       ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None)),
       ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click"))))
     ).toDF("label", "n")
+  }
+
+  /** DESCRIBE DETAIL on the gate: after an append + maintenance pass,
+    * `tableDetail` must report — from the manifest alone, zero data I/O —
+    * the exact raw row count and µs time bounds (both provable from
+    * events) plus a populated/empty split between raw and the untouched
+    * derived table. `bytes_known` pins that every committed file carries
+    * its `len=` stat.
+    */
+  def tableDetailReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-detail")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.tableDetail
+      .where(col("table").isin("raw", "derived"))
+      .select(col("table"), col("n_rows"),
+        (col("n_files") > 0).as("has_files"),
+        col("bytes").isNotNull.as("bytes_known"),
+        col("ts_min_us"), col("ts_max_us"))
   }
 
   /** Z-ORDER compaction on the gate: all 30 (user, type) streams land in
@@ -2947,6 +2973,20 @@ UNION ALL SELECT 'asof', count(*) FROM dp
 UNION ALL SELECT 'future', count(*) FROM dp
   WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'
 UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'"""
+
+  /** DESCRIBE DETAIL twin: the raw row count and µs bounds recomputed
+    * from events; derived pinned empty-but-known.
+    */
+  val tableDetail: String =
+    """WITH dp AS (
+  SELECT ts FROM events WHERE user_id = 7 AND event_type = 'click')
+SELECT 'raw' AS "table", count(*) AS n_rows, true AS has_files,
+  true AS bytes_known,
+  min(epoch_us(ts)) AS ts_min_us, max(epoch_us(ts)) AS ts_max_us
+FROM dp
+UNION ALL
+SELECT 'derived', 0, false, true,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"""
 
   /** Z-order twin: the rewrite must be layout-only — per-stream counts
     * and decimal sums straight from events, the ranged arm re-filtered,

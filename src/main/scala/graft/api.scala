@@ -2270,6 +2270,38 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** DESCRIBE DETAIL analog, served from the CURRENT snapshot manifest
+    * with zero data I/O: per covered table, the exact file count, total
+    * bytes (`len=` stats), total rows (`rows=` stats) and the µs time
+    * bounds. A column is null when any file lacks the backing stat
+    * (legacy/foreign writer) — absent, never wrong. At 100 TB this is
+    * the table-health dashboard query; nothing here opens a data file.
+    */
+  def tableDetail: DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long])] =
+      rawSnapshot match {
+        case None => Seq.empty
+        case Some(s) =>
+          s.covered.toSeq.sorted.map { t =>
+            val files = s.files.getOrElse(t, Set.empty).toSeq
+            val sts = files.flatMap(f => s.stats.get((t, f)))
+            def total(get: FileStats => Option[Long]): Option[Long] =
+              if (sts.size == files.size && sts.forall(get(_).isDefined))
+                Some(sts.map(get(_).get).sum)
+              else None
+            val bounds =
+              if (files.nonEmpty && sts.size == files.size)
+                (Some(sts.map(_.tsMin).min), Some(sts.map(_.tsMax).max))
+              else (None, None)
+            (t, files.size.toLong, total(_.len), total(_.rows),
+              bounds._1, bounds._2)
+          }
+      }
+    rows.toDF("table", "n_files", "bytes", "n_rows", "ts_min_us", "ts_max_us")
+  }
+
   /** 16-bit Morton spread: bits of a 16-bit value moved to the even bit
     * positions of a 32-bit value (classic staged shift-and-mask), all
     * long column arithmetic — stays inside whole-stage codegen.

@@ -572,6 +572,38 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("tag-stripped manifests (foreign/legacy writer): counts and reads " +
+      "fall back to scanning, bit-identical results") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:00Z", 1.0),
+      ("s1", "2024-01-02T00:00:00Z", 2.0))).select("stream_id", "ts", "value"))
+    // strip every tagged field (len=, rows=) from the committed manifest —
+    // the line shape a pre-tag writer produces
+    val log = new java.io.File(s"$dir/commitlog")
+    for (f <- log.listFiles() if f.getName.endsWith(".manifest")) {
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val stripped = txt.split('\n').map(
+        _.split('\t').filterNot(t =>
+          t.startsWith("len=") || t.startsWith("rows=")).mkString("\t"))
+        .mkString("\n")
+      java.nio.file.Files.writeString(f.toPath, stripped)
+    }
+    // a FRESH facade re-parses from disk (caches are per-instance)
+    val ds2 = new Datastream(spark, dir)
+    // rows= gone → the count scans, still exact; len= gone → statuses come
+    // from a real listing, reads still serve
+    assert(ds2.countDatapoints() === 2L)
+    assert(ds2.countDatapoints(Some(ts("2024-01-01T00:00:00Z")),
+      Some(ts("2024-01-01T23:00:00Z"))) === 1L)
+    assert(ds2.rawDatapoints.count() === 2L)
+    // ts bounds are positional, not tagged — skipping still works
+    assert(ds2.plannedFiles("raw", Some(ts("2024-01-01T00:00:00Z")),
+      Some(ts("2024-01-01T23:00:00Z"))).size === 1)
+    ()
+  }
+
   test("z-key scaling and Morton spread: strictly monotone per dimension, " +
       "even-bit lanes, full 16-bit reach on both domain branches") {
     val (ds, _) = freshDs
