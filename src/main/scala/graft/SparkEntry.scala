@@ -100,6 +100,7 @@ object SparkEntry {
     "q_derive_sum_salted" -> Queries.deriveSumSalted _,
     // §2.11 X1–X5 extensions
     "q_dedup_exact" -> Queries.dedupExact _,
+    "q_dedup_norm" -> Queries.dedupNormalized _,
     "q_props_json" -> Queries.propsJson _,
     "q_token_count" -> Queries.tokenCount _,
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
@@ -275,6 +276,7 @@ object SparkEntry {
     // salted two-phase aggregation must be bit-identical to the unsalted op
     "q_derive_sum_salted" -> Oracles.deriveSum,
     "q_dedup_exact" -> Oracles.dedupExact,
+    "q_dedup_norm" -> Oracles.dedupNormalized,
     "q_props_json" -> Oracles.propsJson,
     "q_token_count" -> Oracles.tokenCount,
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
@@ -1559,6 +1561,20 @@ object Queries {
 
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     ext.Dedup.exact(Sources.documents(spark, sfDir))
+
+  /** X1's normalization arm: every document gets an ADVERSARIAL twin
+    * (uppercased, punctuation-wrapped, extra whitespace, id offset), and
+    * `exactNormalized` must collapse each twin back onto its original —
+    * n_copies doubles and the keeper stays the original id — while byte
+    * hashing would have seen all-distinct texts. The oracle replays the
+    * same canonicalization with regexp twins.
+    */
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir).select("doc_id", "text")
+    val twins = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("  "), upper(col("text")), lit("!! ")).as("text"))
+    ext.Dedup.exactNormalized(docs.unionByName(twins))
+  }
 
   /** X1+X2 composed into the pipeline's real deliverable: the deduplicated
     * corpus (near-dup clusters collapsed to their smallest doc_id), counted
@@ -3403,6 +3419,23 @@ WHERE epoch_us(bucket_start) + 60000000 <=
   val dedupExact: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1"""
+
+  /** Normalized-dedup twin: the same canonicalization (lower, ASCII punct
+    * ranges stripped, whitespace collapsed, trimmed) over originals plus
+    * their adversarial twins.
+    */
+  val dedupNormalized: String =
+    """WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, '  ' || upper(text) || '!! ' FROM documents),
+norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text),
+      '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g')) AS t
+  FROM all_docs)
+SELECT md5(t) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM norm GROUP BY 1"""
 
   val propsJson: String =
     """SELECT event_type,

@@ -21,6 +21,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** C4-style text canonicalization for duplicate detection: lowercase,
+    * ASCII punctuation stripped (the four ASCII punct ranges — non-ASCII
+    * letters pass through untouched, so CJK text is NOT destroyed),
+    * whitespace runs collapsed to one space, ends trimmed. Every step is
+    * a builtin (codegen'd, no UDF) with an exact regexp twin in the
+    * oracle.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[!-/:-@\\[-`{-~]", ""), "\\s+", " "))
+
+  /** [[exact]] over the NORMALIZED text — the dedup arm that catches the
+    * trivially-reformatted copies (case, punctuation, whitespace) byte
+    * hashing misses, the C4/RefinedWeb first pass before any near-dup
+    * machinery runs.
+    */
+  def exactNormalized(docs: DataFrame,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(normalized(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
   /** Distinct word n-gram shingles from a BOUND token-array column. The
     * tokens must be a plain attribute, not an inline `split(...)`: lambda
     * bodies in higher-order functions are evaluated interpreted with no

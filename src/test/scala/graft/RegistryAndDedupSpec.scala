@@ -140,6 +140,23 @@ class RegistryAndDedupSpec extends SparkSpec {
       == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("normalized dedup: case/punct/whitespace variants collapse onto the " +
+      "original; non-ASCII letters survive the punct strip") {
+    val norm = Seq("  Hello,   WORLD!! ", "hello world",
+        "一二三, 一二!", "一二三 一二", "ß-test", "ß test")
+      .toDF("t").select(ext.Dedup.normalized(col("t"))).as[String].collect()
+    assert(norm(0) === "hello world")
+    assert(norm(1) === "hello world")
+    assert(norm(2) === "一二三 一二")
+    assert(norm(3) === "一二三 一二")
+    assert(norm(4) === "ßtest") // '-' stripped, ß kept
+    assert(norm(5) === "ß test")
+    val docs = Seq((1L, "a b"), (2L, "A   B!"), (3L, "c")).toDF("doc_id", "text")
+    val out = ext.Dedup.exactNormalized(docs).orderBy("keep_doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies"))).toSeq
+      === Seq((1L, 2L), (3L, 1L)))
+  }
+
   test("shingle Jaccard near-dup finds the overlapping pair, not the disjoint one") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
