@@ -2353,15 +2353,46 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * old files retire logically, readers stay on the previous manifest
     * until the commit lands.
     */
-  def compactZOrder(maxRecordsPerFile: Long = 1L << 20): (Long, Long) = {
+  def compactZOrder(maxRecordsPerFile: Long = 1L << 20,
+                    start: Option[Timestamp] = None,
+                    end: Option[Timestamp] = None): (Long, Long) = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be > 0")
-    withCommit("compact") {
+    // optional INCREMENTAL scope (the `OPTIMIZE ... WHERE` shape): only
+    // dp_date partitions inside [start, end] rewrite — at 100 TB the
+    // maintenance loop re-clusters the recently-ingested days, never the
+    // whole table. Date-granularity prune on the partition directory
+    // names; untouched partitions keep their files and stats verbatim.
+    // An empty scope is a true no-op: no commit version is spent.
+    def scopedParts(): Seq[String] = {
       val files = rawSnapshot.flatMap(_.tableFiles("raw"))
         .getOrElse(listFilesUnder("raw"))
-      if (files.isEmpty) (0L, 0L)
-      else {
-        val parts = files.toSeq.map(_.split('/').head)
-          .filter(_.startsWith("dp_date=")).distinct.sorted
+      val dateLo = start.map(t => t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      val dateHi = end.map(t => t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      def inScope(part: String): Boolean =
+        scala.util.Try(java.time.LocalDate.parse(part.stripPrefix("dp_date=")))
+          .toOption.forall(d =>
+            dateLo.forall(lo => !d.isBefore(lo)) &&
+              dateHi.forall(hi => !d.isAfter(hi)))
+      files.toSeq.map(_.split('/').head)
+        .filter(_.startsWith("dp_date=")).distinct.sorted.filter(inScope)
+    }
+    if (scopedParts().isEmpty) (0L, 0L)
+    else withCommit("compact") {
+      // re-resolve under the writer lock — the advisory pre-check only
+      // decided whether a commit is worth opening at all
+      val parts = scopedParts()
+      if (parts.isEmpty) (0L, 0L)
+      else zorderRewrite(parts, maxRecordsPerFile)
+    }
+  }
+
+  /** The clustered-rewrite body of [[compactZOrder]], already scoped to
+    * the partitions being rewritten and running inside its commit.
+    */
+  private def zorderRewrite(parts: Seq[String],
+                            maxRecordsPerFile: Long): (Long, Long) = {
+    {
+      {
         scopeWrite("raw", parts)
         val old = retireFiles("raw", parts)
         val slice = spark.read.option("basePath", rawPath)

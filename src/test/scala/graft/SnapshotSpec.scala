@@ -569,6 +569,28 @@ class SnapshotSpec extends SparkSpec {
       start = Some(ts("2024-01-01T03:00:00Z")),
       end = Some(ts("2024-01-01T06:00:00Z")), endExclusive = true)
       .count() === 8L) // 1350s stride: i = 8..15 land in [3h, 6h)
+    // INCREMENTAL scope (OPTIMIZE ... WHERE): a second day lands; a
+    // date-bounded rewrite touches only it — day-1's clustered files
+    // survive verbatim
+    ds.appendMultiple(dp(Seq(
+      ("s0", "2024-01-05T00:00:00Z", 1.0),
+      ("s1", "2024-01-05T01:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    val preScoped = ds.plannedFiles("raw", None, None)
+    val (was2, now2) = ds.compactZOrder(maxRecordsPerFile = 1,
+      start = Some(ts("2024-01-05T00:00:00Z")),
+      end = Some(ts("2024-01-05T23:59:59Z")))
+    assert(was2 === 1L)
+    assert(now2 === 2L)
+    val postScoped = ds.plannedFiles("raw", None, None)
+    assert(preScoped.filter(_.startsWith("dp_date=2024-01-01")) ===
+      postScoped.filter(_.startsWith("dp_date=2024-01-01")))
+    assert(ds.rawDatapoints.count() === 258L)
+    // an out-of-scope OPTIMIZE is a true no-op: no commit version spent
+    val vBefore = ds.currentVersion
+    assert(ds.compactZOrder(start = Some(ts("2030-01-01T00:00:00Z"))) ===
+      ((0L, 0L)))
+    assert(ds.currentVersion === vBefore)
     ()
   }
 
