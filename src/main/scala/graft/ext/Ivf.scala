@@ -383,4 +383,202 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  // ---- product quantization (the PQ half of faiss's IVF-PQ) ---------------
+
+  /** A learned PQ codebook set: the embedding is split into `m` contiguous
+    * subspaces of `subDim` dims; `codebooks(s)(c)` is code `c`'s centroid
+    * in subspace `s`. Model size = m × codes × subDim floats — a few KB,
+    * a broadcast artifact like the IVF centroid matrix.
+    */
+  case class PqModel(m: Int, subDim: Int,
+                     codebooks: Array[Array[Array[Float]]])
+
+  /** Nearest codeword by EUCLIDEAN distance (the PQ-standard metric for
+    * codebook training and encoding); ties break on the lower code.
+    */
+  private def nearestCode(sub: Array[Float], book: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cb = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < sub.length) { val t = sub(i) - cb(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Learn PQ codebooks: per subspace, `iters` Lloyd rounds of Euclidean
+    * k-means over the sliced corpus. Deterministic seeding (the `codes`
+    * smallest-xxhash vectors, sliced), so the model is reproducible across
+    * runs and partitionings like every other learned artifact here. Each
+    * round is ONE narrow assignment map (all m subspaces per pass —
+    * the corpus is read once per round, not once per subspace) plus one
+    * partial-aggregating shuffle of (sub, code, pos) component means —
+    * ≤ m × codes × subDim rows reach the driver. Empty codes keep their
+    * previous centroid.
+    */
+  def learnPq(corpus: DataFrame, m: Int = 16, codes: Int = 32,
+              iters: Int = 3, vecCol: String = "embedding",
+              idCol: String = "vec_id"): PqModel = {
+    import corpus.sparkSession.implicits._
+    val seed = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .withColumn("_h", xxhash64(col(idCol))).orderBy("_h").limit(codes)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    require(seed.nonEmpty, "learnPq: empty corpus")
+    val dim = seed.head.length
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val ds = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => Array.tabulate(codes)(c =>
+        java.util.Arrays.copyOfRange(seed(c % seed.length), s * ds, (s + 1) * ds)))
+    val sc = corpus.sparkSession.sparkContext
+    (0 until iters).foreach { _ =>
+      val bB = sc.broadcast(books)
+      val assigned = corpus.select(col(vecCol)).as[Array[Float]]
+        .mapPartitions { it =>
+          val bs = bB.value
+          val sub0 = bs(0)(0).length
+          it.flatMap { v =>
+            bs.indices.iterator.map { s =>
+              val sub = java.util.Arrays.copyOfRange(v, s * sub0, (s + 1) * sub0)
+              (s, nearestCode(sub, bs(s)), sub)
+            }
+          }
+        }.toDF("sub", "code", "v")
+      val means = assigned.select(col("sub"), col("code"), posexplode(col("v")))
+        .groupBy("sub", "code", "pos").agg(avg("col").as("mn"))
+        .collect() // ≤ m × codes × subDim rows
+      val upd = means.map(r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(codes) { c =>
+        val comps = (0 until ds).map(p => upd.get((s, c, p)))
+        if (comps.forall(_.isDefined)) comps.map(_.get.toFloat).toArray
+        else books(s)(c) // empty code: keep previous centroid
+      })
+      bB.destroy()
+    }
+    PqModel(m, ds, books)
+  }
+
+  /** Encode the corpus against a learned [[PqModel]]: per vector, the `m`
+    * nearest-codeword ids plus the TRUE vector norm (stored exactly, the
+    * standard trick that keeps cosine denominators exact while the dot
+    * numerator is approximated). `m` small ints + one double per vector —
+    * the ~16× memory compression that lets a 100 TB corpus's candidate
+    * scoring structure live in RAM. Narrow map, zero shuffle.
+    */
+  def pqEncode(corpus: DataFrame, model: PqModel,
+               vecCol: String = "embedding",
+               idCol: String = "vec_id"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bB = corpus.sparkSession.sparkContext.broadcast(model)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val mo = bB.value
+        it.map { case (id, v) =>
+          val cs = new Array[Int](mo.m)
+          var s = 0
+          while (s < mo.m) {
+            cs(s) = nearestCode(
+              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
+              mo.codebooks(s))
+            s += 1
+          }
+          (id, cs.toSeq, math.sqrt(dotLoop(v, v)))
+        }
+      }.toDF(idCol, "codes", "norm")
+  }
+
+  /** Approximate cosine top-k by PQ asymmetric distance: learn codebooks,
+    * encode the corpus once, then score every (query, vector) pair from
+    * the codes alone — per query, a per-subspace lookup table of
+    * `dot(q_sub, codeword)` is precomputed (m × codes doubles) and the
+    * approximate dot is the m-term table sum, divided by the exact norms.
+    * The corpus's float vectors are read once (encode); scoring touches
+    * only the m-int codes — the memory/bandwidth shape that makes PQ the
+    * standard billion-vector candidate generator. Output matches
+    * [[Similarity.topK]] (label, query_vec_id, vec_id, cosine≈, rank),
+    * approximate by construction — gate with a recall floor, not a hash.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, codes: Int = 32, iters: Int = 3,
+             rerank: Int = 0,
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             maxQueries: Int = 100000): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val model = learnPq(corpus, m, codes, iters, vecCol, idCol)
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
+      .as[(Long, Array[Float], Long)].head(maxQueries + 1)
+    require(qRows.length <= maxQueries,
+      s"pqTopK: query set exceeds maxQueries=$maxQueries rows")
+    // per query: the m × codes asymmetric-distance lookup table
+    val luts = qRows.map { case (qid, qv, label) =>
+      val lut = Array.tabulate(model.m)(s => model.codebooks(s).map { cb =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.length) { d += qv(s * model.subDim + i).toDouble * cb(i); i += 1 }
+        d
+      })
+      (qid, label, math.sqrt(dotLoop(qv, qv)), lut)
+    }
+    val qB = corpus.sparkSession.sparkContext.broadcast(luts)
+    val scored = pqEncode(corpus, model, vecCol, idCol)
+      .as[(Long, Seq[Int], Double)]
+      .mapPartitions { it =>
+        val qs = qB.value
+        it.flatMap { case (vid, cs, vnrm) =>
+          qs.iterator.collect { case (qid, label, qnrm, lut) if qid != vid =>
+            var s = 0
+            var dot = 0.0
+            while (s < lut.length) { dot += lut(s)(cs(s)); s += 1 }
+            (label, qid, vid,
+              if (qnrm > 0 && vnrm > 0) dot / (qnrm * vnrm) else 0.0)
+          }
+        }
+      }.toDF("label", "query_vec_id", "vec_id", "cosine")
+      .withColumn("label", col("label").cast("int"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    if (rerank <= k)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    else {
+      // faiss-standard two-stage retrieval: PQ is the CANDIDATE GENERATOR
+      // (approximate top-`rerank` from the codes alone), then the exact
+      // cosine reranks only those candidates against their true vectors —
+      // per query, `rerank` float-vector reads instead of the whole
+      // corpus. The exact stage uses the same ordered fold as the brute
+      // path, so a candidate set that contains the true top-k yields
+      // bit-identical winners.
+      val cand = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= rerank)
+        .select("label", "query_vec_id", "vec_id")
+      val qvB = corpus.sparkSession.sparkContext.broadcast(
+        qRows.map { case (qid, qv, _) =>
+          qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
+      val exact = cand
+        .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("_vec")), "vec_id")
+        .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
+        .as[(Int, Long, Long, Array[Float])]
+        .mapPartitions { it =>
+          val qs = qvB.value
+          it.map { case (label, qid, vid, v) =>
+            val (qv, qn) = qs(qid)
+            val vn = math.sqrt(dotLoop(v, v))
+            (label, qid, vid,
+              if (qn > 0 && vn > 0) dotLoop(qv, v) / (qn * vn) else 0.0)
+          }
+        }.toDF("label", "query_vec_id", "vec_id", "cosine")
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    }
+  }
 }

@@ -42,6 +42,36 @@ class DotProductSpec extends SparkSpec {
     assert(exhaustive.size == 15) // 3 queries × k
   }
 
+  test("PQ: deterministic codebooks, in-range codes, and full-depth rerank " +
+      "equals brute-force top-k exactly") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") < 3)
+    val m1 = ext.Ivf.learnPq(corpus, m = 4, codes = 8, iters = 2)
+    val m2 = ext.Ivf.learnPq(corpus.repartition(7), m = 4, codes = 8, iters = 2)
+    assert(m1.m === 4)
+    assert(m1.subDim === 4)
+    // learned artifact is partitioning-independent (deterministic seed +
+    // exact partial means)
+    assert(m1.codebooks.flatten.flatten.toSeq === m2.codebooks.flatten.flatten.toSeq)
+    val enc = ext.Ivf.pqEncode(corpus, m1).collect()
+    assert(enc.length === 200)
+    assert(enc.forall(_.getAs[Seq[Int]]("codes").forall(c => c >= 0 && c < 8)))
+    // rerank depth ≥ corpus ⇒ the candidate set is everything and the
+    // exact rerank IS brute force — bit-identical winners
+    val viaPq = ext.Ivf.pqTopK(corpus, queries, k = 5, m = 4, codes = 8,
+        rerank = 300)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(viaPq === brute)
+    // code path without rerank still returns k well-formed rows per query
+    assert(ext.Ivf.pqTopK(corpus, queries, k = 5, m = 4, codes = 8)
+      .groupBy("query_vec_id").count()
+      .select("count").as[Long].collect().forall(_ === 5L))
+  }
+
   test("persisted IVF index round-trips: exhaustive queryIndex equals brute; cells are partition dirs") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 300).map(i =>
