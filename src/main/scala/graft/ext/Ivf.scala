@@ -384,6 +384,161 @@ object Ivf {
       .where(col("rank") <= k)
   }
 
+  // ---- persisted IVF-PQ index ---------------------------------------------
+
+  /** Persist the full IVF-PQ composition: coarse cells for candidate
+    * PRUNING (probe nProbe of nCells partitions), PQ codes for in-cell
+    * SCORING (m small ints + the exact norm per vector — the inverted
+    * file holds no float vectors at all), optional exact rerank on top.
+    * Layout under `path` (same versioned CURRENT-pointer commit as
+    * [[buildIndex]] — one atomic pointer move publishes centroids, pq
+    * model and cells together):
+    *
+    *   v<N>/centroids/       (cell, centroid) — tiny, read to the driver
+    *   v<N>/pq/              (sub, code, centroid) — the codebooks
+    *   v<N>/cells/cell=<c>/  (vec_id, codes, norm) — codes-only inverted
+    *                         file, partitioned by cell
+    *
+    * This is the billion-vector shape: the scan reads nProbe/nCells of a
+    * codes-only table (~16× smaller than the vectors), and float vectors
+    * are touched only by the caller-supplied rerank corpus.
+    */
+  def buildPqIndex(corpus: DataFrame, path: String, nCells: Int = 64,
+                   m: Int = 16, codes: Int = 32,
+                   refineIters: Int = 0, pqIters: Int = 3,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    import corpus.sparkSession.implicits._
+    val seeds = centroids(corpus, nCells, vecCol, idCol)
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol, idCol)
+      else seeds
+    val model = learnPq(corpus, m, codes, pqIters, vecCol, idCol)
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    cents.toSeq.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cb, c) => (s, c, cb.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    val centB = corpus.sparkSession.sparkContext.broadcast(
+      cents.map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) })
+    val pqB = corpus.sparkSession.sparkContext.broadcast(model)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        val mo = pqB.value
+        it.map { case (id, v) =>
+          val cds = new Array[Int](mo.m)
+          var s = 0
+          while (s < mo.m) {
+            cds(s) = nearestCode(
+              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
+              mo.codebooks(s))
+            s += 1
+          }
+          (id, cds.toSeq, math.sqrt(dotLoop(v, v)), nearestCells(v, cs, 1).head)
+        }
+      }.toDF("vec_id", "codes", "norm", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    commitVersion(path, next)
+  }
+
+  /** Query a persisted IVF-PQ index: per query, probe the `nProbe`
+    * nearest cells (partition-pruned codes scan), score candidates from
+    * their codes via the asymmetric-distance lookup table, and — when
+    * `rerank > k` and a `rerankAgainst` corpus is supplied — exact-rerank
+    * the top-`rerank` candidates against their true vectors (bit-exact
+    * cosine, same fold as brute). Exhaustive probing plus full-depth
+    * rerank reproduces brute force exactly over the indexed corpus.
+    */
+  def queryPqIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
+                   rerank: Int = 0, rerankAgainst: Option[DataFrame] = None,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   maxQueries: Int = 100000): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dir = indexDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val pqRows = spark.read.parquet(s"$dir/pq")
+      .select(col("sub"), col("code"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    val mM = pqRows.map(_._1).max + 1
+    val kC = pqRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](mM, kC)
+    pqRows.foreach { case (s, c, v) => books(s)(c) = v }
+    val subDim = books(0)(0).length
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
+      .as[(Long, Array[Float], Long)].head(maxQueries + 1)
+    require(qRows.length <= maxQueries,
+      s"queryPqIndex: query set exceeds maxQueries=$maxQueries rows")
+    val perQuery = qRows.map { case (qid, qv, label) =>
+      val lut = Array.tabulate(mM)(s => books(s).map { cb =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.length) { d += qv(s * subDim + i).toDouble * cb(i); i += 1 }
+        d
+      })
+      (qid, label, math.sqrt(dotLoop(qv, qv)),
+        nearestCells(qv, cents, nProbe).toSet, lut)
+    }
+    val probed = perQuery.flatMap(_._4).toSeq.distinct
+    val qB = spark.sparkContext.broadcast(perQuery)
+    val scored = spark.read.parquet(s"$dir/cells")
+      .where(col("cell").isInCollection(probed)) // partition-pruned scan
+      .select(col("vec_id").cast("long"), col("codes"), col("norm"), col("cell"))
+      .as[(Long, Seq[Int], Double, Int)]
+      .mapPartitions { it =>
+        val qs = qB.value
+        it.flatMap { case (vid, cs, vnrm, cell) =>
+          qs.iterator.collect {
+            case (qid, label, qnrm, cells, lut) if qid != vid && cells(cell) =>
+              var s = 0
+              var dot = 0.0
+              while (s < lut.length) { dot += lut(s)(cs(s)); s += 1 }
+              (label, qid, vid,
+                if (qnrm > 0 && vnrm > 0) dot / (qnrm * vnrm) else 0.0)
+          }
+        }
+      }.toDF("label", "query_vec_id", "vec_id", "cosine")
+      .withColumn("label", col("label").cast("int"))
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    (rerank, rerankAgainst) match {
+      case (r, Some(corpus)) if r > k =>
+        val cand = scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= r)
+          .select("label", "query_vec_id", "vec_id")
+        val qvB = spark.sparkContext.broadcast(
+          qRows.map { case (qid, qv, _) =>
+            qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
+        val exact = cand
+          .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+            col(vecCol).as("_vec")), "vec_id")
+          .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
+          .as[(Int, Long, Long, Array[Float])]
+          .mapPartitions { it =>
+            val qs = qvB.value
+            it.map { case (label, qid, vid, v) =>
+              val (qv, qn) = qs(qid)
+              val vn = math.sqrt(dotLoop(v, v))
+              (label, qid, vid,
+                if (qn > 0 && vn > 0) dotLoop(qv, v) / (qn * vn) else 0.0)
+            }
+          }.toDF("label", "query_vec_id", "vec_id", "cosine")
+        exact.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+      case _ =>
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+    }
+  }
+
   // ---- product quantization (the PQ half of faiss's IVF-PQ) ---------------
 
   /** A learned PQ codebook set: the embedding is split into `m` contiguous

@@ -72,6 +72,32 @@ class DotProductSpec extends SparkSpec {
       .select("count").as[Long].collect().forall(_ === 5L))
   }
 
+  test("persisted IVF-PQ index: codes-only inverted file, exhaustive probe " +
+      "+ full rerank equals brute; probed scan prunes cell partitions") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-t").toString
+    ext.Ivf.buildPqIndex(corpus, dir, nCells = 8, m = 4, codes = 8, refineIters = 1)
+    // the inverted file holds codes + norm, never the float vectors
+    val cellsDir = new java.io.File(s"${ext.Ivf.indexDir(dir)}/cells")
+    assert(cellsDir.listFiles().exists(_.getName.startsWith("cell=")))
+    val cellsSchema = spark.read.parquet(cellsDir.toString).schema.fieldNames.toSet
+    assert(cellsSchema.contains("codes") && cellsSchema.contains("norm"))
+    assert(!cellsSchema.contains("embedding"))
+    val viaIdx = ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 8,
+        rerank = 1000, rerankAgainst = Some(corpus))
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(viaIdx === brute)
+    // narrow probing still returns k well-formed rows per query
+    assert(ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 3)
+      .groupBy("query_vec_id").count()
+      .select("count").as[Long].collect().forall(_ === 5L))
+  }
+
   test("persisted IVF index round-trips: exhaustive queryIndex equals brute; cells are partition dirs") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 300).map(i =>
