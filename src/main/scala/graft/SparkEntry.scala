@@ -163,6 +163,7 @@ object SparkEntry {
     "q_ann_recall" -> Queries.annRecall _,
     "q_similarity_pq" -> Queries.similarityPq _,
     "q_similarity_ivfpq" -> Queries.similarityIvfPq _,
+    "q_ivfpq_append" -> Queries.ivfPqAppend _,
     "q_ivfpq_recall" -> Queries.ivfPqRecall _,
     "q_pq_recall" -> Queries.pqRecall _,
     "q_ivf_recall" -> Queries.ivfRecall _,
@@ -327,6 +328,7 @@ object SparkEntry {
     "q_ann_recall" -> Oracles.recallAllLabels,
     "q_pq_recall" -> Oracles.recallAllLabels,
     "q_similarity_ivfpq" -> Oracles.similarityTopK,
+    "q_ivfpq_append" -> Oracles.similarityTopK,
     "q_ivfpq_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
@@ -1669,6 +1671,23 @@ object Queries {
     val dir = tempDir("graft-ivfpq")
     val emb = Sources.embeddings(spark, sfDir)
     ext.Ivf.buildPqIndex(emb, s"$dir/idx", nCells = 16, refineIters = 1)
+    ext.Ivf.queryPqIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
+      nProbe = 16, rerank = 1 << 20, rerankAgainst = Some(emb))
+  }
+
+  /** IVF-PQ incremental lifecycle, EXACT arm: index built on the even-id
+    * half, the odd-id shard appended with the EXISTING centroids and
+    * codebooks (O(shard), no retrain), then an exhaustive + full-rerank
+    * query must reproduce brute force over the WHOLE corpus bit-for-bit
+    * — a lost, doubled or mis-encoded vector anywhere in the append path
+    * breaks the brute-twin hash.
+    */
+  def ivfPqAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-ivfpqa")
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Ivf.buildPqIndex(emb.where(col("vec_id") % 2 === 0), s"$dir/idx",
+      nCells = 16, refineIters = 1)
+    ext.Ivf.appendToPqIndex(emb.where(col("vec_id") % 2 === 1), s"$dir/idx")
     ext.Ivf.queryPqIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
       nProbe = 16, rerank = 1 << 20, rerankAgainst = Some(emb))
   }

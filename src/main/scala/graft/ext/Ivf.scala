@@ -445,6 +445,54 @@ object Ivf {
     commitVersion(path, next)
   }
 
+  /** INCREMENTAL IVF-PQ maintenance, the twin of [[appendToIndex]]: a new
+    * shard is assigned to the EXISTING centroids and encoded with the
+    * EXISTING codebooks — O(shard) work (one narrow map + a partitioned
+    * append), never a re-cluster or codebook re-train. Same drift
+    * trade-off as the plain index: appended data the codebooks never saw
+    * quantizes worse, which is what a periodic [[buildPqIndex]] rebuild
+    * is for.
+    */
+  def appendToPqIndex(newVecs: DataFrame, path: String,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id"): Unit = {
+    import newVecs.sparkSession.implicits._
+    val spark = newVecs.sparkSession
+    val dir = indexDir(path)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("centroid"))
+      .as[(Int, Array[Float])].collect()
+      .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val pqRows = spark.read.parquet(s"$dir/pq")
+      .select(col("sub"), col("code"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    val mM = pqRows.map(_._1).max + 1
+    val kC = pqRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](mM, kC)
+    pqRows.foreach { case (s, c, v) => books(s)(c) = v }
+    val model = PqModel(mM, books(0)(0).length, books)
+    val centB = spark.sparkContext.broadcast(cents)
+    val pqB = spark.sparkContext.broadcast(model)
+    newVecs.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centB.value
+        val mo = pqB.value
+        it.map { case (id, v) =>
+          val cds = new Array[Int](mo.m)
+          var s = 0
+          while (s < mo.m) {
+            cds(s) = nearestCode(
+              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
+              mo.codebooks(s))
+            s += 1
+          }
+          (id, cds.toSeq, math.sqrt(dotLoop(v, v)), nearestCells(v, cs, 1).head)
+        }
+      }.toDF("vec_id", "codes", "norm", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Query a persisted IVF-PQ index: per query, probe the `nProbe`
     * nearest cells (partition-pruned codes scan), score candidates from
     * their codes via the asymmetric-distance lookup table, and — when

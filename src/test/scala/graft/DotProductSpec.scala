@@ -96,6 +96,18 @@ class DotProductSpec extends SparkSpec {
     assert(ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 3)
       .groupBy("query_vec_id").count()
       .select("count").as[Long].collect().forall(_ === 5L))
+    // incremental append: a new shard encoded with the EXISTING model —
+    // exhaustive exact query over the union still equals brute
+    val shard = (200 until 260).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3)).toDF("vec_id", "embedding", "label")
+    ext.Ivf.appendToPqIndex(shard, dir)
+    val union = corpus.unionByName(shard)
+    val viaIdx2 = ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 8,
+        rerank = 1000, rerankAgainst = Some(union))
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute2 = ext.Similarity.topK(union, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(viaIdx2 === brute2)
   }
 
   test("persisted IVF index round-trips: exhaustive queryIndex equals brute; cells are partition dirs") {
