@@ -606,7 +606,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
                   yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), None, len, rows)))
-            case Array(t, f, mn, mx, smn, smx, bl) =>
+            case arr if arr.length >= 7 =>
+              // 7+ positional fields: parse the prefix this reader knows;
+              // EXTRA trailing positional fields from a NEWER writer are
+              // ignored rather than dropping the file from the snapshot —
+              // losing committed data to an unknown stat would be silent
+              // corruption, losing an unknown stat only costs pruning
+              val Array(t, f, mn, mx, smn, smx, bl) = arr.take(7)
               val bloom =
                 if (bl.length == 64 && bl.forall(c => c.isDigit ||
                     (c >= 'a' && c <= 'f')))
@@ -616,6 +622,9 @@ class Datastream(spark: SparkSession, warehouse: String) {
               adds += ((t, f,
                 for (a <- mn.toLongOption; b <- mx.toLongOption)
                   yield FileStats(a, b, Some(dec(smn)), Some(dec(smx)), bloom, len, rows)))
+            // unknown arities (3, 5 — never written by this code) still
+            // name a committed file: keep it stat-less, never drop it
+            case arr if arr.length >= 2 => adds += ((arr(0), arr(1), None))
             case _ => ()
           }
           case ("-", rest) => rest.split('\t') match {
@@ -2391,41 +2400,57 @@ class Datastream(spark: SparkSession, warehouse: String) {
     */
   private def zorderRewrite(parts: Seq[String],
                             maxRecordsPerFile: Long): (Long, Long) = {
-    {
-      {
-        scopeWrite("raw", parts)
-        val old = retireFiles("raw", parts)
-        val slice = spark.read.option("basePath", rawPath)
-          .schema(Schemas.rawDatapointsPartitioned)
-          .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
-        val nStreams = math.max(streams.count(), 1L)
-        val w = org.apache.spark.sql.expressions.Window.orderBy("stream_id")
-        val ranks = streams.select(col("stream_id"))
-          .withColumn("_sr", row_number().over(w).cast("long") - 1L)
-        // ts bounds straight from the manifest stats — zero data I/O
-        val sts = rawSnapshot.map(_.stats).getOrElse(Map.empty)
-          .collect { case (("raw", f), st) if old(f) => st }
-        val (tsLo, tsHi) =
-          if (sts.isEmpty) (0L, 0L)
-          else (sts.map(_.tsMin).min, sts.map(_.tsMax).max)
-        val zed = slice.join(ranks, Seq("stream_id"), "left")
-          .withColumn("_us", expr(s"unix_micros(ts) - ${tsLo}L"))
-          .withColumn("_sr0", coalesce(col("_sr"), lit(0L)))
-          .withColumn("_z",
-            zSpread(expr(zKey16("_us", tsHi - tsLo + 1L))) * 2L +
-              zSpread(expr(zKey16("_sr0", nStreams))))
-        zed.repartitionByRange(col("dp_date"), col("_z"),
-            col("stream_id"), col("ts"))
-          .sortWithinPartitions("dp_date", "_z", "stream_id", "ts")
-          // restore the exact schema column order (the join moved
-          // stream_id to the front) — order-preserving projection
-          .select(Schemas.rawDatapointsPartitioned.fieldNames.toSeq.map(col): _*)
-          .write.mode(SaveMode.Append)
-          .option("maxRecordsPerFile", maxRecordsPerFile)
-          .partitionBy("dp_date").parquet(rawPath)
-        (old.size.toLong, writtenSoFar("raw").size.toLong)
+    scopeWrite("raw", parts)
+    val old = retireFiles("raw", parts)
+    val slice = spark.read.option("basePath", rawPath)
+      .schema(Schemas.rawDatapointsPartitioned)
+      .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
+    val nStreams = math.max(streams.count(), 1L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stream_id")
+    val ranks = streams.select(col("stream_id"))
+      .withColumn("_sr", row_number().over(w).cast("long") - 1L)
+    // ts bounds from the manifest stats when EVERY retired file carries
+    // them (zero data I/O); a stat-less file (foreign writer, legacy
+    // manifest) falls back to one min/max aggregate over the slice being
+    // rewritten anyway — bounds must COVER the data or the offset key
+    // goes negative and the clustering silently degenerates
+    val sts = rawSnapshot.map(_.stats).getOrElse(Map.empty)
+      .collect { case (("raw", f), st) if old(f) => st }
+    val (tsLo, tsHi) =
+      if (sts.size == old.size && sts.nonEmpty)
+        (sts.map(_.tsMin).min, sts.map(_.tsMax).max)
+      else {
+        val r = slice.agg(min(expr("unix_micros(ts)")),
+          max(expr("unix_micros(ts)"))).first()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
       }
-    }
+    val tsDomain = tsHi - tsLo + 1L
+    // unregistered streams (appendMultiple tolerates them) take the
+    // sentinel rank `nStreams`, whose key clamps to the TOP of the key
+    // space — they cluster at the end of the z-range instead of inside
+    // rank 0's lane, and the registered ranks keep their clean
+    // full-domain scaling (a +1 domain would smear every key's bit
+    // pattern and visibly degrade the per-stream file bounds)
+    val zed = slice.join(ranks, Seq("stream_id"), "left")
+      // clamped: a row outside the computed bounds can only come from a
+      // foreign concurrent writer, and a clamped key degrades clustering
+      // for that row instead of wrapping the Morton spread
+      .withColumn("_us", expr(
+        s"greatest(0L, least(unix_micros(ts) - ${tsLo}L, ${tsDomain - 1}L))"))
+      .withColumn("_sr0", coalesce(col("_sr"), lit(nStreams)))
+      .withColumn("_z",
+        zSpread(expr(zKey16("_us", tsDomain))) * 2L +
+          zSpread(expr(s"least(${zKey16("_sr0", nStreams)}, 65535)")))
+    zed.repartitionByRange(col("dp_date"), col("_z"),
+        col("stream_id"), col("ts"))
+      .sortWithinPartitions("dp_date", "_z", "stream_id", "ts")
+      // restore the exact schema column order (the join moved
+      // stream_id to the front) — order-preserving projection
+      .select(Schemas.rawDatapointsPartitioned.fieldNames.toSeq.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("dp_date").parquet(rawPath)
+    (old.size.toLong, writtenSoFar("raw").size.toLong)
   }
 
   /** Finalized downsampled table at granularity `g` (read shape of S3) —

@@ -430,15 +430,8 @@ object Ivf {
         val cs = centB.value
         val mo = pqB.value
         it.map { case (id, v) =>
-          val cds = new Array[Int](mo.m)
-          var s = 0
-          while (s < mo.m) {
-            cds(s) = nearestCode(
-              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
-              mo.codebooks(s))
-            s += 1
-          }
-          (id, cds.toSeq, math.sqrt(dotLoop(v, v)), nearestCells(v, cs, 1).head)
+          (id, encodeCodes(v, mo).toSeq, math.sqrt(dotLoop(v, v)),
+            nearestCells(v, cs, 1).head)
         }
       }.toDF("vec_id", "codes", "norm", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
@@ -463,14 +456,7 @@ object Ivf {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
-    val pqRows = spark.read.parquet(s"$dir/pq")
-      .select(col("sub"), col("code"), col("centroid"))
-      .as[(Int, Int, Array[Float])].collect()
-    val mM = pqRows.map(_._1).max + 1
-    val kC = pqRows.map(_._2).max + 1
-    val books = Array.ofDim[Array[Float]](mM, kC)
-    pqRows.foreach { case (s, c, v) => books(s)(c) = v }
-    val model = PqModel(mM, books(0)(0).length, books)
+    val model = loadPqModel(spark, dir)
     val centB = spark.sparkContext.broadcast(cents)
     val pqB = spark.sparkContext.broadcast(model)
     newVecs.select(col(idCol).cast("long"), col(vecCol))
@@ -479,15 +465,8 @@ object Ivf {
         val cs = centB.value
         val mo = pqB.value
         it.map { case (id, v) =>
-          val cds = new Array[Int](mo.m)
-          var s = 0
-          while (s < mo.m) {
-            cds(s) = nearestCode(
-              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
-              mo.codebooks(s))
-            s += 1
-          }
-          (id, cds.toSeq, math.sqrt(dotLoop(v, v)), nearestCells(v, cs, 1).head)
+          (id, encodeCodes(v, mo).toSeq, math.sqrt(dotLoop(v, v)),
+            nearestCells(v, cs, 1).head)
         }
       }.toDF("vec_id", "codes", "norm", "cell")
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
@@ -512,14 +491,10 @@ object Ivf {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
-    val pqRows = spark.read.parquet(s"$dir/pq")
-      .select(col("sub"), col("code"), col("centroid"))
-      .as[(Int, Int, Array[Float])].collect()
-    val mM = pqRows.map(_._1).max + 1
-    val kC = pqRows.map(_._2).max + 1
-    val books = Array.ofDim[Array[Float]](mM, kC)
-    pqRows.foreach { case (s, c, v) => books(s)(c) = v }
-    val subDim = books(0)(0).length
+    val model = loadPqModel(spark, dir)
+    val books = model.codebooks
+    val mM = model.m
+    val subDim = model.subDim
     val qRows = queries
       .select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
       .as[(Long, Array[Float], Long)].head(maxQueries + 1)
@@ -559,28 +534,10 @@ object Ivf {
       .orderBy(col("cosine").desc, col("vec_id"))
     (rerank, rerankAgainst) match {
       case (r, Some(corpus)) if r > k =>
-        val cand = scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= r)
-          .select("label", "query_vec_id", "vec_id")
-        val qvB = spark.sparkContext.broadcast(
-          qRows.map { case (qid, qv, _) =>
-            qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
-        val exact = cand
-          .join(corpus.select(col(idCol).cast("long").as("vec_id"),
-            col(vecCol).as("_vec")), "vec_id")
-          .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
-          .as[(Int, Long, Long, Array[Float])]
-          .mapPartitions { it =>
-            val qs = qvB.value
-            it.map { case (label, qid, vid, v) =>
-              val (qv, qn) = qs(qid)
-              val vn = math.sqrt(dotLoop(v, v))
-              (label, qid, vid,
-                if (qn > 0 && vn > 0) dotLoop(qv, v) / (qn * vn) else 0.0)
-            }
-          }.toDF("label", "query_vec_id", "vec_id", "cosine")
-        exact.withColumn("rank", row_number().over(w).cast("long"))
-          .where(col("rank") <= k)
+        exactRerank(scored.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= r)
+            .select("label", "query_vec_id", "vec_id"),
+          corpus, qRows, k, vecCol, idCol)
       case _ =>
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= k)
@@ -613,6 +570,70 @@ object Ivf {
       c += 1
     }
     best
+  }
+
+  /** Encode one vector against the model: the `m` nearest codeword ids.
+    * Fails fast on a dimension mismatch — `copyOfRange` would otherwise
+    * silently zero-pad a short vector and commit garbage codes.
+    */
+  private def encodeCodes(v: Array[Float], mo: PqModel): Array[Int] = {
+    require(v.length == mo.m * mo.subDim,
+      s"PQ dimension mismatch: vector has ${v.length} dims, model expects " +
+        s"${mo.m} × ${mo.subDim}")
+    val cs = new Array[Int](mo.m)
+    var s = 0
+    while (s < mo.m) {
+      cs(s) = nearestCode(
+        java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
+        mo.codebooks(s))
+      s += 1
+    }
+    cs
+  }
+
+  /** Rebuild a [[PqModel]] from a persisted index version's `pq/` table. */
+  private def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): PqModel = {
+    import spark.implicits._
+    val pqRows = spark.read.parquet(s"$dir/pq")
+      .select(col("sub"), col("code"), col("centroid"))
+      .as[(Int, Int, Array[Float])].collect()
+    val mM = pqRows.map(_._1).max + 1
+    val kC = pqRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Float]](mM, kC)
+    pqRows.foreach { case (s, c, v) => books(s)(c) = v }
+    PqModel(mM, books(0)(0).length, books)
+  }
+
+  /** Exact cosine rerank of a `(label, query_vec_id, vec_id)` candidate
+    * set against the true vectors — the SAME unguarded fold as
+    * [[Similarity.topK]] (a zero-norm vector scores NaN there too), so a
+    * candidate set containing the true top-k yields bit-identical
+    * winners.
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+                          qRows: Array[(Long, Array[Float], Long)],
+                          k: Int, vecCol: String, idCol: String): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val qvB = corpus.sparkSession.sparkContext.broadcast(
+      qRows.map { case (qid, qv, _) =>
+        qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
+    val exact = cand
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("_vec")), "vec_id")
+      .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
+      .as[(Int, Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qvB.value
+        it.map { case (label, qid, vid, v) =>
+          val (qv, qn) = qs(qid)
+          (label, qid, vid, dotLoop(qv, v) / (qn * math.sqrt(dotLoop(v, v))))
+        }
+      }.toDF("label", "query_vec_id", "vec_id", "cosine")
+    val w = Window.partitionBy("query_vec_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
   }
 
   /** Learn PQ codebooks: per subspace, `iters` Lloyd rounds of Euclidean
@@ -653,8 +674,13 @@ object Ivf {
             }
           }
         }.toDF("sub", "code", "v")
+      // DECIMAL partial sums: double avg() merges shuffle partials in
+      // fetch order and can ULP-drift between runs — decimal sums are
+      // exact, so the codebooks really are partitioning-independent
       val means = assigned.select(col("sub"), col("code"), posexplode(col("v")))
-        .groupBy("sub", "code", "pos").agg(avg("col").as("mn"))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(col("col").cast("decimal(38,10)")) / count(lit(1)))
+          .cast("double").as("mn"))
         .collect() // ≤ m × codes × subDim rows
       val upd = means.map(r =>
         ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
@@ -685,15 +711,7 @@ object Ivf {
       .mapPartitions { it =>
         val mo = bB.value
         it.map { case (id, v) =>
-          val cs = new Array[Int](mo.m)
-          var s = 0
-          while (s < mo.m) {
-            cs(s) = nearestCode(
-              java.util.Arrays.copyOfRange(v, s * mo.subDim, (s + 1) * mo.subDim),
-              mo.codebooks(s))
-            s += 1
-          }
-          (id, cs.toSeq, math.sqrt(dotLoop(v, v)))
+          (id, encodeCodes(v, mo).toSeq, math.sqrt(dotLoop(v, v)))
         }
       }.toDF(idCol, "codes", "norm")
   }
@@ -752,36 +770,16 @@ object Ivf {
     if (rerank <= k)
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= k)
-    else {
+    else
       // faiss-standard two-stage retrieval: PQ is the CANDIDATE GENERATOR
       // (approximate top-`rerank` from the codes alone), then the exact
       // cosine reranks only those candidates against their true vectors —
       // per query, `rerank` float-vector reads instead of the whole
-      // corpus. The exact stage uses the same ordered fold as the brute
-      // path, so a candidate set that contains the true top-k yields
-      // bit-identical winners.
-      val cand = scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= rerank)
-        .select("label", "query_vec_id", "vec_id")
-      val qvB = corpus.sparkSession.sparkContext.broadcast(
-        qRows.map { case (qid, qv, _) =>
-          qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
-      val exact = cand
-        .join(corpus.select(col(idCol).cast("long").as("vec_id"),
-          col(vecCol).as("_vec")), "vec_id")
-        .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
-        .as[(Int, Long, Long, Array[Float])]
-        .mapPartitions { it =>
-          val qs = qvB.value
-          it.map { case (label, qid, vid, v) =>
-            val (qv, qn) = qs(qid)
-            val vn = math.sqrt(dotLoop(v, v))
-            (label, qid, vid,
-              if (qn > 0 && vn > 0) dotLoop(qv, v) / (qn * vn) else 0.0)
-          }
-        }.toDF("label", "query_vec_id", "vec_id", "cosine")
-      exact.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= k)
-    }
+      // corpus ([[exactRerank]] uses the brute fold, so a candidate set
+      // containing the true top-k yields bit-identical winners).
+      exactRerank(scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= rerank)
+          .select("label", "query_vec_id", "vec_id"),
+        corpus, qRows, k, vecCol, idCol)
   }
 }
