@@ -70,6 +70,13 @@ class DotProductSpec extends SparkSpec {
     assert(ext.Ivf.pqTopK(corpus, queries, k = 5, m = 4, codes = 8)
       .groupBy("query_vec_id").count()
       .select("count").as[Long].collect().forall(_ === 5L))
+    // dimension mismatch fails fast instead of silently zero-padding
+    val short = Seq((999L, Seq.fill(14)(0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val boom = intercept[org.apache.spark.SparkException] {
+      ext.Ivf.pqEncode(short, m1).collect()
+    }
+    assert(boom.getMessage.contains("dimension mismatch") ||
+      Option(boom.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
   test("persisted IVF-PQ index: codes-only inverted file, exhaustive probe " +

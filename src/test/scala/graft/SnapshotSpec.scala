@@ -623,6 +623,17 @@ class SnapshotSpec extends SparkSpec {
     // ts bounds are positional, not tagged — skipping still works
     assert(ds2.plannedFiles("raw", Some(ts("2024-01-01T00:00:00Z")),
       Some(ts("2024-01-01T23:00:00Z"))).size === 1)
+    // a NEWER writer's extra positional field must not drop the file from
+    // the snapshot: committed data outranks an unparseable stat
+    for (f <- log.listFiles() if f.getName.endsWith(".manifest")) {
+      val txt = java.nio.file.Files.readString(f.toPath)
+      val extended = txt.split('\n').map(l =>
+        if (l.startsWith("+raw\t")) l + "\tfuturestat" else l).mkString("\n")
+      java.nio.file.Files.writeString(f.toPath, extended)
+    }
+    val ds3 = new Datastream(spark, dir)
+    assert(ds3.rawDatapoints.count() === 2L)
+    assert(ds3.countDatapoints() === 2L)
     ()
   }
 
