@@ -88,9 +88,14 @@ object Ivf {
             (nearestCells(v, cs, 1).head, unit)
           }
         }.toDF("cell", "vec")
+      // DECIMAL partial sums (like learnPq): double avg() merges shuffle
+      // partials in fetch order and can ULP-drift between runs — decimal
+      // sums make the refined centroids partitioning-independent
       val means = assigned
         .select(col("cell"), posexplode(col("vec")))
-        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell", "pos")
+        .agg((sum(col("col").cast("decimal(38,10)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect() // ≤ nCells × dim rows
       val byCell = means.groupBy(_.getInt(0))
       cents = cents.map { case (c, old) =>
