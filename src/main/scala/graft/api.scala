@@ -511,7 +511,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   /** Manifest format, one file per committed version:
     *
-    *   `#graft v2 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
+    *   `#graft v3 parent=<p> depth=<d> full=<0|1> tables=<t1,t2,...>`
     *   `+<table>\t<relpath>[\t<minUs>\t<maxUs>[\t<sidMin>\t<sidMax>[\t<bloomHex>]]][\tlen=<bytes>]`
     *                           file added this version (stream-id bounds
     *                           URL-encoded; present only when the footer
@@ -544,7 +544,23 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * manifest, unreadable footer) is simply never skipped. Full manifests
     * carry stats FORWARD from the resolved parent, so the checkpoint never
     * re-reads footers — collection cost stays O(files written this commit).
+    *
+    * PROTOCOL VERSIONING (the Delta reader-version guard): the `v<N>`
+    * token is the MINIMUM reader protocol the manifest requires, and the
+    * parser fails LOUDLY on a version it does not know — a newer writer's
+    * feature this reader cannot honor must be a planning error, never a
+    * silently-thinner snapshot (the failure mode the un-validated v2
+    * parser had: a line carrying an unknown tag resolved to an unknown
+    * arity and the file vanished from the snapshot on a rolling
+    * downgrade). History: v2 = positional stats (+bloom); v3 = v2 plus
+    * the TAGGED `len=`/`rows=` fields — bumped precisely because pre-tag
+    * v2 binaries mis-parse tagged lines; v2-only readers cannot read a
+    * v3 warehouse and now say so instead of dropping its files. This
+    * reader accepts v2 and v3 and always writes v3.
     */
+  private val ManifestWriteVersion = 3
+  private val ManifestReadVersions: Set[Int] = Set(2, 3)
+
   private val FullManifestEvery = 10
 
   // manifests are immutable once committed and version numbers never
@@ -576,6 +592,18 @@ class Datastream(spark: SparkSession, warehouse: String) {
           .filter(_._2.nonEmpty),
         Seq.empty, legacy = true, registry = None)
     else {
+      // reader-protocol guard (see the format scaladoc): an unknown
+      // version token means a newer writer whose lines this parser would
+      // mis-read — fail at resolve time, loudly, instead of serving a
+      // silently-thinner snapshot
+      val verTok = lines.head.split(' ').lift(1).getOrElse("")
+      val ver = verTok.stripPrefix("v").toIntOption.filter(_ => verTok.startsWith("v"))
+      if (!ver.exists(ManifestReadVersions.contains))
+        throw new IllegalStateException(
+          s"commitlog: manifest $v requires reader protocol '$verTok' but " +
+            s"this binary reads only ${ManifestReadVersions.toSeq.sorted
+              .map("v" + _).mkString(", ")} — upgrade the engine to read " +
+            "this warehouse (a newer writer committed it)")
       val attrs = lines.head.split(' ').drop(2)
         .flatMap(_.split('=') match {
           case Array(k, rest @ _*) => Some(k -> rest.mkString("="))
@@ -694,11 +722,40 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * to live directories. The newest-version probe is a cheap commit-log
     * dir listing per read; resolution is memoized per immutable version.
     */
-  private def rawSnapshot: Option[Snapshot] =
-    committedVersions.lastOption.map { v =>
+  private def rawSnapshot: Option[Snapshot] = {
+    val vs = committedVersions
+    vs.lastOption.map { v =>
+      validateLineage(vs, v)
       val (covered, files, stats) = resolveManifest(v)
       Snapshot(v, covered, files, stats)
     }
+  }
+
+  /** LINEAGE INVARIANT (reader half of the optimistic commit protocol):
+    * every committed manifest's `parent` attribute records the version that
+    * was max-committed when it landed, so within the retained window the
+    * parent of v must be the next-lower committed version. A violation
+    * means two writers raced past every guard (both locks bypassed AND the
+    * staleness check interleaved, or an operator removed commit markers out
+    * of band) and the higher version was built blind to the lower —
+    * resolving it would serve a silently-thinner snapshot, so the read
+    * fails at planning instead. Skipped for legacy manifests (no header)
+    * and for the oldest retained version (its parent aged out of the
+    * bounded history — indistinguishable from a genuine first commit).
+    */
+  private def validateLineage(versions: Seq[Long], v: Long): Unit = {
+    val m = parseManifest(v)
+    if (!m.legacy)
+      versions.filter(_ < v).lastOption.foreach { expected =>
+        if (m.parent != expected)
+          throw new IllegalStateException(
+            s"commitlog: version $v records parent ${m.parent} but the " +
+              s"next-lower committed version is $expected — a concurrent " +
+              "commit was built blind to the other and one update would be " +
+              "silently lost; restore the commit log or reprocess the " +
+              "warehouse")
+      }
+  }
 
   /** Committed snapshot versions still resolvable, oldest first — the
     * bounded commit-log retention window. Each is a valid `asOfVersion`
@@ -751,6 +808,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
         s"time travel: version $version is not a committed, retained " +
           s"snapshot (retained: ${vs.mkString(", ")}); commit-log history " +
           "is bounded, older versions age out")
+    validateLineage(vs, version)
     val (covered, files, stats) = resolveManifest(version)
     Snapshot(version, covered, files, stats)
   }
@@ -771,6 +829,14 @@ class Datastream(spark: SparkSession, warehouse: String) {
   // the manifest/commit rename — the worst-case crash instant for a
   // rewrite-shaped mutation (every new file on disk, nothing committed)
   private[graft] var crashBeforeCommitOf: Set[String] = Set.empty
+  // test seam: runs between the version-number listing and the intent CAS —
+  // the exact window a concurrent writer can steal the version in; tests
+  // inject a foreign intent here to exercise the CAS-loss retry path
+  private[graft] var commitRaceInjection: () => Unit = () => ()
+  // test seam: runs after the mutation body but before the commit-time
+  // staleness check — the window a concurrent writer's COMMIT can land in;
+  // tests inject a foreign commit here to exercise the lost-update abort
+  private[graft] var commitStaleInjection: () => Unit = () => ()
 
   /** Declare an imminent write's scope BEFORE writing: captures the
     * pre-write listing under each `table`/`prefix` so the commit can diff
@@ -836,15 +902,37 @@ class Datastream(spark: SparkSession, warehouse: String) {
 
   private def withCommit[T](op: String, adoptAll: Boolean = false)(body: => T): T = withWriterLock(op) {
     io.mkdirs(commitLogPath)
-    val version = 1L + io.childNames(commitLogPath)
+    def markerOf(v: Long, suffix: String) = f"$commitLogPath/$v%09d.$suffix"
+    def alloc(): Long = 1L + io.childNames(commitLogPath)
       .flatMap(_.split('.').headOption.flatMap(_.toLongOption))
       .foldLeft(0L)(math.max)
-    def marker(suffix: String) = f"$commitLogPath/$version%09d.$suffix"
-    val tmp = marker("tmp")
-    io.writeString(tmp, s"""{"version":$version,"op":"$op"}""")
+    // OPTIMISTIC COMMIT CAS: version N's `.intent` marker is CREATED
+    // exclusively (create-fails-if-exists — HDFS namespace-atomic,
+    // conditional PUT on S3A), so the marker create itself allocates the
+    // version: two drivers racing a mutation serialize on the NUMBER even
+    // where the advisory writer lock above has no reach (the `java.nio`
+    // OS lock is single-host; the remote lock file leaks past a crash and
+    // an operator may have removed it while a slow holder still runs). A
+    // loser re-lists and retries at a higher number — exactly one writer
+    // ever owns a version, so no two manifests can collide on one name.
+    val version = {
+      var v = alloc()
+      var tries = 0
+      commitRaceInjection()
+      while (!io.createExclusive(markerOf(v, "intent"),
+          s"""{"version":$v,"op":"$op"}""")) {
+        tries += 1
+        if (tries > 16)
+          throw new errors.CommitConflict(
+            s"commitlog: lost the version CAS $tries times in a row " +
+              s"(op $op) — a concurrent writer is committing faster than " +
+              "this one can allocate; retry the mutation")
+        v = math.max(alloc(), v + 1)
+      }
+      v
+    }
+    def marker(suffix: String) = markerOf(version, suffix)
     val intent = marker("intent")
-    if (!io.rename(tmp, intent))
-      throw new IllegalStateException(s"commitlog: cannot stage intent $intent")
     scopeBefore.clear()
     retiredFiles.clear()
     val prev = rawSnapshot
@@ -867,6 +955,32 @@ class Datastream(spark: SparkSession, warehouse: String) {
         scopeBefore.clear(); retiredFiles.clear()
         throw e
       }
+    // OPTIMISTIC STALENESS CHECK (the second half of the commit CAS): the
+    // snapshot below is assembled against `prev`, captured before the body
+    // ran. If ANOTHER writer committed meanwhile — possible exactly where
+    // the advisory lock has no reach — publishing ours would smuggle a
+    // parent pointer past their changes and readers at the higher version
+    // would lose one of the two updates silently. The loser ABORTS instead:
+    // its intent renames to `.failed` (the torn-mutation path — its data
+    // files are invisible orphans vacuum reclaims) and the pinned
+    // CommitConflict tells the caller to simply re-run the mutation against
+    // the new snapshot. Combined with the intent CAS above this yields
+    // last-committer-loses serialization: every published manifest's parent
+    // is the version that was max-committed when it landed (the lineage
+    // invariant readers verify in [[validateLineage]]).
+    commitStaleInjection()
+    val committedNow = committedVersions.lastOption
+    if (committedNow != prev.map(_.version)) {
+      io.rename(intent, marker("failed"))
+      scopeBefore.clear(); retiredFiles.clear()
+      throw new errors.CommitConflict(
+        s"commitlog: version ${committedNow.getOrElse(-1L)} committed while " +
+          s"op $op was building version $version against parent " +
+          s"${prev.map(_.version).getOrElse(-1L)} — this commit aborted " +
+          "rather than drop the concurrent writer's changes; retry the " +
+          "mutation (its partial writes are invisible orphans, " +
+          "vacuumRaw() reclaims them)")
+    }
     // Assemble the new snapshot per table: (previous ∪ baseline) minus
     // retirements plus this commit's written files — NEVER a directory
     // listing on a covered table, so orphans from earlier torn mutations
@@ -907,7 +1021,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // half of the snapshot (mutation bodies that swap the registry do so
     // before this line, so the POST-mutation generation is recorded)
     val regAttr = registryGen.map(g => s" registry=g$g").getOrElse("")
-    val header = s"#graft v2 parent=${prev.map(_.version).getOrElse(-1L)} " +
+    val header = s"#graft v$ManifestWriteVersion parent=${prev.map(_.version).getOrElse(-1L)} " +
       s"depth=${if (full) 0 else prevDepth + 1} full=${if (full) "1" else "0"} " +
       s"tables=${manifestTables.mkString(",")}" + regAttr
     val body0 = new StringBuilder(header).append('\n')
@@ -2337,7 +2451,19 @@ class Datastream(spark: SparkSession, warehouse: String) {
   private[graft] def zKey16(name: String, domain: Long): String = {
     val d = math.max(domain, 1L)
     if (d <= 65536L) s"(($name * 65536) div $d)"
-    else s"least($name div ${d / 65536L}, 65535)"
+    else {
+      // CEILING bucket: floor (`d / 65536`) under-sizes the bucket whenever
+      // 65536 ∤ d — worst at d ∈ (2^16, 2^17) where the bucket floors to 1
+      // and `least(.., 65535)` collapses the UPPER HALF of the value space
+      // onto one saturated key (the clustering silently degenerates to a
+      // one-dimension sort there). A ceiling bucket spreads every value
+      // without saturation; the cost is bounded slack at the top of the
+      // key range (≤ half just above each 2^16 multiple, vanishing as d
+      // grows) — recoverable spread, vs. unrecoverable key collisions.
+      // The `least` stays as a pure safety clamp for out-of-domain inputs.
+      val bucket = (d + 65535L) / 65536L
+      s"least($name div $bucket, 65535)"
+    }
   }
 
   /** Z-ORDER clustering rewrite of the raw fact table — the OPTIMIZE

@@ -191,4 +191,12 @@ object errors {
   final class InvalidOperatorArguments(msg: String) extends IllegalArgumentException(msg)
   final class OutstandingDependenciesError(msg: String) extends IllegalArgumentException(msg)
   final class MaintenanceLockContended(msg: String) extends IllegalStateException(msg)
+  /** A concurrent writer won the commit-log version CAS (or holds an
+    * unresolved lower version) and the bounded wait expired — the losing
+    * mutation wrote NOTHING visible and may simply be retried. Distinct
+    * from [[MaintenanceLockContended]] (the advisory fast-path): this is
+    * the optimistic-concurrency backstop that holds even where no OS file
+    * lock exists (HDFS / object stores).
+    */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
 }

@@ -660,6 +660,127 @@ class SnapshotSpec extends SparkSpec {
     assert(big.head === 0L)
     assert(big(1) === 32768L)
     assert(big(2) === 65535L)
+    // the (2^16, 2^17) band: FLOOR bucketing used to floor the bucket to 1
+    // and `least(..,65535)` collapsed the whole upper half of the value
+    // space onto ONE saturated key — the ceiling bucket (2 here) spreads
+    // every value with zero saturation (max key 34999 < 65535)
+    val band = Seq(0L, 65535L, 65536L, 69999L).toDF("x")
+      .selectExpr(ds.zKey16("x", 70000L)).as[Long].collect().toSeq
+    assert(band === Seq(0L, 32767L, 32768L, 34999L))
+    ()
+  }
+
+  test("commit CAS: a foreign intent stealing the version re-allocates; " +
+      "exactly one owner per version and the commit still lands") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    val log = new java.io.File(s"$dir/commitlog")
+    def names() = Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).sorted.toSeq
+    def nextV() = 1L + names()
+      .flatMap(_.split('.').headOption.flatMap(_.toLongOption))
+      .foldLeft(0L)(math.max)
+    // the foreign writer wins the CAS on the exact version this commit is
+    // about to claim — injected in the listing→create window
+    var stolen = -1L
+    ds.commitRaceInjection = () => {
+      stolen = nextV()
+      java.nio.file.Files.writeString(
+        new java.io.File(log, f"$stolen%09d.intent").toPath,
+        s"""{"version":$stolen,"op":"foreign_append"}""")
+      ds.commitRaceInjection = () => ()
+    }
+    ds.append("s1", 2.0, ts("2024-01-01T00:01:00Z"))
+    // the loser re-allocated PAST the stolen number: its commit landed at
+    // stolen+1 and the foreign intent was never touched
+    assert(names().contains(f"${stolen + 1}%09d.commit"))
+    assert(names().contains(f"$stolen%09d.intent"))
+    assert(!names().contains(f"$stolen%09d.commit"))
+    // both rows serve; the stranded foreign intent surfaces as torn
+    assert(ds.rawDatapoints.count() === 2L)
+    assert(ds.tornOperations === Seq("foreign_append"))
+    ()
+  }
+
+  test("commit staleness: a concurrent commit landing mid-mutation aborts " +
+      "the loser with CommitConflict; retry succeeds; snapshot never torn") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    val log = new java.io.File(s"$dir/commitlog")
+    def nextV() = 1L + Option(log.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
+      .foldLeft(0L)(math.max)
+    // forge the foreign writer's COMPLETE commit (no-op delta manifest with
+    // the correct parent + its commit marker) in the body→commit window —
+    // the lost-update interleaving the advisory lock cannot see on a
+    // remote store
+    ds.commitStaleInjection = () => {
+      val pv = ds.currentVersion.get
+      val fv = nextV()
+      java.nio.file.Files.writeString(
+        new java.io.File(log, f"$fv%09d.manifest").toPath,
+        s"#graft v3 parent=$pv depth=1 full=0 tables=raw\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(log, f"$fv%09d.commit").toPath,
+        s"""{"version":$fv,"op":"foreign_append"}""")
+      ds.commitStaleInjection = () => ()
+    }
+    intercept[errors.CommitConflict] {
+      ds.append("s1", 99.0, ts("2024-01-01T00:01:00Z"))
+    }
+    // the loser's write is an invisible orphan: readers (fresh facade, no
+    // caches) serve the foreign snapshot — 1 row, never the aborted 99.0
+    val ds2 = new Datastream(spark, dir)
+    assert(ds2.rawDatapoints.count() === 1L)
+    assert(ds2.rawDatapoints.agg(sum("value")).first().getDouble(0) === 1.0)
+    // the aborted commit is a resolvable torn op, and the RETRY (against
+    // the new snapshot) simply works
+    assert(ds2.tornOperations === Seq("append"))
+    ds2.acknowledgeTorn()
+    ds2.append("s1", 2.0, ts("2024-01-01T00:01:00Z"))
+    assert(ds2.rawDatapoints.count() === 2L)
+    ()
+  }
+
+  test("lineage guard: a sibling commit blind to a committed version fails " +
+      "reads loudly instead of serving a thinner snapshot") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    val v1 = ds.currentVersion.get
+    ds.append("s1", 2.0, ts("2024-01-01T00:01:00Z"))
+    // forge a commit whose parent SKIPS the second committed version — the
+    // artifact of two writers racing past every guard
+    val log = new java.io.File(s"$dir/commitlog")
+    val fv = ds.currentVersion.get + 1
+    java.nio.file.Files.writeString(
+      new java.io.File(log, f"$fv%09d.manifest").toPath,
+      s"#graft v3 parent=$v1 depth=1 full=0 tables=raw\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(log, f"$fv%09d.commit").toPath,
+      s"""{"version":$fv,"op":"append"}""")
+    val ds2 = new Datastream(spark, dir)
+    val e = intercept[IllegalStateException](ds2.rawDatapoints.count())
+    assert(e.getMessage.contains("parent"))
+    ()
+  }
+
+  test("manifest protocol guard: an unknown reader version fails loudly, " +
+      "never a silently-thinner snapshot") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))
+    val log = new java.io.File(s"$dir/commitlog")
+    for (f <- log.listFiles() if f.getName.endsWith(".manifest")) {
+      val txt = java.nio.file.Files.readString(f.toPath)
+      java.nio.file.Files.writeString(f.toPath,
+        txt.replaceFirst("#graft v3 ", "#graft v9 "))
+    }
+    val ds2 = new Datastream(spark, dir)
+    val e = intercept[IllegalStateException](ds2.rawDatapoints.count())
+    assert(e.getMessage.contains("reader protocol"))
     ()
   }
 
