@@ -546,7 +546,11 @@ object Queries {
     ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     ds.compact()
     ds.vacuumRaw(retainVersions = 1) // not a commit: must NOT appear
-    ds.history.toDF("version", "op")
+    // registry_gen audits the metadata half of each snapshot: ensure
+    // swapped to g1 before any commit, the append's registry touch to g2,
+    // the downsample's watermark advance to g3; compact leaves the
+    // registry untouched (g3 again) — pinned literally by the oracle
+    ds.history.toDF("version", "op", "registry_gen")
   }
 
   /** METADATA-ONLY COUNT on the gate: two streams land in two commits
@@ -575,13 +579,22 @@ object Queries {
     ds.appendMultiple(dp.where(col("ts") < lit(cut)))
     val v = ds.currentVersion.get
     ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    // rollup arms: the cascade materializes the minute ladder, then
+    // countRollup serves the bucket counts the same stats-first way —
+    // `rows=` for provably-covered files, a scan only at range boundaries
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     Seq(
       ("all", ds.countDatapoints()),
       ("mid", ds.countDatapoints(Some(ts("2024-01-10T00:00:00Z")),
         Some(ts("2024-01-20T00:00:00Z")))),
       ("asof", ds.countDatapoints(asOfVersion = Some(v))),
       ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None)),
-      ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click"))))
+      ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click")))),
+      ("rollup_all", ds.countRollup(Granularity.Minutes)),
+      ("rollup_mid", ds.countRollup(Granularity.Minutes,
+        Some(ts("2024-01-10T00:00:00Z")), Some(ts("2024-01-20T00:00:00Z")))),
+      ("rollup_stream", ds.countRollup(Granularity.Minutes,
+        streamIds = Some(Seq("7:click"))))
     ).toDF("label", "n")
   }
 
@@ -1131,7 +1144,47 @@ object Queries {
         ValueType.Numeric, Granularity.Minutes,
         deriveOp = Some("median"), derivedFrom = Seq("s1")) match {
         case _ => ds.deriveDatapoints("d3")
-      })
+      }),
+      // OPTIMISTIC CONCURRENCY, both halves. CAS loss: a foreign intent
+      // steals the allocated version in the listing→create window — the
+      // writer must re-allocate past it and the mutation still SUCCEED.
+      attempt("commit_cas_stolen_version") {
+        ds.commitRaceInjection = () => {
+          val log = new java.io.File(s"$dir/commitlog")
+          val v = 1L + Option(log.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
+            .foldLeft(0L)(math.max)
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$v%09d.intent").toPath,
+            s"""{"version":$v,"op":"foreign"}""")
+          ds.commitRaceInjection = () => ()
+        }
+        ds.append("s1", 6.0, ts("2024-01-13T00:00:00Z"))
+        ds.acknowledgeTorn() // the stranded foreign intent, resolved
+      },
+      // staleness: a concurrent COMMIT lands while the mutation body runs —
+      // publishing would lose one of the two updates, so the loser aborts
+      // with the pinned conflict error (its writes stay invisible orphans)
+      attempt("commit_conflict_stale") {
+        ds.commitStaleInjection = () => {
+          val log = new java.io.File(s"$dir/commitlog")
+          val pv = ds.currentVersion.get
+          val fv = 1L + Option(log.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
+            .foldLeft(0L)(math.max)
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$fv%09d.manifest").toPath,
+            s"#graft v3 parent=$pv depth=1 full=0 tables=raw\n")
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$fv%09d.commit").toPath,
+            s"""{"version":$fv,"op":"foreign"}""")
+          ds.commitStaleInjection = () => ()
+        }
+        try ds.append("s1", 7.0, ts("2024-01-14T00:00:00Z"))
+        finally ds.commitStaleInjection = () => ()
+      }
     ).toDF("check_case", "error")
   }
 
@@ -1783,13 +1836,16 @@ object Queries {
   }
 
   /** The IVF index MAINTENANCE lifecycle on the gate: build over the even
-    * half, incrementally append the odd half (assigned to the existing
-    * centroids, O(shard)), compact via refreshIndex (centroids re-learned
-    * from the index's own contents, both sides swap-rewritten), then
-    * query at nProbe = nCells — which must be BIT-IDENTICAL to brute
-    * force over the full corpus (the `q_similarity_topk` oracle). A lost
-    * or doubled vector in append or refresh, or a refresh that corrupts
-    * an embedding, breaks the row set.
+    * half, incrementally append the odd half (a fresh shard-manifest
+    * version referencing the base shards — O(shard), atomic pointer
+    * publish), compact via refreshIndex (centroids re-learned from the
+    * index's own contents, the shard chain collapsed into one full
+    * version), vacuum past retention (reclaims the superseded build and
+    * append versions — the full retire/reclaim lifecycle), then query at
+    * nProbe = nCells — which must be BIT-IDENTICAL to brute force over
+    * the full corpus (the `q_similarity_topk` oracle). A lost or doubled
+    * vector in append, refresh or vacuum, or a refresh that corrupts an
+    * embedding, breaks the row set.
     */
   def ivfIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Sources.embeddings(spark, sfDir)
@@ -1798,6 +1854,7 @@ object Queries {
       s"$dir/ivf", nCells = 64)
     ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), s"$dir/ivf")
     ext.Ivf.refreshIndex(s"$dir/ivf", spark, refineIters = 1)
+    ext.Ivf.vacuumIndex(s"$dir/ivf", retainVersions = 1)
     val qv = queryVectors(spark, sfDir)
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
@@ -2004,7 +2061,10 @@ object Queries {
     val survivors = ext.Similarity.semDedupAgainstIndex(
       odd, s"$dir/ivf", threshold = 0.4, nProbe = 8).localCheckpoint(true)
     ext.Ivf.appendToIndex(survivors, s"$dir/ivf")
-    val indexed = spark.read.parquet(s"${ext.Ivf.indexDir(s"$dir/ivf")}/cells")
+    // the PUBLIC shard-aware reader: an appended version references its
+    // parent's cell shards by manifest, so a literal cells/ read would
+    // see only the newest shard
+    val indexed = ext.Ivf.cells(spark, s"$dir/ivf")
       .agg(count(lit(1)).as("n_indexed"))
     survivors.select(col("vec_id"), col("label"))
       .crossJoin(broadcast(indexed))
@@ -3052,9 +3112,9 @@ SELECT * FROM (VALUES
     */
   val historyLedger: String =
     """SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), 'append'),
-  (CAST(2 AS BIGINT), 'downsample'),
-  (CAST(3 AS BIGINT), 'compact')) AS t(version, op)"""
+  (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
 
   /** Metadata-count twin: every arm recomputed as a plain count over
     * events with the same INCLUSIVE bounds; `asof` counts only the
@@ -3073,7 +3133,16 @@ UNION ALL SELECT 'asof', count(*) FROM dp
   WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
 UNION ALL SELECT 'future', count(*) FROM dp
   WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'
-UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'"""
+UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'
+UNION ALL SELECT 'rollup_all', count(*) FROM
+  (SELECT DISTINCT sid, epoch_us(ts) // 60000000 FROM dp) b
+UNION ALL SELECT 'rollup_mid', count(*) FROM
+  (SELECT DISTINCT sid, (epoch_us(ts) // 60000000) * 60000000 AS bs FROM dp) b
+  WHERE bs >= epoch_us(TIMESTAMP '2024-01-10 00:00:00')
+    AND bs <= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+UNION ALL SELECT 'rollup_stream', count(*) FROM
+  (SELECT DISTINCT sid, epoch_us(ts) // 60000000 FROM dp
+   WHERE sid = '7:click') b"""
 
   /** DESCRIBE DETAIL twin: the raw row count and µs bounds recomputed
     * from events; derived pinned empty-but-known.
@@ -3368,7 +3437,9 @@ FROM part"""
   ('non_monotone_append', 'InvalidTimestamp'),
   ('maintenance_lock_contended', 'MaintenanceLockContended'),
   ('delete_with_dependents', 'OutstandingDependenciesError'),
-  ('unknown_derive_op', 'InvalidOperatorArguments')
+  ('unknown_derive_op', 'InvalidOperatorArguments'),
+  ('commit_cas_stolen_version', 'ok'),
+  ('commit_conflict_stale', 'CommitConflict')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the

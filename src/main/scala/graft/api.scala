@@ -149,10 +149,11 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * store class — see [[WarehouseIO]]); the parquet write and dir rename
     * before it are invisible to readers, and a crash at any instant
     * leaves the previous generation live. Generations referenced by a
-    * retained manifest are protected from the post-swap sweep; the rest
-    * (superseded, unreferenced) are reclaimed immediately — the same
-    * retention interplay the data files get from vacuum. Single-writer
-    * (every caller holds the writer lock).
+    * retained manifest are protected from the post-swap sweep, and the
+    * newest [[RegistryGenRetention]] are kept as a concurrent-reader
+    * grace window; the rest (superseded, unreferenced, aged out) are
+    * reclaimed — the same retention interplay the data files get from
+    * vacuum. Single-writer (every caller holds the writer lock).
     */
   private def swapRegistry(df: DataFrame): Unit = {
     val next = registryGen.getOrElse(0L) + 1
@@ -173,16 +174,34 @@ class Datastream(spark: SparkSession, warehouse: String) {
     sweepRegistryGenerations(next)
   }
 
-  /** Reclaim registry generations that are neither current nor referenced
-    * by any retained manifest, plus superseded markers and crashed-swap
-    * temp dirs. O(retained commits) manifest-header reads (memoized).
+  /** Concurrent-reader grace window for superseded registry generations:
+    * a reader outside the writer lock resolves the CURRENT marker and
+    * then opens the generation DIRECTORY — reclaiming a generation the
+    * instant it is superseded can yank the dir out from under a reader
+    * that resolved it microseconds earlier (observed as a torn
+    * UNABLE_TO_INFER_SCHEMA read in the racing-writers soak). Retaining
+    * the newest few generations closes the window; each is one tiny
+    * parquet file, so the steady-state cost is O(1) regardless.
+    */
+  private val RegistryGenRetention = 4
+
+  /** Reclaim registry generations that are not current, not within the
+    * [[RegistryGenRetention]] grace window, and not referenced by any
+    * retained manifest; plus superseded markers and crashed-swap temp
+    * dirs. O(retained commits) manifest-header reads (memoized).
     */
   private def sweepRegistryGenerations(current: Long): Unit = {
     val referenced = committedVersions
       .flatMap(v => scala.util.Try(parseManifest(v)).toOption)
       .flatMap(_.registry).toSet + current
+    val recent = io.childNames(streamsVersionsPath)
+      .filter(_.matches("g\\d+")).map(_.stripPrefix("g").toLong)
+      .sorted.takeRight(RegistryGenRetention).toSet
     io.childNames(streamsVersionsPath).foreach { n =>
-      if (n.matches("g\\d+") && !referenced(n.stripPrefix("g").toLong))
+      if (n.matches("g\\d+") && {
+          val g = n.stripPrefix("g").toLong
+          !referenced(g) && !recent(g)
+        })
         rmTree(s"$streamsVersionsPath/$n")
       else if (n.startsWith("CURRENT.g") &&
         n.stripPrefix("CURRENT.g").toLongOption.exists(_ < current))
@@ -773,11 +792,17 @@ class Datastream(spark: SparkSession, warehouse: String) {
   def currentVersion: Option[Long] = committedVersions.lastOption
 
   /** Commit history within the retained window, oldest first — the
-    * `DESCRIBE HISTORY` analog: (version, operation) for every committed
-    * mutation whose marker survives the bounded-history sweep. Versions
-    * also present in [[snapshotVersions]] are time-travel targets.
+    * `DESCRIBE HISTORY` analog: (version, operation, registryGeneration)
+    * for every committed mutation whose marker survives the
+    * bounded-history sweep. Versions also present in [[snapshotVersions]]
+    * are time-travel targets. The third column is the registry generation
+    * each version's manifest recorded — the metadata half of the as-of
+    * contract ([[streamsAt]]: pinned reads resolve tags/validation against
+    * THAT generation), so data-and-metadata-travel-together is auditable
+    * straight from the log; None for a version whose manifest aged out of
+    * the delta-chain retention or predates registry generations.
     */
-  def history: Seq[(Long, String)] = {
+  def history: Seq[(Long, String, Option[Long])] = {
     io.childNames(commitLogPath)
       .filter(_.endsWith(".commit"))
       .sorted
@@ -787,7 +812,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
           v <- n.split('.').headOption.flatMap(_.toLongOption)
           op = "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
             .map(_.group(1)).getOrElse("unknown")
-        } yield (v, op)
+        } yield (v, op,
+          scala.util.Try(parseManifest(v)).toOption.flatMap(_.registry))
       }
   }
 
@@ -2020,7 +2046,42 @@ class Datastream(spark: SparkSession, warehouse: String) {
   def countDatapoints(start: Option[Timestamp] = None,
                       end: Option[Timestamp] = None,
                       asOfVersion: Option[Long] = None,
-                      streamIds: Option[Seq[String]] = None): Long = {
+                      streamIds: Option[Seq[String]] = None): Long =
+    statsCount(Seq(("raw", Schemas.rawDatapointsPartitioned),
+        ("derived", Schemas.rawDatapoints)),
+      "ts", start, end, asOfVersion, streamIds)
+
+  /** [[countDatapoints]]'s rollup twin: the exact BUCKET count of
+    * granularity `g`'s finalized rollup table, served the same Delta-style
+    * way — `rows=` manifest stats for files fully inside the (inclusive,
+    * `bucket_start`-keyed) range, a real scan only for boundary
+    * straddlers. The rollup tables' files carry the identical stats
+    * complement (their footers record `bucket_start` bounds, stream-id
+    * bounds/bloom and exact row counts at commit time), so a dashboard's
+    * per-granularity freshness/volume probes are metadata-only too —
+    * unbounded or provably-covered counts touch NO rollup data files.
+    */
+  def countRollup(g: Granularity,
+                  start: Option[Timestamp] = None,
+                  end: Option[Timestamp] = None,
+                  asOfVersion: Option[Long] = None,
+                  streamIds: Option[Seq[String]] = None): Long =
+    statsCount(Seq((s"rollup/granularity=${g.name}",
+        Schemas.downsampledPartitioned)),
+      "bucket_start", start, end, asOfVersion, streamIds)
+
+  /** The shared stats-served count: manifest `rows=` for files PROVABLY
+    * inside the range (and provably stream-pure when stream-scoped), an
+    * exact scan with the residual predicate for the rest. `tsColName` is
+    * the table family's time column (`ts` for fact tables, `bucket_start`
+    * for rollups) — the same column the manifest's per-file bounds were
+    * collected from ([[footerStats]]).
+    */
+  private def statsCount(tables: Seq[(String, org.apache.spark.sql.types.StructType)],
+                         tsColName: String,
+                         start: Option[Timestamp], end: Option[Timestamp],
+                         asOfVersion: Option[Long],
+                         streamIds: Option[Seq[String]]): Long = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
@@ -2029,8 +2090,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val sids = streamIds.map(_.sorted.toIndexedSeq)
     val sidSet = streamIds.map(_.toSet)
     def filtered(df: DataFrame): DataFrame = {
-      val withStart = start.map(t => df.where(col("ts") >= lit(t))).getOrElse(df)
-      val withEnd = end.map(t => withStart.where(col("ts") <= lit(t))).getOrElse(withStart)
+      val withStart = start.map(t => df.where(col(tsColName) >= lit(t))).getOrElse(df)
+      val withEnd = end.map(t => withStart.where(col(tsColName) <= lit(t))).getOrElse(withStart)
       sidSet.map(s => withEnd.where(col("stream_id").isInCollection(s.toSeq)))
         .getOrElse(withEnd)
     }
@@ -2067,8 +2128,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
           filtered(spark.read.schema(schema).parquet(tablePath(table))).count()
         case None => 0L
       }
-    tableCount("raw", Schemas.rawDatapointsPartitioned) +
-      tableCount("derived", Schemas.rawDatapoints)
+    tables.map { case (t, sch) => tableCount(t, sch) }.sum
   }
 
   /** TIME TRAVEL: the logical fact table (raw ∪ derived) exactly as the
@@ -2532,9 +2592,13 @@ class Datastream(spark: SparkSession, warehouse: String) {
       .schema(Schemas.rawDatapointsPartitioned)
       .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
     val nStreams = math.max(streams.count(), 1L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("stream_id")
-    val ranks = streams.select(col("stream_id"))
-      .withColumn("_sr", row_number().over(w).cast("long") - 1L)
+    // scalable total-order rank (Pack.globalRankByKey): a plain
+    // `Window.orderBy(stream_id)` coalesces the registry into ONE task —
+    // fine at thousands of streams, a straggler at millions; the
+    // range-partitioned rank is bit-identical with only a
+    // partition-count-sized apex window
+    val ranks = ext.Pack.globalRankByKey(
+        streams.select(col("stream_id")), "stream_id", "_sr")
     // ts bounds from the manifest stats when EVERY retired file carries
     // them (zero data I/O); a stat-less file (foreign writer, legacy
     // manifest) falls back to one min/max aggregate over the slice being

@@ -171,28 +171,119 @@ object Ivf {
     */
   private def currentVersion(path: String): Option[Long] = {
     val s = io(path)
-    val markers = s.childNames(path)
-      .filter(_.startsWith("CURRENT.v"))
-      .flatMap(_.stripPrefix("CURRENT.v").toLongOption)
+    val markers = committedVersions(path)
     if (markers.nonEmpty) Some(markers.max)
     else if (s.exists(s"$path/CURRENT"))
       Some(s.readString(s"$path/CURRENT").trim.stripPrefix("v").toLong)
     else None
   }
 
-  /** Directory holding the LIVE index tables (`centroids/`, `cells/`):
-    * `path/v<N>` per the CURRENT pointer, or `path` itself for an index
-    * written by a pre-versioned build.
+  /** Versions ever committed via a `CURRENT.v<N>` marker, ascending.
+    * Markers are KEPT past supersession (tiny files, and the audit trail
+    * that lets a vacuumed version fail with "reclaimed", not "unknown").
     */
-  def indexDir(path: String): String =
-    currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+  private def committedVersions(path: String): Seq[Long] =
+    io(path).childNames(path)
+      .filter(_.startsWith("CURRENT.v"))
+      .flatMap(_.stripPrefix("CURRENT.v").toLongOption).sorted
+
+  /** Directory holding the index tables (`centroids/`, `cells/` or a
+    * `shards` manifest): the LIVE version per the CURRENT pointer — or
+    * `path` itself for an index written by a pre-versioned build — or,
+    * with `asOfVersion`, a PINNED historical version. Superseded versions
+    * stay resolvable until [[vacuumIndex]] reclaims them (retention
+    * mirrors the warehouse snapshot contract); a pinned resolve fails
+    * loudly on a version that was never committed or whose directory
+    * vacuum already reclaimed — never serves the wrong version silently.
+    */
+  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
+    asOfVersion match {
+      case None => currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+      case Some(v) =>
+        if (!committedVersions(path).contains(v))
+          throw new IllegalArgumentException(
+            s"index $path: version $v was never committed " +
+              s"(committed: ${committedVersions(path).mkString(", ")})")
+        if (!io(path).exists(s"$path/v$v"))
+          throw new IllegalStateException(
+            s"index $path: version $v was reclaimed by vacuumIndex — " +
+              "pinned reads reach only retained versions")
+        s"$path/v$v"
+    }
+
+  /** The cells shard directories of version dir `dir`, absolute: the
+    * `shards` manifest's entries when present (a version published by an
+    * APPEND references its parent's shards by name plus its own new one —
+    * O(shard) publication, no data rewrite), else the literal `cells/`
+    * (full build / refresh / legacy layout).
+    */
+  private def cellShards(path: String, dir: String): Seq[String] = {
+    val s = io(path)
+    val mf = s"$dir/shards"
+    if (s.exists(mf))
+      s.readString(mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(rel => s"$path/$rel")
+    else Seq(s"$dir/cells")
+  }
+
+  /** PUBLIC read surface for a version's inverted file: the union of its
+    * cell shards (one partitioned parquet table per shard; `cell` pruning
+    * applies per shard). Read THROUGH this, not `indexDir(..)+"/cells"` —
+    * an appended index's version references older shards by manifest and
+    * a literal read would silently see only the newest shard.
+    */
+  def cells(spark: org.apache.spark.sql.SparkSession, path: String,
+            asOfVersion: Option[Long] = None): DataFrame =
+    readCells(spark, path, indexDir(path, asOfVersion))
+
+  private def readCells(spark: org.apache.spark.sql.SparkSession,
+                        path: String, dir: String): DataFrame =
+    cellShards(path, dir).map(d => spark.read.parquet(d))
+      .reduce(_.unionByName(_))
+
+  /** Reclaim index versions superseded past the retention window —
+    * the explicit GC verb, mirroring the warehouse `vacuumRaw` contract
+    * ([[commitVersion]] only RETIRES versions logically, so an in-flight
+    * reader resolved on the old version completes its scan). Keeps the
+    * newest `retainVersions` committed versions PLUS any older version
+    * directory a retained version's shard manifest still references
+    * (an appended chain shares its parents' cell shards — reclaiming a
+    * referenced parent would corrupt a live version). Commit markers are
+    * kept as the audit trail: a pinned read past retention fails with
+    * "reclaimed by vacuumIndex", loudly, never resolves wrong data.
+    */
+  def vacuumIndex(path: String, retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val s = io(path)
+    val committed = committedVersions(path)
+    if (committed.isEmpty) return // nothing versioned to reclaim
+    val retained = committed.takeRight(retainVersions)
+    // top-level entries still referenced: the retained version dirs plus
+    // every shard root (version dir or legacy root `cells`) their shard
+    // manifests name
+    val referenced: Set[String] =
+      retained.map(v => s"v$v").toSet ++
+        retained.filter(v => s.exists(s"$path/v$v")).flatMap { v =>
+          cellShards(path, s"$path/v$v")
+            .map(_.stripPrefix(path + "/").split('/').head)
+        }
+    s.childNames(path).foreach { n =>
+      val stale =
+        (n.matches("v\\d+") && !referenced(n)) ||
+          (Seq("cells", "centroids", "pq", "centroids_next", "cells_next")
+            .contains(n) && !referenced(n)) ||
+          n == "CURRENT" || n.startsWith("CURRENT.tmp-")
+      if (stale) s.rmTree(s"$path/$n")
+    }
+  }
 
 
   /** Write a complete index version (centroids + assignment) into a fresh
-    * `v<N>` directory, then atomically move the CURRENT pointer onto it
-    * and reclaim superseded versions. The pointer move is the ONLY commit
-    * point — a crash anywhere before it leaves CURRENT (and readers) on
-    * the previous complete version.
+    * `v<N>` directory, then atomically move the CURRENT pointer onto it.
+    * The pointer move is the ONLY commit point — a crash anywhere before
+    * it leaves CURRENT (and readers) on the previous complete version;
+    * superseded versions are retired logically and reclaimed only by
+    * [[vacuumIndex]].
     */
   private def writeVersion(vecs: DataFrame, path: String,
                            cents: Array[(Int, Array[Float])],
@@ -216,38 +307,49 @@ object Ivf {
 
   private def commitVersion(path: String, v: Long): Unit = {
     val s = io(path)
-    // the marker CREATE is the commit point (see [[currentVersion]]) —
-    // everything after is reclamation of now-invisible state
+    // the marker CREATE is the commit point (see [[currentVersion]]).
+    // Superseded versions are RETIRED, not reclaimed: an in-flight reader
+    // that resolved the previous version mid-commit still completes its
+    // scan, and pinned (`asOfVersion`) reads keep working — explicit
+    // [[vacuumIndex]] is the only reclamation path, exactly the
+    // retention/vacuum split the warehouse snapshots carry.
     s.writeString(s"$path/CURRENT.v$v", s"v$v")
-    s.childNames(path).foreach { n =>
-      val stale =
-        (n.matches("v\\d+") && n != s"v$v") ||
-          Seq("centroids", "cells", "centroids_next", "cells_next").contains(n) ||
-          n.startsWith("CURRENT.tmp-") || n == "CURRENT" ||
-          (n.startsWith("CURRENT.v") &&
-            n.stripPrefix("CURRENT.v").toLongOption.exists(_ < v))
-      if (stale) s.rmTree(s"$path/$n")
-    }
+    s.childNames(path).filter(_.startsWith("CURRENT.tmp-"))
+      .foreach(n => s.deleteFile(s"$path/$n"))
   }
 
   /** INCREMENTAL index maintenance: assign a new shard to the EXISTING
-    * centroids and append its rows to the inverted file — O(shard) work
-    * per ingest (one narrow assignment map + a partitioned append), never
-    * a re-cluster of the already-indexed corpus. The flip side of folding
-    * into fixed centroids is drift: as appended data shifts the
-    * distribution, cells get lopsided and probe recall decays — that is
-    * what the periodic [[refreshIndex]] compaction is for. Same
-    * single-writer contract as the dedup index.
+    * centroids and publish it as a fresh index VERSION — O(shard) work
+    * per ingest (one narrow assignment map + one partitioned shard write;
+    * the already-indexed corpus is never re-clustered OR rewritten: the
+    * new version's `shards` manifest references the parent's cell shards
+    * by name and adds its own). The commit is the same atomic
+    * CURRENT-pointer move every build/refresh uses — a reader never
+    * observes a half-appended inverted file, and a crash mid-append
+    * leaves queries on the previous complete version (the earlier
+    * mode(append)-into-the-live-directory design had exactly that torn
+    * window). The flip side of folding into fixed centroids is drift: as
+    * appended data shifts the distribution, cells get lopsided and probe
+    * recall decays — that is what the periodic [[refreshIndex]]
+    * compaction (which collapses the shard chain back to one `cells/`)
+    * is for. Same single-writer contract as the dedup index.
     */
   def appendToIndex(newVecs: DataFrame, path: String,
                     vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     import newVecs.sparkSession.implicits._
     val spark = newVecs.sparkSession
-    val dir = indexDir(path)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cur = indexDir(path)
+    val cents = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    // self-contained per-version metadata: the tiny centroid table is
+    // copied forward (driver-scale); only the big cell shards share by
+    // reference
+    spark.read.parquet(s"$cur/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
     val centB = spark.sparkContext.broadcast(cents)
     newVecs.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -255,7 +357,22 @@ object Ivf {
         val cs = centB.value
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    publishAppend(path, cur, next)
+  }
+
+  /** Write version `next`'s `shards` manifest (parent's effective shards
+    * + `v<next>/cells`, path-relative) and move the CURRENT pointer —
+    * the shared O(1) publication step of both append paths. Runs strictly
+    * AFTER the new shard's data is fully on disk; the pointer move is the
+    * only commit point.
+    */
+  private def publishAppend(path: String, parentDir: String, next: Long): Unit = {
+    val parentShards = cellShards(path, parentDir)
+      .map(_.stripPrefix(path + "/").stripPrefix("/"))
+    io(path).writeString(s"$path/v$next/shards",
+      (parentShards :+ s"v$next/cells").mkString("\n"))
+    commitVersion(path, next)
   }
 
   /** PERIODIC compaction for an index that has absorbed appends:
@@ -283,7 +400,9 @@ object Ivf {
                                       crashBeforeCommit: Boolean): Unit = {
     import spark.implicits._
     val cur = indexDir(path)
-    val all = spark.read.parquet(s"$cur/cells").select("vec_id", "embedding")
+    // read through the shard manifest: an appended chain's version holds
+    // its cells as parent-shard references, not one literal directory
+    val all = readCells(spark, path, cur).select("vec_id", "embedding")
     val init = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
@@ -312,10 +431,11 @@ object Ivf {
     * corpus join: the inverted file already carries the vectors.
     */
   def queryIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
-                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+                 vecCol: String = "embedding", idCol: String = "vec_id",
+                 asOfVersion: Option[Long] = None): DataFrame = {
     import queries.sparkSession.implicits._
     val spark = queries.sparkSession
-    val dir = indexDir(path)
+    val dir = indexDir(path, asOfVersion)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
@@ -329,8 +449,9 @@ object Ivf {
       }.toDF("query_vec_id", "cell")
     // probed cell set across all queries: bounded by nCells — the isin
     // literal list is what prunes the cells/ partitions at scan planning
+    // (per shard: each shard dir of an appended chain prunes on its own)
     val probedCells = probes.select("cell").distinct().as[Int].collect().sorted
-    val cand = spark.read.parquet(s"$dir/cells")
+    val cand = readCells(spark, path, dir)
       .where(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("query_vec_id"))
@@ -445,23 +566,34 @@ object Ivf {
 
   /** INCREMENTAL IVF-PQ maintenance, the twin of [[appendToIndex]]: a new
     * shard is assigned to the EXISTING centroids and encoded with the
-    * EXISTING codebooks — O(shard) work (one narrow map + a partitioned
-    * append), never a re-cluster or codebook re-train. Same drift
-    * trade-off as the plain index: appended data the codebooks never saw
-    * quantizes worse, which is what a periodic [[buildPqIndex]] rebuild
-    * is for.
+    * EXISTING codebooks — O(shard) work (one narrow map + one partitioned
+    * shard write, published as a fresh version whose `shards` manifest
+    * references the parent's code shards), never a re-cluster or codebook
+    * re-train, and never an in-place write into a live directory (the
+    * CURRENT-pointer move is the only commit point — no torn-shard
+    * window). Same drift trade-off as the plain index: appended data the
+    * codebooks never saw quantizes worse, which is what a periodic
+    * [[buildPqIndex]] rebuild is for.
     */
   def appendToPqIndex(newVecs: DataFrame, path: String,
                       vecCol: String = "embedding",
                       idCol: String = "vec_id"): Unit = {
     import newVecs.sparkSession.implicits._
     val spark = newVecs.sparkSession
-    val dir = indexDir(path)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cur = indexDir(path)
+    val cents = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
-    val model = loadPqModel(spark, dir)
+    val model = loadPqModel(spark, cur)
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    // per-version metadata copied forward (both driver-scale tables); the
+    // codes shards share by reference like the plain index's vectors
+    spark.read.parquet(s"$cur/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.read.parquet(s"$cur/pq").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq")
     val centB = spark.sparkContext.broadcast(cents)
     val pqB = spark.sparkContext.broadcast(model)
     newVecs.select(col(idCol).cast("long"), col(vecCol))
@@ -474,7 +606,8 @@ object Ivf {
             nearestCells(v, cs, 1).head)
         }
       }.toDF("vec_id", "codes", "norm", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    publishAppend(path, cur, next)
   }
 
   /** Query a persisted IVF-PQ index: per query, probe the `nProbe`
@@ -488,10 +621,11 @@ object Ivf {
   def queryPqIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
                    rerank: Int = 0, rerankAgainst: Option[DataFrame] = None,
                    vecCol: String = "embedding", idCol: String = "vec_id",
-                   maxQueries: Int = 100000): DataFrame = {
+                   maxQueries: Int = 100000,
+                   asOfVersion: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dir = indexDir(path)
+    val dir = indexDir(path, asOfVersion)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
@@ -500,8 +634,13 @@ object Ivf {
     val books = model.codebooks
     val mM = model.m
     val subDim = model.subDim
+    // `label` is an OPTIONAL passthrough (the documents-gate queries carry
+    // one; an arbitrary caller's query set need not) — absent, a sentinel
+    // rides the internal tuples and the column is dropped from the output
+    val hasLabel = queries.columns.contains("label")
+    val labelCol = if (hasLabel) col("label").cast("long") else lit(-1L)
     val qRows = queries
-      .select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
+      .select(col(idCol).cast("long"), col(vecCol), labelCol)
       .as[(Long, Array[Float], Long)].head(maxQueries + 1)
     require(qRows.length <= maxQueries,
       s"queryPqIndex: query set exceeds maxQueries=$maxQueries rows")
@@ -517,7 +656,7 @@ object Ivf {
     }
     val probed = perQuery.flatMap(_._4).toSeq.distinct
     val qB = spark.sparkContext.broadcast(perQuery)
-    val scored = spark.read.parquet(s"$dir/cells")
+    val scored = readCells(spark, path, dir)
       .where(col("cell").isInCollection(probed)) // partition-pruned scan
       .select(col("vec_id").cast("long"), col("codes"), col("norm"), col("cell"))
       .as[(Long, Seq[Int], Double, Int)]
@@ -537,7 +676,7 @@ object Ivf {
       .withColumn("label", col("label").cast("int"))
     val w = Window.partitionBy("query_vec_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    (rerank, rerankAgainst) match {
+    val out = (rerank, rerankAgainst) match {
       case (r, Some(corpus)) if r > k =>
         exactRerank(scored.withColumn("rank", row_number().over(w))
             .where(col("rank") <= r)
@@ -547,6 +686,7 @@ object Ivf {
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= k)
     }
+    if (hasLabel) out else out.drop("label")
   }
 
   // ---- product quantization (the PQ half of faiss's IVF-PQ) ---------------
@@ -615,6 +755,13 @@ object Ivf {
     * [[Similarity.topK]] (a zero-norm vector scores NaN there too), so a
     * candidate set containing the true top-k yields bit-identical
     * winners.
+    *
+    * COVERAGE GUARD: the caller-supplied `corpus` must cover every
+    * candidate id. A LEFT join + raise_error enforces it in the same
+    * single pass — an inner join would silently DROP a candidate the
+    * corpus is missing (e.g. a pre-append snapshot of the corpus queried
+    * against a post-append index), returning plausible-but-wrong winners
+    * instead of failing the 'full rerank equals brute force' contract.
     */
   private def exactRerank(cand: DataFrame, corpus: DataFrame,
                           qRows: Array[(Long, Array[Float], Long)],
@@ -625,7 +772,13 @@ object Ivf {
         qid -> (qv, math.sqrt(dotLoop(qv, qv))) }.toMap)
     val exact = cand
       .join(corpus.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("_vec")), "vec_id")
+        col(vecCol).as("_vec")), Seq("vec_id"), "left")
+      .withColumn("_vec", when(col("_vec").isNull,
+          raise_error(concat(lit("exactRerank: candidate vec_id "),
+            col("vec_id").cast("string"),
+            lit(" is missing from the rerank corpus — the corpus must " +
+              "cover the index (stale pre-append corpus?)"))))
+        .otherwise(col("_vec")))
       .select(col("label"), col("query_vec_id"), col("vec_id"), col("_vec"))
       .as[(Int, Long, Long, Array[Float])]
       .mapPartitions { it =>
@@ -739,8 +892,11 @@ object Ivf {
              maxQueries: Int = 100000): DataFrame = {
     import corpus.sparkSession.implicits._
     val model = learnPq(corpus, m, codes, iters, vecCol, idCol)
+    // optional label passthrough, as in [[queryPqIndex]]
+    val hasLabel = queries.columns.contains("label")
+    val labelCol = if (hasLabel) col("label").cast("long") else lit(-1L)
     val qRows = queries
-      .select(col(idCol).cast("long"), col(vecCol), col("label").cast("long"))
+      .select(col(idCol).cast("long"), col(vecCol), labelCol)
       .as[(Long, Array[Float], Long)].head(maxQueries + 1)
     require(qRows.length <= maxQueries,
       s"pqTopK: query set exceeds maxQueries=$maxQueries rows")
@@ -772,19 +928,21 @@ object Ivf {
       .withColumn("label", col("label").cast("int"))
     val w = Window.partitionBy("query_vec_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    if (rerank <= k)
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= k)
-    else
-      // faiss-standard two-stage retrieval: PQ is the CANDIDATE GENERATOR
-      // (approximate top-`rerank` from the codes alone), then the exact
-      // cosine reranks only those candidates against their true vectors —
-      // per query, `rerank` float-vector reads instead of the whole
-      // corpus ([[exactRerank]] uses the brute fold, so a candidate set
-      // containing the true top-k yields bit-identical winners).
-      exactRerank(scored.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= rerank)
-          .select("label", "query_vec_id", "vec_id"),
-        corpus, qRows, k, vecCol, idCol)
+    val out =
+      if (rerank <= k)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= k)
+      else
+        // faiss-standard two-stage retrieval: PQ is the CANDIDATE GENERATOR
+        // (approximate top-`rerank` from the codes alone), then the exact
+        // cosine reranks only those candidates against their true vectors —
+        // per query, `rerank` float-vector reads instead of the whole
+        // corpus ([[exactRerank]] uses the brute fold, so a candidate set
+        // containing the true top-k yields bit-identical winners).
+        exactRerank(scored.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= rerank)
+            .select("label", "query_vec_id", "vec_id"),
+          corpus, qRows, k, vecCol, idCol)
+    if (hasLabel) out else out.drop("label")
   }
 }

@@ -126,6 +126,43 @@ object Pack {
       .select(col("_id").as(idCol), col("rank"), col("shard"), col("pos"))
   }
 
+  /** Scalable 0-BASED dense rank over a UNIQUE string key — the
+    * [[shardByRank]] machinery generalized to a non-numeric key, for
+    * callers that need a total order over a dimension table without a
+    * single-partition window (e.g. the z-order rewrite's stream ranks:
+    * correct at a registry of millions where `Window.orderBy(stream_id)`
+    * would coalesce into one task). Same shape: one range shuffle on the
+    * key, per-partition local ranks, an exclusive prefix over the
+    * partition-count-sized table (the only single-partition window —
+    * metadata-scale at any input size), offsets joined back. Output:
+    * `(keyCol, rankCol)` with ranks `0..n-1` in key order, bit-identical
+    * to `row_number() OVER (ORDER BY key) - 1`.
+    */
+  def globalRankByKey(df: DataFrame, keyCol: String,
+                      rankCol: String = "rank0"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val src = df.select(col(keyCol).cast("string").as("_k"))
+    val ranged = src.repartitionByRange(col("_k")).sortWithinPartitions("_k")
+    val schema = new StructType()
+      .add("_pid", LongType).add("_lrank", LongType).add("_k", StringType)
+    // one materialization for both consumers (counts + join), as in
+    // shardByRank — AQE must not hand them different partition layouts
+    val ranked = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var r = 0L
+      it.map { row => r += 1; Row(pid, r, row.getString(0)) }
+    }(org.apache.spark.sql.Encoders.row(schema)).localCheckpoint(true)
+    val counts = ranked.groupBy("_pid").agg(max("_lrank").as("_n"))
+    val w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_n").over(w), lit(0L)))
+      .select("_pid", "_off")
+    ranked.join(offsets, "_pid")
+      .select(col("_k").as(keyCol),
+        (col("_off") + col("_lrank") - 1L).as(rankCol))
+  }
+
   /** Exclusive prefix sums over a `(_blk, _bsum)` table, ordered by
     * `_blk`: returns `(_blk, _off)`. Recursive — a level that still
     * exceeds `maxSingle` rows aggregates into superblocks of `fanout`

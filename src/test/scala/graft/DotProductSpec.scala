@@ -152,7 +152,7 @@ class DotProductSpec extends SparkSpec {
     ext.Ivf.buildIndex(corpus.where(col("vec_id") % 2 === 0), dir, nCells = 8)
     ext.Ivf.appendToIndex(corpus.where(col("vec_id") % 2 === 1), dir)
     // incremental index == full corpus, exactly once each
-    val ids = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/cells").select("vec_id")
+    val ids = ext.Ivf.cells(spark, dir).select("vec_id")
       .as[Long].collect().sorted
     assert(ids.toSeq == (0L until 300L))
     val queries = corpus.where(col("vec_id") < 3)
@@ -171,12 +171,15 @@ class DotProductSpec extends SparkSpec {
     assert(centsAfter.keySet == centsBefore.keySet)
     assert(centsAfter.exists { case (c, v) =>
       !java.util.Arrays.equals(v, centsBefore(c)) })
-    assert(spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/cells").select("vec_id")
+    assert(ext.Ivf.cells(spark, dir).select("vec_id")
       .as[Long].collect().sorted.toSeq == (0L until 300L))
     assert(ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
       .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
       .collect().toSet == brute)
     assert(ext.Ivf.queryIndex(dir, queries.limit(1), k = 5, nProbe = 2).count() == 5)
+    // the refresh COLLAPSED the append's shard chain back into one literal
+    // cells/ directory — the compaction half of the append contract
+    assert(!new java.io.File(s"${ext.Ivf.indexDir(dir)}/shards").exists())
   }
 
   test("refreshIndex crash before pointer commit leaves queries on the old complete version") {
@@ -196,15 +199,82 @@ class DotProductSpec extends SparkSpec {
     ext.Ivf.refreshIndexImpl(dir, spark, refineIters = 2, crashBeforeCommit = true)
     assert(ext.Ivf.indexDir(dir) == dirBefore) // pointer untouched
     assert(results() == before) // old version served, bit-identical
-    // recovery = simply re-running the refresh; the orphaned version dir is
-    // reclaimed by the successful commit's sweep
+    // recovery = simply re-running the refresh (the orphaned dir is
+    // overwritten by the retry's version write)
     ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
     assert(ext.Ivf.indexDir(dir) != dirBefore)
     assert(results() == before) // exhaustive probing: still exact
+    // RETENTION: the superseded version is retired, NOT reclaimed — a
+    // reader that resolved it mid-refresh (or pins it) still completes
+    assert(ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8,
+        asOfVersion = Some(1L))
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().toSet == before)
+    // explicit vacuum past retention reclaims it; the pinned read then
+    // fails LOUDLY (marker kept as the audit trail), never serves v2 data
+    ext.Ivf.vacuumIndex(dir, retainVersions = 1)
     val versionDirs = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-    assert(versionDirs.length == 1) // superseded + orphaned versions swept
+    assert(versionDirs.length == 1)
+    val e = intercept[IllegalStateException](
+      ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8,
+        asOfVersion = Some(1L)).collect())
+    assert(e.getMessage.contains("reclaimed"))
+    intercept[IllegalArgumentException](
+      ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8,
+        asOfVersion = Some(99L)).collect())
+    assert(results() == before) // live reads untouched by the vacuum
+  }
+
+  test("IVF append chain: shard-manifest versions share parent cells; " +
+      "vacuum keeps referenced ancestors; stale rerank corpus fails fast") {
+    val rnd = new scala.util.Random(31)
+    def mk(lo: Int, hi: Int) = (lo until hi).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val base = mk(0, 120)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfchain").toString
+    ext.Ivf.buildPqIndex(base, dir, nCells = 8, m = 4, codes = 8)
+    val s1 = mk(120, 160)
+    val s2 = mk(160, 200)
+    ext.Ivf.appendToPqIndex(s1, dir)
+    ext.Ivf.appendToPqIndex(s2, dir)
+    // v3's manifest references v1's and v2's shards — the big code shards
+    // were written once each, never rewritten by the appends
+    val shards = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/v3/shards")).split('\n').toSeq
+    assert(shards == Seq("v1/cells", "v2/cells", "v3/cells"))
+    assert(ext.Ivf.cells(spark, dir).select("vec_id")
+      .as[Long].collect().sorted.toSeq == (0L until 200L))
+    // exhaustive probe + full-depth rerank over the chain == brute force
+    val all = base.unionByName(s1).unionByName(s2)
+    val queries = base.where(col("vec_id") < 3)
+    val viaIdx = ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 8,
+        rerank = 1000, rerankAgainst = Some(all))
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(all, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(viaIdx == brute)
+    // a STALE rerank corpus (pre-append) no longer silently drops the
+    // appended candidates — the coverage guard fails the query loudly
+    val stale = intercept[Exception](
+      ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 8,
+        rerank = 1000, rerankAgainst = Some(base)).collect())
+    assert(stale.getMessage.contains("missing from the rerank corpus") ||
+      Option(stale.getCause).exists(_.getMessage.contains("missing from the rerank corpus")))
+    // vacuum retaining only the NEWEST version must keep v1/v2 dirs alive:
+    // v3's shard manifest references them
+    ext.Ivf.vacuumIndex(dir, retainVersions = 1)
+    assert(new java.io.File(s"$dir/v1/cells").exists())
+    assert(new java.io.File(s"$dir/v2/cells").exists())
+    assert(ext.Ivf.cells(spark, dir).count() == 200L)
+    // label-optional query surface: no `label` column in, none out
+    val noLabel = ext.Ivf.queryPqIndex(dir,
+      queries.select("vec_id", "embedding"), k = 5, nProbe = 8)
+    assert(!noLabel.columns.contains("label"))
+    assert(noLabel.groupBy("query_vec_id").count()
+      .select("count").as[Long].collect().forall(_ == 5L))
   }
 
   test("IVF probing fewer cells returns k well-formed results per query") {

@@ -517,7 +517,12 @@ class SnapshotSpec extends SparkSpec {
     val hist = ds.history
     assert(hist.map(_._1) === hist.map(_._1).sorted)
     assert(hist.map(_._2).contains("append") && hist.map(_._2).contains("delete_streams"))
-    assert(hist.exists { case (v, op) => v === v1 && op === "append" })
+    assert(hist.exists { case (v, op, _) => v === v1 && op === "append" })
+    // the registry generation rides each version — delete_streams swapped
+    // the registry, so its recorded generation must exceed the append's
+    val gOf = (op: String) => hist.find(_._2 == op).flatMap(_._3)
+    assert(gOf("append").isDefined && gOf("delete_streams").isDefined)
+    assert(gOf("delete_streams").get > gOf("append").get)
     // aggressive vacuum reclaims v2's retired files: the pinned read now
     // fails at planning (missing path) rather than serving partial rows
     assert(ds.vacuumRaw(retainVersions = 1) >= 1L)
@@ -836,6 +841,48 @@ class SnapshotSpec extends SparkSpec {
     intercept[Exception] {
       ds.countDatapoints(Some(ts("2024-01-01T03:00:00Z")),
         Some(ts("2024-01-01T23:00:00Z")))
+    }
+    ()
+  }
+
+  test("metadata-only rollup count: bucket counts answer from manifest " +
+      "rows= with every rollup file corrupted on disk") {
+    val (ds, dir) = freshDs
+    ds.ensureStream("s1")
+    ds.appendMultiple(dp(Seq(
+      ("s1", "2024-01-01T00:00:00Z", 1.0),
+      ("s1", "2024-01-01T00:00:20Z", 2.0), // same second-bucket as next
+      ("s1", "2024-01-01T00:00:20Z", 2.5),
+      ("s1", "2024-01-02T06:00:00Z", 3.0)))
+      .select("stream_id", "ts", "value").coalesce(1))
+    ds.downsampleStreams(ts("2024-01-03T00:00:00Z"))
+    val expected = ds.rollup(Granularity.Seconds).count()
+    assert(expected === 3L) // two Jan-1 buckets (one merged) + one Jan-2
+    assert(ds.countRollup(Granularity.Seconds) === expected)
+    // garbage EVERY seconds-rollup file: the unbounded count, a range that
+    // provably covers each file, and the stream-scoped count must all still
+    // come back exact — pure manifest metadata, zero rollup I/O
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+    for (f <- walk(new java.io.File(s"$dir/rollup/granularity=seconds"))
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, Array[Byte](9, 9, 9))
+    assert(ds.countRollup(Granularity.Seconds) === expected)
+    assert(ds.countRollup(Granularity.Seconds,
+      Some(ts("2024-01-01T00:00:00Z")), Some(ts("2024-01-02T23:00:00Z"))) === expected)
+    assert(ds.countRollup(Granularity.Seconds,
+      streamIds = Some(Seq("s1"))) === expected)
+    assert(ds.countRollup(Granularity.Seconds,
+      streamIds = Some(Seq("zz"))) === 0L)
+    // far-future: skipped entirely, still exact
+    assert(ds.countRollup(Granularity.Seconds,
+      Some(ts("2030-01-01T00:00:00Z")), None) === 0L)
+    // a range that SPLITS a corrupted file's bucket_start bounds forces the
+    // boundary scan — loud failure proves boundary files are really read
+    intercept[Exception] {
+      ds.countRollup(Granularity.Seconds,
+        Some(ts("2024-01-01T00:00:10Z")), Some(ts("2024-01-01T23:00:00Z")))
     }
     ()
   }

@@ -192,4 +192,69 @@ class StorageSoakSpec extends SparkSpec {
     assert(parses <= 12,
       s"cold resolve at v110 parsed $parses manifests (expected ≤ cadence+2)")
   }
+
+  test("racing writers soak: concurrent facades serialize — every commit " +
+      "wins exactly one version, losers retry, no torn snapshot") {
+    val dir = Files.createTempDirectory("graft-race").toString
+    val setup = new Datastream(spark, dir)
+    val nWriters = 4
+    val perWriter = 6
+    (0 until nWriters).foreach(i => setup.ensureStream(s"w$i"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retries = new java.util.concurrent.atomic.AtomicLong
+    val threads = (0 until nWriters).map { i =>
+      new Thread(() => {
+        try {
+          // each writer is its OWN facade (separate caches, separate lock
+          // attempts) appending to its own stream with monotone timestamps
+          val ds = new Datastream(spark, dir)
+          var us = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L +
+            i * 1000000L
+          (1 to perWriter).foreach { j =>
+            us += 3600L * 1000000L
+            var done = false
+            while (!done) {
+              try {
+                ds.appendMultiple(Seq((s"w$i", new Timestamp(us / 1000L), j.toDouble))
+                  .toDF("stream_id", "ts", "value"))
+                done = true
+              } catch {
+                // the two pinned concurrency outcomes — and the ONLY two:
+                // fast-path lock contention, or a CAS/staleness conflict.
+                // Both mean "retry the mutation", which must then succeed.
+                case _: errors.MaintenanceLockContended |
+                     _: errors.CommitConflict =>
+                  retries.incrementAndGet()
+                  Thread.sleep(2L + scala.util.Random.nextInt(8))
+              }
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"writer died: ${Option(failures.peek()).map(_.toString)}")
+    // every append landed exactly once, fully serialized
+    val check = new Datastream(spark, dir)
+    assert(check.rawDatapoints.count() === (nWriters * perWriter).toLong)
+    (0 until nWriters).foreach { i =>
+      assert(check.getData(s"w$i", Granularity.Seconds).count() === perWriter.toLong)
+    }
+    // one committed version per successful mutation, contiguous up to the
+    // exact total (bounded history retains the newest 20) — no version
+    // ever double-claimed, none skipped by a phantom commit
+    val total = (nWriters * perWriter).toLong
+    assert(check.snapshotVersions === (math.max(1L, total - 19L) to total))
+    // the lineage invariant holds at every retained version (validateLineage
+    // runs inside each pinned resolve)
+    check.snapshotVersions.takeRight(5).foreach { v =>
+      assert(check.rawDatapointsAt(v).count() >= 0L)
+    }
+    // and nothing torn: every loser either retried to success or left no
+    // marker (lock losers never reach the intent)
+    assert(check.tornOperations.isEmpty)
+    ()
+  }
 }
