@@ -11,28 +11,62 @@ import org.apache.spark.sql.functions._
   * rows for candidates, shingle sets for exact-Jaccard verification, md5
   * hashes for the exact arm — never the corpus text.
   *
-  * Layout under `path`:
-  *   bands/     (doc_id, band, band_hash)   — LSH candidate side
-  *   shingles/  (doc_id, sh)                — Jaccard verification side
-  *   exact/     (doc_id, text_md5)          — exact-duplicate arm
-  *   params/    (n, bands, rows_per_band, probe_hash) — pinned at build;
-  *              queries and appends validate against it. `probe_hash` is
-  *              the band-0 hash of a sentinel shingle set computed through
-  *              the SAME code path executors use (`Dedup.bandHashesOf`):
-  *              signatures only collide across runs when the banding
-  *              scheme matches, and the scheme leans on MurmurHash3 and
-  *              `Random(8191)` internals — if either drifts across a
-  *              Scala/JVM upgrade, every read fails loudly here instead of
-  *              near-dup recall silently collapsing to zero.
+  * VERSIONED layout under `path` (same [[VersionedIndex]] protocol as the
+  * IVF indexes — atomic `CURRENT.v<N>` marker commits, shard-manifest
+  * appends, retention + explicit [[vacuumIndex]]):
   *
-  * Single-writer assumption: `buildIndex`/`appendToIndex` are plain
-  * parquet writes with no cross-table transaction — one ingest pipeline
-  * owns the index (the same contract the warehouse enforces with its
-  * advisory lock; wrap mutations in `withWriterLock` if the index shares
-  * a deployment with other writers). Reads (`dedupeAgainstIndex`) are
-  * safe against a completed index at any time.
+  *   v<N>/params/     (n, bands, rows_per_band, probe_hash) — pinned at
+  *                    build, copied forward by appends; queries and
+  *                    appends validate against it. `probe_hash` is the
+  *                    band-0 hash of a sentinel shingle set computed
+  *                    through the SAME code path executors use
+  *                    (`Dedup.bandHashesOf`): signatures only collide
+  *                    across runs when the banding scheme matches, and
+  *                    the scheme leans on MurmurHash3 and `Random(8191)`
+  *                    internals — if either drifts across a Scala/JVM
+  *                    upgrade, every read fails loudly here instead of
+  *                    near-dup recall silently collapsing to zero.
+  *   v<N>/data/bands/     (doc_id, band, band_hash) — LSH candidate side
+  *   v<N>/data/shingles/  (doc_id, sh)              — Jaccard verify side
+  *   v<N>/data/exact/     (doc_id, text_md5)        — exact arm
+  *   v<N>/shards          (append-published versions) — the parent's data
+  *                        roots + this version's own, so an append is
+  *                        O(shard) work publishing atomically: a reader
+  *                        never observes a half-appended side table (the
+  *                        earlier mode(append)-into-live-dirs design left
+  *                        bands/shingles/exact mutually torn on a crash
+  *                        mid-append — silent recall loss)
+  *
+  * A pre-versioned legacy index (root-level bands/shingles/exact/params)
+  * keeps resolving until its next append migrates it. Single-writer per
+  * index, as before; readers are safe against any committed version.
   */
 object DedupIndex {
+
+  /** Live (or pinned) version directory — the public resolution surface,
+    * shared with the vector indexes. */
+  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(path, asOfVersion)
+
+  /** Reclaim superseded index versions past the retention window; keeps
+    * data roots a retained version's shard manifest still references.
+    */
+  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(path, retainVersions, "data",
+      Seq("bands", "shingles", "exact", "params", "data"))
+
+  /** The data-shard roots of the resolved version (legacy indexes with
+    * side tables at the root resolve to `path` itself via the `.` rel).
+    */
+  private def dataRoots(path: String, dir: String): Seq[String] =
+    VersionedIndex.shardsOf(path, dir, "data")
+
+  /** One side table (`bands` / `shingles` / `exact`) as the union of its
+    * shard instances. */
+  private def readSide(spark: org.apache.spark.sql.SparkSession,
+                       path: String, dir: String, side: String): DataFrame =
+    dataRoots(path, dir).map(r => spark.read.parquet(s"$r/$side"))
+      .reduce(_.unionByName(_))
 
   /** Sentinel whose band-0 hash fingerprints the whole hashing scheme: it
     * exercises the string hash, every permutation coefficient of band 0,
@@ -48,26 +82,39 @@ object DedupIndex {
                  bands: Int = 16, rowsPerBand: Int = 4,
                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
     import docs.sparkSession.implicits._
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
     Seq((n, bands, rowsPerBand, probeHash(bands, rowsPerBand)))
       .toDF("n", "bands", "rows_per_band", "probe_hash")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
-    writeSides(docs, path, SaveMode.Overwrite, n, bands, rowsPerBand,
-      textCol, idCol)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    writeSides(docs, s"$dir/data", n, bands, rowsPerBand, textCol, idCol)
+    VersionedIndex.commit(path, next)
   }
 
-  /** Fold a shard into the index: same computation, append mode. The
-    * caller appends the SURVIVORS of `dedupeAgainstIndex` — which (with
-    * the default `withinShard = true`) are duplicate-free both against
-    * the index and among themselves, so the index stays internally
-    * duplicate-free. (With `withinShard = false` the caller takes over
-    * that obligation: a shard carrying internal duplicates would fold
-    * them all in.)
+  /** Fold a shard into the index as a fresh VERSION: the same side-table
+    * computation written as this version's own data shard, published with
+    * the parent's data roots referenced by manifest — O(shard) work, one
+    * atomic pointer move, never an in-place append into live directories
+    * (a crash mid-append used to leave bands/shingles/exact mutually
+    * torn, silently losing recall). The caller appends the SURVIVORS of
+    * `dedupeAgainstIndex` — which (with the default `withinShard = true`)
+    * are duplicate-free both against the index and among themselves, so
+    * the index stays internally duplicate-free. (With `withinShard =
+    * false` the caller takes over that obligation: a shard carrying
+    * internal duplicates would fold them all in.)
     */
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val cur = indexDir(path)
     val (n, bands, rowsPerBand) = readParams(docs, path)
-    writeSides(docs, path, SaveMode.Append, n, bands, rowsPerBand,
-      textCol, idCol)
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    // per-version metadata copied forward (driver-scale); only the big
+    // side tables share by reference
+    docs.sparkSession.read.parquet(s"$cur/params").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    writeSides(docs, s"$dir/data", n, bands, rowsPerBand, textCol, idCol)
+    VersionedIndex.publishAppend(path, cur, next, "data")
   }
 
   /** Survivors of `newDocs` after removing every exact (md5) or near
@@ -98,20 +145,21 @@ object DedupIndex {
     // small side), never the indexed corpus
     val shN = Dedup.shingled(newDocs, n, textCol, idCol)
       .where(size(col("sh")) > 0)
+    val dir = indexDir(path)
     val candidates = Dedup.bandedRows(shN, bands, rowsPerBand)
-      .join(spark.read.parquet(s"$path/bands")
+      .join(readSide(spark, path, dir, "bands")
           .select(col("doc_id").as("idx_id"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
       .select(col("doc_id"), col("idx_id")).distinct()
     val near = candidates
       .join(shN.select(col("doc_id"), col("sh").as("sh_new")), Seq("doc_id"))
-      .join(spark.read.parquet(s"$path/shingles")
+      .join(readSide(spark, path, dir, "shingles")
           .select(col("doc_id").as("idx_id"), col("sh").as("sh_idx")),
         Seq("idx_id"))
       .where(Dedup.jaccard(col("sh_new"), col("sh_idx")) >= threshold)
       .select(col("doc_id").as(idCol))
     val exact = newDocs.select(col(idCol), md5(col(textCol)).as("_h"))
-      .join(spark.read.parquet(s"$path/exact")
+      .join(readSide(spark, path, dir, "exact")
         .select(col("text_md5").as("_h")).distinct(), Seq("_h"))
       .select(col(idCol))
     val doomed =
@@ -140,7 +188,9 @@ object DedupIndex {
     newDocs.join(doomed, Seq(idCol), "left_anti")
   }
 
-  private def writeSides(docs: DataFrame, path: String, mode: SaveMode,
+  /** One version's OWN data shard, written fresh under `dataDir` —
+    * appends never touch a published directory. */
+  private def writeSides(docs: DataFrame, dataDir: String,
                          n: Int, bands: Int, rowsPerBand: Int,
                          textCol: String, idCol: String): Unit = {
     val sh = Dedup.shingled(docs, n, textCol, idCol)
@@ -148,15 +198,15 @@ object DedupIndex {
     try {
       docs.select(col(idCol).cast("long").as("doc_id"),
           md5(col(textCol)).as("text_md5"))
-        .write.mode(mode).parquet(s"$path/exact")
-      sh.write.mode(mode).parquet(s"$path/shingles")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/exact")
+      sh.write.mode(SaveMode.Overwrite).parquet(s"$dataDir/shingles")
       Dedup.bandedRows(sh, bands, rowsPerBand)
-        .write.mode(mode).parquet(s"$path/bands")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/bands")
     } finally { sh.unpersist(); () }
   }
 
   private def readParams(any: DataFrame, path: String): (Int, Int, Int) = {
-    val row = any.sparkSession.read.parquet(s"$path/params")
+    val row = any.sparkSession.read.parquet(s"${indexDir(path)}/params")
       .select("n", "bands", "rows_per_band", "probe_hash").head()
     val (n, bands, rowsPerBand) = (row.getInt(0), row.getInt(1), row.getInt(2))
     val expected = probeHash(bands, rowsPerBand)

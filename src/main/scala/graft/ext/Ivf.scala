@@ -149,16 +149,7 @@ object Ivf {
     writeVersion(corpus, path, refined, vecCol, idCol)
   }
 
-  // ---- versioned-pointer plumbing ----------------------------------------
-
-  /** Pointer I/O goes through the Hadoop FileSystem API (the index lives
-    * beside the warehouse it serves — `file://`, `hdfs://` or `s3a://`;
-    * store-class semantics documented on [[graft.WarehouseIO]]).
-    */
-  private def io(path: String): graft.WarehouseIO =
-    new graft.WarehouseIO(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-      path)
+  // ---- versioned-pointer plumbing (shared: [[VersionedIndex]]) -----------
 
   /** The live version is the max over `CURRENT.v<N>` MARKER files — a
     * commit CREATES a fresh marker (atomic on every store class: visible
@@ -169,23 +160,8 @@ object Ivf {
     * file (pre-marker layout) keeps resolving until the next commit
     * migrates it.
     */
-  private def currentVersion(path: String): Option[Long] = {
-    val s = io(path)
-    val markers = committedVersions(path)
-    if (markers.nonEmpty) Some(markers.max)
-    else if (s.exists(s"$path/CURRENT"))
-      Some(s.readString(s"$path/CURRENT").trim.stripPrefix("v").toLong)
-    else None
-  }
-
-  /** Versions ever committed via a `CURRENT.v<N>` marker, ascending.
-    * Markers are KEPT past supersession (tiny files, and the audit trail
-    * that lets a vacuumed version fail with "reclaimed", not "unknown").
-    */
-  private def committedVersions(path: String): Seq[Long] =
-    io(path).childNames(path)
-      .filter(_.startsWith("CURRENT.v"))
-      .flatMap(_.stripPrefix("CURRENT.v").toLongOption).sorted
+  private def currentVersion(path: String): Option[Long] =
+    VersionedIndex.currentVersion(path)
 
   /** Directory holding the index tables (`centroids/`, `cells/` or a
     * `shards` manifest): the LIVE version per the CURRENT pointer — or
@@ -195,36 +171,13 @@ object Ivf {
     * mirrors the warehouse snapshot contract); a pinned resolve fails
     * loudly on a version that was never committed or whose directory
     * vacuum already reclaimed — never serves the wrong version silently.
+    * (Plumbing shared with the dedup index: [[VersionedIndex]].)
     */
   def indexDir(path: String, asOfVersion: Option[Long] = None): String =
-    asOfVersion match {
-      case None => currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
-      case Some(v) =>
-        if (!committedVersions(path).contains(v))
-          throw new IllegalArgumentException(
-            s"index $path: version $v was never committed " +
-              s"(committed: ${committedVersions(path).mkString(", ")})")
-        if (!io(path).exists(s"$path/v$v"))
-          throw new IllegalStateException(
-            s"index $path: version $v was reclaimed by vacuumIndex — " +
-              "pinned reads reach only retained versions")
-        s"$path/v$v"
-    }
+    VersionedIndex.resolveDir(path, asOfVersion)
 
-  /** The cells shard directories of version dir `dir`, absolute: the
-    * `shards` manifest's entries when present (a version published by an
-    * APPEND references its parent's shards by name plus its own new one —
-    * O(shard) publication, no data rewrite), else the literal `cells/`
-    * (full build / refresh / legacy layout).
-    */
-  private def cellShards(path: String, dir: String): Seq[String] = {
-    val s = io(path)
-    val mf = s"$dir/shards"
-    if (s.exists(mf))
-      s.readString(mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(rel => s"$path/$rel")
-    else Seq(s"$dir/cells")
-  }
+  private def cellShards(path: String, dir: String): Seq[String] =
+    VersionedIndex.shardsOf(path, dir, "cells")
 
   /** PUBLIC read surface for a version's inverted file: the union of its
     * cell shards (one partitioned parquet table per shard; `cell` pruning
@@ -250,32 +203,11 @@ object Ivf {
     * (an appended chain shares its parents' cell shards — reclaiming a
     * referenced parent would corrupt a live version). Commit markers are
     * kept as the audit trail: a pinned read past retention fails with
-    * "reclaimed by vacuumIndex", loudly, never resolves wrong data.
+    * "reclaimed", loudly, never resolves wrong data.
     */
-  def vacuumIndex(path: String, retainVersions: Int = 2): Unit = {
-    require(retainVersions >= 1, "retainVersions must be >= 1")
-    val s = io(path)
-    val committed = committedVersions(path)
-    if (committed.isEmpty) return // nothing versioned to reclaim
-    val retained = committed.takeRight(retainVersions)
-    // top-level entries still referenced: the retained version dirs plus
-    // every shard root (version dir or legacy root `cells`) their shard
-    // manifests name
-    val referenced: Set[String] =
-      retained.map(v => s"v$v").toSet ++
-        retained.filter(v => s.exists(s"$path/v$v")).flatMap { v =>
-          cellShards(path, s"$path/v$v")
-            .map(_.stripPrefix(path + "/").split('/').head)
-        }
-    s.childNames(path).foreach { n =>
-      val stale =
-        (n.matches("v\\d+") && !referenced(n)) ||
-          (Seq("cells", "centroids", "pq", "centroids_next", "cells_next")
-            .contains(n) && !referenced(n)) ||
-          n == "CURRENT" || n.startsWith("CURRENT.tmp-")
-      if (stale) s.rmTree(s"$path/$n")
-    }
-  }
+  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(path, retainVersions, "cells",
+      Seq("cells", "centroids", "pq", "centroids_next", "cells_next"))
 
 
   /** Write a complete index version (centroids + assignment) into a fresh
@@ -305,18 +237,14 @@ object Ivf {
     commitVersion(path, next)
   }
 
-  private def commitVersion(path: String, v: Long): Unit = {
-    val s = io(path)
-    // the marker CREATE is the commit point (see [[currentVersion]]).
-    // Superseded versions are RETIRED, not reclaimed: an in-flight reader
-    // that resolved the previous version mid-commit still completes its
-    // scan, and pinned (`asOfVersion`) reads keep working — explicit
-    // [[vacuumIndex]] is the only reclamation path, exactly the
-    // retention/vacuum split the warehouse snapshots carry.
-    s.writeString(s"$path/CURRENT.v$v", s"v$v")
-    s.childNames(path).filter(_.startsWith("CURRENT.tmp-"))
-      .foreach(n => s.deleteFile(s"$path/$n"))
-  }
+  // the marker CREATE is the commit point. Superseded versions are
+  // RETIRED, not reclaimed: an in-flight reader that resolved the
+  // previous version mid-commit still completes its scan, and pinned
+  // (`asOfVersion`) reads keep working — explicit [[vacuumIndex]] is the
+  // only reclamation path, exactly the retention/vacuum split the
+  // warehouse snapshots carry.
+  private def commitVersion(path: String, v: Long): Unit =
+    VersionedIndex.commit(path, v)
 
   /** INCREMENTAL index maintenance: assign a new shard to the EXISTING
     * centroids and publish it as a fresh index VERSION — O(shard) work
@@ -367,13 +295,8 @@ object Ivf {
     * AFTER the new shard's data is fully on disk; the pointer move is the
     * only commit point.
     */
-  private def publishAppend(path: String, parentDir: String, next: Long): Unit = {
-    val parentShards = cellShards(path, parentDir)
-      .map(_.stripPrefix(path + "/").stripPrefix("/"))
-    io(path).writeString(s"$path/v$next/shards",
-      (parentShards :+ s"v$next/cells").mkString("\n"))
-    commitVersion(path, next)
-  }
+  private def publishAppend(path: String, parentDir: String, next: Long): Unit =
+    VersionedIndex.publishAppend(path, parentDir, next, "cells")
 
   /** PERIODIC compaction for an index that has absorbed appends:
     * re-learns centroids from the index's own contents (spherical k-means

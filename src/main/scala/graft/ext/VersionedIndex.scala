@@ -1,0 +1,151 @@
+package graft.ext
+
+/** Shared CURRENT-pointer plumbing for persisted index layouts (the IVF /
+  * IVF-PQ vector indexes, the dedup index): versioned directories
+  * published by an atomic marker create, shard manifests that let an
+  * APPEND publish a new version referencing its parent's data by name
+  * (O(shard) publication, no rewrite), logical retirement of superseded
+  * versions, and an explicit vacuum with reference-aware retention.
+  *
+  * Commit protocol (mirrors [[graft.Datastream]]'s warehouse contract at
+  * index scale):
+  *
+  *  - the live version is the max over `CURRENT.v<N>` MARKER files — a
+  *    commit CREATES a fresh marker (atomic on every store class:
+  *    visible only once closed/PUT) rather than overwriting a single
+  *    `CURRENT` file, because overwrite-rename is atomic on POSIX but
+  *    not on HDFS+S3A; a legacy single `CURRENT` file (pre-marker
+  *    layout) keeps resolving until the next commit supersedes it;
+  *  - a version directory holds either its full data under `defaultSub`
+  *    (build/refresh) or a `shards` manifest naming data roots across
+  *    versions (appends);
+  *  - committing NEVER reclaims superseded versions — an in-flight
+  *    reader resolved on the old version completes, pinned (`asOf`)
+  *    reads keep working; [[vacuum]] is the only reclamation path and
+  *    keeps every version directory a retained version's manifest still
+  *    references.
+  */
+private[graft] object VersionedIndex {
+
+  def io(path: String): graft.WarehouseIO =
+    new graft.WarehouseIO(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      path)
+
+  /** Versions ever committed via a `CURRENT.v<N>` marker, ascending.
+    * Markers are KEPT past supersession (tiny files, and the audit trail
+    * that lets a vacuumed version fail with "reclaimed", not "unknown").
+    */
+  def committedVersions(path: String): Seq[Long] =
+    io(path).childNames(path)
+      .filter(_.startsWith("CURRENT.v"))
+      .flatMap(_.stripPrefix("CURRENT.v").toLongOption).sorted
+
+  def currentVersion(path: String): Option[Long] = {
+    val s = io(path)
+    val markers = committedVersions(path)
+    if (markers.nonEmpty) Some(markers.max)
+    else if (s.exists(s"$path/CURRENT"))
+      Some(s.readString(s"$path/CURRENT").trim.stripPrefix("v").toLong)
+    else None
+  }
+
+  /** Directory holding the index tables: the LIVE version per the
+    * CURRENT pointer — or `path` itself for a pre-versioned legacy
+    * layout — or, with `asOf`, a PINNED historical version that fails
+    * loudly when never committed or already vacuumed.
+    */
+  def resolveDir(path: String, asOf: Option[Long]): String = asOf match {
+    case None => currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+    case Some(v) =>
+      if (!committedVersions(path).contains(v))
+        throw new IllegalArgumentException(
+          s"index $path: version $v was never committed " +
+            s"(committed: ${committedVersions(path).mkString(", ")})")
+      if (!io(path).exists(s"$path/v$v"))
+        throw new IllegalStateException(
+          s"index $path: version $v was reclaimed by vacuum — " +
+            "pinned reads reach only retained versions")
+      s"$path/v$v"
+  }
+
+  /** The data-shard roots of version dir `dir`, PATH-RELATIVE: the
+    * `shards` manifest's entries when present (append-published version),
+    * else the literal `<dirRel>/defaultSub` (full build / legacy layout).
+    * The entry `.` names the index root itself — the legacy pre-versioned
+    * layout whose side tables live directly under `path`.
+    */
+  def shardRels(path: String, dir: String, defaultSub: String): Seq[String] = {
+    val s = io(path)
+    val mf = s"$dir/shards"
+    if (s.exists(mf))
+      s.readString(mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    else if (dir == path && !s.exists(s"$path/$defaultSub"))
+      Seq(".") // legacy layout with side tables directly under the root
+    else relRoot(path, s"$dir/$defaultSub")
+  }
+
+  private def relRoot(path: String, abs: String): Seq[String] =
+    Seq(if (abs == path) "." else abs.stripPrefix(path + "/").stripPrefix("/"))
+
+  /** [[shardRels]] resolved to absolute paths. */
+  def shardsOf(path: String, dir: String, defaultSub: String): Seq[String] =
+    shardRels(path, dir, defaultSub)
+      .map(rel => if (rel == ".") path else s"$path/$rel")
+
+  /** Publish version `v`: create its marker (the commit point) and sweep
+    * stale pointer temp files. Superseded versions are retired, never
+    * reclaimed here.
+    */
+  def commit(path: String, v: Long): Unit = {
+    val s = io(path)
+    s.writeString(s"$path/CURRENT.v$v", s"v$v")
+    s.childNames(path).filter(_.startsWith("CURRENT.tmp-"))
+      .foreach(n => s.deleteFile(s"$path/$n"))
+  }
+
+  /** Write version `next`'s `shards` manifest (parent's effective shard
+    * roots + `v<next>/defaultSub`, path-relative; a legacy parent's root
+    * data rides as the `.` entry) and commit — the shared O(1)
+    * publication step of the append paths. Runs strictly AFTER the new
+    * shard's data is fully on disk.
+    */
+  def publishAppend(path: String, parentDir: String, next: Long,
+                    defaultSub: String): Unit = {
+    val parentShards = shardRels(path, parentDir, defaultSub)
+    io(path).writeString(s"$path/v$next/shards",
+      (parentShards :+ s"v$next/$defaultSub").mkString("\n"))
+    commit(path, next)
+  }
+
+  /** Reclaim versions superseded past the retention window. Keeps the
+    * newest `retainVersions` committed versions PLUS any older version
+    * directory (or legacy root) a retained version's shard manifest
+    * still references; `legacyNames` are the pre-versioned root entries
+    * swept once unreferenced. Markers stay as the audit trail.
+    */
+  def vacuum(path: String, retainVersions: Int, defaultSub: String,
+             legacyNames: Seq[String]): Unit = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val s = io(path)
+    val committed = committedVersions(path)
+    if (committed.isEmpty) return // nothing versioned to reclaim
+    val retained = committed.takeRight(retainVersions)
+    val referenced: Set[String] =
+      retained.map(v => s"v$v").toSet ++
+        retained.filter(v => s.exists(s"$path/v$v")).flatMap { v =>
+          shardRels(path, s"$path/v$v", defaultSub).flatMap { rel =>
+            // a `.` entry references the legacy ROOT data — every legacy
+            // name stays protected while any retained version names it
+            if (rel == ".") legacyNames else Seq(rel.split('/').head)
+          }
+        }
+    s.childNames(path).foreach { n =>
+      val stale =
+        (n.matches("v\\d+") && !referenced(n)) ||
+          (legacyNames.contains(n) && !referenced(n)) ||
+          n == "CURRENT" || n.startsWith("CURRENT.tmp-")
+      if (stale) s.rmTree(s"$path/$n")
+    }
+  }
+}

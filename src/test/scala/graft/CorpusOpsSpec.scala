@@ -535,19 +535,87 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7).isEmpty)
   }
 
+  test("DedupIndex: versioned appends share parent shards atomically; " +
+      "vacuum keeps referenced ancestors; legacy root layout migrates") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-ver").toString
+    ext.DedupIndex.buildIndex(docsDF(Seq((0L, base, "en"))), dir)
+    // two appends → two shard-manifest versions referencing v1's data
+    ext.DedupIndex.appendToIndex(
+      docsDF(Seq((2L, "completely different words entirely here now", "en"))), dir)
+    ext.DedupIndex.appendToIndex(
+      docsDF(Seq((4L, "yet another unrelated set of tokens right", "en"))), dir)
+    val shards = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/v3/shards")).split('\n').toSeq
+    assert(shards == Seq("v1/data", "v2/data", "v3/data"))
+    // dedup consults the WHOLE chain: dups of every generation drain
+    val probe = docsDF(Seq(
+      (10L, base, "en"),                                        // v1 dup
+      (11L, "completely different words entirely here now", "en"), // v2 dup
+      (12L, "yet another unrelated set of tokens right", "en"),  // v3 dup
+      (13L, "fresh never seen content tokens", "en")))
+    assert(ext.DedupIndex.dedupeAgainstIndex(probe, dir, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet === Set(13L))
+    // vacuum retaining 1 keeps every referenced ancestor's data alive
+    ext.DedupIndex.vacuumIndex(dir, retainVersions = 1)
+    assert(new java.io.File(s"$dir/v1/data/bands").exists())
+    assert(ext.DedupIndex.dedupeAgainstIndex(probe, dir, threshold = 0.7)
+      .count() === 1L)
+    // LEGACY layout (pre-versioned: side tables at the root): reads keep
+    // working, and the first append migrates it by referencing the root
+    // data as the `.` shard
+    val leg = java.nio.file.Files.createTempDirectory("graft-didx-leg").toString
+    ext.DedupIndex.buildIndex(docsDF(Seq((0L, base, "en"))), leg)
+    // flatten v1 into the legacy root shape
+    for (n <- Seq("params", "data")) {
+      val src = java.nio.file.Paths.get(s"$leg/v1/$n")
+      if (n == "params")
+        java.nio.file.Files.move(src, java.nio.file.Paths.get(s"$leg/params"))
+      else
+        for (side <- Seq("bands", "shingles", "exact"))
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(s"$leg/v1/data/$side"),
+            java.nio.file.Paths.get(s"$leg/$side"))
+    }
+    new java.io.File(s"$leg/CURRENT.v1").delete()
+    deleteRecursively(new java.io.File(s"$leg/v1"))
+    assert(ext.DedupIndex.dedupeAgainstIndex(
+      docsDF(Seq((9L, base, "en"))), leg, threshold = 0.7).count() === 0L)
+    ext.DedupIndex.appendToIndex(
+      docsDF(Seq((6L, "brand new unseen material for the index", "en"))), leg)
+    val legShards = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$leg/v1/shards")).split('\n').toSeq
+    assert(legShards == Seq(".", "v1/data"))
+    // both generations consulted post-migration
+    val probe2 = docsDF(Seq(
+      (20L, base, "en"),
+      (21L, "brand new unseen material for the index", "en"),
+      (22L, "genuinely novel text", "en")))
+    assert(ext.DedupIndex.dedupeAgainstIndex(probe2, leg, threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet === Set(22L))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   test("DedupIndex: hashing-scheme fingerprint mismatch fails loudly at read") {
     import spark.implicits._
     val docs = docsDF(Seq((0L, "alpha beta gamma delta epsilon", "en")))
     val dir = java.nio.file.Files.createTempDirectory("graft-didx-fp").toString
     ext.DedupIndex.buildIndex(docs, dir)
     // simulate a MurmurHash3/Random drift: rewrite params with a wrong probe
-    val p = spark.read.parquet(s"$dir/params")
+    val paramsDir = s"${ext.DedupIndex.indexDir(dir)}/params"
+    val p = spark.read.parquet(paramsDir)
       .select(col("n"), col("bands"), col("rows_per_band"),
         (col("probe_hash") + 1L).as("probe_hash"))
       .collect().head
     Seq((p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3)))
       .toDF("n", "bands", "rows_per_band", "probe_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+      .coalesce(1).write.mode("overwrite").parquet(paramsDir)
     val e = intercept[IllegalStateException] {
       ext.DedupIndex.dedupeAgainstIndex(docs, dir).count()
     }
