@@ -2592,13 +2592,23 @@ class Datastream(spark: SparkSession, warehouse: String) {
       .schema(Schemas.rawDatapointsPartitioned)
       .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
     val nStreams = math.max(streams.count(), 1L)
-    // scalable total-order rank (Pack.globalRankByKey): a plain
-    // `Window.orderBy(stream_id)` coalesces the registry into ONE task —
-    // fine at thousands of streams, a straggler at millions; the
-    // range-partitioned rank is bit-identical with only a
-    // partition-count-sized apex window
-    val ranks = ext.Pack.globalRankByKey(
-        streams.select(col("stream_id")), "stream_id", "_sr")
+    // stream ranks, SIZE-ADAPTIVE: a plain `Window.orderBy(stream_id)`
+    // coalesces the registry into ONE task — fine (and cheapest: no
+    // range shuffle, no checkpoint) up to tens of thousands of streams,
+    // a straggler at millions. Past the threshold the scalable
+    // range-partitioned rank (Pack.globalRankByKey) takes over —
+    // bit-identical output (row_number over a UNIQUE key), only a
+    // partition-count-sized apex window. Both paths are exercised:
+    // the gate runs the window arm; CorpusOpsSpec pins the two
+    // formulations equal on the same input.
+    val ranks =
+      if (nStreams <= 65536L) {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("stream_id")
+        streams.select(col("stream_id"))
+          .withColumn("_sr", row_number().over(w).cast("long") - 1L)
+      } else
+        ext.Pack.globalRankByKey(
+          streams.select(col("stream_id")), "stream_id", "_sr")
     // ts bounds from the manifest stats when EVERY retired file carries
     // them (zero data I/O); a stat-less file (foreign writer, legacy
     // manifest) falls back to one min/max aggregate over the slice being

@@ -511,6 +511,22 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Pack.shardByRank(df, "score", 0L) }
   }
 
+  test("globalRankByKey equals the naive global-window rank over a string key") {
+    import spark.implicits._
+    // hostile-ish keys: varying lengths so lexicographic order differs
+    // from insertion order; shuffled over several partitions (the z-order
+    // rewrite's large-registry arm rides this exact formulation)
+    val keys = (0 until 500).map(i => s"s${i % 50}:${"x" * (i % 5)}$i")
+    val df = util.Random.shuffle(keys).toDF("k").repartition(8)
+    val got = Pack.globalRankByKey(df, "k", "r")
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy("k")).cast("long") - 1L)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    assert(got.select("r").as[Long].collect().sorted.toSeq ===
+      (0L until 500L))
+  }
+
   test("DedupIndex: intra-shard duplicates collapse so appended index stays clean") {
     val idxDocs = docsDF(Seq(
       (0L, "completely different words entirely here now today maybe", "en")))

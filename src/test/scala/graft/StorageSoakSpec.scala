@@ -232,10 +232,34 @@ class StorageSoakSpec extends SparkSpec {
         } catch { case t: Throwable => failures.add(t) }
       })
     }
+    // a concurrent READER hammers every read surface during the writer
+    // storm: reads take no lock, so this exercises exactly the windows
+    // eager reclamation used to tear (a registry generation or snapshot
+    // file swept microseconds after a reader resolved its pointer — the
+    // bug class the retention grace windows close). Counts must be
+    // monotone non-decreasing (append-only workload) and nothing throws.
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        val ds = new Datastream(spark, dir)
+        var lastCount = 0L
+        while (!stopReader.get()) {
+          val c = ds.rawDatapoints.count()
+          assert(c >= lastCount, s"snapshot went backwards: $lastCount -> $c")
+          lastCount = c
+          assert(ds.streams.count() >= nWriters.toLong)
+          val d = ds.getData("w0", Granularity.Seconds).count()
+          assert(d >= 0L)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
     threads.foreach(_.start())
     threads.foreach(_.join(120000))
+    stopReader.set(true)
+    reader.join(30000)
     assert(failures.isEmpty,
-      s"writer died: ${Option(failures.peek()).map(_.toString)}")
+      s"writer/reader died: ${Option(failures.peek()).map(_.toString)}")
     // every append landed exactly once, fully serialized
     val check = new Datastream(spark, dir)
     assert(check.rawDatapoints.count() === (nWriters * perWriter).toLong)
