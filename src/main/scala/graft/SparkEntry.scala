@@ -106,6 +106,7 @@ object SparkEntry {
     "q_neardup_minhash" -> Queries.nearDupMinhash _,
     "q_simhash" -> ((s, d) => ext.Dedup.simhashCandidates(Sources.documents(s, d))),
     "q_dedup_corpus" -> Queries.dedupCorpus _,
+    "q_split_leakfree" -> Queries.splitLeakFree _,
     "q_substring_dedup" -> Queries.substringDedup _,
     "q_substring_drop" -> Queries.substringDrop _,
     "q_similarity_topk" -> Queries.similarityTopK _,
@@ -286,6 +287,7 @@ object SparkEntry {
     "q_token_count" -> Oracles.tokenCount,
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
     "q_dedup_corpus" -> Oracles.dedupCorpus,
+    "q_split_leakfree" -> Oracles.splitLeakFree,
     "q_substring_dedup" -> Oracles.substringDedup,
     "q_substring_drop" -> Oracles.substringDrop,
     "q_similarity_topk" -> Oracles.similarityTopK,
@@ -1646,6 +1648,28 @@ object Queries {
     val docs = Sources.documents(spark, sfDir)
     ext.Dedup.keepOnePerCluster(docs, ext.Dedup.nearDupMinhash(docs, 0.8))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** LEAKAGE-FREE SPLIT on the gate: near-dup clusters (the SAME verified
+    * pair set `q_dedup_corpus` rides) split cluster-atomically by their
+    * representative's content hash. The oracle recomputes the components,
+    * the representative hash fold and every bucket count in SQL — and the
+    * `leaks` column pins the invariant itself: the count of clusters
+    * straddling buckets must be ZERO on both sides (a split that leaks
+    * even one cluster breaks the hash, not just a test expectation).
+    */
+  def splitLeakFree(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val out = ext.Dedup.splitWithoutLeakage(docs,
+      ext.Dedup.nearDupMinhash(docs, 0.8))
+    val leaks = out.groupBy("cluster")
+      .agg(countDistinct("split_bucket").as("_nb"))
+      .where(col("_nb") > 1)
+      .agg(count(lit(1)).as("leaks"))
+    out.groupBy("split_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").as("n_clusters"))
+      .crossJoin(broadcast(leaks))
   }
 
   /** X2e substring-level dedup scored per doc (Lee et al. 2021 style):
@@ -3728,6 +3752,51 @@ doomed AS (
 SELECT lang, count(*) AS n_docs
 FROM documents WHERE doc_id NOT IN (SELECT id FROM doomed)
 GROUP BY 1"""
+
+  /** Leakage-free-split twin: the SAME connected components as
+    * `dedupCorpus`, then every member takes its representative's content
+    * hash bucket; `leaks` recomputed independently (must be 0).
+    */
+  val splitLeakFree: String =
+    """WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sa, y.sz AS sb, count(*) AS i
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3, 4),
+dup AS (SELECT a, b FROM cand WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.8),
+edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+reach(id, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+labels AS (
+  SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+members AS (
+  SELECT d.doc_id, d.text, COALESCE(l.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+reps AS (
+  SELECT cluster,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 10 AS split_bucket
+  FROM members WHERE doc_id = cluster),
+joined AS (
+  SELECT m.doc_id, m.cluster, r.split_bucket
+  FROM members m JOIN reps r USING (cluster)),
+leak AS (
+  SELECT CAST(count(*) AS BIGINT) AS leaks FROM (
+    SELECT cluster FROM joined GROUP BY cluster
+    HAVING count(DISTINCT split_bucket) > 1))
+SELECT split_bucket, count(*) AS n_docs,
+  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+  (SELECT leaks FROM leak) AS leaks
+FROM joined GROUP BY 1"""
 
   /** Cosine = sequential double fold / (norm·norm) — mirrors Similarity.dot
     * exactly (list_reduce's first step equals Spark aggregate's 0.0 init).

@@ -420,6 +420,51 @@ object Dedup {
     docs.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-FREE train/eval split (X6 extension): content-hash split
+    * assignment in which every near-duplicate CLUSTER lands wholly on one
+    * side. A plain per-document content split ([[Text.splitAssign]]) puts
+    * two near-identical documents on OPPOSITE sides of a train/eval cut
+    * whenever their bytes differ at all — the classic evaluation-leakage
+    * failure that span decontamination exists to paper over after the
+    * fact; splitting cluster-atomically prevents it at assignment time.
+    *
+    * The split key is the cluster REPRESENTATIVE's content hash: `pairs`
+    * (from [[nearDupMinhash]] / [[exactPairs]] / any candidate+verify
+    * pipeline) collapse to min-label connected components
+    * ([[duplicateClusters]]), and every member takes
+    * `pmod(docHash(representativeText), buckets)`. Deterministic,
+    * content-defined, cluster-atomic by construction; a document with no
+    * duplicate partner is its own representative, so singletons split
+    * exactly as `splitAssign` would — the leakage fix changes ONLY the
+    * documents that needed it.
+    *
+    * Scale shape: two equi-join shuffles on uniform keys (members by id
+    * against the O(duplicates) label table — AQE broadcasts it when
+    * small — then members by cluster against the O(clusters)
+    * representative hashes); the corpus text column is never shuffled
+    * (the hash travels, not the text).
+    *
+    * Output: `docs` + (`cluster`, `split_bucket`).
+    */
+  def splitWithoutLeakage(docs: DataFrame, pairs: DataFrame,
+                          buckets: Int = 10,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").cast("long").as(idCol), col("cluster").cast("long"))
+    val withCluster = docs
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), col(idCol).cast("long")))
+    // representative = the member whose id IS the min label (always a
+    // member of its component); only (cluster, hash) travels
+    val reps = withCluster.where(col(idCol).cast("long") === col("cluster"))
+      .select(col("cluster"), Text.docHash(col(textCol)).as("_rh"))
+    withCluster.join(reps, Seq("cluster"))
+      .withColumn("split_bucket", pmod(col("_rh"), lit(buckets.toLong)))
+      .drop("_rh")
+  }
+
   /** X2c SimHash 64-bit signature of a shingle set, computed row-locally:
     * bit j is set when Σ_shingles ±1 > 0, the ±1 being bit j of the
     * shingle's 64-bit hash. (64 per-bit interpreted array folds — the

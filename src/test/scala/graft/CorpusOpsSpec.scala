@@ -551,6 +551,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.7).isEmpty)
   }
 
+  test("splitWithoutLeakage: clusters land whole; singletons match splitAssign") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 1 and 3 are near-dups (one cluster); 5/7/9 singletons with texts
+    // chosen so plain per-doc splitting would scatter them around
+    val docs = docsDF(Seq(
+      (1L, base, "en"),
+      (3L, base + " lambda", "en"),
+      (5L, "completely different words entirely here now today", "en"),
+      (7L, "nothing in common with anything at all whatsoever", "en"),
+      (9L, "yet another unrelated set of tokens right here", "en")))
+    val pairs = ext.Dedup.nearDupJaccard(docs, 0.7)
+    val out = ext.Dedup.splitWithoutLeakage(docs, pairs, buckets = 4)
+      .select(col("doc_id").cast("long"), col("cluster"), col("split_bucket"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // the dup pair shares one cluster AND one bucket (cluster-atomic)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 1L && byId(3L)._2 === 1L)
+    assert(byId(1L)._3 === byId(3L)._3)
+    // both members take the REPRESENTATIVE's (doc 1) hash bucket
+    val naive = ext.Text.splitAssign(docs, buckets = 4)
+      .select(col("doc_id").cast("long"), col("split_bucket").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(byId(1L)._3 === naive(1L))
+    // singletons: own cluster, and the split is EXACTLY splitAssign's
+    Seq(5L, 7L, 9L).foreach { id =>
+      assert(byId(id)._2 === id)
+      assert(byId(id)._3 === naive(id))
+    }
+  }
+
   test("DedupIndex: versioned appends share parent shards atomically; " +
       "vacuum keeps referenced ancestors; legacy root layout migrates") {
     import spark.implicits._
