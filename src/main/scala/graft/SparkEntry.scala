@@ -201,6 +201,8 @@ object SparkEntry {
     "q_ngram_top" -> ((s, d) => ext.Text.topNgrams(Sources.documents(s, d))),
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
+    "q_approx_percentiles" -> ((s, d) =>
+      ext.Text.approxLengthPercentiles(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
     "q_repetition" -> Queries.repetition _,
     "q_token_drift" -> Queries.tokenDrift _,
@@ -355,6 +357,7 @@ object SparkEntry {
     "q_ngram_top" -> Oracles.ngramTop,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
+    "q_approx_percentiles" -> Oracles.approxPercentiles,
     "q_quality" -> Oracles.quality,
     "q_repetition" -> Oracles.repetition,
     "q_token_drift" -> Oracles.tokenDrift,
@@ -4616,6 +4619,25 @@ r AS (
 p AS (SELECT unnest([250, 500, 750, 950]) AS pm)
 SELECT r.lang, CAST(p.pm AS INT) AS pm, CAST(r.n AS BIGINT) AS n_docs,
   r.n_tok AS value
+FROM r, p
+WHERE r.rank = (r.n * p.pm + 999) // 1000"""
+
+  /** Sketch-percentile twin: exact p500/p900 via the same rank walk, and
+    * the GK accuracy contract pinned as a literal `true` — the sketch
+    * side must land inside its own rank-error bracket or the hash breaks.
+    */
+  val approxPercentiles: String =
+    """WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT lang, n_tok,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rank,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM t),
+p AS (SELECT unnest([500, 900]) AS pm)
+SELECT r.lang, CAST(p.pm AS INT) AS pm, CAST(r.n AS BIGINT) AS n_docs,
+  r.n_tok AS value, true AS within_bounds
 FROM r, p
 WHERE r.rank = (r.n * p.pm + 999) // 1000"""
 

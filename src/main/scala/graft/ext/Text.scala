@@ -844,6 +844,60 @@ object Text {
       .select(col(strataCol), col("pm"), col("n_docs"), col("n_tok").as("value"))
   }
 
+  /** X8 SKETCH arm of the quantile report: per-stratum token-length
+    * quantiles via `percentile_approx` (Greenwald-Khanna) under a PINNED
+    * accuracy contract. The exact rank walk ([[lengthPercentiles]]) costs
+    * a per-stratum sort window; the GK sketch is ONE pass with mergeable
+    * partials — the 100 TB path (like `approx_count_distinct` next to
+    * the exact distinct). The contract: GK bounds the rank error by
+    * `n/accuracy`, so the sketch's answer must lie between the exact
+    * values at ranks `ceil(pm·n/1000) ∓ (ceil(n/accuracy)+1)` — checked
+    * row-by-row against the same ranked table the exact report uses.
+    * Output carries the EXACT value plus `within_bounds`, so the DuckDB
+    * twin (which cannot run the sketch) pins the exact quantiles and
+    * literal `true`: a sketch drifting past its own guarantee breaks the
+    * gate hash, not just a test expectation.
+    */
+  def approxLengthPercentiles(docs: DataFrame,
+                              perMilles: Seq[Int] = Seq(500, 900),
+                              accuracy: Int = 100,
+                              strataCol: String = "lang",
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    require(perMilles.nonEmpty && perMilles.forall(p => p > 0 && p <= 1000),
+      s"per-mille ranks must be in (0,1000], got $perMilles")
+    require(accuracy >= 10, s"accuracy must be >= 10, got $accuracy")
+    val t = docs.select(col(strataCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("n_tok"), col(idCol))
+    val counts = t.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val pcts = perMilles.map(p => lit(p / 1000.0))
+    val approx = t.groupBy(col(strataCol))
+      .agg(percentile_approx(col("n_tok"), array(pcts: _*), lit(accuracy))
+        .as("_ap"))
+      .select(col(strataCol), posexplode(col("_ap")).as(Seq("_i", "approx_value")))
+      .withColumn("pm", element_at(
+        array(perMilles.map(p => lit(p)): _*), col("_i") + 1))
+      .drop("_i")
+    val ranked = t.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(counts), Seq(strataCol))
+      .withColumn("pm", explode(array(perMilles.map(p => lit(p)): _*)))
+      .withColumn("_rt", expr("(n_docs * pm + 999) div 1000"))
+      .withColumn("_m", expr(s"(n_docs + ${accuracy - 1}) div $accuracy + 1"))
+    val brackets = ranked.groupBy(col(strataCol), col("pm"))
+      .agg(first("n_docs").as("n_docs"),
+        max(when(col("rank") === col("_rt"), col("n_tok"))).as("value"),
+        max(when(col("rank") === greatest(col("_rt") - col("_m"), lit(1L)),
+          col("n_tok"))).as("_lo"),
+        max(when(col("rank") === least(col("_rt") + col("_m"), col("n_docs")),
+          col("n_tok"))).as("_hi"))
+    brackets.join(approx, Seq(strataCol, "pm"))
+      .select(col(strataCol), col("pm"), col("n_docs"), col("value"),
+        (col("approx_value") >= col("_lo") &&
+          col("approx_value") <= col("_hi")).as("within_bounds"))
+  }
+
   /** Token-count histogram per language: bucket = `n_tokens div width`
     * (fixed-width bins). One narrow map + one aggregate — the corpus
     * length-distribution report that sizes packing budgets and truncation

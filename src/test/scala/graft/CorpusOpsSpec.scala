@@ -287,6 +287,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Seq(250, 500, 1000).forall(pm => out(("fr", pm)) === 4L))
   }
 
+  test("approxLengthPercentiles: sketch lands in its rank bracket; exact " +
+      "values ride along; singleton stratum trivially in-bounds") {
+    val en = (1 to 200).map(n => ((n + 100).toLong, ("w " * n).trim, "en"))
+    val fr = Seq((1L, "only one doc here", "fr"))
+    val out = ext.Text.approxLengthPercentiles(
+        docsDF(en ++ fr), perMilles = Seq(500, 900), accuracy = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    // exact values: p50 of 200 = rank 100 → 100 tokens; p90 → rank 180
+    assert(out(("en", 500)) === ((100L, true)))
+    assert(out(("en", 900)) === ((180L, true)))
+    assert(out(("fr", 500)) === ((4L, true)))
+    assert(out(("fr", 900)) === ((4L, true)))
+  }
+
   test("sampleQuota: exact counts, over-quota keeps all, deterministic hash-order prefix") {
     val docs = Sources.documents(spark, "/root/testdata/sf0.001")
     val before = docs.groupBy("lang").count().collect()
