@@ -75,6 +75,7 @@ object SparkEntry {
     // X1 streaming arm: cross-micro-batch content-hash dedup of a
     // twice-delivered shard
     "q_streaming_dedup" -> Queries.streamingDedup _,
+    "q_streaming_decode" -> Queries.streamingDecode _,
     "q_streaming_filter" -> Queries.streamingFilter _,
     "q_streaming_lm" -> Queries.streamingLm _,
     "q_streaming_classifier" -> Queries.streamingClassifier _,
@@ -370,6 +371,8 @@ object SparkEntry {
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
+    // exactly-once streaming decode ≡ the batch closed-form dims table
+    "q_streaming_decode" -> Oracles.multimodalDecode,
     "q_audio_decode" -> Oracles.audioDecode,
     "q_video_decode" -> Oracles.videoDecode,
     "q_video_dup" -> Oracles.videoDup,
@@ -1324,6 +1327,38 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("chars_sum"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** X5's streaming arm on the gate: documents arrive in TWO wholesale
+    * deliveries (maxFilesPerTrigger=1 forces two micro-batches), each is
+    * asset-bound and decoded through the real imageio codec, and the
+    * asset_id dedup state makes delivery exactly-once — so the oracle is
+    * the SAME closed-form dims/health table as the batch
+    * `q_multimodal_decode`: a decoder drift, a dropped or doubled asset,
+    * or a poison-pill kill all break the hash.
+    */
+  def streamingDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dir = tempDir("graft-sdecode")
+    val srcDir = tempDir("graft-sdecode-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.decodeIngest(src, s"$dir/out", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+      .select(col("asset_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("duration_ms"),
+        col("decode_ok"))
   }
 
   /** The corpus quality filter's streaming arm: documents arrive in two

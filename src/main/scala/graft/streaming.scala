@@ -425,6 +425,29 @@ object Streaming {
     * NULL-text rows all share the NULL hash key, so at most one lands —
     * filter them upstream if they must be kept.
     */
+  /** X5's STREAMING arm — multimodal decode at the ingest edge: each
+    * arriving document is bound to its image asset and decoded through
+    * the REAL `javax.imageio` codec per micro-batch (both stateless
+    * narrow maps, no watermark, no shuffle before the state op), then
+    * cross-batch exactly-once delivery comes from `dropDuplicates` state
+    * on `asset_id` — a shard redelivered wholesale (the crawler-retry
+    * shape) decodes again but LANDS once, and the sink stores decoded
+    * METADATA (dims, channels, health flag), never the payload: the
+    * triage a multimodal pipeline wants before paying storage. Same
+    * unbounded-state caveat and bounded `withWatermark` alternative as
+    * [[dedupIngest]]; corrupt payloads degrade to the decoder's
+    * deterministic fallback row (`decode_ok = false`) instead of killing
+    * the stream — poison-pill assets must not wedge an ingest pipeline.
+    */
+  def decodeIngest(docs: DataFrame, outPath: String, checkpoint: String) =
+    ext.Multimodal.decode(ext.Multimodal.pngAssets(docs)).toDF()
+      .dropDuplicates("asset_id")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   def dedupIngest(docs: DataFrame, outPath: String, checkpoint: String,
                   textCol: String = "text") =
     docs.withColumn("content_hash", md5(col(textCol)))

@@ -153,6 +153,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming multimodal decode: real codec per micro-batch, replayed " +
+      "assets land exactly once, poison pill degrades instead of killing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdecode-t").toString
+    val q = Streaming.decodeIngest(
+      mem.toDF().toDF("doc_id", "text", "lang"), s"$dir/out", s"$dir/ckpt")
+      .start()
+    try {
+      // doc 74 = 2×37 → the corrupt-payload arm (decode_ok = false)
+      mem.addData((1L, "x", "en"), (74L, "x", "en"))
+      q.processAllAvailable()
+      mem.addData((1L, "x", "en"), (2L, "x", "fr")) // 1 replayed wholesale
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "deliveries must land in separate micro-batches")
+      val rows = spark.read.parquet(s"$dir/out")
+        .select(col("asset_id"), col("width").cast("long"),
+          col("height").cast("long"), col("decode_ok"))
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      // exactly once each; dims follow the closed-form generator; the
+      // poison pill decoded to the deterministic fallback, stream alive
+      assert(rows.map(_._1) === Seq(1L, 2L, 74L))
+      assert(rows(0) === ((1L, 17L, 23L, true)))  // 16+1, 16+7
+      assert(rows(1) === ((2L, 18L, 30L, true)))  // 16+2, 16+14
+      assert(!rows(2)._4)
+    } finally q.stop()
+  }
+
   test("LM-filtered streaming ingest scores each micro-batch with the " +
       "broadcast model and equals the batch filter") {
     import spark.implicits._
