@@ -108,6 +108,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => ext.Dedup.simhashCandidates(Sources.documents(s, d))),
     "q_dedup_corpus" -> Queries.dedupCorpus _,
     "q_split_leakfree" -> Queries.splitLeakFree _,
+    "q_sample_weighted" -> Queries.sampleWeighted _,
     "q_substring_dedup" -> Queries.substringDedup _,
     "q_substring_drop" -> Queries.substringDrop _,
     "q_similarity_topk" -> Queries.similarityTopK _,
@@ -291,6 +292,7 @@ object SparkEntry {
     "q_neardup_minhash" -> Oracles.nearDupJaccard,
     "q_dedup_corpus" -> Oracles.dedupCorpus,
     "q_split_leakfree" -> Oracles.splitLeakFree,
+    "q_sample_weighted" -> Oracles.sampleWeighted,
     "q_substring_dedup" -> Oracles.substringDedup,
     "q_substring_drop" -> Oracles.substringDrop,
     "q_similarity_topk" -> Oracles.similarityTopK,
@@ -1686,6 +1688,23 @@ object Queries {
     val docs = Sources.documents(spark, sfDir)
     ext.Dedup.keepOnePerCluster(docs, ext.Dedup.nearDupMinhash(docs, 0.8))
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** DETERMINISTIC IMPORTANCE SAMPLING on the gate: each document's keep
+    * probability is its own weight — here `min(1, n_tokens/64)`, the
+    * longer-docs-likelier curriculum shape — decided RNG-free by the
+    * content hash. The oracle replays the hash fold, the weight
+    * arithmetic (identical IEEE ops) and every keep decision; per-lang
+    * doc and token totals are hash-compared.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val w = least(lit(1.0),
+      size(split(col("text"), " ")).cast("double") / lit(64.0))
+    ext.Text.sampleByWeight(docs, w)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
   }
 
   /** LEAKAGE-FREE SPLIT on the gate: near-dup clusters (the SAME verified
@@ -3789,6 +3808,26 @@ doomed AS (
   WHERE cluster <> id)
 SELECT lang, count(*) AS n_docs
 FROM documents WHERE doc_id NOT IN (SELECT id FROM doomed)
+GROUP BY 1"""
+
+  /** Importance-sampling twin: the same hash fold, the same weight
+    * arithmetic (double division and multiply — identical IEEE ops), the
+    * same strict-less keep decision.
+    */
+  val sampleWeighted: String =
+    """WITH t AS (
+  SELECT lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 1000 AS h
+  FROM documents)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_sum
+FROM t
+WHERE CAST(h AS DOUBLE) <
+  least(1.0, CAST(n_tok AS DOUBLE) / 64.0) * 1000.0
 GROUP BY 1"""
 
   /** Leakage-free-split twin: the SAME connected components as

@@ -481,6 +481,25 @@ object Text {
     docs.where(pmod(docHash(col(textCol)), lit(1000L)) < thr)
   }
 
+  /** Deterministic IMPORTANCE SAMPLING — the per-ROW-weight member of the
+    * sampling family ([[sampleStrata]] = per-stratum rate, [[sampleQuota]]
+    * = exact counts, [[mixTo]] = target mixture; this = DSIR-style
+    * resampling, Xie et al. 2023 arXiv:2302.03169, where each document's
+    * keep probability is its own importance weight). RNG-free and
+    * content-keyed like the rest: keep ⇔ `rollingHash(text) mod 1000 <
+    * clamp(weight, 0, 1)·1000` — identical selection on every re-run and
+    * re-shard, and a pure narrow filter (the weight is a caller-supplied
+    * Column, typically a quality/relevance score already on the row — no
+    * shuffle, no state). Hash uniformity makes the realized rate converge
+    * to the mean weight per slice; the sub-per-mille truncation is the
+    * deterministic price of an RNG-free decision (weights quantize to
+    * 1/1000ths).
+    */
+  def sampleByWeight(docs: DataFrame, weight: Column,
+                     textCol: String = "text"): DataFrame =
+    docs.where(pmod(docHash(col(textCol)), lit(1000L)).cast("double") <
+      least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)) * 1000.0)
+
   /** X4 tf-idf machinery: term frequency per (doc, term), document frequency
     * over the corpus, top-`k` terms per doc ranked by `(tf desc, df asc,
     * term)`. All-integer outputs — the ranking IS tf-idf's ordering for a

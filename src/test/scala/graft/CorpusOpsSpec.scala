@@ -303,6 +303,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(("fr", 900)) === ((4L, true)))
   }
 
+  test("sampleByWeight: endpoint weights, clamped out-of-range, monotone " +
+      "superset in weight, deterministic across re-runs") {
+    import spark.implicits._
+    val docs = Sources.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    assert(ext.Text.sampleByWeight(docs, lit(0.0)).count() === 0L)
+    assert(ext.Text.sampleByWeight(docs, lit(1.0)).count() === n)
+    // out-of-range weights clamp, never throw or invert
+    assert(ext.Text.sampleByWeight(docs, lit(-3.0)).count() === 0L)
+    assert(ext.Text.sampleByWeight(docs, lit(7.5)).count() === n)
+    // a higher constant weight keeps a SUPERSET (threshold semantics)
+    val k3 = ext.Text.sampleByWeight(docs, lit(0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val k7 = ext.Text.sampleByWeight(docs, lit(0.7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(k3.subsetOf(k7))
+    assert(k3.size < k7.size && k7.size < n)
+    // realized rate tracks the weight (hash uniformity; loose bounds)
+    assert(math.abs(k7.size.toDouble / n - 0.7) < 0.15)
+    // deterministic: identical selection on a re-run
+    assert(ext.Text.sampleByWeight(docs, lit(0.3))
+      .select("doc_id").as[Long].collect().toSet === k3)
+  }
+
   test("sampleQuota: exact counts, over-quota keeps all, deterministic hash-order prefix") {
     val docs = Sources.documents(spark, "/root/testdata/sf0.001")
     val before = docs.groupBy("lang").count().collect()
