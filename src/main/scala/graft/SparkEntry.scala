@@ -160,6 +160,7 @@ object SparkEntry {
     "q_corpus_pipeline4" -> Queries.corpusPipeline4 _,
     "q_corpus_pipeline5" -> Queries.corpusPipeline5 _,
     "q_corpus_pipeline6" -> Queries.corpusPipeline6 _,
+    "q_corpus_pipeline7" -> Queries.corpusPipeline7 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -326,6 +327,7 @@ object SparkEntry {
     "q_corpus_pipeline4" -> Oracles.corpusPipeline4,
     "q_corpus_pipeline5" -> Oracles.corpusPipeline5,
     "q_corpus_pipeline6" -> Oracles.corpusPipeline6,
+    "q_corpus_pipeline7" -> Oracles.corpusPipeline7,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
@@ -2116,6 +2118,28 @@ object Queries {
     val keeper = kept.groupBy(md5(col("text")).as("_h"))
       .agg(min("doc_id").as("doc_id"))
     kept.join(keeper.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** Pipeline 7 — CLASSIFIER-SCORED IMPORTANCE RESAMPLING, the exact
+    * GPT-3 deployment shape (train a quality classifier, then keep raw
+    * docs with probability tied to the predicted class): the trained
+    * class models label every document, the label becomes the per-row
+    * keep weight (0.95 target-like, 0.25 other), and the deterministic
+    * importance sampler decides content-keyed. One SQL twin replays the
+    * class folds, the label rule, the hash fold and every keep decision.
+    */
+  def corpusPipeline7(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val train = docs.where(col("doc_id") % 5 === 0)
+    val classes = Seq(
+      "en" -> ext.Text.learnClassUnigrams(train.where(col("lang") === "en")),
+      "other" -> ext.Text.learnClassUnigrams(train.where(col("lang") =!= "en")))
+    val labeled = ext.Text.withClassLabel(docs, classes)
+    val w = when(col("clf_label") === "en", lit(0.95)).otherwise(lit(0.25))
+    ext.Text.sampleByWeight(labeled, w)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
@@ -5291,6 +5315,25 @@ keeper AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
 SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
 FROM kept JOIN keeper USING (doc_id) GROUP BY lang"""
+
+  /** Pipeline-7 twin: the classifier replay chained into the constant
+    * per-class weight rule and the importance sampler's hash-fold keep
+    * decision — classifier-scored resampling replayed end to end.
+    */
+  val corpusPipeline7: String = classifierCtes + """,
+h AS (
+  SELECT lang, text,
+    CASE WHEN NOT (s_other < s_en) THEN 0.95 ELSE 0.25 END AS w,
+    (CASE WHEN length(text) >= 1 THEN
+      list_reduce(list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i]) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 2147483647)
+     ELSE 0 END) % 1000 AS hh
+  FROM lab)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
+FROM h WHERE CAST(hh AS DOUBLE) < w * 1000.0
+GROUP BY lang"""
 
   /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
     * rule and the per-lang integer aggregate — one SQL statement replays
