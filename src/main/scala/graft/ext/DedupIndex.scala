@@ -135,8 +135,9 @@ object DedupIndex {
                          threshold: Double = 0.8,
                          textCol: String = "text",
                          idCol: String = "doc_id",
-                         withinShard: Boolean = true): DataFrame = {
-    val (n, bands, rowsPerBand) = readParams(newDocs, path)
+                         withinShard: Boolean = true,
+                         asOfVersion: Option[Long] = None): DataFrame = {
+    val (n, bands, rowsPerBand) = readParams(newDocs, path, asOfVersion)
     val spark = newDocs.sparkSession
     // referenced by both the candidate and verification branches, so the
     // shard is shingled twice — deliberate: the result is returned LAZY,
@@ -145,7 +146,7 @@ object DedupIndex {
     // small side), never the indexed corpus
     val shN = Dedup.shingled(newDocs, n, textCol, idCol)
       .where(size(col("sh")) > 0)
-    val dir = indexDir(path)
+    val dir = indexDir(path, asOfVersion)
     val candidates = Dedup.bandedRows(shN, bands, rowsPerBand)
       .join(readSide(spark, path, dir, "bands")
           .select(col("doc_id").as("idx_id"), col("band"), col("band_hash")),
@@ -205,8 +206,10 @@ object DedupIndex {
     } finally { sh.unpersist(); () }
   }
 
-  private def readParams(any: DataFrame, path: String): (Int, Int, Int) = {
-    val row = any.sparkSession.read.parquet(s"${indexDir(path)}/params")
+  private def readParams(any: DataFrame, path: String,
+                         asOfVersion: Option[Long] = None): (Int, Int, Int) = {
+    val row = any.sparkSession.read.parquet(
+      s"${indexDir(path, asOfVersion)}/params")
       .select("n", "bands", "rows_per_band", "probe_hash").head()
     val (n, bands, rowsPerBand) = (row.getInt(0), row.getInt(1), row.getInt(2))
     val expected = probeHash(bands, rowsPerBand)

@@ -93,13 +93,21 @@ private[graft] object VersionedIndex {
     shardRels(path, dir, defaultSub)
       .map(rel => if (rel == ".") path else s"$path/$rel")
 
-  /** Publish version `v`: create its marker (the commit point) and sweep
-    * stale pointer temp files. Superseded versions are retired, never
-    * reclaimed here.
+  /** Publish version `v`: CREATE its marker exclusively (the commit
+    * point — create-fails-if-exists, so two writers colliding on one
+    * version number fail LOUDLY instead of silently double-publishing) and
+    * sweep stale pointer temp files. Indexes are single-writer by
+    * contract; this guard turns a violated contract into an error
+    * instead of a corrupted pointer history. Superseded versions are
+    * retired, never reclaimed here.
     */
   def commit(path: String, v: Long): Unit = {
     val s = io(path)
-    s.writeString(s"$path/CURRENT.v$v", s"v$v")
+    if (!s.createExclusive(s"$path/CURRENT.v$v", s"v$v"))
+      throw new IllegalStateException(
+        s"index $path: version $v is already committed — a concurrent " +
+          "writer raced this one (persisted indexes are single-writer; " +
+          "serialize mutations, e.g. under the warehouse writer lock)")
     s.childNames(path).filter(_.startsWith("CURRENT.tmp-"))
       .foreach(n => s.deleteFile(s"$path/$n"))
   }
