@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
 class ExtAndPaginationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("plan guard: core corpus operators plan no CartesianProduct and no " +
+      "unbounded single-partition exchange") {
+    val docs = Sources.documents(spark, "/root/testdata/sf0.001")
+    val emb = Sources.embeddings(spark, "/root/testdata/sf0.001")
+    // purely-declarative constructions (no eager jobs in the builder):
+    // the scale-killer patterns the per-round plan audit hunts by hand —
+    // a cross product, or a plan-wide SinglePartition exchange (the
+    // apex-window shapes are bounded by construction and carry explicit
+    // scaladoc; none of THESE operators may require one)
+    val plans = Seq(
+      "tfidf" -> ext.Text.tfIdfTopTerms(docs),
+      "topngrams" -> ext.Text.topNgrams(docs),
+      "quality" -> ext.Text.quality(docs),
+      "sample_weight" -> ext.Text.sampleByWeight(docs,
+        org.apache.spark.sql.functions.lit(0.5)),
+      "split" -> ext.Text.splitAssign(docs),
+      "histogram" -> ext.Text.tokenHistogram(docs),
+      "neardup_jaccard" -> ext.Dedup.nearDupJaccard(docs, 0.8),
+      "substring" -> ext.Dedup.substringOverlap(docs),
+      "embdup" -> ext.Similarity.nearDupPairs(emb, 0.9))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name plans a single-partition exchange")
+    }
+  }
+
   test("limit/offset pagination over ordered getData") {
     val f = dp((0 until 10).map(i => ("a", f"2024-01-01T00:00:$i%02dZ", i.toDouble)))
     val page = GetData.raw(f, "a", limit = Some(3), offset = 4)
