@@ -53,6 +53,9 @@ object SparkEntry {
     // DESCRIBE HISTORY ledger: exact (version, op) rows for a fixed
     // mutation sequence (vacuum is not a commit and must not appear)
     "q_history" -> Queries.historyLedger _,
+    // CDC changefeed: catch-up from a cursor reads ONLY files newer
+    // commits added; replay from 0 reconstructs the table commit-by-commit
+    "q_changefeed" -> Queries.changefeed _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
@@ -246,6 +249,7 @@ object SparkEntry {
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
+    "q_changefeed" -> Oracles.changefeed,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
@@ -563,6 +567,48 @@ object Queries {
     // the downsample's watermark advance to g3; compact leaves the
     // registry untouched (g3 again) — pinned literally by the oracle
     ds.history.toDF("version", "op", "registry_gen")
+  }
+
+  /** CHANGEFEED over the commit log: slice A (both streams, pre-cut) lands
+    * and the consumer's cursor is captured; two more appends land — one
+    * per stream, so per-commit attribution is observable — and a
+    * compaction rewrites the whole table. The catch-up read from the
+    * cursor must surface EXACTLY the two appended slices, attributed to
+    * the right commits (pinned as version deltas against the cursor),
+    * while skipping the row-preserving rewrite; replaying from 0 must
+    * reconstruct the entire table commit by commit. A changefeed that
+    * leaks compacted files (doubled rows), misses a commit, or
+    * mis-attributes a slice breaks the hash.
+    */
+  def changefeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-cdc")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val cursor = ds.currentVersion.get
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut) &&
+      col("stream_id") === "7:click"))
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut) &&
+      col("stream_id") === "3:view"))
+    ds.compact()
+    def shape(df: DataFrame, phase: String, base: Long) =
+      df.groupBy((col("_commit_version") - lit(base)).as("commit_delta"),
+          col("_commit_op").as("op"), col("stream_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("commit_delta"), col("op"),
+          col("stream_id"), col("n_rows"), col("value_sum"))
+    shape(ds.readChanges(cursor, skipChangeCommits = true), "catchup", cursor)
+      .unionByName(shape(ds.readChanges(0L, skipChangeCommits = true),
+        "replay", 0L))
   }
 
   /** METADATA-ONLY COUNT on the gate: two streams land in two commits
@@ -3220,6 +3266,33 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
   (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
   (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
+
+  /** Changefeed twin: slice A is commit 1 (both streams), the per-stream
+    * post-cut slices are commits 2 (7:click) and 3 (3:view); compaction
+    * (commit 4) is skipped as a row-preserving rewrite. `catchup` deltas
+    * are against the cursor (version 1), `replay` deltas against 0.
+    */
+  val changefeed: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT 'catchup' AS phase,
+  CAST(CASE WHEN stream_id = '7:click' THEN 1 ELSE 2 END AS BIGINT) AS commit_delta,
+  'append' AS op, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM dp WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY stream_id
+UNION ALL
+SELECT 'replay', CAST(1 AS BIGINT), 'append', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM dp WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY stream_id
+UNION ALL
+SELECT 'replay',
+  CAST(CASE WHEN stream_id = '7:click' THEN 2 ELSE 3 END AS BIGINT), 'append',
+  stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM dp WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY stream_id"""
 
   /** Metadata-count twin: every arm recomputed as a plain count over
     * events with the same INCLUSIVE bounds; `asof` counts only the

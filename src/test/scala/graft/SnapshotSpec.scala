@@ -532,6 +532,50 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("changefeed: catch-up reads only newly-added files; rewrites fail " +
+      "loudly unless skipped; replay from 0 reconstructs the table") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a", Map("who" -> "a"))
+    ds.ensureStream("b", Map("who" -> "b"))
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:00Z", 1.0),
+      ("b", "2024-01-01T00:00:30Z", 7.0))).select("stream_id", "ts", "value"))
+    val cursor = ds.currentVersion.get
+    // two more appends into ONE date partition → fragmentation, so the
+    // later compaction genuinely rewrites (adds AND removes) fact files
+    ds.appendMultiple(dp(Seq(("a", "2024-01-02T00:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    ds.appendMultiple(dp(Seq(("b", "2024-01-02T00:01:00Z", 3.0)))
+      .select("stream_id", "ts", "value"))
+    // catch-up: exactly the two appended rows, each attributed to its commit
+    val ch = ds.readChanges(cursor).collect()
+      .map(r => (r.getAs[String]("stream_id"), r.getAs[Double]("value"),
+        r.getAs[Long]("_commit_version"), r.getAs[String]("_commit_op")))
+      .sortBy(_._2).toSeq
+    assert(ch === Seq(("a", 2.0, cursor + 1, "append"),
+      ("b", 3.0, cursor + 2, "append")))
+    // empty range: empty frame, change schema intact
+    assert(ds.readChanges(ds.currentVersion.get).count() === 0L)
+    assert(ds.readChanges(ds.currentVersion.get).columns.toSeq.takeRight(2)
+      === Seq("_commit_version", "_commit_op"))
+    // a rewrite commit inside the range fails loudly by default...
+    ds.compact()
+    val err = intercept[IllegalStateException] { ds.readChanges(cursor) }
+    assert(err.getMessage.contains("skipChangeCommits"))
+    // ...and is skipped wholesale when asked: same two rows, no doubles
+    assert(ds.readChanges(cursor, skipChangeCommits = true)
+      .select("value").as[Double].collect().sorted.toSeq === Seq(2.0, 3.0))
+    // replay from 0 across the append-only prefix reconstructs the table
+    assert(ds.readChanges(0L, skipChangeCommits = true)
+      .select("value").as[Double].collect().sorted.toSeq
+      === Seq(1.0, 2.0, 3.0, 7.0))
+    // cursor/bound validation fails loudly on unknown versions
+    intercept[IllegalArgumentException] { ds.readChanges(999L) }
+    intercept[IllegalArgumentException] {
+      ds.readChanges(cursor, toVersion = Some(999L)) }
+    ()
+  }
+
   test("z-order compaction: clustered files skip on BOTH the stream and " +
       "time dimensions; data bit-identical") {
     val (ds, _) = freshDs
