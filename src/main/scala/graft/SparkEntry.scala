@@ -56,6 +56,9 @@ object SparkEntry {
     // CDC changefeed: catch-up from a cursor reads ONLY files newer
     // commits added; replay from 0 reconstructs the table commit-by-commit
     "q_changefeed" -> Queries.changefeed _,
+    // RESTORE VERSION AS OF: data + registry roll back by log manipulation
+    // alone; the pre-restore state stays a time-travel target
+    "q_restore" -> Queries.restoreGate _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
@@ -250,6 +253,7 @@ object SparkEntry {
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
     "q_changefeed" -> Oracles.changefeed,
+    "q_restore" -> Oracles.restoreGate,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
@@ -567,6 +571,57 @@ object Queries {
     // the downsample's watermark advance to g3; compact leaves the
     // registry untouched (g3 again) — pinned literally by the oracle
     ds.history.toDF("version", "op", "registry_gen")
+  }
+
+  /** RESTORE on the gate: slice A lands and its version is captured; a
+    * registry rename and slice B land on top. `restore(v)` must serve
+    * exactly slice A on CURRENT (not just pinned) reads with the registry
+    * rolled back to alpha, and restoring forward to the pre-restore
+    * version must bring slice B and the beta rename back — both by log
+    * manipulation alone. The oracle recomputes every phase from events;
+    * a restore that leaks newer files, loses older ones, or forgets the
+    * registry half breaks the hash. (Phase-1 frames pin their file lists
+    * eagerly at construction, so reading "between" the two restores is
+    * well-defined even though the result is assembled lazily.)
+    */
+  def restoreGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-restore")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click", "team" -> "alpha"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val v = ds.currentVersion.get
+    // the rename precedes slice B so vPre's manifest records the beta
+    // generation (registry-only mutations never commit a version)
+    ds.updateTags(Map("team" -> "alpha"), Map("team" -> "beta"))
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    val vPre = ds.currentVersion.get
+    def stats(df: DataFrame, phase: String) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    def regProbe(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(label).as("phase"), lit("-").as("stream_id"),
+          col("n_rows"), lit(0.0).as("value_sum"))
+    ds.restore(v)
+    val restored = stats(ds.rawDatapoints, "restored")
+      .unionByName(regProbe("restored_alpha", ds.findStreams(Map("team" -> "alpha"))))
+      .unionByName(regProbe("restored_beta", ds.findStreams(Map("team" -> "beta"))))
+    ds.restore(vPre)
+    restored
+      .unionByName(stats(ds.rawDatapoints, "forward"))
+      .unionByName(regProbe("forward_alpha", ds.findStreams(Map("team" -> "alpha"))))
+      .unionByName(regProbe("forward_beta", ds.findStreams(Map("team" -> "beta"))))
   }
 
   /** CHANGEFEED over the commit log: slice A (both streams, pre-cut) lands
@@ -3266,6 +3321,36 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
   (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
   (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
+
+  /** Restore twin: `restored` is slice A per stream (plus the alpha tag
+    * back), `forward` the full range (beta tag back). Registry probes ride
+    * the stats schema as pinned literals, exactly like the time-travel
+    * oracle.
+    */
+  val restoreGate: String =
+    """SELECT 'restored' AS phase, '7:click' AS stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events WHERE user_id = 7 AND event_type = 'click'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT 'restored', '3:view', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 3 AND event_type = 'view'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+UNION ALL
+SELECT 'forward', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 7 AND event_type = 'click'
+UNION ALL
+SELECT 'forward', '3:view', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 3 AND event_type = 'view'
+UNION ALL
+SELECT * FROM (VALUES
+  ('restored_alpha', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('restored_beta',  '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('forward_alpha',  '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('forward_beta',   '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE))) AS r(a, b, c, d)"""
 
   /** Changefeed twin: slice A is commit 1 (both streams), the per-stream
     * post-cut slices are commits 2 (7:click) and 3 (3:view); compaction

@@ -851,6 +851,16 @@ class Datastream(spark: SparkSession, warehouse: String) {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
   private val retiredFiles =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // Existing on-disk files RE-ADDED to the snapshot this commit publishes
+  // (restore re-publishing a historical file set) — a third channel next
+  // to written/retired, because these files are neither in any declared
+  // write scope (nothing wrote them now) nor in the previous snapshot.
+  // Their data-skipping stats are carried from the snapshot that last
+  // referenced them (adoptedStats), so re-adding costs zero footer I/O.
+  private val adoptedFiles =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private val adoptedStats =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), FileStats]()
   // test seam: ops listed here throw AFTER their table writes but BEFORE
   // the manifest/commit rename — the worst-case crash instant for a
   // rewrite-shaped mutation (every new file on disk, nothing committed)
@@ -961,6 +971,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     val intent = marker("intent")
     scopeBefore.clear()
     retiredFiles.clear()
+    adoptedFiles.clear()
+    adoptedStats.clear()
     val prev = rawSnapshot
     // Tables the manifest chain does not cover yet adopt their full
     // PRE-mutation listing as baseline (first-manifest semantics) — the
@@ -979,6 +991,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       catch { case e: Throwable =>
         io.rename(intent, marker("failed"))
         scopeBefore.clear(); retiredFiles.clear()
+        adoptedFiles.clear(); adoptedStats.clear()
         throw e
       }
     // OPTIMISTIC STALENESS CHECK (the second half of the commit CAS): the
@@ -999,6 +1012,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     if (committedNow != prev.map(_.version)) {
       io.rename(intent, marker("failed"))
       scopeBefore.clear(); retiredFiles.clear()
+      adoptedFiles.clear(); adoptedStats.clear()
       throw new errors.CommitConflict(
         s"commitlog: version ${committedNow.getOrElse(-1L)} committed while " +
           s"op $op was building version $version against parent " +
@@ -1016,22 +1030,31 @@ class Datastream(spark: SparkSession, warehouse: String) {
       retiredFiles.asScala.toSet[(String, String)].groupMap(_._1)(_._2)
     val writtenByTable: Map[String, Set[String]] =
       manifestTables.map(t => t -> writtenSoFar(t)).toMap
+    val adoptedByTable: Map[String, Set[String]] =
+      adoptedFiles.asScala.toSet[(String, String)].groupMap(_._1)(_._2)
     val snapshot: Map[String, Set[String]] = manifestTables.map { t =>
       val files =
         if (adoptAll) listFilesUnder(t)
         else {
           val base = prev.flatMap(_.tableFiles(t))
             .getOrElse(baseline.getOrElse(t, Set.empty))
-          (base -- retiredByTable.getOrElse(t, Set.empty)) ++ writtenByTable(t)
+          (base -- retiredByTable.getOrElse(t, Set.empty)) ++
+            writtenByTable(t) ++ adoptedByTable.getOrElse(t, Set.empty)
         }
       t -> files
     }.toMap
     // data-skipping stats: footers of THIS commit's files only; prior
-    // files carry their stats forward from the resolved parent
+    // files carry their stats forward from the resolved parent, re-added
+    // (adopted) files carry theirs from the snapshot that last referenced
+    // them — a footer read only for an adopted file with none recorded
     val statsAll: Map[(String, String), FileStats] =
       prev.map(_.stats).getOrElse(Map.empty) ++
         writtenByTable.toSeq.flatMap { case (t, fs) =>
           fs.flatMap(f => footerStats(t, f).map(((t, f), _)))
+        } ++
+        adoptedFiles.asScala.toSeq.flatMap { case (t, f) =>
+          (Option(adoptedStats.get((t, f))) orElse footerStats(t, f))
+            .map(((t, f), _))
         }
     // Delta vs full: deltas record only this commit's changes against the
     // resolved parent; a full manifest (checkpoint) every FullManifestEvery
@@ -1122,6 +1145,8 @@ class Datastream(spark: SparkSession, warehouse: String) {
     // cleared at start too — this keeps the idle state clean)
     scopeBefore.clear()
     retiredFiles.clear()
+    adoptedFiles.clear()
+    adoptedStats.clear()
     out
   }
 
@@ -2247,6 +2272,66 @@ class Datastream(spark: SparkSession, warehouse: String) {
           StructField("_commit_version", LongType, nullable = false),
           StructField("_commit_op", StringType, nullable = false))))
     } else slices.reduce(_.unionByName(_))
+  }
+
+  /** RESTORE the warehouse to committed snapshot `version` — Delta's
+    * `RESTORE TABLE ... VERSION AS OF`, by log manipulation ALONE: the new
+    * commit's file set per table is exactly the target snapshot's, so no
+    * data is copied or rewritten (rewrites only ever retire files
+    * logically, so the historical files are still on disk) and the verb
+    * costs O(file names in the two snapshots) regardless of table size.
+    * History is preserved — the pre-restore state remains a time-travel
+    * target and the restore appears in [[history]] as one more commit, so
+    * a mistaken restore is itself restorable. The registry travels with
+    * the data: the target manifest's recorded generation is re-published
+    * as a fresh generation (generations are immutable — re-pointing would
+    * alias two manifests to one mutable slot), rolling tags, watermarks
+    * and derive config back in the same commit.
+    *
+    * Fails loudly when: `version` is outside the retained window; a
+    * needed historical file was reclaimed by an aggressive
+    * `vacuumRaw(retainVersions=…)`; the target predates manifest coverage
+    * of a table that currently has data (its state at `version` is
+    * unknowable); or the target's registry generation was reclaimed out
+    * of band. Each failure aborts BEFORE the commit marker lands, so the
+    * warehouse is never left half-restored.
+    */
+  def restore(version: Long): Unit = {
+    val target = snapshotAt(version)
+    withCommit("restore") {
+      manifestTables.foreach { t =>
+        val targetFiles =
+          if (target.covered(t)) target.files.getOrElse(t, Set.empty)
+          else Set.empty[String]
+        if (!target.covered(t) && listFilesUnder(t).nonEmpty)
+          throw new IllegalStateException(
+            s"restore: snapshot $version does not cover table '$t' " +
+              "(pre-coverage legacy manifest) — the table's state at that " +
+              "version is unknowable; reprocess instead of restoring")
+        retireFiles(t, Seq(""))
+        if (targetFiles.nonEmpty) {
+          val missing = targetFiles -- listFilesUnder(t)
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"restore: ${missing.size} file(s) of snapshot $version's " +
+                s"table '$t' were reclaimed by an aggressive vacuum " +
+                s"(e.g. ${missing.head}) — the snapshot is no longer " +
+                "restorable; pick a newer version")
+          targetFiles.foreach { f =>
+            adoptedFiles.add((t, f))
+            target.stats.get((t, f)).foreach(adoptedStats.put((t, f), _))
+          }
+        }
+      }
+      parseManifest(version).registry.foreach { g =>
+        if (!exists(registryDir(g)))
+          throw new IllegalStateException(
+            s"restore: registry generation g$g for snapshot $version was " +
+              "reclaimed out of band — commit-log and streams_versions " +
+              "disagree")
+        swapRegistry(spark.read.parquet(registryDir(g)))
+      }
+    }
   }
 
   // ---- maintenance (§2.4, T1/T6) ------------------------------------------

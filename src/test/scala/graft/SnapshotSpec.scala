@@ -576,6 +576,47 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("restore: rolls data AND registry back to a snapshot by log " +
+      "manipulation alone; history preserved; restore is restorable") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a", Map("team" -> "alpha"))
+    ds.appendMultiple(dp(Seq(("a", "2024-01-01T00:00:00Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    val v1 = ds.currentVersion.get
+    // registry-only mutations never commit a manifest version, so they
+    // must land BEFORE the append whose manifest should record them
+    ds.ensureStream("b", Map("team" -> "beta"))
+    ds.updateTags(Map("team" -> "alpha"), Map("team" -> "gamma"))
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-02T00:00:00Z", 2.0),
+      ("b", "2024-01-02T00:00:30Z", 3.0))).select("stream_id", "ts", "value"))
+    val vPre = ds.currentVersion.get
+    ds.restore(v1)
+    // data exactly as of v1
+    assert(ds.rawDatapoints.select("value").as[Double].collect().toSeq
+      === Seq(1.0))
+    // registry rolled back with it: the rename undone, stream b gone
+    assert(ds.findStreams(Map("team" -> "alpha")).count() === 1L)
+    assert(ds.findStreams(Map("team" -> "gamma")).count() === 0L)
+    assert(ds.streams.where(col("stream_id") === "b").count() === 0L)
+    // the restore is one commit and the pre-restore state stays a
+    // time-travel target — a mistaken restore loses nothing
+    assert(ds.history.last._2 === "restore")
+    assert(ds.rawDatapointsAt(vPre).select("value").as[Double].collect()
+      .sorted.toSeq === Seq(1.0, 2.0, 3.0))
+    // ...and is itself restorable: forward to the pre-restore snapshot
+    ds.restore(vPre)
+    assert(ds.rawDatapoints.select("value").as[Double].collect()
+      .sorted.toSeq === Seq(1.0, 2.0, 3.0))
+    assert(ds.findStreams(Map("team" -> "gamma")).count() === 1L)
+    assert(ds.streams.where(col("stream_id") === "b").count() === 1L)
+    // a version outside the retained window fails loudly, nothing commits
+    val before = ds.history.length
+    intercept[IllegalArgumentException] { ds.restore(9999L) }
+    assert(ds.history.length === before)
+    ()
+  }
+
   test("z-order compaction: clustered files skip on BOTH the stream and " +
       "time dimensions; data bit-identical") {
     val (ds, _) = freshDs
