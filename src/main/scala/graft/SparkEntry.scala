@@ -213,6 +213,8 @@ object SparkEntry {
     "q_approx_percentiles" -> ((s, d) =>
       ext.Text.approxLengthPercentiles(Sources.documents(s, d))),
     "q_quality" -> Queries.quality _,
+    // Gopher rule-based keep/reject filter (seven rules, one projection)
+    "q_gopher_rules" -> Queries.gopherRules _,
     "q_repetition" -> Queries.repetition _,
     "q_token_drift" -> Queries.tokenDrift _,
     "q_image_dup" -> Queries.imageDup _,
@@ -372,6 +374,7 @@ object SparkEntry {
     "q_percentiles" -> Oracles.percentiles,
     "q_approx_percentiles" -> Oracles.approxPercentiles,
     "q_quality" -> Oracles.quality,
+    "q_gopher_rules" -> Oracles.gopherRules,
     "q_repetition" -> Oracles.repetition,
     "q_token_drift" -> Oracles.tokenDrift,
     "q_image_dup" -> Oracles.imageDup,
@@ -2792,6 +2795,18 @@ object Queries {
   def quality(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.quality(Sources.documents(spark, sfDir))
 
+  /** X4 Gopher rule-set filter: the paper's seven keep/reject rules as one
+    * narrow projection. Paper-default thresholds except the required
+    * stopword list, which is corpus-appropriate (`the`/`a` — the synthetic
+    * vocabulary carries no other function words), so the verdict actually
+    * splits the corpus: word count ∈ [50, 100k] rejects the short half,
+    * stopword presence rejects docs missing either marker. The oracle
+    * replays every signal AND every rule verdict per document.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Text.gopherRules(Sources.documents(spark, sfDir),
+      stopwords = Seq("the", "a"))
+
   /** X4 CCNet-slot LM quality scoring: an add-one-smoothed bigram model
     * learned from the `en` slice (the curated reference), every document
     * scored by its position-ordered inverse-probability fold. The oracle
@@ -5124,6 +5139,47 @@ SELECT doc_id,
     THEN 1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
     ELSE 0.0 END AS repetition_ratio
 FROM g"""
+
+  /** Gopher rule-set twin: every signal recomputed with the identical
+    * integer/IEEE arithmetic, every rule verdict and the conjunction
+    * replayed literally.
+    */
+  val gopherRules: String =
+    """WITH q AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w,
+    string_split(text, chr(10)) AS ln
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(length(text) - (len(w) - 1) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      / CAST(len(ln) AS DOUBLE) AS bullet_ratio,
+    CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+      / CAST(len(ln) AS DOUBLE) AS ellipsis_ratio,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS alpha_ratio,
+    CAST(CAST(list_contains(w, 'the') AS INT)
+      + CAST(list_contains(w, 'a') AS INT) AS BIGINT) AS n_stop_hits
+  FROM q)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+  ellipsis_ratio, alpha_ratio, n_stop_hits,
+  n_words >= 50 AND n_words <= 100000 AS ok_words,
+  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+  symbol_ratio < 0.1 AS ok_symbols,
+  bullet_ratio < 0.9 AS ok_bullets,
+  ellipsis_ratio < 0.3 AS ok_ellipsis,
+  alpha_ratio >= 0.8 AS ok_alpha,
+  n_stop_hits >= 2 AS ok_stopwords,
+  (n_words >= 50 AND n_words <= 100000)
+    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+    AND ellipsis_ratio < 0.3 AND alpha_ratio >= 0.8
+    AND n_stop_hits >= 2 AS keep
+FROM s"""
 
   /** Per-doc bigram mode share and dup fraction — replays the two-level
     * `(doc, gram)` count exactly; docs under 2 tokens emit no row.

@@ -200,6 +200,71 @@ object Text {
         .otherwise(lit(0.0)).as("repetition_ratio"))
   }
 
+  /** Gopher RULE-BASED quality filter (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1) — the classic pre-training keep/reject rule set as ONE
+    * codegen-friendly projection: per document, the seven signals the
+    * paper thresholds, each rule's verdict, and the overall `keep`.
+    * Thresholds (and the required-stopword list) are parameters carrying
+    * the paper's defaults: word count in [50, 100k]; mean word length in
+    * [3, 10]; symbol-to-word ratio (`#`/ellipsis) < 0.1; < 90% of lines
+    * bullet-started; < 30% of lines ellipsis-ended; ≥ 80% of words
+    * containing an alphabetic character; ≥ 2 of the required stopwords
+    * present. Word separator is the corpus's single-space tokenization
+    * (matching [[tokens]]); lines split on `\n`.
+    *
+    * 100 TB shape: a pure narrow map — no shuffle, no UDF, every signal a
+    * builtin expression, so the filter runs at scan speed and composes
+    * with any downstream selection (`.where(col("keep"))` reaches the
+    * parquet scan as a post-projection filter on the same pass).
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaRatio: Double = 0.8,
+                  minStopHits: Int = 2,
+                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with")): DataFrame = {
+    val bound = docs.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("w"), split(col(textCol), "\n").as("ln"))
+    val nWords = size(col("w")).cast("long")
+    val nLines = size(col("ln")).cast("long")
+    // Σ word length = chars minus the single-space separators — exact,
+    // and the oracle replays the identical integer arithmetic
+    val meanLen = (length(col(textCol)) - (size(col("w")) - 1))
+      .cast("double") / nWords.cast("double")
+    val symbolRatio = regexp_count(col(textCol), lit("#|\\.\\.\\.|…"))
+      .cast("double") / nWords.cast("double")
+    val bulletRatio = size(filter(col("ln"),
+      l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines.cast("double")
+    val ellipsisRatio = size(filter(col("ln"),
+      l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines.cast("double")
+    val alphaRatio = size(filter(col("w"),
+      w => w.rlike("[A-Za-z]"))).cast("double") / nWords.cast("double")
+    val stopHits = stopwords.map(s =>
+      when(array_contains(col("w"), s), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    bound.select(col(idCol),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+      stopHits.as("n_stop_hits"),
+      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
+      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("ok_mean_len"),
+      (symbolRatio < maxSymbolRatio).as("ok_symbols"),
+      (bulletRatio < maxBulletRatio).as("ok_bullets"),
+      (ellipsisRatio < maxEllipsisRatio).as("ok_ellipsis"),
+      (alphaRatio >= minAlphaRatio).as("ok_alpha"),
+      (stopHits >= minStopHits).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
+
   /** Gopher-style within-doc repetition signals (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1): per
     * doc, the fraction of word `n`-grams that are repeats of an earlier

@@ -16,6 +16,38 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  test("gopherRules: each of the seven rules rejects its crafted violator " +
+      "and passes the clean doc") {
+    val good = ("the report covers " + Seq.tabulate(47)(i => s"item$i")
+      .mkString(" ")) + " a summary"                       // 51 words, has the+a
+    val df = docsDF(Seq(
+      (1L, good, "en"),
+      (2L, "the a short doc", "en"),                       // too few words
+      (3L, ("the a " + "x" * 600).trim, "en"),             // mean word len > 10
+      (4L, "the a " + Seq.fill(49)("#w...").mkString(" "), "en"), // symbols
+      (5L, "the a intro\n" + Seq.fill(50)("- bullet line").mkString("\n"), "en"),
+      (6L, "the a head\n" + Seq.fill(49)("trailing line...").mkString("\n"), "en"),
+      (7L, "the a " + Seq.fill(49)("1234").mkString(" "), "en"),  // non-alpha
+      (8L, good.replace("the ", "zz ").replace(" a ", " zz "), "en"))) // no stops
+    val out = Text.gopherRules(df, stopwords = Seq("the", "a"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq
+      === Seq(true, false, false, false, false, false, false, false))
+    def failedRule(i: Int, rule: String) =
+      assert(!out(i).getAs[Boolean](rule), s"doc ${i + 1} should fail $rule")
+    failedRule(1, "ok_words")
+    failedRule(2, "ok_mean_len")
+    failedRule(3, "ok_symbols")
+    failedRule(4, "ok_bullets")
+    failedRule(5, "ok_ellipsis")
+    failedRule(6, "ok_alpha")
+    failedRule(7, "ok_stopwords")
+    // the keep verdict composes with a scan-level filter: same survivors
+    assert(Text.gopherRules(df, stopwords = Seq("the", "a"))
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
   test("scrub redacts all three PII classes and counts them sequentially") {
     val df = docsDF(Seq(
       (1L, "mail a.b+c@ex.co and b@sub.domain.org ip 10.0.0.1 tel +38611223344", "en"),
