@@ -59,6 +59,8 @@ object SparkEntry {
     // RESTORE VERSION AS OF: data + registry roll back by log manipulation
     // alone; the pre-restore state stays a time-travel target
     "q_restore" -> Queries.restoreGate _,
+    // incremental rollup consumer: newly finalized buckets only
+    "q_rollup_changefeed" -> Queries.rollupChangefeed _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
@@ -256,6 +258,7 @@ object SparkEntry {
     "q_history" -> Oracles.historyLedger,
     "q_changefeed" -> Oracles.changefeed,
     "q_restore" -> Oracles.restoreGate,
+    "q_rollup_changefeed" -> Oracles.rollupChangefeed,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
@@ -574,6 +577,38 @@ object Queries {
     // the downsample's watermark advance to g3; compact leaves the
     // registry untouched (g3 again) — pinned literally by the oracle
     ds.history.toDF("version", "op", "registry_gen")
+  }
+
+  /** ROLLUP CHANGEFEED on the gate: the incremental dashboard consumer.
+    * Slice A lands and is downsampled to a mid-January watermark; the
+    * cursor is captured; slice B lands and maintenance advances to
+    * February. The feed from the cursor must surface EXACTLY the hour
+    * buckets the second maintenance pass finalized — bucket_start ≥ the
+    * first watermark — with exact decimal partials, attributed to the one
+    * downsample commit, having read only that commit's files. The oracle
+    * recomputes those buckets straight from events.
+    */
+  def rollupChangefeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-rcf")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id") === 7 && col("event_type") === "click")
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    ds.downsampleStreams(ts("2024-01-10T00:00:00Z"))
+    val cursor = ds.currentVersion.get
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.readRollupChanges(Granularity.Hours, cursor)
+      .select(
+        (col("_commit_version") - lit(cursor)).as("commit_delta"),
+        col("_commit_op").as("op"),
+        col("stream_id"), col("bucket_start"), col("cnt"),
+        col("vsum").cast("double").as("vsum"),
+        col("vmin"), col("vmax"), col("tfirst"), col("tlast"))
   }
 
   /** RESTORE on the gate: slice A lands and its version is captured; a
@@ -3336,6 +3371,26 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
   (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
   (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
+
+  /** Rollup-changefeed twin: hour buckets of the full stream with
+    * bucket_start at or past the first watermark — exactly what the
+    * second maintenance pass finalized — with the same decimal partials
+    * as every downsample oracle; commit_delta 2 (append between the
+    * cursor and the downsample) and the op pinned literally.
+    */
+  val rollupChangefeed: String =
+    """WITH part AS (
+  SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS bucket_start,
+    count(*) AS cnt,
+    sum(CAST(value AS DECIMAL(38,10))) AS vsum,
+    min(value) AS vmin, max(value) AS vmax,
+    min(ts) AS tfirst, max(ts) AS tlast
+  FROM events WHERE user_id = 7 AND event_type = 'click'
+  GROUP BY 1)
+SELECT CAST(2 AS BIGINT) AS commit_delta, 'downsample' AS op,
+  '7:click' AS stream_id, bucket_start, cnt,
+  CAST(vsum AS DOUBLE) AS vsum, vmin, vmax, tfirst, tlast
+FROM part WHERE bucket_start >= TIMESTAMP '2024-01-10 00:00:00'"""
 
   /** Restore twin: `restored` is slice A per stream (plus the alpha tag
     * back), `forward` the full range (beta tag back). Registry probes ride

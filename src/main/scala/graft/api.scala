@@ -2210,7 +2210,31 @@ class Datastream(spark: SparkSession, warehouse: String) {
     * skipping the gap, mirroring the [[snapshotAt]] contract.
     */
   def readChanges(sinceVersion: Long, toVersion: Option[Long] = None,
-                  skipChangeCommits: Boolean = false): DataFrame = {
+                  skipChangeCommits: Boolean = false): DataFrame =
+    changesOver(
+      Map("raw" -> Schemas.rawDatapointsPartitioned,
+        "derived" -> Schemas.rawDatapoints),
+      Schemas.rawDatapoints, sinceVersion, toVersion, skipChangeCommits)
+
+  /** [[readChanges]] for ONE rollup granularity — the incremental consumer
+    * of the downsample cascade (dashboard cache, alerting tier): buckets
+    * the maintenance commits in `(sinceVersion, toVersion]` finalized,
+    * read from exactly the files those commits added. The cascade is
+    * append-once (complete buckets only, no retraction — T1/T2), so
+    * every maintenance commit is a clean insert-only change; rollup
+    * rewrites (compaction) follow the same skip/fail contract.
+    */
+  def readRollupChanges(g: Granularity, sinceVersion: Long,
+                        toVersion: Option[Long] = None,
+                        skipChangeCommits: Boolean = false): DataFrame =
+    changesOver(
+      Map(s"rollup/granularity=${g.name}" -> Schemas.downsampledPartitioned),
+      Schemas.downsampled, sinceVersion, toVersion, skipChangeCommits)
+
+  private def changesOver(tables: Map[String, org.apache.spark.sql.types.StructType],
+                          outSchema: org.apache.spark.sql.types.StructType,
+                          sinceVersion: Long, toVersion: Option[Long],
+                          skipChangeCommits: Boolean): DataFrame = {
     val vs = committedVersions
     val hi = toVersion.orElse(vs.lastOption).getOrElse(
       throw new IllegalArgumentException(
@@ -2227,10 +2251,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
     if (sinceVersion > hi)
       throw new IllegalArgumentException(
         s"changefeed: sinceVersion $sinceVersion is past toVersion $hi")
-    val factSchemas = Map(
-      "raw" -> Schemas.rawDatapointsPartitioned,
-      "derived" -> Schemas.rawDatapoints)
-    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+    val cols = outSchema.fieldNames.toSeq.map(col)
     def opOf(v: Long): String = {
       val f = f"$commitLogPath/$v%09d.commit"
       if (!io.exists(f)) "unknown"
@@ -2239,25 +2260,26 @@ class Datastream(spark: SparkSession, warehouse: String) {
     }
     val slices = vs.filter(v => v > sinceVersion && v <= hi).flatMap { v =>
       val m = parseManifest(v)
-      val factRemoves = m.removes.filter { case (t, _) => factSchemas.contains(t) }
-      val factAdds = m.adds.filter { case (t, _, _) => factSchemas.contains(t) }
-      if (factRemoves.nonEmpty) {
+      val removes = m.removes.filter { case (t, _) => tables.contains(t) }
+      val adds = m.adds.filter { case (t, _, _) => tables.contains(t) }
+      if (removes.nonEmpty) {
         if (skipChangeCommits) Seq.empty
         else throw new IllegalStateException(
-          s"changefeed: version $v (op '${opOf(v)}') retires fact-table " +
-            "files — a rewrite has no row-level change encoding in the " +
-            "commit log; pass skipChangeCommits=true to skip rewrite " +
-            "commits (exact for row-preserving maintenance like compaction " +
-            "and z-order; row deletions will NOT be surfaced)")
+          s"changefeed: version $v (op '${opOf(v)}') retires files of " +
+            s"${removes.map(_._1).distinct.mkString(", ")} — a rewrite " +
+            "has no row-level change encoding in the commit log; pass " +
+            "skipChangeCommits=true to skip rewrite commits (exact for " +
+            "row-preserving maintenance like compaction and z-order; row " +
+            "deletions will NOT be surfaced)")
       } else {
         val op = opOf(v)
-        factAdds.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, adds) =>
+        adds.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, tAdds) =>
           // a synthetic one-commit snapshot: exactly the files this commit
           // added to `t`, with their manifest stats so the read keeps the
           // zero-listing FileIndex path and data skipping
-          val snap = Snapshot(v, Set(t), Map(t -> adds.map(_._2).toSet),
-            adds.collect { case (_, rel, Some(st)) => ((t, rel), st) }.toMap)
-          tableReadFrom(Some(snap), t, factSchemas(t), pinned = true).get
+          val snap = Snapshot(v, Set(t), Map(t -> tAdds.map(_._2).toSet),
+            tAdds.collect { case (_, rel, Some(st)) => ((t, rel), st) }.toMap)
+          tableReadFrom(Some(snap), t, tables(t), pinned = true).get
             .select(cols: _*)
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_op", lit(op))
@@ -2268,7 +2290,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Schemas.rawDatapoints.fields ++ Seq(
+        StructType(outSchema.fields ++ Seq(
           StructField("_commit_version", LongType, nullable = false),
           StructField("_commit_op", StringType, nullable = false))))
     } else slices.reduce(_.unionByName(_))

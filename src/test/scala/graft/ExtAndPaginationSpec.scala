@@ -20,6 +20,7 @@ class ExtAndPaginationSpec extends SparkSpec {
       "tfidf" -> ext.Text.tfIdfTopTerms(docs),
       "topngrams" -> ext.Text.topNgrams(docs),
       "quality" -> ext.Text.quality(docs),
+      "gopher_rules" -> ext.Text.gopherRules(docs),
       "sample_weight" -> ext.Text.sampleByWeight(docs,
         org.apache.spark.sql.functions.lit(0.5)),
       "split" -> ext.Text.splitAssign(docs),

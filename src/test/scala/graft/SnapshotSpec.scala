@@ -576,6 +576,30 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("rollup changefeed: maintenance commits surface newly finalized " +
+      "buckets only; append-only raw feed stays empty over the same range") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a")
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0),
+      ("a", "2024-01-01T00:01:10Z", 2.0),
+      ("a", "2024-01-01T00:02:10Z", 3.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-01T00:01:00Z")) // finalizes bucket :00
+    val cursor = ds.currentVersion.get
+    ds.downsampleStreams(ts("2024-01-01T00:03:00Z")) // finalizes :01, :02
+    val ch = ds.readRollupChanges(Granularity.Minutes, cursor)
+    assert(ch.select("bucket_start").collect()
+      .map(_.getTimestamp(0).toInstant.toString).sorted.toSeq
+      === Seq("2024-01-01T00:01:00Z", "2024-01-01T00:02:00Z"))
+    assert(ch.select("_commit_op").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("downsample"))
+    // no fact files landed in the range: the raw feed over it is empty
+    assert(ds.readChanges(cursor).count() === 0L)
+    // replay from 0 serves the whole minutes rollup, both commits
+    assert(ds.readRollupChanges(Granularity.Minutes, 0L).count() === 3L)
+    ()
+  }
+
   test("restore: rolls data AND registry back to a snapshot by log " +
       "manipulation alone; history preserved; restore is restorable") {
     val (ds, _) = freshDs
