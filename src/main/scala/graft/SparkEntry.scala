@@ -169,6 +169,8 @@ object SparkEntry {
     "q_corpus_pipeline5" -> Queries.corpusPipeline5 _,
     "q_corpus_pipeline6" -> Queries.corpusPipeline6 _,
     "q_corpus_pipeline7" -> Queries.corpusPipeline7 _,
+    // FineWeb prefilter: Gopher rules → normalized dedup → lang report
+    "q_corpus_pipeline8" -> Queries.corpusPipeline8 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -341,6 +343,7 @@ object SparkEntry {
     "q_corpus_pipeline5" -> Oracles.corpusPipeline5,
     "q_corpus_pipeline6" -> Oracles.corpusPipeline6,
     "q_corpus_pipeline7" -> Oracles.corpusPipeline7,
+    "q_corpus_pipeline8" -> Oracles.corpusPipeline8,
     "q_embedding_norms" -> Oracles.embeddingNorms,
     "q_semdedup" -> Oracles.semDedup,
     "q_semdedup_recall" -> Oracles.semDedupRecall,
@@ -2282,6 +2285,28 @@ object Queries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** X4+X1 composed pipeline 8 — the FineWeb prefilter shape: the Gopher
+    * rule filter (scan-level `keep`, no self-join), survivors
+    * exact-deduped on NORMALIZED text (keep-lowest-id via left-semi),
+    * then the per-lang doc/token report. The oracle replays rules →
+    * normalization → group rule → report in one SQL chain, so a drifted
+    * threshold, a dropped rule, or a dedup that consults pre-filter docs
+    * all break the hash.
+    */
+  def corpusPipeline8(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val kept = ext.Text.withGopherKeep(docs, stopwords = Seq("the", "a"))
+      .where(col("keep"))
+    val keepIds = kept
+      .groupBy(md5(ext.Dedup.normalized(col("text"))).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    val deduped = kept.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+    deduped.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
   }
 
   /** X3+ continuous-ingest SemDeDup against the PERSISTED IVF index: the
@@ -5603,6 +5628,40 @@ SELECT lang, count(*) AS n_docs,
   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_sum
 FROM h WHERE CAST(hh AS DOUBLE) < w * 1000.0
 GROUP BY lang"""
+
+  /** Pipeline-8 twin: the Gopher rule conjunction as a WHERE, the C4
+    * normalization + keep-lowest-id rule over the SURVIVORS only, then
+    * the per-lang report — the FineWeb prefilter replayed end to end.
+    */
+  val corpusPipeline8: String =
+    """WITH q AS (
+  SELECT doc_id, text, lang, string_split(text, ' ') AS w,
+    string_split(text, chr(10)) AS ln
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, lang, w FROM q
+  WHERE len(w) >= 50 AND len(w) <= 100000
+    AND CAST(length(text) - (len(w) - 1) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) >= 3.0
+    AND CAST(length(text) - (len(w) - 1) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) <= 10.0
+    AND CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) < 0.1
+    AND CAST(len(list_filter(ln, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+      / CAST(len(ln) AS DOUBLE) < 0.9
+    AND CAST(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+      / CAST(len(ln) AS DOUBLE) < 0.3
+    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) >= 0.8
+    AND (CAST(list_contains(w, 'the') AS INT)
+      + CAST(list_contains(w, 'a') AS INT)) >= 2),
+keeper AS (
+  SELECT min(doc_id) AS doc_id FROM kept
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+    '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))))
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM kept JOIN keeper USING (doc_id) GROUP BY lang"""
 
   /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
     * rule and the per-lang integer aggregate — one SQL statement replays

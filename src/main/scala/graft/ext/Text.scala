@@ -226,43 +226,92 @@ object Text {
                   maxEllipsisRatio: Double = 0.3,
                   minAlphaRatio: Double = 0.8,
                   minStopHits: Int = 2,
-                  stopwords: Seq[String] = Seq("the", "be", "to", "of",
-                    "and", "that", "have", "with")): DataFrame = {
-    val bound = docs.select(col(idCol), col(textCol),
-      split(col(textCol), " ").as("w"), split(col(textCol), "\n").as("ln"))
-    val nWords = size(col("w")).cast("long")
-    val nLines = size(col("ln")).cast("long")
+                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val sig = gopherSignals(col(textCol), col("w"), col("ln"),
+      minWords, maxWords, minMeanLen, maxMeanLen, maxSymbolRatio,
+      maxBulletRatio, maxEllipsisRatio, minAlphaRatio, minStopHits,
+      stopwords)
+    docs.select(col(idCol), col(textCol),
+        split(col(textCol), " ").as("w"), split(col(textCol), "\n").as("ln"))
+      .select(col(idCol) +: sig.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** [[gopherRules]] as an APPENDING variant: the input columns plus the
+    * `keep` verdict — the composable form a pipeline filters on with no
+    * self-join (the [[withRepetitionSignals]] precedent; a join back on
+    * doc_id would shuffle the whole corpus at 100 TB for a value the scan
+    * can compute in place).
+    */
+  def withGopherKeep(docs: DataFrame, textCol: String = "text",
+                     minWords: Long = 50L, maxWords: Long = 100000L,
+                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                     maxSymbolRatio: Double = 0.1,
+                     maxBulletRatio: Double = 0.9,
+                     maxEllipsisRatio: Double = 0.3,
+                     minAlphaRatio: Double = 0.8,
+                     minStopHits: Int = 2,
+                     stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val sig = gopherSignals(col(textCol), col("_gw"), col("_gl"),
+      minWords, maxWords, minMeanLen, maxMeanLen, maxSymbolRatio,
+      maxBulletRatio, maxEllipsisRatio, minAlphaRatio, minStopHits,
+      stopwords).toMap
+    docs.withColumn("_gw", split(col(textCol), " "))
+      .withColumn("_gl", split(col(textCol), "\n"))
+      .withColumn("keep", sig("keep"))
+      .drop("_gw", "_gl")
+  }
+
+  /** Gopher §A1.1's required-stopword list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The shared signal/verdict expressions over a BOUND text column and
+    * its pre-split word (`w`) and line (`ln`) arrays (bound once for the
+    * same no-CSE reason as [[quality]]). Ordered: 8 signals, 7 per-rule
+    * verdicts, the conjunction.
+    */
+  private def gopherSignals(text: Column, w: Column, ln: Column,
+                            minWords: Long, maxWords: Long,
+                            minMeanLen: Double, maxMeanLen: Double,
+                            maxSymbolRatio: Double, maxBulletRatio: Double,
+                            maxEllipsisRatio: Double, minAlphaRatio: Double,
+                            minStopHits: Int,
+                            stopwords: Seq[String]): Seq[(String, Column)] = {
+    val nWords = size(w).cast("long")
+    val nLines = size(ln).cast("long")
     // Σ word length = chars minus the single-space separators — exact,
     // and the oracle replays the identical integer arithmetic
-    val meanLen = (length(col(textCol)) - (size(col("w")) - 1))
+    val meanLen = (length(text) - (size(w) - 1))
       .cast("double") / nWords.cast("double")
-    val symbolRatio = regexp_count(col(textCol), lit("#|\\.\\.\\.|…"))
+    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.|…"))
       .cast("double") / nWords.cast("double")
-    val bulletRatio = size(filter(col("ln"),
+    val bulletRatio = size(filter(ln,
       l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines.cast("double")
-    val ellipsisRatio = size(filter(col("ln"),
+    val ellipsisRatio = size(filter(ln,
       l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines.cast("double")
-    val alphaRatio = size(filter(col("w"),
-      w => w.rlike("[A-Za-z]"))).cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(w,
+      x => x.rlike("[A-Za-z]"))).cast("double") / nWords.cast("double")
     val stopHits = stopwords.map(s =>
-      when(array_contains(col("w"), s), 1).otherwise(0))
+      when(array_contains(w, s), 1).otherwise(0))
       .reduce(_ + _).cast("long")
-    bound.select(col(idCol),
-      nWords.as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
-      stopHits.as("n_stop_hits"),
-      (nWords >= minWords && nWords <= maxWords).as("ok_words"),
-      (meanLen >= minMeanLen && meanLen <= maxMeanLen).as("ok_mean_len"),
-      (symbolRatio < maxSymbolRatio).as("ok_symbols"),
-      (bulletRatio < maxBulletRatio).as("ok_bullets"),
-      (ellipsisRatio < maxEllipsisRatio).as("ok_ellipsis"),
-      (alphaRatio >= minAlphaRatio).as("ok_alpha"),
-      (stopHits >= minStopHits).as("ok_stopwords"))
-      .withColumn("keep",
-        col("ok_words") && col("ok_mean_len") && col("ok_symbols") &&
-          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
-          col("ok_stopwords"))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val okSymbols = symbolRatio < maxSymbolRatio
+    val okBullets = bulletRatio < maxBulletRatio
+    val okEllipsis = ellipsisRatio < maxEllipsisRatio
+    val okAlpha = alphaRatio >= minAlphaRatio
+    val okStops = stopHits >= minStopHits
+    Seq(
+      "n_words" -> nWords, "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio, "bullet_ratio" -> bulletRatio,
+      "ellipsis_ratio" -> ellipsisRatio, "alpha_ratio" -> alphaRatio,
+      "n_stop_hits" -> stopHits,
+      "ok_words" -> okWords, "ok_mean_len" -> okMeanLen,
+      "ok_symbols" -> okSymbols, "ok_bullets" -> okBullets,
+      "ok_ellipsis" -> okEllipsis, "ok_alpha" -> okAlpha,
+      "ok_stopwords" -> okStops,
+      "keep" -> (okWords && okMeanLen && okSymbols && okBullets &&
+        okEllipsis && okAlpha && okStops))
   }
 
   /** Gopher-style within-doc repetition signals (Rae et al. 2021,

@@ -46,6 +46,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Text.gopherRules(df, stopwords = Seq("the", "a"))
       .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSeq
       === Seq(1L))
+    // the appending variant keeps the input columns and agrees verdict
+    // for verdict with the projection form
+    val appended = Text.withGopherKeep(df, stopwords = Seq("the", "a"))
+    assert(appended.columns.toSeq === Seq("doc_id", "text", "lang", "keep"))
+    assert(appended.orderBy("doc_id").select("keep").collect()
+      .map(_.getBoolean(0)).toSeq
+      === out.map(_.getAs[Boolean]("keep")).toSeq)
   }
 
   test("scrub redacts all three PII classes and counts them sequentially") {
