@@ -87,6 +87,8 @@ object SparkEntry {
     "q_streaming_filter" -> Queries.streamingFilter _,
     "q_streaming_lm" -> Queries.streamingLm _,
     "q_streaming_classifier" -> Queries.streamingClassifier _,
+    // stateless rule filter on the stream: batch projection per micro-batch
+    "q_streaming_gopher" -> Queries.streamingGopher _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -280,6 +282,7 @@ object SparkEntry {
     "q_streaming_filter" -> Oracles.streamingFilter,
     "q_streaming_lm" -> Oracles.streamingLm,
     "q_streaming_classifier" -> Oracles.streamingClassifier,
+    "q_streaming_gopher" -> Oracles.streamingGopher,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -1594,6 +1597,34 @@ object Queries {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = Streaming.filterIngestClassifier(src, classes,
         s"$dir/out", s"$dir/ckpt", keep = "en")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** The Gopher rule filter's streaming arm: two wholesale deliveries of
+    * the corpus stream through the stateless rule projection under
+    * `AvailableNow`; only rule-passing docs land, so the sink holds the
+    * kept slice TWICE — the oracle replays the rule conjunction and
+    * doubles the per-lang aggregates (the exactly-once-per-delivery
+    * contract every streaming gate here pins).
+    */
+  def streamingGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dir = tempDir("graft-sgoph")
+    val srcDir = tempDir("graft-sgoph-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.filterIngestGopher(src, s"$dir/out", s"$dir/ckpt",
+        stopwords = Seq("the", "a"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -5629,11 +5660,10 @@ SELECT lang, count(*) AS n_docs,
 FROM h WHERE CAST(hh AS DOUBLE) < w * 1000.0
 GROUP BY lang"""
 
-  /** Pipeline-8 twin: the Gopher rule conjunction as a WHERE, the C4
-    * normalization + keep-lowest-id rule over the SURVIVORS only, then
-    * the per-lang report — the FineWeb prefilter replayed end to end.
+  /** The Gopher-kept slice (gate thresholds: paper defaults, `the`/`a`
+    * stop list) — shared by the pipeline-8 and streaming-gopher twins.
     */
-  val corpusPipeline8: String =
+  private val gopherKeptCtes: String =
     """WITH q AS (
   SELECT doc_id, text, lang, string_split(text, ' ') AS w,
     string_split(text, chr(10)) AS ln
@@ -5654,7 +5684,13 @@ kept AS (
     AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
       / CAST(len(w) AS DOUBLE) >= 0.8
     AND (CAST(list_contains(w, 'the') AS INT)
-      + CAST(list_contains(w, 'a') AS INT)) >= 2),
+      + CAST(list_contains(w, 'a') AS INT)) >= 2)"""
+
+  /** Pipeline-8 twin: the Gopher rule conjunction as a WHERE, the C4
+    * normalization + keep-lowest-id rule over the SURVIVORS only, then
+    * the per-lang report — the FineWeb prefilter replayed end to end.
+    */
+  val corpusPipeline8: String = gopherKeptCtes + """,
 keeper AS (
   SELECT min(doc_id) AS doc_id FROM kept
   GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -5662,6 +5698,14 @@ keeper AS (
 SELECT lang, count(*) AS n_docs,
   CAST(sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens_sum
 FROM kept JOIN keeper USING (doc_id) GROUP BY lang"""
+
+  /** Streaming-gopher twin: the kept slice's per-lang aggregates doubled
+    * — two deliveries land twice in the append sink.
+    */
+  val streamingGopher: String = gopherKeptCtes + """
+SELECT lang, CAST(2 * count(*) AS BIGINT) AS n_docs,
+  CAST(2 * sum(CAST(len(w) AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM kept GROUP BY lang"""
 
   /** Pipeline-5 twin: the full LM replay chained into the dedup keeper
     * rule and the per-lang integer aggregate — one SQL statement replays

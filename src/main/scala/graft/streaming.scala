@@ -500,6 +500,26 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Gopher-rule-filtered streaming ingest — the rule set is stateless
+    * (pure per-row expressions, no learned artifact at all), so the
+    * stream arm IS the batch projection applied per micro-batch: no
+    * watermark, no state store, no broadcast; only documents passing
+    * every rule land. The cheapest filter in the chain, which is why
+    * real pipelines run it FIRST, before any model-scored stage.
+    */
+  def filterIngestGopher(docs: DataFrame, outPath: String,
+                         checkpoint: String,
+                         stopwords: Seq[String] = ext.Text.GopherStopwords,
+                         textCol: String = "text") =
+    ext.Text.withGopherKeep(docs, textCol, stopwords = stopwords)
+      .where(col("keep"))
+      .drop("keep")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** Trained-classifier-filtered streaming ingest — the deployment shape
     * of the crawl-vs-curated filter (GPT-3's WebText-like classifier in
     * front of the raw crawl): the class-conditional unigram models are
