@@ -61,6 +61,9 @@ object SparkEntry {
     "q_restore" -> Queries.restoreGate _,
     // incremental rollup consumer: newly finalized buckets only
     "q_rollup_changefeed" -> Queries.rollupChangefeed _,
+    // exactly-once cross-warehouse replication (idempotent batch appends
+    // keyed by source commit version; cursor lives in the destination)
+    "q_replication" -> Queries.replication _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
@@ -263,6 +266,7 @@ object SparkEntry {
     "q_changefeed" -> Oracles.changefeed,
     "q_restore" -> Oracles.restoreGate,
     "q_rollup_changefeed" -> Oracles.rollupChangefeed,
+    "q_replication" -> Oracles.replication,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
@@ -583,6 +587,48 @@ object Queries {
     // the downsample's watermark advance to g3; compact leaves the
     // registry untouched (g3 again) — pinned literally by the oracle
     ds.history.toDF("version", "op", "registry_gen")
+  }
+
+  /** REPLICATION on the gate: slice A lands in the source and is
+    * replicated to a second warehouse; slice B and a compaction land; the
+    * second replicate run must apply exactly the one new append commit
+    * (the compaction skipped as row-preserving), and the REPLICA's
+    * per-stream stats — served from its own committed snapshot — must
+    * equal the full source recomputed from events. The `applied_*` probe
+    * rows pin the exactly-once accounting, including the converged third
+    * run applying nothing.
+    */
+  def replication(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = new Datastream(spark, tempDir("graft-repl-src"))
+    val dst = new Datastream(spark, tempDir("graft-repl-dst"))
+    src.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    src.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    src.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val r1 = src.replicateTo(dst)
+    src.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    src.compact()
+    val r2 = src.replicateTo(dst)
+    val r3 = src.replicateTo(dst)
+    def stats(df: DataFrame, phase: String) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    def probe(label: String, n: Long) =
+      Seq((label, "-", n, 0.0)).toDF("phase", "stream_id", "n_rows", "value_sum")
+    stats(dst.rawDatapoints, "replica")
+      .unionByName(probe("applied_1", r1))
+      .unionByName(probe("applied_2", r2))
+      .unionByName(probe("applied_3", r3))
   }
 
   /** ROLLUP CHANGEFEED on the gate: the incremental dashboard consumer.
@@ -3427,6 +3473,25 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
   (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
   (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
+
+  /** Replication twin: the replica equals the full source (both slices,
+    * both streams, recomputed from events); the applied counts are
+    * pinned literals — 1 (slice A), 1 (slice B applied, compaction
+    * skipped), 0 (converged).
+    */
+  val replication: String =
+    """SELECT 'replica' AS phase, '7:click' AS stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM events WHERE user_id = 7 AND event_type = 'click'
+UNION ALL
+SELECT 'replica', '3:view', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 3 AND event_type = 'view'
+UNION ALL
+SELECT * FROM (VALUES
+  ('applied_1', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('applied_2', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('applied_3', '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) AS r(a, b, c, d)"""
 
   /** Rollup-changefeed twin: hour buckets of the full stream with
     * bucket_start at or past the first watermark — exactly what the

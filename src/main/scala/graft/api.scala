@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * dependency check, and the `downsampled_until` incremental-maintenance
   * watermark (only buckets wholly ≤ `until` are finalized, exactly once).
   */
-class Datastream(spark: SparkSession, warehouse: String) {
+class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
   import spark.implicits._
 
   // Write timestamps as INT64 TIMESTAMP_MICROS, not Spark's
@@ -1754,17 +1754,29 @@ class Datastream(spark: SparkSession, warehouse: String) {
     def markerIds = io.childNames(warehouse)
       .filter(_.startsWith("ingest_batch_hwm.v"))
       .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
-    val legacy =
-      if (io.exists(hwmBase)) io.readString(hwmBase).trim.toLongOption
-      else None
-    val last = (markerIds ++ legacy).foldLeft(-1L)(math.max)
-    if (batchId <= last) return
+    if (batchId <= ingestHighWatermark) return
     appendMultiple(batch, checkTimestamp = false)
     io.writeString(s"$hwmBase.v$batchId", batchId.toString)
     markerIds.filter(_ < batchId)
       .foreach(v => io.deleteFile(s"$hwmBase.v$v"))
-    if (legacy.nonEmpty) io.deleteFile(hwmBase)
+    if (io.exists(hwmBase)) io.deleteFile(hwmBase)
     ()
+  }
+
+  /** The idempotent-ingest high-watermark [[appendBatch]] enforces: the
+    * max recorded batch id, −1 when none. [[replicateTo]] reads the
+    * DESTINATION's watermark to know which source commits were already
+    * applied — the cursor lives with the data it guards.
+    */
+  private[graft] def ingestHighWatermark: Long = {
+    val hwmBase = s"$warehouse/ingest_batch_hwm"
+    val markerIds = io.childNames(warehouse)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+    val legacy =
+      if (io.exists(hwmBase)) io.readString(hwmBase).trim.toLongOption
+      else None
+    (markerIds ++ legacy).foldLeft(-1L)(math.max)
   }
 
   /** Every datapoint the engine serves: the appended fact table plus the
@@ -2252,12 +2264,7 @@ class Datastream(spark: SparkSession, warehouse: String) {
       throw new IllegalArgumentException(
         s"changefeed: sinceVersion $sinceVersion is past toVersion $hi")
     val cols = outSchema.fieldNames.toSeq.map(col)
-    def opOf(v: Long): String = {
-      val f = f"$commitLogPath/$v%09d.commit"
-      if (!io.exists(f)) "unknown"
-      else "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(io.readString(f))
-        .map(_.group(1)).getOrElse("unknown")
-    }
+    def opOf(v: Long): String = commitOpOf(v)
     val slices = vs.filter(v => v > sinceVersion && v <= hi).flatMap { v =>
       val m = parseManifest(v)
       val removes = m.removes.filter { case (t, _) => tables.contains(t) }
@@ -2294,6 +2301,82 @@ class Datastream(spark: SparkSession, warehouse: String) {
           StructField("_commit_version", LongType, nullable = false),
           StructField("_commit_op", StringType, nullable = false))))
     } else slices.reduce(_.unionByName(_))
+  }
+
+  /** EXACTLY-ONCE incremental replication of the RAW fact table into
+    * `dest` — the changefeed's canonical consumer (DR copy, region
+    * fan-out, prod→dev seed): every source commit above the DESTINATION's
+    * ingest high-watermark that appended raw files is applied to `dest`
+    * as one idempotent [[appendBatch]] whose batch id IS the source
+    * commit version. The cursor therefore lives in dest with the data it
+    * guards — no separate cursor file to lose — and re-running after any
+    * crash converges: an already-applied version is skipped by the id
+    * check, an unapplied one re-reads exactly that commit's files
+    * (O(new data), never a source scan; the same synthetic one-commit
+    * snapshot reads the changefeed uses).
+    *
+    * Streams missing in dest are batch-ensured from the source registry
+    * first (idempotent; dest rebuilds its own bounds as data lands).
+    * Derived and rollup tables are NOT copied — a replica runs its own
+    * maintenance — so replication cost stays proportional to new raw
+    * data. Raw-REWRITING commits: `compact` (row-preserving by the
+    * compaction/z-order contract) is skipped silently; any other
+    * raw-retiring commit (delete purge, reprocess, restore) fails the
+    * run loudly unless `skipChangeCommits = true`, which skips it and
+    * makes the replica an INSERT-ONLY follower (deletes do not
+    * propagate) — Delta's `skipChangeCommits` trade, stated.
+    *
+    * Returns the number of source commits applied this run.
+    */
+  def replicateTo(dest: Datastream,
+                  skipChangeCommits: Boolean = false): Long = {
+    require(dest.warehouse != warehouse,
+      "replicateTo: destination is this warehouse")
+    import spark.implicits._
+    // registry sync: specs dest lacks, one idempotent batch ensure
+    // (registry-scale collect, like every ensure/maintenance path)
+    val missing = streams
+      .join(dest.streams.select("stream_id"), Seq("stream_id"), "left_anti")
+      .as[StreamMeta].collect()
+    if (missing.nonEmpty) dest.ensureStreams(missing.toSeq)
+    val cursor = dest.ingestHighWatermark
+    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+    var applied = 0L
+    committedVersions.filter(_ > cursor).foreach { v =>
+      val m = parseManifest(v)
+      val rawRemoves = m.removes.filter(_._1 == "raw")
+      val rawAdds = m.adds.filter(_._1 == "raw")
+      val op = commitOpOf(v)
+      if (rawRemoves.nonEmpty && op == "compact") {
+        // row-preserving maintenance: nothing a replica needs
+      } else if (rawRemoves.nonEmpty) {
+        if (!skipChangeCommits)
+          throw new IllegalStateException(
+            s"replicateTo: source version $v (op '$op') retires raw files " +
+              "— the change cannot be expressed as an append; pass " +
+              "skipChangeCommits=true for an insert-only replica (deletes " +
+              "will NOT propagate), or re-seed the replica from a restore")
+      } else if (rawAdds.nonEmpty) {
+        val snap = Snapshot(v, Set("raw"),
+          Map("raw" -> rawAdds.map(_._2).toSet),
+          rawAdds.collect { case (_, rel, Some(st)) => (("raw", rel), st) }.toMap)
+        val rows = tableReadFrom(Some(snap), "raw",
+          Schemas.rawDatapointsPartitioned, pinned = true).get.select(cols: _*)
+        dest.appendBatch(rows, v)
+        applied += 1L
+      }
+    }
+    applied
+  }
+
+  /** The `op` recorded by version `v`'s commit marker (`unknown` when the
+    * marker aged out of the bounded history).
+    */
+  private def commitOpOf(v: Long): String = {
+    val f = f"$commitLogPath/$v%09d.commit"
+    if (!io.exists(f)) "unknown"
+    else "\"op\":\"([^\"]*)\"".r.findFirstMatchIn(io.readString(f))
+      .map(_.group(1)).getOrElse("unknown")
   }
 
   /** RESTORE the warehouse to committed snapshot `version` — Delta's

@@ -600,6 +600,44 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("replicateTo: exactly-once incremental raw replication — re-runs " +
+      "converge, compaction is skipped, deletes fail loudly unless opted") {
+    val (src, _) = freshDs
+    val (dst, _) = freshDs
+    src.ensureStream("a", Map("who" -> "a"))
+    src.ensureStream("b", Map("who" -> "b"))
+    src.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:00Z", 1.0),
+      ("b", "2024-01-01T00:00:30Z", 7.0))).select("stream_id", "ts", "value"))
+    assert(src.replicateTo(dst) === 1L)
+    // registry synced (tags travel), data identical
+    assert(dst.findStreams(Map("who" -> "b")).count() === 1L)
+    assert(dst.rawDatapoints.select("value").as[Double].collect()
+      .sorted.toSeq === Seq(1.0, 7.0))
+    // a second append + a compaction: one commit applies, compact skips
+    src.appendMultiple(dp(Seq(("a", "2024-01-02T00:00:00Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    src.compact()
+    assert(src.replicateTo(dst) === 1L)
+    assert(dst.rawDatapoints.select("value").as[Double].collect()
+      .sorted.toSeq === Seq(1.0, 2.0, 7.0))
+    // idempotent: nothing new to apply; replica unchanged
+    assert(src.replicateTo(dst) === 0L)
+    assert(dst.rawDatapoints.count() === 3L)
+    // a delete-bearing commit fails the run loudly...
+    assert(src.deleteStreams(Map("who" -> "b")) === 1L)
+    val err = intercept[IllegalStateException] { src.replicateTo(dst) }
+    assert(err.getMessage.contains("skipChangeCommits"))
+    // ...and the opt-in makes an insert-only follower: the delete does
+    // not propagate, and later appends still flow
+    src.appendMultiple(dp(Seq(("a", "2024-01-03T00:00:00Z", 3.0)))
+      .select("stream_id", "ts", "value"))
+    assert(src.replicateTo(dst, skipChangeCommits = true) === 1L)
+    assert(dst.rawDatapoints.select("value").as[Double].collect()
+      .sorted.toSeq === Seq(1.0, 2.0, 3.0, 7.0))
+    ()
+  }
+
   test("restore: rolls data AND registry back to a snapshot by log " +
       "manipulation alone; history preserved; restore is restorable") {
     val (ds, _) = freshDs
