@@ -1387,7 +1387,18 @@ object Queries {
         }
         try ds.append("s1", 7.0, ts("2024-01-14T00:00:00Z"))
         finally ds.commitStaleInjection = () => ()
-      }
+      },
+      // the changefeed's rewrite contract: two same-day appends fragment a
+      // partition so the compaction genuinely retires files, then the
+      // unskipped feed across it must fail loudly
+      attempt("changefeed_across_rewrite") {
+        ds.append("s1", 8.0, ts("2024-01-15T00:00:00Z"))
+        ds.append("s1", 9.0, ts("2024-01-15T00:01:00Z"))
+        ds.compact()
+        ds.readChanges(0L)
+      },
+      attempt("restore_unknown_version")(ds.restore(9999L)),
+      attempt("replicate_into_self")(ds.replicateTo(ds))
     ).toDF("check_case", "error")
   }
 
@@ -3893,7 +3904,10 @@ FROM part"""
   ('delete_with_dependents', 'OutstandingDependenciesError'),
   ('unknown_derive_op', 'InvalidOperatorArguments'),
   ('commit_cas_stolen_version', 'ok'),
-  ('commit_conflict_stale', 'CommitConflict')
+  ('commit_conflict_stale', 'CommitConflict'),
+  ('changefeed_across_rewrite', 'IllegalStateException'),
+  ('restore_unknown_version', 'IllegalArgumentException'),
+  ('replicate_into_self', 'IllegalArgumentException')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the
