@@ -64,6 +64,8 @@ object SparkEntry {
     // exactly-once cross-warehouse replication (idempotent batch appends
     // keyed by source commit version; cursor lives in the destination)
     "q_replication" -> Queries.replication _,
+    // snapshot export for external engines: plain reads over listed paths
+    "q_symlink_manifest" -> Queries.symlinkManifest _,
     "q_stats_count" -> Queries.statsCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
@@ -267,6 +269,7 @@ object SparkEntry {
     "q_restore" -> Oracles.restoreGate,
     "q_rollup_changefeed" -> Oracles.rollupChangefeed,
     "q_replication" -> Oracles.replication,
+    "q_symlink_manifest" -> Oracles.symlinkManifest,
     "q_stats_count" -> Oracles.statsCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
@@ -587,6 +590,48 @@ object Queries {
     // the downsample's watermark advance to g3; compact leaves the
     // registry untouched (g3 again) — pinned literally by the oracle
     ds.history.toDF("version", "op", "registry_gen")
+  }
+
+  /** SYMLINK-MANIFEST export on the gate: after two appends and a
+    * compaction, the exported file list is read back by a PLAIN
+    * `spark.read.parquet` over exactly the listed paths — no graft reader
+    * involved — and must reproduce the full per-stream stats (a list that
+    * leaked a retired pre-compaction file would double rows; one that
+    * missed a file would drop them). The `n_files` probe pins the listed
+    * count to the compacted layout's closed form: one file per populated
+    * dp_date partition, i.e. the distinct event dates, which the oracle
+    * computes from events.
+    */
+  def symlinkManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-symman")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    ds.compact()
+    val nFiles = ds.generateSymlinkManifest()
+    val v = ds.currentVersion.get
+    val listed = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$dir/_symlink_manifest/v$v/raw.txt"))
+      .split('\n').toSeq.filter(_.nonEmpty)
+    val external = spark.read.option("basePath", s"$dir/raw")
+      .parquet(listed: _*)
+    external.groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+      .select(lit("external").as("phase"), col("stream_id"),
+        col("n_rows"), col("value_sum"))
+      .unionByName(Seq(("n_files", "-", nFiles, 0.0))
+        .toDF("phase", "stream_id", "n_rows", "value_sum"))
   }
 
   /** REPLICATION on the gate: slice A lands in the source and is
@@ -3484,6 +3529,24 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
   (CAST(2 AS BIGINT), 'downsample', CAST(3 AS BIGINT)),
   (CAST(3 AS BIGINT), 'compact', CAST(3 AS BIGINT))) AS t(version, op, registry_gen)"""
+
+  /** Symlink-manifest twin: the externally-read stats equal the full
+    * per-stream recompute, and the listed-file count equals the
+    * compacted layout's closed form — one file per populated dp_date
+    * partition = distinct event dates across both streams.
+    */
+  val symlinkManifest: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT 'external' AS phase, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM dp GROUP BY stream_id
+UNION ALL
+SELECT 'n_files', '-', count(DISTINCT CAST(ts AS DATE)), CAST(0.0 AS DOUBLE)
+FROM dp"""
 
   /** Replication twin: the replica equals the full source (both slices,
     * both streams, recomputed from events); the applied counts are

@@ -2369,6 +2369,38 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     applied
   }
 
+  /** EXTERNAL-READER snapshot export — Delta's `GENERATE
+    * symlink_format_manifest`: writes, per covered table of the current
+    * (or pinned) snapshot, a text manifest listing the ABSOLUTE paths of
+    * exactly that snapshot's data files, so an engine without a graft
+    * reader (DuckDB, Trino, Hive, a plain `spark.read.parquet`) can scan
+    * a CONSISTENT snapshot by reading the listed files instead of the
+    * live directory — which may contain logically-retired files (a
+    * doubled read after compaction) and in-flight writers' orphans (torn
+    * rows). Written under `_symlink_manifest/v<version>/<table>.txt`
+    * (underscore prefix: parquet data readers ignore the directory;
+    * `/` in rollup table names flattens to `_`), one swap-free write per
+    * table into a fresh per-version directory so concurrent readers of an
+    * older export are untouched — the manifest is immutable once its
+    * version is, like everything else in the log. Returns the number of
+    * file paths listed.
+    */
+  def generateSymlinkManifest(asOfVersion: Option[Long] = None): Long = {
+    val snap = asOfVersion.map(snapshotAt).orElse(rawSnapshot).getOrElse(
+      throw new IllegalStateException(
+        "generateSymlinkManifest: no committed snapshot to export"))
+    val outDir = s"$warehouse/_symlink_manifest/v${snap.version}"
+    io.mkdirs(outDir)
+    var n = 0L
+    snap.covered.toSeq.sorted.foreach { t =>
+      val files = snap.files.getOrElse(t, Set.empty).toSeq.sorted
+      io.writeString(s"$outDir/${t.replace('/', '_')}.txt",
+        files.map(f => s"${tablePath(t)}/$f").mkString("\n"))
+      n += files.size
+    }
+    n
+  }
+
   /** The `op` recorded by version `v`'s commit marker (`unknown` when the
     * marker aged out of the bounded history).
     */
