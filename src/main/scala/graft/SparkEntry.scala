@@ -53,6 +53,9 @@ object SparkEntry {
     // DESCRIBE HISTORY ledger: exact (version, op) rows for a fixed
     // mutation sequence (vacuum is not a commit and must not appear)
     "q_history" -> Queries.historyLedger _,
+    // ROW-LEVEL DELETE (GDPR takedown): merge-on-read delete files +
+    // copy-on-write rewrite + rollup repair + applyDeletes convergence
+    "q_row_delete" -> Queries.rowDelete _,
     // CDC changefeed: catch-up from a cursor reads ONLY files newer
     // commits added; replay from 0 reconstructs the table commit-by-commit
     "q_changefeed" -> Queries.changefeed _,
@@ -265,6 +268,7 @@ object SparkEntry {
     "q_warehouse_e2e" -> Oracles.warehouseE2E,
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
+    "q_row_delete" -> Oracles.rowDelete,
     "q_changefeed" -> Oracles.changefeed,
     "q_restore" -> Oracles.restoreGate,
     "q_rollup_changefeed" -> Oracles.rollupChangefeed,
@@ -566,6 +570,69 @@ object Queries {
       .unionByName(regProbe("reg_cur_alpha", ds.findStreams(Map("team" -> "alpha"))))
       .unionByName(regProbe("reg_cur_beta", ds.findStreams(Map("team" -> "beta"))))
       .unionByName(regProbe("reg_cur_view", ds.findStreams(Map("type" -> "view"))))
+  }
+
+  /** ROW-LEVEL DELETE lifecycle on the gate (the GDPR-takedown verb): one
+    * merge-on-read delete (red stream, mid-January window) and one
+    * copy-on-write delete (blue stream) land on a downsampled warehouse.
+    * The gate pins the surviving raw rows per stream, the exact voided-row
+    * count the verbs returned, the (metadata + boundary-scan) counts with
+    * the merge-on-read delete still active, the REPAIRED hours rollup
+    * across the deleted window (fully-deleted buckets vanish, boundary
+    * buckets are recomputed from survivors — bit-exact by the decimal
+    * partials), the as-of read of the pre-delete snapshot (deletes are
+    * snapshot-scoped), and that applyDeletes() converges the physical
+    * state without changing any logical row. The oracle recomputes every
+    * row from events with the two ranges filtered out.
+    */
+  def rowDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-rowdel")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click",
+      Map("user" -> "7", "type" -> "click", "team" -> "red"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view",
+      Map("user" -> "3", "type" -> "view", "team" -> "blue"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val vBefore = ds.currentVersion.get
+    val redLo = ts("2024-01-10T00:00:00Z")
+    val redHi = ts("2024-01-19T23:59:59.999999Z")
+    val nRed = ds.deleteDatapoints(Map("team" -> "red"), redLo, redHi)
+    val nBlue = ds.deleteDatapoints(Map("team" -> "blue"),
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-14T23:59:59.999999Z"),
+      DeleteMode.CopyOnWrite)
+    def stats(phase: String, df: DataFrame) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    def one(phase: String, n: Long) =
+      spark.range(1).select(lit(phase).as("phase"), lit("-").as("stream_id"),
+        lit(n).as("n_rows"), lit(0.0).as("value_sum"))
+    val hours = ds.getData("7:click", Granularity.Hours)
+      .where(col("bucket_start") >= lit(ts("2024-01-09T00:00:00Z")) &&
+        col("bucket_start") < lit(ts("2024-01-21T00:00:00Z")))
+      .select(concat(lit("hour:"),
+          date_format(col("bucket_start"), "yyyy-MM-dd HH:mm")).as("phase"),
+        col("stream_id"), col("count").as("n_rows"), col("sum").as("value_sum"))
+    val current = stats("current", ds.rawDatapoints)
+    val asOf = stats("as_of", ds.rawDatapointsAt(vBefore))
+    val counts = one("deleted", nRed + nBlue)
+      .unionByName(one("count_all", ds.countDatapoints()))
+      .unionByName(one("count_red_win",
+        ds.countDatapoints(Some(redLo), Some(redHi))))
+      .unionByName(one("pending", ds.pendingDeletes.count()))
+    ds.applyDeletes()
+    val applied = stats("applied", ds.rawDatapoints)
+      .unionByName(one("applied_pending", ds.pendingDeletes.count()))
+    current.unionByName(asOf).unionByName(hours)
+      .unionByName(counts).unionByName(applied)
   }
 
   /** DESCRIBE HISTORY surface on the gate: a fixed mutation sequence on a
@@ -1443,7 +1510,24 @@ object Queries {
         ds.readChanges(0L)
       },
       attempt("restore_unknown_version")(ds.restore(9999L)),
-      attempt("replicate_into_self")(ds.replicateTo(ds))
+      attempt("replicate_into_self")(ds.replicateTo(ds)),
+      // row-level delete contracts: an inverted range, doomed streams with
+      // dependent derived streams, and the symlink-export guard while a
+      // merge-on-read delete is still pending a physical rewrite
+      attempt("row_delete_inverted_range")(
+        ds.deleteDatapoints(Map("t" -> "a"),
+          ts("2024-01-12T00:00:00Z"), ts("2024-01-11T00:00:00Z"))),
+      attempt("row_delete_with_dependents")(
+        ds.deleteDatapoints(Map("t" -> "a"),
+          ts("2024-01-10T00:00:00Z"), ts("2024-01-16T00:00:00Z"))),
+      attempt("symlink_with_pending_deletes") {
+        ds.ensureStream("s3", Map("solo" -> "y"),
+          highestGranularity = Granularity.Minutes)
+        ds.append("s3", 1.0, ts("2024-01-10T00:00:00Z"))
+        ds.deleteDatapoints(Map("solo" -> "y"),
+          ts("2024-01-09T00:00:00Z"), ts("2024-01-11T00:00:00Z"))
+        ds.generateSymlinkManifest()
+      }
     ).toDF("check_case", "error")
   }
 
@@ -3524,6 +3608,61 @@ SELECT * FROM (VALUES
   /** History-ledger twin: the literal commit sequence (ensure and vacuum
     * never commit; append, downsample, compact each commit exactly once).
     */
+  /** Row-delete twin: every phase recomputed from events with the two
+    * deleted ranges filtered out — `pts` is the full two-stream slice,
+    * `survive` the post-delete world. `current` (merge-on-read active) and
+    * `applied` (after the physical rewrite) must be identical row sets;
+    * the hour rows pin the repaired rollup across the deleted window.
+    */
+  val rowDelete: String =
+    """WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value,
+    ((user_id = 7 AND event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-20 00:00:00')
+      OR (user_id = 3 AND event_type = 'view'
+        AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2024-01-15 00:00:00')) AS deleted
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view')),
+survive AS (SELECT * FROM pts WHERE NOT deleted),
+hourly AS (
+  SELECT stream_id,
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
+    count(*) AS c, CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s
+  FROM survive WHERE stream_id = '7:click' GROUP BY 1, 2)
+SELECT 'current' AS phase, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM survive GROUP BY 2
+UNION ALL
+SELECT 'applied', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM survive GROUP BY 2
+UNION ALL
+SELECT 'as_of', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM pts GROUP BY 2
+UNION ALL
+SELECT 'hour:' || strftime(b, '%Y-%m-%d %H:%M'), stream_id, c, s
+FROM hourly
+WHERE b >= TIMESTAMP '2024-01-09 00:00:00'
+  AND b < TIMESTAMP '2024-01-21 00:00:00'
+UNION ALL
+SELECT 'deleted', '-',
+  (SELECT count(*) FROM pts WHERE deleted), 0.0
+UNION ALL
+SELECT 'count_all', '-', (SELECT count(*) FROM survive), 0.0
+UNION ALL
+SELECT 'count_red_win', '-',
+  (SELECT count(*) FROM survive
+   WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+     AND ts < TIMESTAMP '2024-01-20 00:00:00'), 0.0
+UNION ALL
+SELECT 'pending', '-', CAST(1 AS BIGINT), 0.0
+UNION ALL
+SELECT 'applied_pending', '-', CAST(0 AS BIGINT), 0.0"""
+
   val historyLedger: String =
     """SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'append', CAST(2 AS BIGINT)),
@@ -3970,7 +4109,10 @@ FROM part"""
   ('commit_conflict_stale', 'CommitConflict'),
   ('changefeed_across_rewrite', 'IllegalStateException'),
   ('restore_unknown_version', 'IllegalArgumentException'),
-  ('replicate_into_self', 'IllegalArgumentException')
+  ('replicate_into_self', 'IllegalArgumentException'),
+  ('row_delete_inverted_range', 'InvalidTimestamp'),
+  ('row_delete_with_dependents', 'OutstandingDependenciesError'),
+  ('symlink_with_pending_deletes', 'IllegalStateException')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the

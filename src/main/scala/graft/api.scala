@@ -325,7 +325,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * data files, not single-file dimension swaps.
     */
   private def manifestTables: Seq[String] =
-    Seq("raw", "derived") ++
+    Seq("raw", "derived", "raw_deletes") ++
       Granularity.ladder.map(g => s"rollup/granularity=${g.name}")
 
   private def tablePath(table: String) = s"$warehouse/$table"
@@ -1639,6 +1639,273 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     } finally doomedRdds.foreach(_.unpersist(blocking = false))
   }
 
+  // ---- row-level deletes (GDPR takedown; Iceberg-style equality deletes) --
+
+  private def usOfTs(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Logically retire every committed file of `table` that MAY hold rows of
+    * any `(loUs, hiUs, sortedSids)` group — decided purely from the
+    * manifest's per-file ts bounds / sid bounds / sid bloom ([[keepFile]]),
+    * so provably-disjoint files are never rewritten. Pruning by the
+    * manifest's REAL `ts` stats (not the `dp_date` partition dir) also
+    * catches rows a foreign writer placed in a mismatched partition — the
+    * escape hazard [[deleteStreams]] needs a probe for. Declares the write
+    * scope (the touched files' partition dirs) so the survivors' rewrite is
+    * picked up by the commit. Returns the touched set.
+    */
+  private def retireTouchedByRanges(table: String,
+      groups: Seq[(Long, Long, IndexedSeq[String])]): Set[String] = {
+    val committed = rawSnapshot.flatMap(_.tableFiles(table))
+    val candidates = committed.getOrElse(listFilesUnder(table))
+    val touched = committed match {
+      case Some(_) =>
+        val s = rawSnapshot.get
+        candidates.filter(f => groups.exists { case (lo, hi, sids) =>
+          keepFile(s, table, f, Some((lo, hi)), Some(sids))
+        })
+      case None => candidates
+    }
+    touched.foreach(f => retiredFiles.add((table, f)))
+    val prefixes = touched.map { f =>
+      val i = f.lastIndexOf('/')
+      if (i < 0) "" else f.substring(0, i)
+    }
+    if (touched.nonEmpty) scopeWrite(table, prefixes.toSeq.distinct.sorted)
+    touched
+  }
+
+  /** Copy-on-write survivor rewrite: read exactly the `touched` snapshot
+    * files, void rows matching `ranges` (the same broadcast anti-join the
+    * merge-on-read path applies at read time — one code path, one
+    * semantics), and append the survivors as fresh files beside the retired
+    * ones. Nothing is deleted in place; a crash leaves every reader on the
+    * pre-mutation snapshot and the new files as orphans vacuum reclaims.
+    */
+  private def rewriteMinusRanges(table: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 partCol: String, touched: Set[String],
+                                 ranges: DataFrame): Unit =
+    if (touched.nonEmpty) {
+      val slice = spark.read.option("basePath", tablePath(table)).schema(schema)
+        .parquet(touched.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*)
+      minusDeleted(slice, Some(ranges))
+        .write.mode(SaveMode.Append).partitionBy(partCol)
+        .parquet(tablePath(table))
+    }
+
+  /** Purge + recompute the finalized rollup buckets a row delete
+    * invalidated, inside the delete's own commit — so the cascade is never
+    * observably inconsistent with the post-delete fact table. Per
+    * granularity: the (stream, bucket) pairs overlapping the deleted window
+    * are captured from the committed rollup (checkpointed — the rewrite
+    * below replaces the files they were read from), their files are
+    * manifest-pruned-retired, and each purged bucket is recomputed straight
+    * from the SURVIVING fact rows. Recomputing from raw is bit-identical to
+    * the ladder cascade by the decimal-partials associativity the cascade
+    * is built on ([[Downsample]]); a bucket whose rows were all deleted
+    * simply vanishes (empty aggregate), and buckets beyond the maintenance
+    * watermark were never finalized, so the semi-join against the purged
+    * set re-adds exactly what existed. Work is proportional to the deleted
+    * window × doomed streams, never the table.
+    */
+  private def repairRollups(doomedIds: DataFrame,
+                            doomedSorted: IndexedSeq[String],
+                            loUs: Long, hiUs: Long): Unit = {
+    def survivorsFact(): DataFrame = {
+      val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+      val raw = commitRead("raw", Schemas.rawDatapointsPartitioned)
+        .map(_.select(cols: _*))
+      val der = commitRead("derived", Schemas.rawDatapoints)
+        .map(_.select(cols: _*))
+      val fact = (raw ++ der).reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Schemas.rawDatapoints))
+      // commitRead sees this commit's own writes: the in-flight delete file
+      // (merge-on-read) or the already-rewritten raw (copy-on-write), plus
+      // every previously committed range — one uniform survivor view
+      minusDeleted(fact, commitRead("raw_deletes", Schemas.rawDeletes))
+    }
+    lazy val fact = survivorsFact()
+    Granularity.ladder.foreach { g =>
+      val durUs = g.durationSeconds * 1000000L
+      val winLo = loUs - java.lang.Math.floorMod(loUs, durUs)
+      val winHi = hiUs - java.lang.Math.floorMod(hiUs, durUs)
+      val table = s"rollup/granularity=${g.name}"
+      commitRead(table, Schemas.downsampledPartitioned).foreach { cur =>
+        val bucketInWin = col("bucket_start") >= tsLit(winLo) &&
+          col("bucket_start") <= tsLit(winHi)
+        val (purged, rdds) = Plans.checkpointTracked(
+          cur.where(bucketInWin)
+            .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+            .select("stream_id", "bucket_start"))
+        try {
+          if (!purged.isEmpty) {
+            val touched = retireTouchedByRanges(table,
+              Seq((winLo, winHi, doomedSorted)))
+            val old = spark.read.option("basePath", tablePath(table))
+              .schema(Schemas.downsampledPartitioned)
+              .parquet(touched.toSeq.sorted
+                .map(f => s"${tablePath(table)}/$f"): _*)
+            val keptRows = old.join(purged,
+              Seq("stream_id", "bucket_start"), "left_anti")
+            val recomputed = Downsample.aggregateRaw(
+                fact.join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+                  .where(unix_micros(col("ts")) >= lit(winLo) &&
+                    unix_micros(col("ts")) < lit(winHi + durUs)), g)
+              .join(purged, Seq("stream_id", "bucket_start"), "left_semi")
+              .withColumn("bucket_date", to_date(col("bucket_start")))
+            keptRows.unionByName(recomputed)
+              .write.mode(SaveMode.Append).partitionBy("bucket_date")
+              .parquet(tablePath(table))
+          }
+        } finally rdds.foreach(_.unpersist(blocking = false))
+      }
+    }
+  }
+
+  /** ROW-LEVEL DELETE — the takedown/right-to-be-forgotten verb a training
+    * corpus needs and [[deleteStreams]] (whole-stream) cannot express: void
+    * every datapoint of the streams matching `tagQuery` with `ts` in the
+    * INCLUSIVE `[start, end]` range. Two physical strategies
+    * ([[DeleteMode]]):
+    *
+    *  - merge-on-read (default): ONE tiny equality-delete file is committed
+    *    to the `raw_deletes` table; every snapshot read applies it as a
+    *    broadcast anti-join until [[applyDeletes]] rewrites it away. The
+    *    commit is O(metadata) regardless of table size — the right shape
+    *    for point deletes on a 100 TB table.
+    *  - copy-on-write: the manifest-pruned touched files are rewritten in
+    *    this commit (survivors only); nothing is left for readers to merge.
+    *
+    * Both strategies repair the downsample cascade in the SAME commit
+    * ([[repairRollups]]): finalized buckets overlapping the window are
+    * recomputed from the surviving rows (or vanish when emptied), so
+    * `get_data` at any granularity is consistent with the post-delete fact
+    * table the moment the commit lands. Time travel to a pre-delete version
+    * still serves the deleted rows until vacuum; [[restore]] undoes the
+    * delete wholesale.
+    *
+    * Refused while any doomed stream has dependent derived streams
+    * (`OutstandingDependenciesError`) — their derived values would silently
+    * keep encoding the deleted rows; delete or reprocess the dependents
+    * first. Registry bounds (`earliest/latest_datapoint`) are NOT shrunk:
+    * they remain a correct (wider) pruning envelope, and the monotone-append
+    * contract deliberately still measures against the pre-delete tail — a
+    * takedown must not reopen history for rewriting.
+    *
+    * Returns the exact number of rows voided (0 = no-op, nothing committed).
+    */
+  def deleteDatapoints(tagQuery: Map[String, String],
+                       start: Timestamp, end: Timestamp,
+                       mode: DeleteMode = DeleteMode.MergeOnRead): Long = {
+    if (start == null || end == null)
+      throw new errors.InvalidTimestamp(
+        "delete_datapoints: start and end must both be set (the verb is " +
+          "range-scoped by contract; use delete_streams to drop a stream)")
+    if (start.after(end))
+      throw new errors.InvalidTimestamp(
+        s"delete_datapoints: start $start is after end $end")
+    val all = streams
+    val doomed0 = StreamRegistry.findStreams(all, tagQuery)
+    val violSample = StreamRegistry.outstandingDependencies(all, doomed0)
+      .limit(5).collect()
+    if (violSample.nonEmpty)
+      throw new errors.OutstandingDependenciesError(violSample.mkString(", "))
+    // registry-scale collect (like every ensure/maintenance path): the id
+    // set drives driver-side manifest pruning and the delete-file contents,
+    // and must survive any registry rewrite underneath
+    val doomedSorted = doomed0.select("stream_id").collect()
+      .map(_.getString(0)).sorted.toIndexedSeq
+    if (doomedSorted.isEmpty) return 0L
+    val loUs = usOfTs(start)
+    val hiUs = usOfTs(end)
+    import spark.implicits._
+    val doomedIds = doomedSorted.toDF("stream_id")
+    // exact voided-row count (the verb's return value): counted through the
+    // CURRENT snapshot, so rows an earlier delete already voided are not
+    // double-counted. `streamIds` below is FILE-level skipping only (a
+    // superset by contract) — the semi-join is the exact stream predicate.
+    val matched = rawDatapointsInRange(Some(start), Some(end), None,
+        Some(doomedSorted))
+      .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+      .where(col("ts") >= lit(start) && col("ts") <= lit(end)).count()
+    if (matched == 0L) return 0L
+    val ranges = doomedSorted.map(sid => (sid, loUs, hiUs))
+      .toDF("stream_id", "lo_us", "hi_us")
+    withCommit("delete_datapoints") {
+      mode match {
+        case DeleteMode.MergeOnRead =>
+          scopeWrite("raw_deletes")
+          // one shard: the delete file is metadata-sized by contract
+          ranges.coalesce(1).write.mode(SaveMode.Append)
+            .parquet(tablePath("raw_deletes"))
+        case DeleteMode.CopyOnWrite =>
+          val groups = Seq((loUs, hiUs, doomedSorted))
+          rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+            "dp_date", retireTouchedByRanges("raw", groups), ranges)
+          rewriteMinusRanges("derived", Schemas.rawDatapoints,
+            "stream_id", retireTouchedByRanges("derived", groups), ranges)
+      }
+      // crash seam for tests: after the fact-table mutation, before the
+      // rollup repair — isolation must be total (nothing visible)
+      if (crashBeforeCommitOf("delete_datapoints_repair"))
+        throw new IllegalStateException(
+          "injected crash mid delete_datapoints")
+      repairRollups(doomedIds, doomedSorted, loUs, hiUs)
+    }
+    matched
+  }
+
+  /** RETENTION EXPIRY — the TTL twin of [[deleteDatapoints]]: void every
+    * datapoint strictly BEFORE `before`, across all streams (or the
+    * `tagQuery`-matched subset). Merge-on-read by default, so expiring the
+    * oldest slice of a 100 TB table is an O(metadata) commit; schedule
+    * [[applyDeletes]] + [[vacuumRaw]] to reclaim the bytes. Dependent
+    * derived streams need not be re-derived: their post-cutoff values are
+    * historical facts computed while the expired rows were live, which is
+    * exactly what a retention policy preserves. Returns rows voided.
+    */
+  def expireDatapoints(before: Timestamp,
+                       tagQuery: Map[String, String] = Map.empty,
+                       mode: DeleteMode = DeleteMode.MergeOnRead): Long = {
+    if (before == null)
+      throw new errors.InvalidTimestamp("expire_datapoints: before must be set")
+    val hiUs = usOfTs(before) - 1L // strict: [epoch, before)
+    if (hiUs < 0L) return 0L
+    deleteDatapoints(tagQuery, new Timestamp(0L), tsOf(hiUs), mode)
+  }
+
+  /** Rewrite every fact file the active merge-on-read delete files touch
+    * (manifest-pruned — provably-disjoint files are untouched) and retire
+    * the delete files themselves: the "compact the deletes away" verb
+    * (Iceberg's rewrite of delete files), after which reads pay no
+    * anti-join and [[generateSymlinkManifest]] export is legal again.
+    * Returns the number of delete ranges applied (0 = nothing pending,
+    * nothing committed).
+    */
+  def applyDeletes(): Long = {
+    val rangeRows = deleteRangesList(rawSnapshot)
+    if (rangeRows.isEmpty) return 0L
+    import spark.implicits._
+    withCommit("apply_deletes") {
+      val ranges = rangeRows.toDF("stream_id", "lo_us", "hi_us")
+      // group by window so per-file pruning is O(files × windows) with one
+      // sorted-sid-set probe each, not O(files × ranges)
+      val groups = rangeRows.groupBy(r => (r._2, r._3)).toSeq.map {
+        case ((lo, hi), rs) => (lo, hi, rs.map(_._1).sorted.toIndexedSeq)
+      }
+      rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+        "dp_date", retireTouchedByRanges("raw", groups), ranges)
+      rewriteMinusRanges("derived", Schemas.rawDatapoints,
+        "stream_id", retireTouchedByRanges("derived", groups), ranges)
+      retireFiles("raw_deletes", Seq(""))
+      ()
+    }
+    rangeRows.size.toLong
+  }
+
   // ---- ingest (S1/S2, T3) -------------------------------------------------
 
   def append(streamId: String, value: Double, ts: Timestamp,
@@ -2023,6 +2290,71 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * old ones, so the pre-mutation file set stays intact on disk until the
     * new manifest commits (and until vacuum, after).
     */
+  /** The snapshot's ACTIVE row-level delete ranges (merge-on-read files a
+    * [[deleteDatapoints]] commit published and no [[applyDeletes]] has
+    * rewritten away yet), or None when the snapshot carries none — the
+    * zero-cost common case every read path checks first. Snapshots that
+    * predate `raw_deletes` coverage (pre-feature manifests) simply have no
+    * deletes: this is NOT a pinned-table-coverage error like the fact
+    * tables', because absence of the table is absence of deletes, not an
+    * unknowable state.
+    */
+  private def deleteRangesDF(snap: Option[Snapshot]): Option[DataFrame] =
+    snap.filter(_.covered("raw_deletes"))
+      .map(_.files.getOrElse("raw_deletes", Set.empty))
+      .filter(_.nonEmpty)
+      .map(fs => spark.read.schema(Schemas.rawDeletes)
+        .parquet(fs.toSeq.sorted
+          .map(f => s"${tablePath("raw_deletes")}/$f"): _*))
+
+  /** Driver-side copy of the active delete ranges — metadata-scale by the
+    * delete-file contract (one row per doomed stream per verb), used where
+    * per-FILE overlap decisions are made (stats-served counts, touched-file
+    * selection). Sorted for determinism.
+    */
+  private def deleteRangesList(snap: Option[Snapshot]): Seq[(String, Long, Long)] =
+    deleteRangesDF(snap).map(_.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted)
+      .getOrElse(Seq.empty)
+
+  /** Anti-join `df` (fact-table shape: `stream_id`, `ts`) against delete
+    * ranges: equality on the stream id (broadcast hash), the µs range as
+    * the residual condition. Broadcast is safe by the delete-file size
+    * contract. No-op (the same plan, untouched) when `dels` is None.
+    */
+  private def minusDeleted(df: DataFrame, dels: Option[DataFrame]): DataFrame =
+    dels match {
+      case None => df
+      case Some(d) =>
+        val r = d.select(col("stream_id").as("_del_sid"),
+          col("lo_us").as("_del_lo"), col("hi_us").as("_del_hi"))
+        df.join(broadcast(r),
+          df("stream_id") === r("_del_sid") &&
+            unix_micros(df("ts")) >= r("_del_lo") &&
+            unix_micros(df("ts")) <= r("_del_hi"),
+          "left_anti")
+    }
+
+  /** The active merge-on-read delete ranges as a user-facing DataFrame
+    * (`stream_id`, `delete_from`, `delete_to`) — the audit surface for
+    * "which takedowns are still pending a physical rewrite".
+    */
+  def pendingDeletes: DataFrame = {
+    deleteRangesDF(rawSnapshot) match {
+      case Some(d) => d.select(col("stream_id"),
+        timestamp_micros(col("lo_us")).as("delete_from"),
+        timestamp_micros(col("hi_us")).as("delete_to"))
+      case None =>
+        import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("stream_id", StringType),
+            StructField("delete_from", TimestampType),
+            StructField("delete_to", TimestampType))))
+    }
+  }
+
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp],
                                    asOfVersion: Option[Long] = None,
@@ -2044,13 +2376,19 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         skip, sids, pinned = asOfVersion.nonEmpty)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
-    tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, sids,
+    val fact = tableReadFrom(snap, "derived", Schemas.rawDatapoints, skip, sids,
         pinned = asOfVersion.nonEmpty) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
       case Some(der) => raw.unionByName(der.select(cols: _*))
       case None => raw
     }
+    // merge-on-read row deletes: voided rows vanish from EVERY read built on
+    // this path (get_data, derive sources, downsample maintenance, counts'
+    // boundary scans come through statsCount's own twin) — and because the
+    // ranges are snapshot-scoped, a pinned as-of read applies exactly the
+    // deletes that were active AT that version
+    minusDeleted(fact, deleteRangesDF(snap))
   }
 
   /** METADATA-ONLY datapoint count over the logical fact table
@@ -2086,7 +2424,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                       streamIds: Option[Seq[String]] = None): Long =
     statsCount(Seq(("raw", Schemas.rawDatapointsPartitioned),
         ("derived", Schemas.rawDatapoints)),
-      "ts", start, end, asOfVersion, streamIds)
+      "ts", start, end, asOfVersion, streamIds, applyRowDeletes = true)
 
   /** [[countDatapoints]]'s rollup twin: the exact BUCKET count of
     * granularity `g`'s finalized rollup table, served the same Delta-style
@@ -2118,7 +2456,8 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                          tsColName: String,
                          start: Option[Timestamp], end: Option[Timestamp],
                          asOfVersion: Option[Long],
-                         streamIds: Option[Seq[String]]): Long = {
+                         streamIds: Option[Seq[String]],
+                         applyRowDeletes: Boolean = false): Long = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
@@ -2126,11 +2465,32 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val range = usSkipRange(start, end)
     val sids = streamIds.map(_.sorted.toIndexedSeq)
     val sidSet = streamIds.map(_.toSet)
+    // active merge-on-read delete ranges (fact tables only): a file whose
+    // stats PROVE it disjoint from every range still counts from metadata;
+    // a maybe-overlapping file joins the boundary scan, where the exact
+    // anti-join voids exactly the deleted rows — the count stays
+    // bit-identical to a full scan, and stays metadata-only everywhere the
+    // deletes provably did not reach
+    val delRanges =
+      if (applyRowDeletes) deleteRangesList(snap) else Seq.empty
+    def sidMayContain(st: FileStats, sid: String): Boolean = {
+      val boundsOk = (st.sidMin, st.sidMax) match {
+        case (Some(a), Some(b)) => a <= sid && sid <= b
+        case _ => true
+      }
+      boundsOk && st.sidBloom.forall(bits => sidBloomMaybeContains(bits, sid))
+    }
+    def delOverlaps(st: FileStats): Boolean =
+      delRanges.exists { case (sid, lo, hi) =>
+        st.tsMax >= lo && st.tsMin <= hi && sidMayContain(st, sid)
+      }
     def filtered(df: DataFrame): DataFrame = {
       val withStart = start.map(t => df.where(col(tsColName) >= lit(t))).getOrElse(df)
       val withEnd = end.map(t => withStart.where(col(tsColName) <= lit(t))).getOrElse(withStart)
-      sidSet.map(s => withEnd.where(col("stream_id").isInCollection(s.toSeq)))
+      val scoped = sidSet.map(s => withEnd.where(col("stream_id").isInCollection(s.toSeq)))
         .getOrElse(withEnd)
+      if (delRanges.isEmpty) scoped
+      else minusDeleted(scoped, deleteRangesDF(snap))
     }
     def tableCount(table: String,
                    schema: org.apache.spark.sql.types.StructType): Long =
@@ -2144,7 +2504,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                 st.tsMin >= lo && st.tsMax <= hi
               } && sidSet.forall(set =>
                 st.sidMin.isDefined && st.sidMin == st.sidMax &&
-                  set(st.sidMin.get))
+                  set(st.sidMin.get)) && !delOverlaps(st)
             }
           }
           val metaRows = interior.iterator
@@ -2269,15 +2629,23 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val m = parseManifest(v)
       val removes = m.removes.filter { case (t, _) => tables.contains(t) }
       val adds = m.adds.filter { case (t, _, _) => tables.contains(t) }
-      if (removes.nonEmpty) {
+      // a merge-on-read row delete retires NO fact files — the change is a
+      // new `raw_deletes` file voiding fact rows in place. For a fact-table
+      // feed that is a row-deleting change commit exactly like a rewrite,
+      // and silently emitting nothing would desynchronize the consumer.
+      val morDelete = tables.contains("raw") &&
+        m.adds.exists(_._1 == "raw_deletes")
+      if (removes.nonEmpty || morDelete) {
         if (skipChangeCommits) Seq.empty
         else throw new IllegalStateException(
-          s"changefeed: version $v (op '${opOf(v)}') retires files of " +
-            s"${removes.map(_._1).distinct.mkString(", ")} — a rewrite " +
-            "has no row-level change encoding in the commit log; pass " +
-            "skipChangeCommits=true to skip rewrite commits (exact for " +
-            "row-preserving maintenance like compaction and z-order; row " +
-            "deletions will NOT be surfaced)")
+          s"changefeed: version $v (op '${opOf(v)}') " +
+            (if (removes.nonEmpty)
+              s"retires files of ${removes.map(_._1).distinct.mkString(", ")}"
+            else "publishes a merge-on-read row delete") +
+            " — a rewrite/delete has no row-level change encoding in the " +
+            "commit log; pass skipChangeCommits=true to skip such commits " +
+            "(exact for row-preserving maintenance like compaction and " +
+            "z-order; row deletions will NOT be surfaced)")
       } else {
         val op = opOf(v)
         adds.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, tAdds) =>
@@ -2346,14 +2714,19 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val m = parseManifest(v)
       val rawRemoves = m.removes.filter(_._1 == "raw")
       val rawAdds = m.adds.filter(_._1 == "raw")
+      // a merge-on-read row delete voids raw rows without retiring a file —
+      // for a replica that is a non-append change exactly like a rewrite
+      val morDelete = m.adds.exists(_._1 == "raw_deletes")
       val op = commitOpOf(v)
       if (rawRemoves.nonEmpty && op == "compact") {
         // row-preserving maintenance: nothing a replica needs
-      } else if (rawRemoves.nonEmpty) {
+      } else if (rawRemoves.nonEmpty || morDelete) {
         if (!skipChangeCommits)
           throw new IllegalStateException(
-            s"replicateTo: source version $v (op '$op') retires raw files " +
-              "— the change cannot be expressed as an append; pass " +
+            s"replicateTo: source version $v (op '$op') " +
+              (if (rawRemoves.nonEmpty) "retires raw files"
+              else "publishes a merge-on-read row delete") +
+              " — the change cannot be expressed as an append; pass " +
               "skipChangeCommits=true for an insert-only replica (deletes " +
               "will NOT propagate), or re-seed the replica from a restore")
       } else if (rawAdds.nonEmpty) {
@@ -2389,10 +2762,22 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val snap = asOfVersion.map(snapshotAt).orElse(rawSnapshot).getOrElse(
       throw new IllegalStateException(
         "generateSymlinkManifest: no committed snapshot to export"))
+    // an external engine reading the listed parquet files has no way to
+    // apply merge-on-read delete files — exporting a snapshot with active
+    // row deletes would hand it rows the engine's own readers void. Refuse
+    // loudly; applyDeletes() makes the snapshot physically clean.
+    if (snap.covered("raw_deletes") &&
+        snap.files.getOrElse("raw_deletes", Set.empty).nonEmpty)
+      throw new IllegalStateException(
+        s"generateSymlinkManifest: snapshot ${snap.version} carries active " +
+          "merge-on-read row deletes an external reader cannot apply — run " +
+          "applyDeletes() (or export a version before the delete)")
     val outDir = s"$warehouse/_symlink_manifest/v${snap.version}"
     io.mkdirs(outDir)
     var n = 0L
-    snap.covered.toSeq.sorted.foreach { t =>
+    // raw_deletes is engine-internal (and empty past the guard) — not a
+    // table external readers should see
+    snap.covered.toSeq.filter(_ != "raw_deletes").sorted.foreach { t =>
       val files = snap.files.getOrElse(t, Set.empty).toSeq.sorted
       io.writeString(s"$outDir/${t.replace('/', '_')}.txt",
         files.map(f => s"${tablePath(t)}/$f").mkString("\n"))

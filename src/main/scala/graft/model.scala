@@ -157,6 +157,35 @@ object Schemas {
     */
   val rawDatapointsPartitioned: StructType =
     StructType(rawDatapoints.fields :+ StructField("dp_date", DateType, nullable = true))
+
+  /** Row-level delete file (Iceberg's EQUALITY/range delete shape, not a
+    * positional bitmap): each row voids every fact row of `stream_id` with
+    * `ts` in the INCLUSIVE epoch-µs range `[lo_us, hi_us]`. Value-keyed
+    * rather than (file, position)-keyed deliberately: the predicate stays
+    * correct across compaction and z-order rewrites (which move rows
+    * between files) with no delete-file rewrite, and it applies as one
+    * broadcast anti-join — tiny by contract (one row per doomed stream per
+    * delete verb), never proportional to the deleted data.
+    */
+  val rawDeletes: StructType = StructType(Seq(
+    StructField("stream_id", StringType, nullable = false),
+    StructField("lo_us", LongType, nullable = false),
+    StructField("hi_us", LongType, nullable = false)))
+}
+
+/** Physical strategy for a row-level delete ([[Datastream.deleteDatapoints]]).
+  * Merge-on-read writes a tiny delete file and defers the rewrite (the
+  * right default for point/takedown deletes on a 100 TB table: O(metadata)
+  * commit, readers pay one broadcast anti-join until [[Datastream.applyDeletes]]
+  * rewrites the touched files). Copy-on-write rewrites the touched files in
+  * the delete commit itself — the right call when the deleted fraction is
+  * large enough that carrying the read-side filter costs more than the
+  * rewrite.
+  */
+sealed trait DeleteMode
+object DeleteMode {
+  case object MergeOnRead extends DeleteMode
+  case object CopyOnWrite extends DeleteMode
 }
 
 /** Plan utilities shared by the facade. */
