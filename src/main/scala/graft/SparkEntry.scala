@@ -59,6 +59,9 @@ object SparkEntry {
     // CDC changefeed: catch-up from a cursor reads ONLY files newer
     // commits added; replay from 0 reconstructs the table commit-by-commit
     "q_changefeed" -> Queries.changefeed _,
+    // CDF: the feed that DECODES merge-on-read deletes into the voided
+    // rows (_change_type insert|delete), replay + catch-up
+    "q_changefeed_deletes" -> Queries.changefeedDeletes _,
     // RESTORE VERSION AS OF: data + registry roll back by log manipulation
     // alone; the pre-restore state stays a time-travel target
     "q_restore" -> Queries.restoreGate _,
@@ -270,6 +273,7 @@ object SparkEntry {
     "q_history" -> Oracles.historyLedger,
     "q_row_delete" -> Oracles.rowDelete,
     "q_changefeed" -> Oracles.changefeed,
+    "q_changefeed_deletes" -> Oracles.changefeedDeletes,
     "q_restore" -> Oracles.restoreGate,
     "q_rollup_changefeed" -> Oracles.rollupChangefeed,
     "q_replication" -> Oracles.replication,
@@ -737,10 +741,24 @@ object Queries {
           col("n_rows"), col("value_sum"))
     def probe(label: String, n: Long) =
       Seq((label, "-", n, 0.0)).toDF("phase", "stream_id", "n_rows", "value_sum")
-    stats(dst.rawDatapoints, "replica")
+    val replica = stats(dst.rawDatapoints, "replica")
+    // a merge-on-read takedown on the source PROPAGATES: the replica
+    // applies the same ranges under the same batch-id watermark (one
+    // commit applied, idempotent on re-run), and its visible rows drop
+    // exactly the deleted window
+    val nDel = src.deleteDatapoints(Map("user" -> "7"),
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-19T23:59:59.999999Z"))
+    val r4 = src.replicateTo(dst)
+    val r5 = src.replicateTo(dst)
+    replica
       .unionByName(probe("applied_1", r1))
       .unionByName(probe("applied_2", r2))
       .unionByName(probe("applied_3", r3))
+      .unionByName(stats(dst.rawDatapoints, "replica_after_delete"))
+      .unionByName(probe("deleted", nDel))
+      .unionByName(probe("applied_4", r4))
+      .unionByName(probe("applied_5", r5))
+      .unionByName(probe("dst_pending", dst.pendingDeletes.count()))
   }
 
   /** ROLLUP CHANGEFEED on the gate: the incremental dashboard consumer.
@@ -866,6 +884,42 @@ object Queries {
     shape(ds.readChanges(cursor, skipChangeCommits = true), "catchup", cursor)
       .unionByName(shape(ds.readChanges(0L, skipChangeCommits = true),
         "replay", 0L))
+  }
+
+  /** CDF (change-data-feed) on the gate: the row-delete-decoding
+    * changefeed. Slice A lands, a merge-on-read takedown voids a
+    * mid-slice window of one stream, slice B lands; the replay from 0
+    * must surface every appended row as an 'insert' AND decode the delete
+    * commit into exactly the voided rows as 'delete' rows — recomputed by
+    * the oracle straight from events with the same window. A catch-up
+    * from the pre-delete cursor must carry the delete plus slice B only.
+    */
+  def changefeedDeletes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-cfd")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    val cursor = ds.currentVersion.get
+    ds.deleteDatapoints(Map("user" -> "7"),
+      ts("2024-01-05T00:00:00Z"), ts("2024-01-09T23:59:59.999999Z"))
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
+    def shape(df: DataFrame, phase: String) =
+      df.groupBy(col("_change_type"), col("_commit_op").as("op"),
+          col("stream_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("_change_type"), col("op"),
+          col("stream_id"), col("n_rows"), col("value_sum"))
+    shape(ds.readChangesWithDeletes(0L), "replay")
+      .unionByName(shape(ds.readChangesWithDeletes(cursor), "catchup"))
   }
 
   /** METADATA-ONLY COUNT on the gate: two streams land in two commits
@@ -3701,10 +3755,61 @@ SELECT 'replica', '3:view', count(*),
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
 FROM events WHERE user_id = 3 AND event_type = 'view'
 UNION ALL
+SELECT 'replica_after_delete', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 7 AND event_type = 'click'
+  AND NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+       AND ts < TIMESTAMP '2024-01-20 00:00:00')
+UNION ALL
+SELECT 'replica_after_delete', '3:view', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM events WHERE user_id = 3 AND event_type = 'view'
+UNION ALL
+SELECT 'deleted', '-', count(*), 0.0
+FROM events WHERE user_id = 7 AND event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+UNION ALL
 SELECT * FROM (VALUES
   ('applied_1', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
   ('applied_2', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
-  ('applied_3', '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE))) AS r(a, b, c, d)"""
+  ('applied_3', '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('applied_4', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('applied_5', '-', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)),
+  ('dst_pending', '-', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE))) AS r(a, b, c, d)"""
+
+  /** CDF twin: inserts are every appended row per stream (both append
+    * commits share the op label, so they group together); the delete
+    * commit decodes to exactly the voided window, once in the replay and
+    * once in the catch-up (whose inserts are slice B only). The HAVING
+    * guards mirror "an empty delete never commits".
+    */
+  val changefeedDeletes: String =
+    """WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view')),
+del AS (
+  SELECT * FROM pts WHERE stream_id = '7:click'
+    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts < TIMESTAMP '2024-01-10 00:00:00')
+SELECT 'replay' AS phase, 'insert' AS _change_type, 'append' AS op,
+  stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM pts GROUP BY 4
+UNION ALL
+SELECT 'replay', 'delete', 'delete_datapoints', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM del HAVING count(*) > 0
+UNION ALL
+SELECT 'catchup', 'delete', 'delete_datapoints', '7:click', count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM del HAVING count(*) > 0
+UNION ALL
+SELECT 'catchup', 'insert', 'append', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM pts WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 4"""
 
   /** Rollup-changefeed twin: hour buckets of the full stream with
     * bucket_start at or past the first watermark — exactly what the

@@ -2011,23 +2011,55 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * territory, like every multi-table atomicity note in this file.
     */
   def appendBatch(batch: DataFrame, batchId: Long): Unit = {
-    // The watermark is MONOTONIC marker files (`ingest_batch_hwm.v<id>`),
-    // not an overwritten file: readers take the max marker, the writer
-    // creates a fresh name per advance and sweeps older ones after — so no
-    // store class needs atomic overwrite-rename (S3 has none), a crash
-    // mid-sweep only leaves extra markers whose max is still correct, and
-    // a legacy plain `ingest_batch_hwm` file keeps counting.
+    if (batchId <= ingestHighWatermark) return
+    appendMultiple(batch, checkTimestamp = false)
+    advanceIngestHwm(batchId)
+  }
+
+  /** Advance the idempotent-ingest watermark to `batchId`. The watermark is
+    * MONOTONIC marker files (`ingest_batch_hwm.v<id>`), not an overwritten
+    * file: readers take the max marker, the writer creates a fresh name per
+    * advance and sweeps older ones after — so no store class needs atomic
+    * overwrite-rename (S3 has none), a crash mid-sweep only leaves extra
+    * markers whose max is still correct, and a legacy plain
+    * `ingest_batch_hwm` file keeps counting.
+    */
+  private def advanceIngestHwm(batchId: Long): Unit = {
     val hwmBase = s"$warehouse/ingest_batch_hwm"
     def markerIds = io.childNames(warehouse)
       .filter(_.startsWith("ingest_batch_hwm.v"))
       .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
-    if (batchId <= ingestHighWatermark) return
-    appendMultiple(batch, checkTimestamp = false)
     io.writeString(s"$hwmBase.v$batchId", batchId.toString)
     markerIds.filter(_ < batchId)
       .foreach(v => io.deleteFile(s"$hwmBase.v$v"))
     if (io.exists(hwmBase)) io.deleteFile(hwmBase)
     ()
+  }
+
+  /** Idempotently apply a set of row-delete ranges under the SAME batch-id
+    * watermark [[appendBatch]] uses — the delete twin of the exactly-once
+    * ingest verb, and what lets [[replicateTo]] propagate a source
+    * merge-on-read delete instead of degrading the replica to insert-only.
+    * Commits one merge-on-read delete file plus the rollup repair for each
+    * distinct range window; a batch id at or below the watermark is a
+    * no-op. No dependency check: the ranges were validated where they were
+    * first issued (the source warehouse), and a replica mirrors, not
+    * re-adjudicates.
+    */
+  def applyDeleteBatch(ranges: Seq[(String, Long, Long)], batchId: Long): Unit = {
+    if (ranges.isEmpty || batchId <= ingestHighWatermark) return
+    import spark.implicits._
+    withCommit("delete_datapoints") {
+      scopeWrite("raw_deletes")
+      ranges.toDF("stream_id", "lo_us", "hi_us").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(tablePath("raw_deletes"))
+      ranges.groupBy(r => (r._2, r._3)).toSeq.sortBy(_._1).foreach {
+        case ((lo, hi), rs) =>
+          val sids = rs.map(_._1).distinct.sorted.toIndexedSeq
+          repairRollups(sids.toDF("stream_id"), sids, lo, hi)
+      }
+    }
+    advanceIngestHwm(batchId)
   }
 
   /** The idempotent-ingest high-watermark [[appendBatch]] enforces: the
@@ -2603,6 +2635,112 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       Map(s"rollup/granularity=${g.name}" -> Schemas.downsampledPartitioned),
       Schemas.downsampled, sinceVersion, toVersion, skipChangeCommits)
 
+  /** The fact-table changefeed WITH row-level delete encoding — the CDF
+    * (change-data-feed) shape: every row carries `_change_type`
+    * ('insert' | 'delete') plus the commit attribution columns. Inserts
+    * are served from exactly the files each commit added, as
+    * [[readChanges]]. A merge-on-read [[deleteDatapoints]] commit is
+    * DECODED into the rows it voided: its new delete ranges are applied to
+    * the PARENT snapshot's visible rows (file-pruned to the range windows
+    * and doomed streams, so the decode costs O(deleted window), never a
+    * scan) — and because the parent read already applies the parent's own
+    * active deletes, rows voided twice are emitted exactly once, at the
+    * commit that first voided them. Copy-on-write rewrites still have no
+    * row encoding (issue deletes merge-on-read where the feed must see
+    * them): row-preserving maintenance (`compact`) and the physical
+    * `apply_deletes` rewrite (whose deletions this feed already emitted at
+    * their merge-on-read commit) are skipped; any other fact-file-retiring
+    * commit fails the read loudly, mirroring [[readChanges]]'s contract.
+    * Needs the delete commit's PARENT snapshot retained: an aged-out
+    * cursor fails loudly rather than silently dropping the delta.
+    */
+  def readChangesWithDeletes(sinceVersion: Long,
+                             toVersion: Option[Long] = None): DataFrame = {
+    val vs = committedVersions
+    val hi = toVersion.orElse(vs.lastOption).getOrElse(
+      throw new IllegalArgumentException(
+        "changefeed: no committed versions exist yet"))
+    if (!vs.contains(hi))
+      throw new IllegalArgumentException(
+        s"changefeed: toVersion $hi is not a committed, retained snapshot " +
+          s"(retained: ${vs.mkString(", ")})")
+    if (sinceVersion != 0L && !vs.contains(sinceVersion))
+      throw new IllegalArgumentException(
+        s"changefeed: sinceVersion $sinceVersion is not a committed, " +
+          s"retained snapshot (retained: ${vs.mkString(", ")}); pass 0 to " +
+          "read from the start of the retained log")
+    if (sinceVersion > hi)
+      throw new IllegalArgumentException(
+        s"changefeed: sinceVersion $sinceVersion is past toVersion $hi")
+    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+    val tables = Map("raw" -> Schemas.rawDatapointsPartitioned,
+      "derived" -> Schemas.rawDatapoints)
+    val rowPreserving = Set("compact", "apply_deletes")
+    val slices = vs.filter(v => v > sinceVersion && v <= hi).flatMap { v =>
+      val m = parseManifest(v)
+      val op = commitOpOf(v)
+      val removes = m.removes.filter { case (t, _) => tables.contains(t) }
+      val delAdds = m.adds.filter(_._1 == "raw_deletes")
+      if (removes.nonEmpty && !rowPreserving(op))
+        throw new IllegalStateException(
+          s"changefeed: version $v (op '$op') retires fact files — the " +
+            "rewrite has no row-level change encoding; only merge-on-read " +
+            "deletes are decodable (compact and apply_deletes are skipped " +
+            "as row-preserving)")
+      val skippedRewrite = removes.nonEmpty && rowPreserving(op)
+      val inserts =
+        if (skippedRewrite) Seq.empty
+        else m.adds.filter { case (t, _, _) => tables.contains(t) }
+          .groupBy(_._1).toSeq.sortBy(_._1).map { case (t, tAdds) =>
+            val snap = Snapshot(v, Set(t), Map(t -> tAdds.map(_._2).toSet),
+              tAdds.collect { case (_, rel, Some(st)) => ((t, rel), st) }.toMap)
+            tableReadFrom(Some(snap), t, tables(t), pinned = true).get
+              .select(cols: _*)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+              .withColumn("_commit_op", lit(op))
+          }
+      val deletes =
+        if (delAdds.isEmpty) Seq.empty
+        else {
+          val parentV = vs.filter(_ < v).lastOption.getOrElse(
+            throw new IllegalStateException(
+              s"changefeed: delete commit $v has no retained parent " +
+                "snapshot to decode against"))
+          val rangesDF = spark.read.schema(Schemas.rawDeletes)
+            .parquet(delAdds.map { case (_, rel, _) =>
+              s"${tablePath("raw_deletes")}/$rel" }.sorted: _*)
+          val rows = rangesDF.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val sids = rows.map(_._1).distinct.sorted.toSeq
+          val lo = rows.map(_._2).min
+          val hiUs = rows.map(_._3).max
+          val r = rangesDF.select(col("stream_id").as("_del_sid"),
+            col("lo_us").as("_del_lo"), col("hi_us").as("_del_hi"))
+          val parent = rawDatapointsInRange(Some(tsOf(lo)), Some(tsOf(hiUs)),
+            Some(parentV), Some(sids))
+          Seq(parent.join(broadcast(r),
+              parent("stream_id") === r("_del_sid") &&
+                unix_micros(parent("ts")) >= r("_del_lo") &&
+                unix_micros(parent("ts")) <= r("_del_hi"), "left_semi")
+            .select(cols: _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_op", lit(op)))
+        }
+      inserts ++ deletes
+    }
+    if (slices.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Schemas.rawDatapoints.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", LongType, nullable = false),
+          StructField("_commit_op", StringType, nullable = false))))
+    } else slices.reduce(_.unionByName(_))
+  }
+
   private def changesOver(tables: Map[String, org.apache.spark.sql.types.StructType],
                           outSchema: org.apache.spark.sql.types.StructType,
                           sinceVersion: Long, toVersion: Option[Long],
@@ -2687,10 +2825,15 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * first (idempotent; dest rebuilds its own bounds as data lands).
     * Derived and rollup tables are NOT copied — a replica runs its own
     * maintenance — so replication cost stays proportional to new raw
-    * data. Raw-REWRITING commits: `compact` (row-preserving by the
-    * compaction/z-order contract) is skipped silently; any other
-    * raw-retiring commit (delete purge, reprocess, restore) fails the
-    * run loudly unless `skipChangeCommits = true`, which skips it and
+    * data. MERGE-ON-READ ROW DELETES PROPAGATE: the replica applies the
+    * same delete ranges ([[applyDeleteBatch]]) under the same idempotent
+    * batch-id watermark, so takedowns reach every replica exactly once.
+    * Raw-REWRITING commits: `compact` (row-preserving) and
+    * `apply_deletes` (physically rewrites deletions already propagated at
+    * their merge-on-read commit) are skipped silently; any other
+    * raw-retiring commit (copy-on-write delete, whole-stream delete
+    * purge, reprocess, restore) fails the run loudly unless
+    * `skipChangeCommits = true`, which skips every non-append change and
     * makes the replica an INSERT-ONLY follower (deletes do not
     * propagate) — Delta's `skipChangeCommits` trade, stated.
     *
@@ -2714,21 +2857,35 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val m = parseManifest(v)
       val rawRemoves = m.removes.filter(_._1 == "raw")
       val rawAdds = m.adds.filter(_._1 == "raw")
-      // a merge-on-read row delete voids raw rows without retiring a file —
-      // for a replica that is a non-append change exactly like a rewrite
-      val morDelete = m.adds.exists(_._1 == "raw_deletes")
+      val delAdds = m.adds.filter(_._1 == "raw_deletes")
       val op = commitOpOf(v)
-      if (rawRemoves.nonEmpty && op == "compact") {
-        // row-preserving maintenance: nothing a replica needs
-      } else if (rawRemoves.nonEmpty || morDelete) {
+      if (rawRemoves.nonEmpty &&
+          (op == "compact" || op == "apply_deletes")) {
+        // row-preserving maintenance (apply_deletes physically rewrites
+        // deletions the replica already applied at their merge-on-read
+        // commit): nothing a replica needs
+      } else if (rawRemoves.nonEmpty) {
         if (!skipChangeCommits)
           throw new IllegalStateException(
-            s"replicateTo: source version $v (op '$op') " +
-              (if (rawRemoves.nonEmpty) "retires raw files"
-              else "publishes a merge-on-read row delete") +
-              " — the change cannot be expressed as an append; pass " +
+            s"replicateTo: source version $v (op '$op') retires raw files " +
+              "— the change cannot be expressed as an append (issue row " +
+              "deletes merge-on-read to make them replicable); pass " +
               "skipChangeCommits=true for an insert-only replica (deletes " +
               "will NOT propagate), or re-seed the replica from a restore")
+      } else if (delAdds.nonEmpty) {
+        // a merge-on-read row delete PROPAGATES: the replica applies the
+        // same delete ranges under the same idempotent batch-id watermark
+        // appends use — the delete is exactly-once like everything else.
+        // skipChangeCommits still opts into an insert-only follower.
+        if (!skipChangeCommits) {
+          val ranges = spark.read.schema(Schemas.rawDeletes)
+            .parquet(delAdds.map { case (_, rel, _) =>
+              s"${tablePath("raw_deletes")}/$rel" }.sorted: _*)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq.sorted
+          dest.applyDeleteBatch(ranges, v)
+          applied += 1L
+        }
       } else if (rawAdds.nonEmpty) {
         val snap = Snapshot(v, Set("raw"),
           Map("raw" -> rawAdds.map(_._2).toSet),

@@ -134,23 +134,53 @@ class RowDeleteSpec extends SparkSpec {
       ds.deleteDatapoints(Map("team" -> "red"), delLo, delHi))
   }
 
-  test("changefeed and replication treat a merge-on-read delete as a change commit") {
+  test("changefeed surfaces row deletes; replication propagates them exactly once") {
     val (ds, _) = freshDs
     seed(ds)
     val dest = new Datastream(spark,
       Files.createTempDirectory("graft-rowdel-dst").toString)
+    val follower = new Datastream(spark,
+      Files.createTempDirectory("graft-rowdel-fol").toString)
     assert(ds.replicateTo(dest) > 0L)
+    assert(ds.replicateTo(follower) > 0L)
     val vBefore = ds.currentVersion.get
     ds.deleteDatapoints(Map("team" -> "red"), delLo, delHi)
+    // the insert-only feed cannot encode the delete: loud, or skipped
     val e1 = intercept[IllegalStateException](
       ds.readChanges(vBefore).count())
     assert(e1.getMessage.contains("merge-on-read"))
     assert(ds.readChanges(vBefore, skipChangeCommits = true).count() === 0L)
-    val e2 = intercept[IllegalStateException](ds.replicateTo(dest))
-    assert(e2.getMessage.contains("merge-on-read"))
-    // insert-only follower: the delete is skipped, stated
-    ds.replicateTo(dest, skipChangeCommits = true)
-    assert(dest.rawDatapoints.count() === 9L)
+    // the CDF feed decodes the delete into exactly the voided rows
+    val cdc = ds.readChangesWithDeletes(vBefore)
+      .select("_change_type", "stream_id", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cdc === Set(("delete", "a", 4.0), ("delete", "a", 8.0)))
+    // full replay from 0: every append as insert + the two deletes
+    val full = ds.readChangesWithDeletes(0L)
+    assert(full.where(col("_change_type") === "insert").count() === 9L)
+    assert(full.where(col("_change_type") === "delete").count() === 2L)
+    // replication PROPAGATES the delete, idempotently
+    assert(ds.replicateTo(dest) === 1L)
+    assert(dest.rawDatapoints.count() === 7L)
+    assert(dest.pendingDeletes.count() === 1L)
+    assert(ds.replicateTo(dest) === 0L)
+    assert(dest.rawDatapoints.count() === 7L)
+    // a voided-twice row is emitted once, at the commit that first voided
+    // it: an overlapping second delete decodes to nothing new
+    val vMid = ds.currentVersion.get
+    ds.deleteDatapoints(Map("team" -> "red"),
+      ts("2024-01-01T00:00:30Z"), delHi)
+    val cdc2 = ds.readChangesWithDeletes(vMid)
+      .where(col("_change_type") === "delete")
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(cdc2 === Set(2.0)) // only the 00:00:40 row is newly voided
+    // the physical rewrite is skipped by the feed (already emitted)
+    val vPre = ds.currentVersion.get
+    ds.applyDeletes()
+    assert(ds.readChangesWithDeletes(vPre).count() === 0L)
+    // opt-out follower stays insert-only, stated
+    ds.replicateTo(follower, skipChangeCommits = true)
+    assert(follower.rawDatapoints.count() === 9L)
   }
 
   test("a crash mid-delete leaves every surface on the pre-mutation snapshot") {
