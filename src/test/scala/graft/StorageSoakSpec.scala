@@ -5,6 +5,8 @@ import java.sql.Timestamp
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.functions.col
+
 /** Model-based soak of the snapshot-manifest storage layer: a seeded
   * random interleaving of every mutation verb — appends, tag-query
   * deletes, compactions, vacuums — with CRASHES injected into a fraction
@@ -279,6 +281,111 @@ class StorageSoakSpec extends SparkSpec {
     // and nothing torn: every loser either retried to success or left no
     // marker (lock losers never reach the intent)
     assert(check.tornOperations.isEmpty)
+    ()
+  }
+
+  test("racing delete soak: merge-on-read takedowns serialize with appends, " +
+      "readers see monotone per-surface state, physical apply converges") {
+    val dir = Files.createTempDirectory("graft-delrace").toString
+    val setup = new Datastream(spark, dir)
+    // a static pre-seeded stream the deleter chews through in disjoint
+    // 5-point windows, plus two streams the appenders grow concurrently
+    setup.ensureStream("old", Map("kind" -> "old"))
+    setup.ensureStream("w0")
+    setup.ensureStream("w1")
+    val baseUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    setup.appendMultiple((1 to 40).map { j =>
+      ("old", new Timestamp((baseUs + j * 60L * 1000000L) / 1000L), j.toDouble)
+    }.toDF("stream_id", "ts", "value"))
+    // rollups exist BEFORE the storm so every delete runs the repair path
+    // under contention
+    setup.downsampleStreams(new Timestamp(
+      (baseUs + 86400L * 1000000L) / 1000L))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retries = new java.util.concurrent.atomic.AtomicLong
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { body; done = true } catch {
+          case _: errors.MaintenanceLockContended |
+               _: errors.CommitConflict =>
+            retries.incrementAndGet()
+            Thread.sleep(2L + scala.util.Random.nextInt(8))
+        }
+      }
+    }
+    val perWriter = 5
+    val appenders = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          val ds = new Datastream(spark, dir)
+          var us = baseUs + (i + 1) * 1000000L
+          (1 to perWriter).foreach { j =>
+            us += 3600L * 1000000L
+            val t = new Timestamp(us / 1000L)
+            retrying(ds.appendMultiple(
+              Seq((s"w$i", t, j.toDouble)).toDF("stream_id", "ts", "value")))
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val nDeletes = 4
+    val deleter = new Thread(() => {
+      try {
+        val ds = new Datastream(spark, dir)
+        (0 until nDeletes).foreach { k =>
+          val lo = new Timestamp((baseUs + (k * 5 + 1) * 60L * 1000000L) / 1000L)
+          val hi = new Timestamp((baseUs + (k * 5 + 5) * 60L * 1000000L) / 1000L)
+          retrying {
+            val n = ds.deleteDatapoints(Map("kind" -> "old"), lo, hi)
+            assert(n === 5L, s"window $k voided $n rows, expected 5")
+          }
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        val ds = new Datastream(spark, dir)
+        var lastOld = Long.MaxValue
+        var lastNew = 0L
+        while (!stopReader.get()) {
+          // the deleted stream only shrinks; the appended streams only grow
+          val o = ds.getData("old", Granularity.Seconds).count()
+          assert(o <= lastOld, s"deleted stream grew back: $lastOld -> $o")
+          lastOld = o
+          val n = ds.rawDatapoints
+            .where(col("stream_id").isin("w0", "w1")).count()
+          assert(n >= lastNew, s"append went backwards: $lastNew -> $n")
+          lastNew = n
+          assert(ds.pendingDeletes.count() >= 0L)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    (appenders :+ deleter).foreach(_.start())
+    (appenders :+ deleter).foreach(_.join(180000))
+    stopReader.set(true)
+    reader.join(30000)
+    assert(failures.isEmpty,
+      s"writer/deleter/reader died: ${Option(failures.peek()).map(_.toString)}")
+    val check = new Datastream(spark, dir)
+    assert(check.getData("old", Granularity.Seconds).count() ===
+      (40 - nDeletes * 5).toLong)
+    assert(check.rawDatapoints.where(col("stream_id").isin("w0", "w1"))
+      .count() === (2 * perWriter).toLong)
+    // rollup repair held under contention: minutes of `old` equal a direct
+    // aggregation of the surviving points
+    val survTs = (1 to 40).filterNot(j => j >= 1 && j <= nDeletes * 5)
+    assert(check.getData("old", Granularity.Minutes).count() ===
+      survTs.size.toLong)
+    assert(check.tornOperations.isEmpty)
+    // physical convergence: apply + vacuum change nothing visible
+    check.applyDeletes()
+    check.vacuumRaw(1)
+    assert(check.getData("old", Granularity.Seconds).count() ===
+      (40 - nDeletes * 5).toLong)
+    assert(check.pendingDeletes.count() === 0L)
     ()
   }
 }
