@@ -1581,6 +1581,29 @@ object Queries {
         ds.deleteDatapoints(Map("solo" -> "y"),
           ts("2024-01-09T00:00:00Z"), ts("2024-01-11T00:00:00Z"))
         ds.generateSymlinkManifest()
+      },
+      // CHECK constraints: a violating batch is rejected whole; declaring
+      // a constraint existing rows violate is refused; declare → enforce →
+      // drop → append-freely is the clean path
+      attempt("append_constraint_violation") {
+        val d = new Datastream(spark, tempDir("graft-val-c1"))
+        d.ensureStream("c")
+        d.addCheckConstraint("value_nonneg", "value >= 0")
+        d.append("c", -1.0, ts("2024-01-10T00:00:00Z"))
+      },
+      attempt("constraint_on_dirty_data") {
+        val d = new Datastream(spark, tempDir("graft-val-c2"))
+        d.ensureStream("c")
+        d.append("c", 5.0, ts("2024-01-10T00:00:00Z"))
+        d.addCheckConstraint("value_small", "value < 1")
+      },
+      attempt("constraint_clean_path") {
+        val d = new Datastream(spark, tempDir("graft-val-c3"))
+        d.ensureStream("c")
+        d.addCheckConstraint("value_nonneg", "value >= 0")
+        d.append("c", 1.0, ts("2024-01-10T00:00:00Z"))
+        d.dropCheckConstraint("value_nonneg")
+        d.append("c", -1.0, ts("2024-01-11T00:00:00Z"))
       }
     ).toDF("check_case", "error")
   }
@@ -4217,7 +4240,10 @@ FROM part"""
   ('replicate_into_self', 'IllegalArgumentException'),
   ('row_delete_inverted_range', 'InvalidTimestamp'),
   ('row_delete_with_dependents', 'OutstandingDependenciesError'),
-  ('symlink_with_pending_deletes', 'IllegalStateException')
+  ('symlink_with_pending_deletes', 'IllegalStateException'),
+  ('append_constraint_violation', 'ConstraintViolation'),
+  ('constraint_on_dirty_data', 'ConstraintViolation'),
+  ('constraint_clean_path', 'ok')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the

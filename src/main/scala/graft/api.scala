@@ -1906,6 +1906,103 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     rangeRows.size.toLong
   }
 
+  // ---- CHECK constraints (ingest expectations) -----------------------------
+
+  private def constraintsPath = s"$warehouse/_constraints"
+
+  private def constraintVersions: Seq[Long] =
+    io.childNames(constraintsPath)
+      .filter(n => n.startsWith("v") && n.endsWith(".tsv"))
+      .flatMap(_.stripPrefix("v").stripSuffix(".tsv").toLongOption)
+
+  /** The active CHECK constraints: name → boolean SQL expression over the
+    * appended columns (`stream_id`, `ts`, `value`, `value_json`) — the
+    * ingest-side data-quality expectations a lakehouse table declares
+    * (Delta's `CHECK` constraints). Enforced on EVERY append path (direct,
+    * batch, streaming — they all funnel through [[appendMultiple]]): a
+    * batch containing any violating row is rejected whole with the pinned
+    * [[errors.ConstraintViolation]] naming the constraint and a sample
+    * row, BEFORE anything is written. SQL-standard tri-state: only FALSE
+    * violates; NULL passes. Stored as monotone versioned files (readers
+    * take the max version — the same no-atomic-overwrite pattern as the
+    * ingest watermark), mutated only under the writer lock.
+    */
+  def checkConstraints: Map[String, String] = {
+    val vs = constraintVersions
+    if (vs.isEmpty) Map.empty
+    else {
+      val body = io.readString(s"$constraintsPath/v${vs.max}.tsv")
+      body.split('\n').iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  private def writeConstraints(m: Map[String, String]): Unit = {
+    io.mkdirs(constraintsPath)
+    val next = constraintVersions.foldLeft(0L)(math.max) + 1L
+    io.writeString(s"$constraintsPath/v$next.tsv",
+      m.toSeq.sorted.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+    // sweep older versions — a crash mid-sweep leaves extras whose max
+    // still wins
+    constraintVersions.filter(_ < next)
+      .foreach(v => io.deleteFile(s"$constraintsPath/v$v.tsv"))
+  }
+
+  /** The per-row "which constraint failed" projection: first (by name) of
+    * the constraints whose expression is FALSE for the row, else null.
+    */
+  private def violationOf(cons: Map[String, String]): org.apache.spark.sql.Column =
+    coalesce(cons.toSeq.sortBy(_._1).map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)) === false, lit(n))
+    }: _*)
+
+  /** Declare a CHECK constraint. Refused (loudly, nothing recorded) when
+    * the name is already taken, the expression does not analyze against
+    * the fact-row schema, or ANY existing visible row violates it —
+    * Delta's add-constraint contract: the declaration is a promise about
+    * the whole table, so dirty history must be deleted or reprocessed
+    * first. The existence probe is a limit-1 scan with the predicate
+    * pushed down, not a full materialization.
+    */
+  def addCheckConstraint(name: String, expression: String): Unit = {
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new IllegalArgumentException(
+        s"constraint name '$name' must match [A-Za-z_][A-Za-z0-9_]*")
+    withWriterLock("constraints") {
+      val cur = checkConstraints
+      if (cur.contains(name))
+        throw new IllegalArgumentException(
+          s"constraint '$name' already exists (drop it first to replace)")
+      // analyzes + type-checks the expression against the fact schema
+      // (throws AnalysisException on a bad reference or non-boolean)
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.rawDatapoints).where(expr(expression))
+      probe.queryExecution.analyzed
+      val dirty = rawDatapoints
+        .where(coalesce(expr(expression), lit(true)) === false)
+        .select("stream_id", "ts", "value").limit(1).collect()
+      if (dirty.nonEmpty)
+        throw new errors.ConstraintViolation(
+          s"cannot add constraint '$name' ($expression): existing row " +
+            s"violates it, e.g. ${dirty.head} — delete or reprocess the " +
+            "violating history first")
+      writeConstraints(cur + (name -> expression))
+    }
+  }
+
+  /** Drop a declared CHECK constraint; unknown names fail loudly. */
+  def dropCheckConstraint(name: String): Unit = withWriterLock("constraints") {
+    val cur = checkConstraints
+    if (!cur.contains(name))
+      throw new IllegalArgumentException(
+        s"constraint '$name' does not exist " +
+          s"(declared: ${cur.keys.toSeq.sorted.mkString(", ")})")
+    writeConstraints(cur - name)
+  }
+
   // ---- ingest (S1/S2, T3) -------------------------------------------------
 
   def append(streamId: String, value: Double, ts: Timestamp,
@@ -1925,6 +2022,22 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val points =
       if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
+    // CHECK constraints first (zero cost when none declared): the whole
+    // batch is rejected on the first violating row, before any validation
+    // join or write — an expectations gate at the table's front door
+    val cons = checkConstraints
+    if (cons.nonEmpty) {
+      val bad = points
+        .select(violationOf(cons).as("_violated"), col("stream_id"), col("ts"))
+        .where(col("_violated").isNotNull).limit(1).collect()
+      if (bad.nonEmpty) {
+        val b = bad.head
+        throw new errors.ConstraintViolation(
+          s"append rejected by CHECK constraint '${b.getString(0)}' " +
+            s"(${cons(b.getString(0))}): e.g. stream ${b.getString(1)} at " +
+            s"${b.getTimestamp(2)}")
+      }
+    }
     // ONE broadcast of the (small) metadata table carries all three checks
     // and the monotonicity bound: a single validation job, never a fact scan
     val meta = streams.select(col("stream_id"), col("derive_op"),

@@ -228,4 +228,10 @@ object errors {
     * lock exists (HDFS / object stores).
     */
   final class CommitConflict(msg: String) extends IllegalStateException(msg)
+  /** A CHECK constraint rejected an append (or could not be added because
+    * existing rows already violate it). SQL-standard semantics: a
+    * constraint fails only when its expression evaluates to FALSE — NULL
+    * passes.
+    */
+  final class ConstraintViolation(msg: String) extends IllegalArgumentException(msg)
 }
