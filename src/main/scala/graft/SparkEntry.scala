@@ -56,6 +56,9 @@ object SparkEntry {
     // ROW-LEVEL DELETE (GDPR takedown): merge-on-read delete files +
     // copy-on-write rewrite + rollup repair + applyDeletes convergence
     "q_row_delete" -> Queries.rowDelete _,
+    // SQL surface: warehouse registered as temp views, queried via
+    // spark.sql with snapshot + merge-on-read-delete semantics intact
+    "q_sql_surface" -> Queries.sqlSurface _,
     // CDC changefeed: catch-up from a cursor reads ONLY files newer
     // commits added; replay from 0 reconstructs the table commit-by-commit
     "q_changefeed" -> Queries.changefeed _,
@@ -272,6 +275,7 @@ object SparkEntry {
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
     "q_row_delete" -> Oracles.rowDelete,
+    "q_sql_surface" -> Oracles.sqlSurface,
     "q_changefeed" -> Oracles.changefeed,
     "q_changefeed_deletes" -> Oracles.changefeedDeletes,
     "q_restore" -> Oracles.restoreGate,
@@ -637,6 +641,50 @@ object Queries {
       .unionByName(one("applied_pending", ds.pendingDeletes.count()))
     current.unionByName(asOf).unionByName(hours)
       .unionByName(counts).unionByName(applied)
+  }
+
+  /** SQL surface on the gate: the warehouse registered as temp views and
+    * queried with plain `spark.sql` — a registry⋈fact join filtered on a
+    * tag predicate, the finalized hours-rollup view, and the
+    * pending-deletes audit view. A merge-on-read takedown lands BEFORE
+    * registration, so the views must carry the engine's snapshot + delete
+    * semantics (the voided window invisible to SQL), recomputed by the
+    * DuckDB twin from events. Bucket counts ride `value_sum` as exact
+    * integers-in-doubles; per-bucket float sums are deliberately not
+    * re-summed (IEEE order would differ across engines).
+    */
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-sql")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click",
+      Map("user" -> "7", "type" -> "click", "team" -> "red"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view",
+      Map("user" -> "3", "type" -> "view", "team" -> "blue"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.deleteDatapoints(Map("team" -> "red"),
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-19T23:59:59.999999Z"))
+    ds.registerViews("sqlgate")
+    spark.sql("""
+      SELECT 'fact' AS phase, d.stream_id, count(*) AS n_rows,
+        CAST(sum(CAST(d.value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+      FROM sqlgate_datapoints d
+      JOIN sqlgate_streams s USING (stream_id)
+      WHERE element_at(s.tags, 'team') IN ('red', 'blue')
+      GROUP BY d.stream_id""")
+      .unionByName(spark.sql("""
+      SELECT 'hours' AS phase, stream_id, count(*) AS n_rows,
+        CAST(sum(`count`) AS DOUBLE) AS value_sum
+      FROM sqlgate_rollup_hours GROUP BY stream_id"""))
+      .unionByName(spark.sql("""
+      SELECT 'pending' AS phase, '-' AS stream_id, count(*) AS n_rows,
+        CAST(0.0 AS DOUBLE) AS value_sum
+      FROM sqlgate_pending_deletes"""))
   }
 
   /** DESCRIBE HISTORY surface on the gate: a fixed mutation sequence on a
@@ -3685,6 +3733,30 @@ SELECT * FROM (VALUES
   /** History-ledger twin: the literal commit sequence (ensure and vacuum
     * never commit; append, downsample, compact each commit exactly once).
     */
+  /** SQL-surface twin: the registry⋈fact join and the hours view
+    * recomputed from events with the takedown window filtered out; bucket
+    * counts and surviving-row totals are exact integers on both sides.
+    */
+  val sqlSurface: String =
+    """WITH survive AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE ((user_id = 7 AND event_type = 'click')
+      OR (user_id = 3 AND event_type = 'view'))
+    AND NOT (user_id = 7 AND event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-20 00:00:00'))
+SELECT 'fact' AS phase, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM survive GROUP BY 2
+UNION ALL
+SELECT 'hours', stream_id,
+  count(DISTINCT epoch_us(ts) // 3600000000),
+  CAST(count(*) AS DOUBLE)
+FROM survive GROUP BY 2
+UNION ALL
+SELECT 'pending', '-', CAST(1 AS BIGINT), 0.0"""
+
   /** Row-delete twin: every phase recomputed from events with the two
     * deleted ranges filtered out — `pts` is the full two-stream slice,
     * `survive` the post-delete world. `current` (merge-on-read active) and

@@ -3633,6 +3633,36 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         Schemas.downsampledPartitioned))
       .drop("bucket_date")
 
+  /** Register the warehouse's read surfaces as session temp views so plain
+    * `spark.sql` queries the engine — the Spark-native equivalent of the
+    * reference's HTTP query layer. Registered under `<prefix>_*`:
+    * `datapoints` (the logical fact table: raw ∪ derived, merge-on-read
+    * deletes applied), `rollup_<granularity>` (FINALIZED downsample views —
+    * mean/std_dev derived read-side from the exact partials, like
+    * `get_data`), `streams` (the registry), `pending_deletes`, `history`
+    * and `table_detail`. Every view is SNAPSHOT-PINNED at registration
+    * (the plan embeds the committed file set — table-format semantics, not
+    * a live directory read): re-register to advance to the newest commit.
+    * Returns the registered view names.
+    */
+  def registerViews(prefix: String = "graft"): Seq[String] = {
+    import spark.implicits._
+    val hist = history.toDF("version", "op", "registry_generation")
+    val entries: Seq[(String, DataFrame)] = Seq(
+      "datapoints" -> rawDatapoints,
+      "streams" -> streams,
+      "pending_deletes" -> pendingDeletes,
+      "history" -> hist,
+      "table_detail" -> tableDetail) ++
+      Granularity.ladder.map(g =>
+        s"rollup_${g.name}" -> Downsample.finalizeView(rollup(g)))
+    entries.map { case (name, df) =>
+      val full = s"${prefix}_$name"
+      df.createOrReplaceTempView(full)
+      full
+    }
+  }
+
   // ---- read path (S3) -----------------------------------------------------
 
   /** S3 read path. Requested downsamplers are validated against the
