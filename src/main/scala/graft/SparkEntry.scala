@@ -142,6 +142,8 @@ object SparkEntry {
     "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
     // persisted IVF index: build once into storage, query from the index
     "q_similarity_index" -> Queries.similarityIndex _,
+    // takedown: tombstoned ids voided, exhaustive query ≡ brute over survivors
+    "q_index_takedown" -> Queries.indexTakedown _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     // SemDeDup: exact arm (nCells=1, full SQL oracle) + clustered arm's
@@ -342,6 +344,7 @@ object SparkEntry {
     // the persisted-index round-trip at exhaustive probing is bit-identical
     // to brute force — same oracle as the in-memory IVF configurations
     "q_similarity_index" -> Oracles.similarityTopK,
+    "q_index_takedown" -> Oracles.indexTakedown,
     "q_ivf_index_append" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
@@ -2395,6 +2398,26 @@ object Queries {
     val dir = tempDir("graft-ivfidx")
     ext.Ivf.buildIndex(Sources.embeddings(spark, sfDir), s"$dir/ivf",
       nCells = 64, refineIters = 1)
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
+    ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** INDEX TAKEDOWN on the gate (right-to-be-forgotten for the vector
+    * index): every 97th vector is removed via a tombstone version (no
+    * shard rewrite — the index twin of the warehouse's merge-on-read
+    * delete), and the exhaustive query must then be BIT-IDENTICAL to
+    * brute force over the surviving corpus. A tombstone that leaks into
+    * results, voids the wrong id, or perturbs any cosine breaks the hash.
+    */
+  def indexTakedown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-ivfdel")
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Ivf.buildIndex(emb, s"$dir/ivf", nCells = 64, refineIters = 1)
+    ext.Ivf.removeFromIndex(s"$dir/ivf",
+      emb.where(pmod(col("vec_id"), lit(97)) === 0).select("vec_id"))
     val qv = queryVectors(spark, sfDir)
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
@@ -4687,6 +4710,33 @@ scored AS (
         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
     AS cosine
   FROM qv, embeddings e WHERE e.vec_id <> qv.query_vec_id)
+SELECT label, query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 10"""
+
+  /** Index-takedown twin: brute-force top-10 over the SURVIVING corpus
+    * (every 97th vector removed) — identical fold/tie-break to the top-k
+    * twin, so the tombstone-filtered index read must land on bit-identical
+    * rows. Queries still come from the full table (an external query
+    * vector may itself have been taken down).
+    */
+  val indexTakedown: String =
+    """WITH q AS (SELECT label, min(vec_id) AS query_vec_id FROM embeddings GROUP BY label),
+qv AS (SELECT q.label, q.query_vec_id, e.embedding AS qvec
+       FROM q JOIN embeddings e ON e.vec_id = q.query_vec_id),
+scored AS (
+  SELECT qv.label, qv.query_vec_id, e.vec_id,
+    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(range(1, len(qvec) + 1),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), (a, b) -> a + b))
+     * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+    AS cosine
+  FROM qv, embeddings e
+  WHERE e.vec_id <> qv.query_vec_id AND e.vec_id % 97 <> 0)
 SELECT label, query_vec_id, vec_id, cosine, rank FROM (
   SELECT *, CAST(row_number() OVER
     (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank

@@ -62,11 +62,61 @@ object DedupIndex {
     VersionedIndex.shardsOf(path, dir, "data")
 
   /** One side table (`bands` / `shingles` / `exact`) as the union of its
-    * shard instances. */
+    * shard instances, with the resolved version's takedown tombstones
+    * voided — a removed document must stop suppressing future documents
+    * the moment its takedown version commits (all three sides carry
+    * `doc_id`).
+    */
   private def readSide(spark: org.apache.spark.sql.SparkSession,
-                       path: String, dir: String, side: String): DataFrame =
-    dataRoots(path, dir).map(r => spark.read.parquet(s"$r/$side"))
+                       path: String, dir: String, side: String): DataFrame = {
+    val raw = dataRoots(path, dir).map(r => spark.read.parquet(s"$r/$side"))
       .reduce(_.unionByName(_))
+    tombstonesOf(spark, path, dir) match {
+      case None => raw
+      case Some(t) =>
+        val d = t.select(col("doc_id").as("_dead_id"))
+        raw.join(broadcast(d), raw("doc_id") === col("_dead_id"), "left_anti")
+    }
+  }
+
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dir: String): Option[DataFrame] = {
+    val s = VersionedIndex.io(path)
+    if (s.exists(s"$dir/tombstones")) Some(spark.read.parquet(s"$dir/tombstones"))
+    else None
+  }
+
+  /** TAKEDOWN for the dedup index, the twin of [[Ivf.removeFromIndex]]:
+    * void `removeIds`' fingerprints (bands, shingles, exact hashes) from
+    * every subsequent read by publishing a metadata-only version whose
+    * `tombstones` table is the accumulated dead set and whose shard
+    * manifest carries the parent's data unchanged. After it commits, a
+    * re-submitted copy of a removed document is NOT suppressed — the
+    * right-to-be-forgotten contract extends to the index's memory of the
+    * document, not just its bytes. Pinned pre-takedown versions still
+    * serve until vacuum. Returns how many ids were present (0 = no-op).
+    */
+  def removeFromIndex(path: String, removeIds: DataFrame,
+                      idCol: String = "doc_id"): Long = {
+    val spark = removeIds.sparkSession
+    val cur = indexDir(path)
+    val dead = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val present = readSide(spark, path, cur, "exact").select("doc_id")
+      .join(broadcast(dead), Seq("doc_id"), "left_semi").count()
+    if (present == 0L) return 0L
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    spark.read.parquet(s"$cur/params").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    val merged = tombstonesOf(spark, path, cur) match {
+      case Some(t) => t.select("doc_id").unionByName(dead).distinct()
+      case None => dead
+    }
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/tombstones")
+    VersionedIndex.publishCarry(path, cur, next, "data")
+    present
+  }
 
   /** Sentinel whose band-0 hash fingerprints the whole hashing scheme: it
     * exercises the string hash, every permutation coefficient of band 0,
@@ -109,10 +159,13 @@ object DedupIndex {
     val (n, bands, rowsPerBand) = readParams(docs, path)
     val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
-    // per-version metadata copied forward (driver-scale); only the big
-    // side tables share by reference
+    // per-version metadata copied forward (driver-scale, takedown
+    // tombstones included); only the big side tables share by reference
     docs.sparkSession.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    tombstonesOf(docs.sparkSession, path, cur).foreach(t =>
+      t.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/tombstones"))
     writeSides(docs, s"$dir/data", n, bands, rowsPerBand, textCol, idCol)
     VersionedIndex.publishAppend(path, cur, next, "data")
   }

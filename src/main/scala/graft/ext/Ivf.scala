@@ -186,13 +186,93 @@ object Ivf {
     * a literal read would silently see only the newest shard.
     */
   def cells(spark: org.apache.spark.sql.SparkSession, path: String,
-            asOfVersion: Option[Long] = None): DataFrame =
-    readCells(spark, path, indexDir(path, asOfVersion))
+            asOfVersion: Option[Long] = None): DataFrame = {
+    val dir = indexDir(path, asOfVersion)
+    // LOGICAL content: the version's shards minus its tombstones — a
+    // takedown is invisible here the instant its version commits
+    minusTombstones(readCells(spark, path, dir), tombstonesOf(spark, path, dir))
+  }
 
   private def readCells(spark: org.apache.spark.sql.SparkSession,
                         path: String, dir: String): DataFrame =
     cellShards(path, dir).map(d => spark.read.parquet(d))
       .reduce(_.unionByName(_))
+
+  // ---- takedown (right-to-be-forgotten for persisted indexes) -------------
+
+  /** The resolved version's tombstone set (`v<N>/tombstones`, vec_id) —
+    * None when the version carries no takedowns. Each version's table is
+    * the FULL accumulated set (self-contained, so pinned reads need no
+    * chain walk); appends copy it forward, [[refreshIndex]] drains it.
+    */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dir: String): Option[DataFrame] = {
+    val s = VersionedIndex.io(path)
+    if (s.exists(s"$dir/tombstones")) Some(spark.read.parquet(s"$dir/tombstones"))
+    else None
+  }
+
+  /** Void tombstoned ids from an index read — broadcast anti-join, like
+    * the warehouse's merge-on-read delete filter. No-op plan when the
+    * version carries no tombstones. Tombstone sets are takedown-request
+    * sized by contract (broadcastable); a refresh rebuilds without them.
+    */
+  private def minusTombstones(df: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead match {
+      case None => df
+      case Some(t) =>
+        val d = t.select(col("vec_id").as("_dead_id"))
+        df.join(broadcast(d), df("vec_id") === col("_dead_id"), "left_anti")
+    }
+
+  /** Copy the parent version's tombstones forward into `dir` (appends keep
+    * takedowns in force over the shards they reference).
+    */
+  private def carryTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String, cur: String, dir: String): Unit =
+    tombstonesOf(spark, path, cur).foreach(t =>
+      t.coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones"))
+
+  /** TAKEDOWN for a persisted index (plain IVF or IVF-PQ): void `removeIds`
+    * from every subsequent read — queries, [[cells]], refresh input — by
+    * publishing a metadata-only version whose `tombstones` table is the
+    * accumulated dead set and whose shard manifest carries the parent's
+    * data unchanged (O(ids) commit, no shard rewrite: the index twin of
+    * the warehouse's merge-on-read delete). Pinned (`asOfVersion`) reads
+    * of pre-takedown versions still serve the vectors until
+    * [[vacuumIndex]] reclaims them. [[refreshIndex]] is the physical
+    * drain: it rebuilds from the logical (tombstone-filtered) content and
+    * resets the set; for an IVF-PQ index rebuild via [[buildPqIndex]].
+    * Returns how many of the ids were actually present (0 = no-op,
+    * nothing committed).
+    */
+  def removeFromIndex(path: String, removeIds: DataFrame,
+                      idCol: String = "vec_id"): Long = {
+    val spark = removeIds.sparkSession
+    val cur = indexDir(path)
+    val dead = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val present = minusTombstones(
+        readCells(spark, path, cur).select("vec_id"),
+        tombstonesOf(spark, path, cur))
+      .join(broadcast(dead), Seq("vec_id"), "left_semi").count()
+    if (present == 0L) return 0L
+    val next = currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    val s = VersionedIndex.io(path)
+    // self-contained per-version metadata, like the append paths
+    Seq("centroids", "pq").foreach { sub =>
+      if (s.exists(s"$cur/$sub"))
+        spark.read.parquet(s"$cur/$sub").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/$sub")
+    }
+    val merged = tombstonesOf(spark, path, cur) match {
+      case Some(t) => t.select("vec_id").unionByName(dead).distinct()
+      case None => dead
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
+    VersionedIndex.publishCarry(path, cur, next, "cells")
+    present
+  }
 
   /** Reclaim index versions superseded past the retention window —
     * the explicit GC verb, mirroring the warehouse `vacuumRaw` contract
@@ -273,11 +353,12 @@ object Ivf {
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
     val next = currentVersion(path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
-    // self-contained per-version metadata: the tiny centroid table is
-    // copied forward (driver-scale); only the big cell shards share by
-    // reference
+    // self-contained per-version metadata: the tiny centroid table (and
+    // any takedown tombstones, which stay in force) copied forward
+    // (driver-scale); only the big cell shards share by reference
     spark.read.parquet(s"$cur/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    carryTombstones(spark, path, cur, dir)
     val centB = spark.sparkContext.broadcast(cents)
     newVecs.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
@@ -324,8 +405,12 @@ object Ivf {
     import spark.implicits._
     val cur = indexDir(path)
     // read through the shard manifest: an appended chain's version holds
-    // its cells as parent-shard references, not one literal directory
-    val all = readCells(spark, path, cur).select("vec_id", "embedding")
+    // its cells as parent-shard references, not one literal directory.
+    // LOGICAL content only — a refresh is the physical drain of any
+    // accumulated takedown tombstones (the rebuilt version has none)
+    val all = minusTombstones(readCells(spark, path, cur),
+        tombstonesOf(spark, path, cur))
+      .select("vec_id", "embedding")
     val init = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
@@ -374,8 +459,10 @@ object Ivf {
     // literal list is what prunes the cells/ partitions at scan planning
     // (per shard: each shard dir of an appended chain prunes on its own)
     val probedCells = probes.select("cell").distinct().as[Int].collect().sorted
-    val cand = readCells(spark, path, dir)
-      .where(col("cell").isin(probedCells.toSeq: _*))
+    val cand = minusTombstones(
+        readCells(spark, path, dir)
+          .where(col("cell").isin(probedCells.toSeq: _*)),
+        tombstonesOf(spark, path, dir))
       .join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("query_vec_id"))
     val qvecs = broadcast(queries.select(col(idCol).cast("long").as("query_vec_id"),
@@ -511,12 +598,14 @@ object Ivf {
     val model = loadPqModel(spark, cur)
     val next = currentVersion(path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
-    // per-version metadata copied forward (both driver-scale tables); the
-    // codes shards share by reference like the plain index's vectors
+    // per-version metadata copied forward (all driver-scale tables,
+    // takedown tombstones included); the codes shards share by reference
+    // like the plain index's vectors
     spark.read.parquet(s"$cur/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     spark.read.parquet(s"$cur/pq").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/pq")
+    carryTombstones(spark, path, cur, dir)
     val centB = spark.sparkContext.broadcast(cents)
     val pqB = spark.sparkContext.broadcast(model)
     newVecs.select(col(idCol).cast("long"), col(vecCol))
@@ -579,8 +668,10 @@ object Ivf {
     }
     val probed = perQuery.flatMap(_._4).toSeq.distinct
     val qB = spark.sparkContext.broadcast(perQuery)
-    val scored = readCells(spark, path, dir)
-      .where(col("cell").isInCollection(probed)) // partition-pruned scan
+    val scored = minusTombstones(
+        readCells(spark, path, dir)
+          .where(col("cell").isInCollection(probed)), // partition-pruned scan
+        tombstonesOf(spark, path, dir))
       .select(col("vec_id").cast("long"), col("codes"), col("norm"), col("cell"))
       .as[(Long, Seq[Int], Double, Int)]
       .mapPartitions { it =>

@@ -126,6 +126,18 @@ private[graft] object VersionedIndex {
     commit(path, next)
   }
 
+  /** Publish version `next` carrying its PARENT's data shards unchanged
+    * (manifest = the parent's effective roots, no new entry) — the
+    * publication step of a metadata-only version (e.g. a tombstone
+    * takedown, whose own tables live beside the manifest in `v<next>/`).
+    */
+  def publishCarry(path: String, parentDir: String, next: Long,
+                   defaultSub: String): Unit = {
+    io(path).writeString(s"$path/v$next/shards",
+      shardRels(path, parentDir, defaultSub).mkString("\n"))
+    commit(path, next)
+  }
+
   /** Reclaim versions superseded past the retention window. Keeps the
     * newest `retainVersions` committed versions PLUS any older version
     * directory (or legacy root) a retained version's shard manifest
