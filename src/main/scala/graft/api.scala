@@ -1799,7 +1799,24 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     */
   def deleteDatapoints(tagQuery: Map[String, String],
                        start: Timestamp, end: Timestamp,
-                       mode: DeleteMode = DeleteMode.MergeOnRead): Long = {
+                       mode: DeleteMode = DeleteMode.MergeOnRead): Long =
+    deleteDatapointsFrom(StreamRegistry.findStreams(streams, tagQuery),
+      start, end, mode)
+
+  /** [[deleteDatapoints]] over the full tag-query ALGEBRA (operator
+    * leaves, `$or`/`$and` composition, `$regex` — everything
+    * [[findStreamsQuery]] accepts), so a takedown can target exactly the
+    * stream population a compliance query selects.
+    */
+  def deleteDatapointsWhere(query: StreamRegistry.TagQuery,
+                            start: Timestamp, end: Timestamp,
+                            mode: DeleteMode = DeleteMode.MergeOnRead): Long =
+    deleteDatapointsFrom(StreamRegistry.findStreamsQuery(streams, query),
+      start, end, mode)
+
+  private def deleteDatapointsFrom(doomed0: DataFrame,
+                                   start: Timestamp, end: Timestamp,
+                                   mode: DeleteMode): Long = {
     if (start == null || end == null)
       throw new errors.InvalidTimestamp(
         "delete_datapoints: start and end must both be set (the verb is " +
@@ -1808,7 +1825,6 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       throw new errors.InvalidTimestamp(
         s"delete_datapoints: start $start is after end $end")
     val all = streams
-    val doomed0 = StreamRegistry.findStreams(all, tagQuery)
     val violSample = StreamRegistry.outstandingDependencies(all, doomed0)
       .limit(5).collect()
     if (violSample.nonEmpty)
@@ -3360,8 +3376,32 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     *
     * Returns per-table (data files before, after).
     */
-  def compact(maxFilesPerPartition: Int = 1): Map[String, (Long, Long)] = {
+  def compact(maxFilesPerPartition: Int = 1,
+              start: Option[Timestamp] = None,
+              end: Option[Timestamp] = None): Map[String, (Long, Long)] = {
     require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    // OPTIMIZE-WHERE scoping: with a [start, end] window only the DATE
+    // partitions inside it are candidates — the incremental shape
+    // compaction must have at 100 TB (optimize yesterday's ingest, not
+    // the whole table). Date-partitioned tables (raw, rollups) scope by
+    // their partition value; the stream-partitioned derived table has no
+    // date axis and is skipped entirely under a scoped run.
+    val scopeDates = (start, end) match {
+      case (None, None) => None
+      case _ => Some((
+        start.map(t => java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
+          .getOrElse(new java.sql.Date(Long.MinValue)),
+        end.map(t => java.sql.Date.valueOf(t.toLocalDateTime.toLocalDate))
+          .getOrElse(new java.sql.Date(Long.MaxValue))))
+    }
+    def partInScope(part: String): Boolean = scopeDates match {
+      case None => true
+      case Some((lo, hi)) =>
+        // unparseable partition values (foreign layouts) stay out of a
+        // SCOPED run — scoping must never widen the rewrite
+        scala.util.Try(java.sql.Date.valueOf(part.substring(part.indexOf('=') + 1)))
+          .toOption.exists(d => !d.before(lo) && !d.after(hi))
+    }
     /** Rewrite every partition whose MANIFEST-REFERENCED file count
       * exceeds the cap: read exactly those files through the snapshot
       * (never the live directory — orphans from torn mutations are
@@ -3379,7 +3419,9 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         .filter(_.startsWith(partCol + "="))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val before = byPart.values.sum
-      val fat = byPart.filter(_._2 > maxFilesPerPartition).keys.toSeq.sorted
+      val fat = byPart.filter { case (p, n) =>
+        n > maxFilesPerPartition && partInScope(p)
+      }.keys.toSeq.sorted
       var retiredN = 0L
       if (fat.nonEmpty) {
         scopeWrite(table, fat)
@@ -3410,9 +3452,13 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val jobs: Seq[(String, Future[(Long, Long)])] =
         Seq("raw" -> Future(compactTable("raw",
             Schemas.rawDatapointsPartitioned, "dp_date",
-            Seq("stream_id", "ts"))),
-          "derived" -> Future(compactTable("derived", Schemas.rawDatapoints,
-            "stream_id", Seq("ts")))) ++
+            Seq("stream_id", "ts")))) ++
+          // the derived table is stream-partitioned (no date axis): it
+          // joins a FULL compaction only — a scoped run leaves it alone
+          (if (scopeDates.isEmpty)
+            Seq("derived" -> Future(compactTable("derived",
+              Schemas.rawDatapoints, "stream_id", Seq("ts"))))
+          else Seq.empty) ++
           Granularity.ladder.map(g => s"rollup/${g.name}" ->
             Future(compactTable(s"rollup/granularity=${g.name}",
               Schemas.downsampledPartitioned, "bucket_date",

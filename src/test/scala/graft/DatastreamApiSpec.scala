@@ -558,6 +558,39 @@ class DatastreamApiSpec extends SparkSpec {
     assert(ds.compact() == stats.map { case (k, (_, after)) => k -> (after, after) })
   }
 
+  test("scoped compact (OPTIMIZE WHERE): only date partitions inside the window rewrite") {
+    val dir = Files.createTempDirectory("graft-ds").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("a"); ds.ensureStream("b")
+    // fragment TWO raw date partitions the same way
+    Seq("2024-01-01", "2024-01-05").foreach { d =>
+      ds.appendMultiple(dp(Seq((s"a", s"${d}T00:00:10Z", 1.0)))
+        .select("stream_id", "ts", "value"))
+      ds.appendMultiple(dp(Seq((s"b", s"${d}T00:00:20Z", 2.0)))
+        .select("stream_id", "ts", "value"))
+    }
+    def files(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    assert(files("raw/dp_date=2024-01-01") >= 2)
+    assert(files("raw/dp_date=2024-01-05") >= 2)
+    val before = ds.rawDatapoints.collect().toSet
+    // scope = Jan 1 only: the Jan 5 partition must stay untouched
+    ds.compact(start = Some(ts("2024-01-01T00:00:00Z")),
+      end = Some(ts("2024-01-01T23:59:59Z")))
+    ds.vacuumRaw(retainVersions = 1)
+    assert(files("raw/dp_date=2024-01-01") === 1)
+    assert(files("raw/dp_date=2024-01-05") >= 2)
+    assert(ds.rawDatapoints.collect().toSet === before)
+    // full compact then collapses the rest
+    ds.compact()
+    ds.vacuumRaw(retainVersions = 1)
+    assert(files("raw/dp_date=2024-01-05") === 1)
+    assert(ds.rawDatapoints.collect().toSet === before)
+  }
+
   test("lifecycle soak: every verb composed end-to-end leaves a consistent warehouse") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-ds").toString

@@ -216,6 +216,20 @@ class RowDeleteSpec extends SparkSpec {
     assert(ds.countDatapoints() === 6L)
   }
 
+  test("deleteDatapointsWhere targets streams via the full tag-query algebra") {
+    val (ds, _) = freshDs
+    seed(ds)
+    import StreamRegistry.{TagQuery, TagPred}
+    // $or over two tag predicates selects both streams
+    val q = TagQuery.Or(Seq(
+      TagQuery.Clause(Map("team" -> Seq(TagPred.Eq("red")))),
+      TagQuery.Clause(Map("team" -> Seq(TagPred.Eq("blue"))))))
+    val n = ds.deleteDatapointsWhere(q,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:59Z"))
+    assert(n === 3L) // a: 2 rows, b: 1 row in minute 0
+    assert(ds.rawDatapoints.count() === 6L)
+  }
+
   test("retention expiry voids everything before the cutoff, derived streams included") {
     val (ds, _) = freshDs
     seed(ds)
