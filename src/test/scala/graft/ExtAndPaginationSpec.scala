@@ -39,6 +39,40 @@ class ExtAndPaginationSpec extends SparkSpec {
     }
   }
 
+  test("plan guard: merge-on-read delete and tombstone-filtered index reads " +
+      "stay broadcast anti-joins") {
+    val dir = Files.createTempDirectory("graft-planmor").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("a"); ds.ensureStream("b")
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0),
+      ("b", "2024-01-01T00:00:20Z", 2.0))).select("stream_id", "ts", "value"))
+    ds.deleteDatapoints(Map.empty,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:00:15Z"))
+    val idxDir = Files.createTempDirectory("graft-planidx").toString
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 50).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    ext.Ivf.buildIndex(emb, idxDir, nCells = 4)
+    ext.Ivf.removeFromIndex(idxDir, Seq(1L).toDF("vec_id"))
+    val plans = Seq(
+      "raw_with_mor_deletes" -> ds.rawDatapoints,
+      "index_query_with_tombstones" ->
+        ext.Ivf.queryIndex(idxDir, emb.limit(2), k = 3, nProbe = 4),
+      "cells_with_tombstones" -> ext.Ivf.cells(spark, idxDir))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name plans a single-partition exchange")
+    }
+    val morPlan = ds.rawDatapoints.queryExecution.executedPlan.toString
+    assert(morPlan.contains("BroadcastHashJoin") && morPlan.contains("LeftAnti"),
+      "the merge-on-read filter must be a broadcast hash anti-join")
+  }
+
   test("limit/offset pagination over ordered getData") {
     val f = dp((0 until 10).map(i => ("a", f"2024-01-01T00:00:$i%02dZ", i.toDouble)))
     val page = GetData.raw(f, "a", limit = Some(3), offset = 4)
