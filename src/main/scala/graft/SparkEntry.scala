@@ -164,6 +164,11 @@ object SparkEntry {
     "q_asof_join" -> Queries.asofJoin _,
     // gap-based sessionization (lag/cumsum, one window shuffle)
     "q_sessionize" -> Queries.sessionizeReport _,
+    // fixed-grid resampling: forward-fill (grid as-of obs) and linear
+    // interpolation (two-direction union-and-scan, one shuffle) vs
+    // DuckDB's native ASOF joins replaying the same lerp shape
+    "q_resample_ffill" -> Queries.resampleFfill _,
+    "q_resample_interp" -> Queries.resampleInterp _,
     // corpus mixture rebalancing to target stratum weights
     "q_mix" -> Queries.mixReport _,
     // bucketized range join composed over sessionization
@@ -352,6 +357,8 @@ object SparkEntry {
     // recall queries below compare them against their exact twins inside
     // Spark and the oracle pins the outcome.
     "q_asof_join" -> Oracles.asofJoin,
+    "q_resample_ffill" -> Oracles.resampleFfill,
+    "q_resample_interp" -> Oracles.resampleInterp,
     "q_sessionize" -> Oracles.sessionize,
     "q_mix" -> Oracles.mixReport,
     "q_range_join" -> Oracles.rangeJoin,
@@ -3031,6 +3038,42 @@ object Queries {
       keyCols = Seq("user_id"), tsCol = "ts", valueCols = Seq("ts", "value"))
   }
 
+  /** The resample gates' shared grid: every 6 hours across the fixture's
+    * full January-2024 span (inclusive ends — 120 instants), per click
+    * user. Fixed literals so the gate is identical at every SF.
+    */
+  private val ResampleStartUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  private val ResampleEndUs = 1706637600000000L   // 2024-01-30T18:00:00Z
+  private val ResampleStepUs = 6L * 3600 * 1000000
+
+  private def resampleObs(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.events(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+
+  /** Forward-fill resample on the gate: each click series sampled at every
+    * grid instant, row-level output (grid instant, carried observation ts
+    * and value, NULLs before the first click). The oracle is DuckDB's
+    * native ASOF LEFT JOIN against a `generate_series` grid — an
+    * independent formulation of the whole operator, pinning the inclusive
+    * edge and the pre-first-observation NULLs row by row.
+    */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Resample.fillForward(resampleObs(spark, sfDir),
+      keyCols = Seq("user_id"), gridStartUs = ResampleStartUs,
+      gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
+
+  /** Linear-interpolation resample on the gate: row-level filled values
+    * with their fill kind (`none`/`exact`/`hold`/`interp`). The oracle
+    * replays the lerp with two native ASOF joins (backward inclusive,
+    * forward strict) and the identical double-precision expression shape,
+    * so every interpolated value must match bit-for-bit.
+    */
+  def resampleInterp(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Resample.interpolate(resampleObs(spark, sfDir),
+      keyCols = Seq("user_id"), gridStartUs = ResampleStartUs,
+      gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
+
   /** X3 normalization on the gate: the (already unit-norm) fixture vectors
     * are first DE-normalized by a deterministic per-vector scale
     * (1 + vec_id mod 5), then `Similarity.normalize` must recover unit
@@ -5202,6 +5245,59 @@ SELECT l.user_id, l.ts, l.value,
   r.ts AS right_ts, r.value AS right_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  /** Forward-fill resample twin: the same dedup (max value per instant),
+    * a `generate_series` grid per distinct user, and DuckDB's native
+    * backward-inclusive ASOF LEFT JOIN carrying the observation forward.
+    */
+  val resampleFfill: String =
+    """WITH obs AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2),
+grid AS (
+  SELECT k.user_id, g.g AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM obs) k
+  CROSS JOIN generate_series(TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOUR) AS g(g))
+SELECT gr.user_id, gr.grid_ts, o.ts AS last_ts, o.value AS last_value
+FROM grid gr ASOF LEFT JOIN obs o
+  ON gr.user_id = o.user_id AND gr.grid_ts >= o.ts"""
+
+  /** Interpolation twin: backward-inclusive + forward-strict native ASOF
+    * joins, then the lerp replayed with the identical expression shape
+    * (`p + (n − p)·((g − tp)/(tn − tp))`, all-double from epoch µs) so the
+    * filled values match the Spark side bit-for-bit.
+    */
+  val resampleInterp: String =
+    """WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(max(value) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+grid AS (
+  SELECT k.user_id, epoch_us(g.g) AS gus
+  FROM (SELECT DISTINCT user_id FROM obs) k
+  CROSS JOIN generate_series(TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOUR) AS g(g)),
+prev AS (
+  SELECT gr.user_id, gr.gus, o.us AS pus, o.v AS pv
+  FROM grid gr ASOF LEFT JOIN obs o
+    ON gr.user_id = o.user_id AND gr.gus >= o.us),
+nxt AS (
+  SELECT gr.user_id, gr.gus, o.us AS nus, o.v AS nv
+  FROM grid gr ASOF LEFT JOIN obs o
+    ON gr.user_id = o.user_id AND gr.gus < o.us)
+SELECT p.user_id, make_timestamp(p.gus) AS grid_ts,
+  CASE WHEN p.pus IS NULL THEN NULL
+       WHEN p.pus = p.gus THEN p.pv
+       WHEN n.nus IS NULL THEN p.pv
+       ELSE p.pv + (n.nv - p.pv) *
+         ((CAST(p.gus AS DOUBLE) - CAST(p.pus AS DOUBLE)) /
+          (CAST(n.nus AS DOUBLE) - CAST(p.pus AS DOUBLE)))
+  END AS filled_value,
+  CASE WHEN p.pus IS NULL THEN 'none'
+       WHEN p.pus = p.gus THEN 'exact'
+       WHEN n.nus IS NULL THEN 'hold'
+       ELSE 'interp' END AS fill_kind
+FROM prev p JOIN nxt n ON p.user_id = n.user_id AND p.gus = n.gus"""
 
   /** Normalization twin: scale → ordered Σv² fold → per-element divide by
     * √n2 → ordered Σu² fold, every op replayed in the same sequence

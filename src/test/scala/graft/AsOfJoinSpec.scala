@@ -108,6 +108,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("resample fill-forward: NULL before first obs, inclusive exact hit, " +
+      "carry past last obs, collision dedup keeps max") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val obs = Seq(
+      ("a", t(30), 3.0), ("a", t(50), 5.0), ("a", t(60), 7.0),
+      ("b", t(10), 1.0), ("b", t(10), 3.0)) // same-instant collision
+      .toDF("k", "ts", "value")
+    val out = operators.Resample.fillForward(obs, Seq("k"),
+        gridStartUs = 0L, gridEndUs = 100000000L, stepUs = 25000000L)
+      .orderBy("k", "grid_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.getTimestamp(2)).map(_.getTime / 1000),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq === Seq(
+      ("a", 0L, None, None), ("a", 25L, None, None),
+      ("a", 50L, Some(50L), Some(5.0)),   // exact hit is inclusive
+      ("a", 75L, Some(60L), Some(7.0)),
+      ("a", 100L, Some(60L), Some(7.0)),  // held past last obs
+      ("b", 0L, None, None),
+      ("b", 25L, Some(10L), Some(3.0)),   // dedup kept the max value
+      ("b", 50L, Some(10L), Some(3.0)),
+      ("b", 75L, Some(10L), Some(3.0)),
+      ("b", 100L, Some(10L), Some(3.0))))
+  }
+
+  test("resample interpolate: none/exact/hold/interp kinds and exact lerp values") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val obs = Seq(
+      ("a", t(20), 2.0), ("a", t(80), 10.0),
+      ("c", t(50), 4.0)) // single obs: exact at 50, hold after, none before
+      .toDF("k", "ts", "value")
+    val df = operators.Resample.interpolate(obs, Seq("k"),
+      gridStartUs = 0L, gridEndUs = 100000000L, stepUs = 25000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "resample must stay join-free (union-and-scan)")
+    val out = df.orderBy("k", "grid_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000,
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+    def lerp(g: Long, tp: Long, p: Double, tn: Long, n: Double): Double =
+      p + (n - p) * ((g * 1e6 - tp * 1e6) / (tn * 1e6 - tp * 1e6))
+    assert(out.toSeq === Seq(
+      ("a", 0L, None, "none"),
+      ("a", 25L, Some(lerp(25, 20, 2.0, 80, 10.0)), "interp"),
+      ("a", 50L, Some(lerp(50, 20, 2.0, 80, 10.0)), "interp"),
+      ("a", 75L, Some(lerp(75, 20, 2.0, 80, 10.0)), "interp"),
+      ("a", 100L, Some(10.0), "hold"),
+      ("c", 0L, None, "none"), ("c", 25L, None, "none"),
+      ("c", 50L, Some(4.0), "exact"),
+      ("c", 75L, Some(4.0), "hold"), ("c", 100L, Some(4.0), "hold")))
+  }
+
   test("as-of join equals the brute-force model on random inputs") {
     import spark.implicits._
     val gen = for {
