@@ -235,6 +235,10 @@ object SparkEntry {
     // corpus stats: top bigrams (distributed top-k) + length histogram +
     // exact rank-based percentiles
     "q_ngram_top" -> ((s, d) => ext.Text.topNgrams(Sources.documents(s, d))),
+    // exact heavy hitters without a full-vocabulary shuffle: per-partition
+    // Misra-Gries candidate sketch, then a broadcast-semi-join exact
+    // recount of candidates only
+    "q_heavy_hitters" -> Queries.heavyHitters _,
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_approx_percentiles" -> ((s, d) =>
@@ -408,6 +412,7 @@ object SparkEntry {
     "q_pack_bpe" -> Oracles.packBpe,
     "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
+    "q_heavy_hitters" -> Oracles.heavyHitters,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
     "q_approx_percentiles" -> Oracles.approxPercentiles,
@@ -3074,6 +3079,19 @@ object Queries {
       keyCols = Seq("user_id"), gridStartUs = ResampleStartUs,
       gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
 
+  /** Exact heavy hitters on the gate: every corpus bigram with frequency
+    * above n/800, found by the Misra–Gries sketch-then-verify shape (per-
+    * partition candidate summaries, broadcast exact recount — no full-
+    * vocabulary shuffle). The output is exact by construction, so the
+    * oracle is the plain `GROUP BY … HAVING cnt·k > total` the naive
+    * formulation would run; any sketch bug that drops a true hitter (a
+    * broken superset guarantee) or ships an approximate count fails the
+    * row-level hash.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    operators.HeavyHitters.exact(
+      ext.Text.ngrams(Sources.documents(spark, sfDir), n = 2), "ngram", k = 800)
+
   /** X3 normalization on the gate: the (already unit-norm) fixture vectors
     * are first DE-normalized by a deterministic per-vector scale
     * (1 + vec_id mod 5), then `Similarity.normalize` must recover unit
@@ -5618,6 +5636,22 @@ SELECT ngram, count(*) AS n_occurrences
 FROM g GROUP BY 1
 ORDER BY n_occurrences DESC, ngram ASC
 LIMIT 20"""
+
+  /** Heavy-hitters twin: the NAIVE full-vocabulary formulation — group
+    * every bigram, keep `cnt·k > n`. The Spark side must reproduce it
+    * exactly from the sketch-then-verify path.
+    */
+  val heavyHitters: String =
+    """WITH g AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+n AS (SELECT count(*) AS c FROM g)
+SELECT g.ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g, n
+GROUP BY g.ngram, n.c
+HAVING count(*) * 800 > n.c"""
 
   /** Percentile twin: `percentile_disc` semantics re-derived from
     * row_number over the same `(n_tok, doc_id)` order — all integer.

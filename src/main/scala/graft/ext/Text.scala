@@ -740,23 +740,16 @@ object Text {
       .withColumnRenamed("_permille", "mix_permille")
   }
 
-  /** Corpus-wide top-k word n-grams: explode per-doc n-grams, one
-    * partial→final count aggregate, then a distributed top-k
-    * (`TakeOrderedAndProject` — each partition keeps k candidates, no
-    * global sort or single-partition shuffle). Ordering `(count desc,
-    * ngram asc)` makes the selected set deterministic under ties. The
-    * data-card / contamination-probe staple: what boilerplate dominates
-    * the corpus.
+  /** One row per word n-gram occurrence (`_`-joined), exploded from every
+    * document — a per-partition primitive loop instead of an interpreted
+    * transform/element_at lambda (same measured tax as Dedup.shingled,
+    * 2.5s → ~0.4s at sf0.1); emits exactly the split-and-join grams the
+    * oracles' string_split/list_transform twins produce.
     */
-  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
-                textCol: String = "text"): DataFrame = {
-    require(n >= 1 && k >= 1, s"need n>=1 and k>=1, got n=$n k=$k")
+  def ngrams(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"need n>=1, got n=$n")
     import docs.sparkSession.implicits._
-    // per-partition primitive loop instead of an interpreted
-    // transform/element_at lambda — same measured tax as Dedup.shingled
-    // (2.5s → ~0.4s at sf0.1); emits exactly the split-and-join grams the
-    // oracle's string_split/list_transform twin produces
-    val grams = docs.select(col(textCol)).as[String].mapPartitions { it =>
+    docs.select(col(textCol)).as[String].mapPartitions { it =>
       it.flatMap { text =>
         val w = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (w.length < n) Iterator.empty
@@ -768,7 +761,20 @@ object Text {
         }
       }
     }.toDF("ngram")
-    grams.groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Corpus-wide top-k word n-grams: explode per-doc n-grams, one
+    * partial→final count aggregate, then a distributed top-k
+    * (`TakeOrderedAndProject` — each partition keeps k candidates, no
+    * global sort or single-partition shuffle). Ordering `(count desc,
+    * ngram asc)` makes the selected set deterministic under ties. The
+    * data-card / contamination-probe staple: what boilerplate dominates
+    * the corpus.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n>=1 and k>=1, got n=$n k=$k")
+    ngrams(docs, n, textCol).groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
   }

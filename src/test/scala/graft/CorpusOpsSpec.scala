@@ -16,6 +16,43 @@ class CorpusOpsSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  test("heavy hitters: exact counts, strict threshold, null-blind, " +
+      "invariant under partitioning, tiny-k sketch still exact") {
+    import spark.implicits._
+    // skewed synthetic stream: value i appears 2^(9-i) times (i=0..9) plus
+    // a long uniform tail of singletons and some NULLs
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"v$i")) ++
+      (0 until 300).map(i => s"tail$i") ++ Seq.fill(25)(null: String)
+    val n = rows.count(_ != null)
+    def brute(k: Int) = rows.filter(_ != null).groupBy(identity)
+      .map { case (v, g) => v -> g.size.toLong }
+      .filter { case (_, c) => c * k > n }
+    for (parts <- Seq(1, 3, 13); k <- Seq(2, 5, 40, 1000)) {
+      val df = spark.sparkContext.parallelize(
+        scala.util.Random.shuffle(rows), parts).toDF("v")
+      val got = operators.HeavyHitters.exact(df, "v", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === brute(k), s"parts=$parts k=$k")
+    }
+    // strict >: a value at exactly n/k must NOT be reported
+    val even = (Seq.fill(25)("hot") ++ (0 until 75).map(i => s"t$i")).toDF("v")
+    val border = operators.HeavyHitters.exact(even, "v", 4).collect()
+    assert(border.isEmpty, "count == n/k must not pass the strict threshold")
+    assert(operators.HeavyHitters.exact(even.limit(0), "v", 4).collect().isEmpty)
+  }
+
+  test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
+      "of the raw distribution") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => s"v${i % 7}").toDF("v")
+    val plan = operators.HeavyHitters.exact(df, "v", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate filter must be a broadcast semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("gopherRules: each of the seven rules rejects its crafted violator " +
       "and passes the clean doc") {
     val good = ("the report covers " + Seq.tabulate(47)(i => s"item$i")
