@@ -239,6 +239,9 @@ object SparkEntry {
     // Misra-Gries candidate sketch, then a broadcast-semi-join exact
     // recount of candidates only
     "q_heavy_hitters" -> Queries.heavyHitters _,
+    // tokenizer prep: frequency-ranked vocab build + corpus id-mapping
+    // (broadcast token join, order restored by sorted (pos,id) structs)
+    "q_vocab_map" -> Queries.vocabMap _,
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_approx_percentiles" -> ((s, d) =>
@@ -413,6 +416,7 @@ object SparkEntry {
     "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
     "q_heavy_hitters" -> Oracles.heavyHitters,
+    "q_vocab_map" -> Oracles.vocabMap,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
     "q_approx_percentiles" -> Oracles.approxPercentiles,
@@ -3092,6 +3096,24 @@ object Queries {
     operators.HeavyHitters.exact(
       ext.Text.ngrams(Sources.documents(spark, sfDir), n = 2), "ngram", k = 800)
 
+  /** Vocabulary mapping on the gate: top-10 token vocab (of the fixture's
+    * 31-word vocabulary, so OOV genuinely occurs) and every document
+    * mapped to its id sequence. Per doc: token count, OOV count, and an
+    * ordered `(acc·31 + id) mod p` fold over the id sequence — the fold
+    * pins both every id VALUE and their ORDER, so a shuffled collect_list
+    * or an off-by-one rank fails the hash even where counts agree.
+    */
+  def vocabMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val vocab = ext.Text.buildVocab(docs, v = 10)
+    ext.Text.mapToIds(docs, vocab)
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tok"),
+        size(filter(col("ids"), _ === 0L)).cast("long").as("n_oov"),
+        aggregate(col("ids"), lit(0L),
+          (acc, x) => (acc * 31 + x) % 2147483647L).as("ids_fold"))
+  }
+
   /** X3 normalization on the gate: the (already unit-norm) fixture vectors
     * are first DE-normalized by a deterministic per-vector scale
     * (1 + vec_id mod 5), then `Similarity.normalize` must recover unit
@@ -5636,6 +5658,35 @@ SELECT ngram, count(*) AS n_occurrences
 FROM g GROUP BY 1
 ORDER BY n_occurrences DESC, ngram ASC
 LIMIT 20"""
+
+  /** Vocab-map twin: rank the vocabulary with a plain window (count desc,
+    * token asc), position-explode every document via a lateral `range`,
+    * LEFT JOIN the vocab, and replay the ordered fold with
+    * `list(id ORDER BY pos)` — an independent order source from the Spark
+    * side's sorted-struct regroup.
+    */
+  val vocabMap: String =
+    """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT unnest(w) AS token FROM w),
+vocab AS (
+  SELECT token,
+    CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC) AS BIGINT) AS id
+  FROM tok GROUP BY token
+  QUALIFY row_number() OVER (ORDER BY count(*) DESC, token ASC) <= 10),
+p AS (
+  SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+      i -> {'pos': i, 'token': w[i]})) AS u
+    FROM w)),
+m AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+  FROM p LEFT JOIN vocab v ON p.token = v.token)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+  CAST(count(*) FILTER (WHERE id = 0) AS BIGINT) AS n_oov,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(id ORDER BY pos)),
+    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS ids_fold
+FROM m GROUP BY 1"""
 
   /** Heavy-hitters twin: the NAIVE full-vocabulary formulation — group
     * every bigram, keep `cnt·k > n`. The Spark side must reproduce it

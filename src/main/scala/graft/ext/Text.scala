@@ -779,6 +779,47 @@ object Text {
       .limit(k)
   }
 
+  /** Frequency-ranked vocabulary of the corpus's top `v` tokens:
+    * `(token, id)` with 1-based ids in `(count desc, token asc)` order —
+    * the deterministic tie-break makes the table reproducible years
+    * later. Id 0 is reserved for out-of-vocabulary tokens.
+    *
+    * 100 TB: one partial→final count aggregate, then a DISTRIBUTED top-v
+    * (`TakeOrderedAndProject`, each partition keeps v candidates); only
+    * the final v-row ranking runs in a single task, bounded by config,
+    * never by data.
+    */
+  def buildVocab(docs: DataFrame, v: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(v >= 1, s"need v>=1, got $v")
+    import org.apache.spark.sql.expressions.Window
+    ngrams(docs, 1, textCol).withColumnRenamed("ngram", "token")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(v)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .select("token", "id")
+  }
+
+  /** The corpus mapped to id sequences under a vocabulary: `(doc_id,
+    * ids)` with `ids(i)` the vocab id of token i (0 for OOV), preserving
+    * token order. The lookup is one narrow `posexplode`, a broadcast
+    * equi-join on the token (the vocabulary is bounded by config), and a
+    * regroup on `doc_id` — the same key the downstream pack/chunk steps
+    * shuffle on. Order is restored by sorting the collected `(pos, id)`
+    * structs, not by trusting collect_list's arrival order.
+    */
+  def mapToIds(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val pos = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    pos.join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("id")))).as("_ord"))
+      .select(col(idCol), transform(col("_ord"), s => s("id")).as("ids"))
+  }
+
   /** DSIR-flavored target-relevance scoring: each corpus document's
     * coverage = |its DISTINCT word n-grams ∩ the target slice's gram
     * vocabulary| / |its distinct grams| — the hashed-n-gram importance

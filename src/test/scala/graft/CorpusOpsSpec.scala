@@ -41,6 +41,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(operators.HeavyHitters.exact(even.limit(0), "v", 4).collect().isEmpty)
   }
 
+  test("vocab build + id mapping: frequency rank with alphabetical " +
+      "tie-break, OOV id 0, token order preserved") {
+    val docs = docsDF(Seq(
+      (1L, "b b b a a c c zz a", "en"),  // a:3 b:3 c:2 zz:1
+      (2L, "c a qq b", "en")))           // a:4 b:4 c:3 total; qq/zz singles
+    val vocab = Text.buildVocab(docs, v = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a and b tie at 4 -> alphabetical; c third; singles cut by v=3
+    assert(vocab === Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    val mapped = Text.mapToIds(docs, Text.buildVocab(docs, v = 3))
+    val plan = mapped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocab lookup must broadcast the vocabulary")
+    val ids = mapped.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(ids(1L) === List(2L, 2L, 2L, 1L, 1L, 3L, 3L, 0L, 1L))
+    assert(ids(2L) === List(3L, 1L, 0L, 2L))
+  }
+
   test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
       "of the raw distribution") {
     import spark.implicits._
