@@ -103,6 +103,10 @@ object SparkEntry {
     "q_streaming_classifier" -> Queries.streamingClassifier _,
     // stateless rule filter on the stream: batch projection per micro-batch
     "q_streaming_gopher" -> Queries.streamingGopher _,
+    // tokenizing ingest: batch-built vocab shipped to the stream as a map
+    // literal, stateless per-row id mapping, cross-delivery determinism
+    // pinned by min==max folds
+    "q_streaming_vocab" -> Queries.streamingVocab _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -316,6 +320,7 @@ object SparkEntry {
     "q_streaming_lm" -> Oracles.streamingLm,
     "q_streaming_classifier" -> Oracles.streamingClassifier,
     "q_streaming_gopher" -> Oracles.streamingGopher,
+    "q_streaming_vocab" -> Oracles.streamingVocab,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -1961,6 +1966,45 @@ object Queries {
     spark.read.parquet(s"$dir/out").groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens_sum"))
+  }
+
+  /** Tokenizing ingest on the gate: the top-10 vocab is built batch and
+    * shipped to the stream; the corpus arrives as TWO deliveries of the
+    * same file under `Trigger.AvailableNow` and every copy is id-mapped
+    * by the stateless projection. The report groups the landed rows per
+    * doc: copy count (pins exactly-two delivery), token/OOV counts, and
+    * min AND max of the ordered id fold — min must equal max, so any
+    * cross-micro-batch nondeterminism in the mapping fails the hash, and
+    * the fold itself must match the BATCH `q_vocab_map` oracle's value.
+    */
+  def streamingVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsPath = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(docsPath).schema
+    val dir = tempDir("graft-svoc")
+    val srcDir = tempDir("graft-svoc-src")
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach(n =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(srcDir, n),
+        java.nio.file.Paths.get(docsPath)))
+    val vocab = ext.Text.buildVocab(spark.read.parquet(docsPath), v = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = Streaming.mapIngestVocab(src.select("doc_id", "text"), vocab,
+        s"$dir/out", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tok"),
+        size(filter(col("ids"), _ === 0L)).cast("long").as("n_oov"),
+        aggregate(col("ids"), lit(0L),
+          (acc, x) => (acc * 31 + x) % 2147483647L).as("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_copies"),
+        min("n_tok").as("n_tok"), min("n_oov").as("n_oov"),
+        min("f").as("ids_fold_lo"), max("f").as("ids_fold_hi"))
   }
 
   /** The sessionizer's streaming arm on the gate: events stream through
@@ -5687,6 +5731,15 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(id ORDER BY pos)),
     (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS ids_fold
 FROM m GROUP BY 1"""
+
+  /** Streaming-vocab twin: the batch vocab-map oracle per doc, doubled —
+    * two deliveries of the same file, each mapped to the identical fold.
+    */
+  val streamingVocab: String =
+    s"""WITH base AS ($vocabMap)
+SELECT doc_id, CAST(2 AS BIGINT) AS n_copies, n_tok, n_oov,
+  ids_fold AS ids_fold_lo, ids_fold AS ids_fold_hi
+FROM base"""
 
   /** Heavy-hitters twin: the NAIVE full-vocabulary formulation — group
     * every bigram, keep `cnt·k > n`. The Spark side must reproduce it

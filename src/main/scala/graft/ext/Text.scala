@@ -820,6 +820,23 @@ object Text {
       .select(col(idCol), transform(col("_ord"), s => s("id")).as("ids"))
   }
 
+  /** The same id mapping as [[mapToIds]] as a STATELESS projection: the
+    * vocabulary rides along as a map literal (bounded by config — the
+    * deployment shape of a shipped tokenizer artifact), so the lookup is
+    * a pure per-row `transform` with no explode, no join, and no regroup.
+    * Works identically over a batch frame and a micro-batch stream; for
+    * vocabularies too large to ship as a literal, use the join-based
+    * [[mapToIds]] batch path instead.
+    */
+  def withIds(docs: DataFrame, vocab: Map[String, Long],
+              textCol: String = "text"): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    require(!vocab.valuesIterator.contains(0L), "id 0 is reserved for OOV")
+    val m = typedLit(vocab)
+    docs.withColumn("ids", transform(split(col(textCol), " "),
+      t => coalesce(element_at(m, t), lit(0L))))
+  }
+
   /** DSIR-flavored target-relevance scoring: each corpus document's
     * coverage = |its DISTINCT word n-grams ∩ the target slice's gram
     * vocabulary| / |its distinct grams| — the hashed-n-gram importance

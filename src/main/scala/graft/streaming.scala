@@ -542,6 +542,23 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Tokenizing streaming ingest — the deployment shape of corpus
+    * id-mapping: the vocabulary is built BATCH (`Text.buildVocab`) and
+    * shipped to the stream as a bounded map literal; each micro-batch is
+    * mapped by the same stateless per-row `transform` as the batch
+    * projection (`Text.withIds` — no explode, no join, no state store,
+    * no watermark), landing every document with its id sequence.
+    */
+  def mapIngestVocab(docs: DataFrame, vocab: Map[String, Long],
+                     outPath: String, checkpoint: String,
+                     textCol: String = "text") =
+    ext.Text.withIds(docs, vocab, textCol)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
   /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
     * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
     * a content hash is remembered only until the watermark passes its

@@ -60,6 +60,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ids(2L) === List(3L, 1L, 0L, 2L))
   }
 
+  test("withIds stateless projection is row-identical to the join-based " +
+      "mapToIds, and rejects a vocab claiming the OOV id") {
+    val docs = docsDF(Seq(
+      (1L, "b b b a a c c zz a", "en"), (2L, "c a qq b", "en"),
+      (3L, "zz zz zz", "en")))
+    val vocabDf = Text.buildVocab(docs, v = 3)
+    val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaJoin = Text.mapToIds(docs, vocabDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val viaLit = Text.withIds(docs, vocab).select("doc_id", "ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(viaLit === viaJoin)
+    intercept[IllegalArgumentException] {
+      Text.withIds(docs, Map("a" -> 0L))
+    }
+  }
+
   test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
       "of the raw distribution") {
     import spark.implicits._
