@@ -198,6 +198,9 @@ object SparkEntry {
     "q_corpus_pipeline7" -> Queries.corpusPipeline7 _,
     // FineWeb prefilter: Gopher rules → normalized dedup → lang report
     "q_corpus_pipeline8" -> Queries.corpusPipeline8 _,
+    // boilerplate takedown: heavy-hitter bigrams → per-doc share →
+    // integer-ratio drop → lang report
+    "q_corpus_pipeline9" -> Queries.corpusPipeline9 _,
     // X3 pre-step: unit normalization recovers unit norm from de-normalized
     // vectors, double-exact vs the oracle's replayed fold
     "q_embedding_norms" -> Queries.embeddingNorms _,
@@ -421,6 +424,7 @@ object SparkEntry {
     "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
     "q_heavy_hitters" -> Oracles.heavyHitters,
+    "q_corpus_pipeline9" -> Oracles.corpusPipeline9,
     "q_vocab_map" -> Oracles.vocabMap,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
@@ -2729,6 +2733,28 @@ object Queries {
       .agg(min("doc_id").as("doc_id"))
     val deduped = kept.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
     deduped.select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
+  }
+
+  /** Pipeline 9 — boilerplate takedown: exact bigram heavy hitters
+    * (Misra–Gries sketch-then-verify, k=800) feed each document's
+    * boilerplate share, and documents whose grams are >40% corpus-wide
+    * hitters are dropped on the integer-ratio threshold (`hot·10 >
+    * n_grams·4` — no float ever compared); gramless docs survive by
+    * definition. Survivors report per-lang docs + token sums. The oracle
+    * replays the naive HAVING-based hitter set and the same integer
+    * rule, so a sketch bug, a broken superset, or a drifted threshold
+    * all fail the per-lang sums.
+    */
+  def corpusPipeline9(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val hitters = operators.HeavyHitters.exact(
+      ext.Text.ngrams(docs, n = 2), "ngram", k = 800).select("ngram")
+    ext.Text.boilerplateShare(docs, hitters)
+      .where(col("hot") * 10 <= col("n_grams") * 4)
+      .select(col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_sum"))
@@ -5756,6 +5782,33 @@ SELECT g.ngram, CAST(count(*) AS BIGINT) AS cnt
 FROM g, n
 GROUP BY g.ngram, n.c
 HAVING count(*) * 800 > n.c"""
+
+  /** Pipeline-9 twin: naive HAVING-based hitter set, per-doc hot/total
+    * gram counts, the same `nh·10 <= ng·4` integer keep rule (gramless
+    * docs kept via the LEFT join's NULL), then the lang report.
+    */
+  val corpusPipeline9: String =
+    """WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM w),
+n AS (SELECT count(*) AS c FROM g),
+hh AS (
+  SELECT g.ngram FROM g, n GROUP BY g.ngram, n.c HAVING count(*) * 800 > n.c),
+d AS (
+  SELECT doc_id, count(*) AS ng,
+    count(*) FILTER (WHERE ngram IN (SELECT ngram FROM hh)) AS nh
+  FROM g GROUP BY 1),
+k AS (
+  SELECT w.lang, len(w.w) AS n_tok
+  FROM w LEFT JOIN d ON w.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL OR d.nh * 10 <= d.ng * 4)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS tokens_sum
+FROM k GROUP BY 1"""
 
   /** Percentile twin: `percentile_disc` semantics re-derived from
     * row_number over the same `(n_tok, doc_id)` order — all integer.

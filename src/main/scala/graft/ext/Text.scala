@@ -763,6 +763,55 @@ object Text {
     }.toDF("ngram")
   }
 
+  /** [[ngrams]] with the document id carried on every gram row —
+    * `(id, ngram)` — for per-document gram statistics.
+    */
+  def ngramsById(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"need n>=1, got n=$n")
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (w.length < n) Iterator.empty
+          else (0 to w.length - n).iterator.map { i =>
+            val sb = new StringBuilder(w(i))
+            var o = 1
+            while (o < n) { sb.append('_').append(w(i + o)); o += 1 }
+            (id, sb.result())
+          }
+        }
+      }.toDF(idCol, "ngram")
+  }
+
+  /** Each document's boilerplate share: how many of its word n-grams are
+    * corpus-wide heavy hitters (`hot` of `n_grams`; both 0 for docs too
+    * short to form a gram). The CCNet/quality-filter signal "this text is
+    * mostly template" as exact integers: pair with
+    * [[graft.operators.HeavyHitters.exact]] for the hitter set and filter
+    * on an integer-ratio threshold (`hot·10 > n_grams·4` for 40%), never
+    * a float.
+    *
+    * 100 TB: grams come from the same per-partition loop as [[ngrams]];
+    * hitter membership is a broadcast LEFT join on the gram (the hitter
+    * set is sketch-bounded); both the per-doc aggregate and the join back
+    * onto the corpus hash on the id key.
+    */
+  def boilerplateShare(docs: DataFrame, hitters: DataFrame,
+                       n: Int = 2, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val share = ngramsById(docs, n, idCol, textCol)
+      .join(broadcast(hitters.select(col("ngram"), lit(1L).as("_hot"))),
+        Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hot"), lit(0L))).as("hot"))
+    docs.join(share, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("hot", coalesce(col("hot"), lit(0L)))
+  }
+
   /** Corpus-wide top-k word n-grams: explode per-doc n-grams, one
     * partial→final count aggregate, then a distributed top-k
     * (`TakeOrderedAndProject` — each partition keeps k candidates, no

@@ -77,6 +77,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateShare: exact hot/total gram counts, gramless docs " +
+      "surface with zeros, hitter join broadcasts") {
+    import spark.implicits._
+    val docs = docsDF(Seq(
+      (1L, "a b a b c d", "en"),   // grams a_b b_a a_b b_c c_d
+      (2L, "x", "en"),             // no grams
+      (3L, "a b", "en")))          // one gram a_b
+    val hitters = Seq("a_b", "b_a").toDF("ngram")
+    val out = Text.boilerplateShare(docs, hitters)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val rows = out.select("doc_id", "n_grams", "hot").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows === Map(1L -> ((5L, 3L)), 2L -> ((0L, 0L)), 3L -> ((1L, 1L))))
+  }
+
   test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
       "of the raw distribution") {
     import spark.implicits._
