@@ -163,6 +163,45 @@ class AsOfJoinSpec extends SparkSpec {
       ("c", 75L, Some(4.0), "hold"), ("c", 100L, Some(4.0), "hold")))
   }
 
+  test("resample interpolate equals the brute-force model on random inputs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 18)
+      obs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("x", "y"),
+        Gen.choose(0L, 40L), Gen.choose(-5.0, 5.0)))
+      step <- Gen.choose(3L, 15L)
+    } yield (obs.groupBy(o => (o._1, o._2)).values.map(_.head).toList, step)
+    val prop = Prop.forAll(gen) { case (obs, stepS) =>
+      val df = obs.map { case (k, s, v) => (k, new java.sql.Timestamp(s * 1000), v) }
+        .toDF("k", "ts", "value")
+      val endUs = 40000000L
+      val got = operators.Resample.interpolate(df, Seq("k"),
+          gridStartUs = 0L, gridEndUs = endUs, stepUs = stepS * 1000000L)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000) ->
+          ((Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))).toMap
+      val keys = obs.map(_._1).distinct
+      val instants = 0L.to(40L, stepS)
+      val want = (for { k <- keys; g <- instants } yield {
+        val series = obs.filter(_._1 == k)
+        val prev = series.filter(_._2 <= g).sortBy(_._2).lastOption
+        val next = series.filter(_._2 > g).sortBy(_._2).headOption
+        val cell = (prev, next) match {
+          case (None, _) => (None, "none")
+          case (Some((_, tp, p)), _) if tp == g => (Some(p), "exact")
+          case (Some((_, _, p)), None) => (Some(p), "hold")
+          case (Some((_, tp, p)), Some((_, tn, nn))) =>
+            (Some(p + (nn - p) * ((g * 1e6 - tp * 1e6) / (tn * 1e6 - tp * 1e6))),
+              "interp")
+        }
+        (k, g) -> cell
+      }).toMap
+      got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("as-of join equals the brute-force model on random inputs") {
     import spark.implicits._
     val gen = for {
