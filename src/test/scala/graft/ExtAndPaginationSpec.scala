@@ -27,7 +27,21 @@ class ExtAndPaginationSpec extends SparkSpec {
       "histogram" -> ext.Text.tokenHistogram(docs),
       "neardup_jaccard" -> ext.Dedup.nearDupJaccard(docs, 0.8),
       "substring" -> ext.Dedup.substringOverlap(docs),
-      "embdup" -> ext.Similarity.nearDupPairs(emb, 0.9))
+      "embdup" -> ext.Similarity.nearDupPairs(emb, 0.9),
+      "resample_ffill" -> operators.Resample.fillForward(
+        Sources.events(spark, "/root/testdata/sf0.001")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), 1704067200000000L, 1704070800000000L, 600000000L),
+      "resample_interp" -> operators.Resample.interpolate(
+        Sources.events(spark, "/root/testdata/sf0.001")
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), 1704067200000000L, 1704070800000000L, 600000000L),
+      "boilerplate_share" -> ext.Text.boilerplateShare(docs,
+        Seq("the_a").toDF("ngram")),
+      // literal vocab: mapToIds' own shape, not buildVocab's bounded
+      // apex-window rank
+      "map_to_ids" -> ext.Text.mapToIds(docs, Seq(("the", 1L)).toDF("token", "id")),
+      "with_ids" -> ext.Text.withIds(docs, Map("the" -> 1L)))
     plans.foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
