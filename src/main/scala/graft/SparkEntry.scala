@@ -173,6 +173,9 @@ object SparkEntry {
     // DuckDB's native ASOF joins replaying the same lerp shape
     "q_resample_ffill" -> Queries.resampleFfill _,
     "q_resample_interp" -> Queries.resampleInterp _,
+    // composition: snapshot warehouse read -> grid interpolation; the
+    // oracle resamples the source events under the same stream mapping
+    "q_resample_warehouse" -> Queries.resampleWarehouse _,
     // corpus mixture rebalancing to target stratum weights
     "q_mix" -> Queries.mixReport _,
     // bucketized range join composed over sessionization
@@ -225,6 +228,9 @@ object SparkEntry {
     // Q3-shape top customers (broadcast dims into the fact scan)
     "q_tpch_pricing" -> Queries.tpchPricing _,
     "q_tpch_topcust" -> Queries.tpchTopCustomers _,
+    // Q5-shape: five-way broadcast-dim join into one fact pass,
+    // co-nationality as an equi-filter on broadcast-resolved keys
+    "q_tpch_volume" -> Queries.tpchLocalVolume _,
     "q_corpus_pipeline" -> Queries.corpusPipeline _,
     // corpus-prep narrow ops: PII scrubbing, context-window chunking,
     // deterministic stratified sampling, and token-budget sequence packing
@@ -374,6 +380,7 @@ object SparkEntry {
     "q_asof_join" -> Oracles.asofJoin,
     "q_resample_ffill" -> Oracles.resampleFfill,
     "q_resample_interp" -> Oracles.resampleInterp,
+    "q_resample_warehouse" -> Oracles.resampleWarehouse,
     "q_sessionize" -> Oracles.sessionize,
     "q_mix" -> Oracles.mixReport,
     "q_range_join" -> Oracles.rangeJoin,
@@ -411,6 +418,7 @@ object SparkEntry {
     "q_dedup_index" -> Oracles.dedupIndexReport,
     "q_tpch_pricing" -> Oracles.tpchPricing,
     "q_tpch_topcust" -> Oracles.tpchTopCustomers,
+    "q_tpch_volume" -> Oracles.tpchLocalVolume,
     "q_corpus_pipeline" -> Oracles.corpusPipeline,
     "q_pii_scrub" -> Oracles.piiScrub,
     "q_chunk" -> Oracles.chunkReport,
@@ -3153,6 +3161,29 @@ object Queries {
       keyCols = Seq("user_id"), gridStartUs = ResampleStartUs,
       gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
 
+  /** Composition: warehouse storage → fixed-grid resample. Two click
+    * series are ingested as streams, read back through the
+    * snapshot-consistent fact read (manifest file set, deletes applied),
+    * and linearly interpolated onto the 6-hour grid keyed by stream_id.
+    * The oracle resamples the SOURCE events under the same key mapping —
+    * so a row lost or doubled anywhere in the append→commit→read
+    * lifecycle shifts a lerp endpoint and breaks the row-level hash.
+    */
+  def resampleWarehouse(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-rswh")
+    val ds = new Datastream(spark, dir)
+    Seq(3, 7).foreach(u => ds.ensureStream(s"$u:click",
+      Map("user" -> u.toString, "type" -> "click"),
+      highestGranularity = Granularity.Minutes))
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where(col("user_id").isin(3, 7) && col("event_type") === "click")
+      .select("stream_id", "ts", "value"))
+    operators.Resample.interpolate(
+      ds.rawDatapoints.select("stream_id", "ts", "value"),
+      keyCols = Seq("stream_id"), gridStartUs = ResampleStartUs,
+      gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
+  }
+
   /** Exact heavy hitters on the gate: every corpus bigram with frequency
     * above n/800, found by the Misra–Gries sketch-then-verify shape (per-
     * partition candidate summaries, broadcast exact recount — no full-
@@ -3309,6 +3340,44 @@ object Queries {
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(10)
+  }
+
+  /** The Q5 shape — every dimension (year-filtered orders, customers,
+    * suppliers, region-filtered nations) BROADCAST into a single pass
+    * over the lineitem fact; the co-nationality predicate (customer and
+    * supplier in the same nation) is applied as an equi-filter on the
+    * two broadcast-resolved nation keys, and the fact shuffles only for
+    * the final per-nation aggregate. Revenue accumulates in
+    * DECIMAL(38,10) partials, rendered double once.
+    */
+  def tpchLocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Sources.table(spark, sfDir, "nation")
+      .join(broadcast(Sources.table(spark, sfDir, "region")
+        .where(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val orders = Sources.table(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Sources.table(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val supp = Sources.table(spark, sfDir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    Sources.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Downsample.DecV).as("rev"))
+      .join(broadcast(orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
   /** The persisted dedup index on the gate — the incremental-ingest
@@ -5729,6 +5798,43 @@ FROM g GROUP BY 1
 ORDER BY n_occurrences DESC, ngram ASC
 LIMIT 20"""
 
+  /** Warehouse-resample twin: the interpolation oracle re-applied to the
+    * SOURCE events under the gate's `user:click` stream mapping — the
+    * warehouse round-trip must be invisible in the resampled rows.
+    */
+  val resampleWarehouse: String =
+    """WITH obs AS (
+  SELECT CAST(user_id AS VARCHAR) || ':click' AS stream_id,
+    epoch_us(ts) AS us, CAST(max(value) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'click' AND user_id IN (3, 7)
+  GROUP BY 1, 2),
+grid AS (
+  SELECT k.stream_id, epoch_us(g.g) AS gus
+  FROM (SELECT DISTINCT stream_id FROM obs) k
+  CROSS JOIN generate_series(TIMESTAMP '2024-01-01 00:00:00',
+    TIMESTAMP '2024-01-30 18:00:00', INTERVAL 6 HOUR) AS g(g)),
+prev AS (
+  SELECT gr.stream_id, gr.gus, o.us AS pus, o.v AS pv
+  FROM grid gr ASOF LEFT JOIN obs o
+    ON gr.stream_id = o.stream_id AND gr.gus >= o.us),
+nxt AS (
+  SELECT gr.stream_id, gr.gus, o.us AS nus, o.v AS nv
+  FROM grid gr ASOF LEFT JOIN obs o
+    ON gr.stream_id = o.stream_id AND gr.gus < o.us)
+SELECT p.stream_id, make_timestamp(p.gus) AS grid_ts,
+  CASE WHEN p.pus IS NULL THEN NULL
+       WHEN p.pus = p.gus THEN p.pv
+       WHEN n.nus IS NULL THEN p.pv
+       ELSE p.pv + (n.nv - p.pv) *
+         ((CAST(p.gus AS DOUBLE) - CAST(p.pus AS DOUBLE)) /
+          (CAST(n.nus AS DOUBLE) - CAST(p.pus AS DOUBLE)))
+  END AS filled_value,
+  CASE WHEN p.pus IS NULL THEN 'none'
+       WHEN p.pus = p.gus THEN 'exact'
+       WHEN n.nus IS NULL THEN 'hold'
+       ELSE 'interp' END AS fill_kind
+FROM prev p JOIN nxt n ON p.stream_id = n.stream_id AND p.gus = n.gus"""
+
   /** Vocab-map twin: rank the vocabulary with a plain window (count desc,
     * token asc), position-explode every document via a lateral `range`,
     * LEFT JOIN the vocab, and replay the ordered fold with
@@ -5897,6 +6003,27 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10"""
+
+  /** Q5-shape twin: the same five-way join and the same decimal chain
+    * (scale-10 exact sum → round to 4 → double once), co-nationality as
+    * a plain WHERE.
+    */
+  val tpchLocalVolume: String =
+    """SELECT n_name,
+  CAST(CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+    AS DECIMAL(38,10))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name ASC"""
 
   /** Dedup-index twin: the removed set recomputed from the EXACT
     * cross-side inverted shingle index + md5 (independent of the banded
