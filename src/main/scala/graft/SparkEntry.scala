@@ -255,6 +255,8 @@ object SparkEntry {
     // tokenizer prep: frequency-ranked vocab build + corpus id-mapping
     // (broadcast token join, order restored by sorted (pos,id) structs)
     "q_vocab_map" -> Queries.vocabMap _,
+    // one-pass per-column table profile (Expand distincts, stack unpivot)
+    "q_profile" -> Queries.profileReport _,
     "q_token_hist" -> ((s, d) => ext.Text.tokenHistogram(Sources.documents(s, d))),
     "q_percentiles" -> ((s, d) => ext.Text.lengthPercentiles(Sources.documents(s, d))),
     "q_approx_percentiles" -> ((s, d) =>
@@ -434,6 +436,7 @@ object SparkEntry {
     "q_heavy_hitters" -> Oracles.heavyHitters,
     "q_corpus_pipeline9" -> Oracles.corpusPipeline9,
     "q_vocab_map" -> Oracles.vocabMap,
+    "q_profile" -> Oracles.profileReport,
     "q_token_hist" -> Oracles.tokenHist,
     "q_percentiles" -> Oracles.percentiles,
     "q_approx_percentiles" -> Oracles.approxPercentiles,
@@ -3184,6 +3187,17 @@ object Queries {
       gridEndUs = ResampleEndUs, stepUs = ResampleStepUs)
   }
 
+  /** Table profiling on the gate: the five typed event columns profiled
+    * in ONE aggregate pass (exact distincts via Catalyst's Expand, then a
+    * driver-free `stack` unpivot) — per column: rows, NULLs, exact
+    * distinct count, numeric min/max (NULL for strings, so no
+    * cross-engine value rendering enters the hash). The oracle is one
+    * plain per-column UNION ALL.
+    */
+  def profileReport(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Profile.profile(Sources.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "props"))
+
   /** Exact heavy hitters on the gate: every corpus bigram with frequency
     * above n/800, found by the Misra–Gries sketch-then-verify shape (per-
     * partition candidate summaries, broadcast exact recount — no full-
@@ -5872,6 +5886,23 @@ FROM m GROUP BY 1"""
 SELECT doc_id, CAST(2 AS BIGINT) AS n_copies, n_tok, n_oov,
   ids_fold AS ids_fold_lo, ids_fold AS ids_fold_hi
 FROM base"""
+
+  /** Profile twin: one SELECT per column, UNION ALL — the naive
+    * formulation of the single-pass Expand profile.
+    */
+  val profileReport: String = {
+    def arm(c: String, numeric: Boolean): String = {
+      val mn = if (numeric) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+  $mn AS min_num, $mx AS max_num FROM events"""
+    }
+    Seq(arm("event_id", numeric = true), arm("user_id", numeric = true),
+      arm("event_type", numeric = false), arm("value", numeric = true),
+      arm("props", numeric = false)).mkString("\nUNION ALL\n")
+  }
 
   /** Heavy-hitters twin: the NAIVE full-vocabulary formulation — group
     * every bigram, keep `cnt·k > n`. The Spark side must reproduce it

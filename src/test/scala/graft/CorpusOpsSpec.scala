@@ -92,6 +92,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows === Map(1L -> ((5L, 3L)), 2L -> ((0L, 0L)), 3L -> ((1L, 1L))))
   }
 
+  test("profile: exact per-column stats in one scan, numeric min/max only, " +
+      "approx arm keeps the schema") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(2.5), Some("a")), (2L, None, Some("b")),
+      (3L, Some(-1.0), None), (3L, Some(2.5), Some("b")))
+      .toDF("id", "x", "s")
+    val out = operators.Profile.profile(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "exact distincts must plan through Expand")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(rows("id") === ((4L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(rows("x") === ((4L, 1L, 2L, Some(-1.0), Some(2.5))))
+    assert(rows("s") === ((4L, 1L, 2L, None, None)))
+    val approx = operators.Profile.profile(df, approx = true)
+    assert(approx.columns.toSeq === out.columns.toSeq)
+    assert(approx.count() === 3L)
+  }
+
   test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
       "of the raw distribution") {
     import spark.implicits._
