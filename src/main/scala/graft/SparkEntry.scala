@@ -107,6 +107,9 @@ object SparkEntry {
     // literal, stateless per-row id mapping, cross-delivery determinism
     // pinned by min==max folds
     "q_streaming_vocab" -> Queries.streamingVocab _,
+    // stream-stream event-time interval join (state-store join, both
+    // sides watermarked, range-bounded state) vs the batch theta twin
+    "q_streaming_join" -> Queries.streamingJoin _,
     // native session_window under a watermark vs the batch sessionizer
     "q_streaming_sessions" -> Queries.streamingSessions _,
     // W1's streaming arm: watermarked multi-stream sum as a real query
@@ -252,6 +255,8 @@ object SparkEntry {
     // Misra-Gries candidate sketch, then a broadcast-semi-join exact
     // recount of candidates only
     "q_heavy_hitters" -> Queries.heavyHitters _,
+    // per-group variant: grouped MG summaries, per-language thresholds
+    "q_heavy_hitters_lang" -> Queries.heavyHittersLang _,
     // tokenizer prep: frequency-ranked vocab build + corpus id-mapping
     // (broadcast token join, order restored by sorted (pos,id) structs)
     "q_vocab_map" -> Queries.vocabMap _,
@@ -332,6 +337,7 @@ object SparkEntry {
     "q_streaming_classifier" -> Oracles.streamingClassifier,
     "q_streaming_gopher" -> Oracles.streamingGopher,
     "q_streaming_vocab" -> Oracles.streamingVocab,
+    "q_streaming_join" -> Oracles.streamingJoin,
     "q_streaming_sessions" -> Oracles.streamingSessions,
     // the streaming W1 sum must equal the batch derive-sum restricted to
     // watermark-finalized buckets
@@ -434,6 +440,7 @@ object SparkEntry {
     "q_token_hist_bpe" -> Oracles.tokenHistBpe,
     "q_ngram_top" -> Oracles.ngramTop,
     "q_heavy_hitters" -> Oracles.heavyHitters,
+    "q_heavy_hitters_lang" -> Oracles.heavyHittersLang,
     "q_corpus_pipeline9" -> Oracles.corpusPipeline9,
     "q_vocab_map" -> Oracles.vocabMap,
     "q_profile" -> Oracles.profileReport,
@@ -2059,6 +2066,36 @@ object Queries {
         col("vsum_dec").cast("double").as("value_sum"))
   }
 
+  /** Stream-stream event-time join on the gate: clicks and views arrive
+    * as TWO independent file streams (one delivery each — a single
+    * micro-batch, so no match can be watermark-dropped and the bounded
+    * fixture joins exactly); each click matches every view of its user
+    * in the preceding hour through the state-store join. The oracle is
+    * the plain batch theta join under the same band, row-level — a
+    * dropped state row, a doubled emit, or a band edge off by one
+    * microsecond all break the hash.
+    */
+  def streamingJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val dir = tempDir("graft-sjoin")
+    val srcDir = tempDir("graft-sjoin-src")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(srcDir, "events.parquet"),
+      java.nio.file.Paths.get(eventsPath))
+    def side(eventType: String) = spark.readStream.schema(schema)
+      .parquet(srcDir)
+      .where(col("event_type") === eventType)
+      .select(col("user_id"), Sources.tsMicrosCol(schema).as("ts"), col("value"))
+    val q = Streaming.intervalJoinIngest(side("click"), side("view"),
+        s"$dir/out", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+  }
+
   /** T2's full streaming LADDER on the gate: minutes partials stream from
     * events into a rollup sink (level 1), then a SECOND streaming query
     * stream-reads that rollup table and merges it to hours under its own
@@ -3210,6 +3247,19 @@ object Queries {
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     operators.HeavyHitters.exact(
       ext.Text.ngrams(Sources.documents(spark, sfDir), n = 2), "ngram", k = 800)
+
+  /** Per-group heavy hitters on the gate: within EACH language, the
+    * bigrams above that language's own n/400 — grouped Misra–Gries
+    * summaries (state O(groups·k) per partition), broadcast recount on
+    * `(lang, ngram)`, per-group threshold via the totals join. The
+    * fixture's languages differ 3× in gram volume and 20× in hitter
+    * count (en yields 1, de 22), so a threshold read against the wrong
+    * group's total fails loudly.
+    */
+  def heavyHittersLang(spark: SparkSession, sfDir: String): DataFrame =
+    operators.HeavyHitters.exactPerGroup(
+      ext.Text.ngramsByKey(Sources.documents(spark, sfDir), n = 2, keyCol = "lang"),
+      groupCol = "lang", valueCol = "ngram", k = 400)
 
   /** Vocabulary mapping on the gate: top-10 token vocab (of the fixture's
     * 31-word vocabulary, so OOV genuinely occurs) and every document
@@ -5878,6 +5928,17 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
     (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS ids_fold
 FROM m GROUP BY 1"""
 
+  /** Stream-join twin: the batch theta join under the same one-hour band
+    * — the state-store join must emit exactly this row set.
+    */
+  val streamingJoin: String =
+    """SELECT c.user_id, c.ts AS click_ts, v.ts AS view_ts,
+  c.value AS click_value, v.value AS view_value
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR"""
+
   /** Streaming-vocab twin: the batch vocab-map oracle per doc, doubled —
     * two deliveries of the same file, each mapped to the identical fold.
     */
@@ -5919,6 +5980,21 @@ SELECT g.ngram, CAST(count(*) AS BIGINT) AS cnt
 FROM g, n
 GROUP BY g.ngram, n.c
 HAVING count(*) * 800 > n.c"""
+
+  /** Per-group heavy-hitters twin: group totals joined back, HAVING
+    * against each language's own total.
+    */
+  val heavyHittersLang: String =
+    """WITH g AS (
+  SELECT lang, unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)),
+t AS (SELECT lang, count(*) AS c FROM g GROUP BY 1)
+SELECT g.lang, g.ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM g JOIN t USING (lang)
+GROUP BY g.lang, g.ngram, t.c
+HAVING count(*) * 400 > t.c"""
 
   /** Pipeline-9 twin: naive HAVING-based hitter set, per-doc hot/total
     * gram counts, the same `nh·10 <= ng·4` integer keep rule (gramless

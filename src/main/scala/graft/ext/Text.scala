@@ -785,6 +785,29 @@ object Text {
       }.toDF(idCol, "ngram")
   }
 
+  /** [[ngrams]] with a STRING key carried on every gram row — `(key,
+    * ngram)` — for per-group gram statistics (per language, per source).
+    */
+  def ngramsByKey(docs: DataFrame, n: Int, keyCol: String,
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"need n>=1, got n=$n")
+    import docs.sparkSession.implicits._
+    docs.select(col(keyCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (key, text) =>
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (w.length < n) Iterator.empty
+          else (0 to w.length - n).iterator.map { i =>
+            val sb = new StringBuilder(w(i))
+            var o = 1
+            while (o < n) { sb.append('_').append(w(i + o)); o += 1 }
+            (key, sb.result())
+          }
+        }
+      }.toDF(keyCol, "ngram")
+  }
+
   /** Each document's boilerplate share: how many of its word n-grams are
     * corpus-wide heavy hitters (`hot` of `n_grams`; both 0 for docs too
     * short to form a gram). The CCNet/quality-filter signal "this text is

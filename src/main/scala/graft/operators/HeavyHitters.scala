@@ -80,4 +80,66 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > lit(total))
   }
+
+  /** Per-group exact heavy hitters: within each group, every value
+    * occurring more than `n_group/k` times. The sketch pass keeps an
+    * independent k-counter Misra–Gries summary PER (partition, group) —
+    * the superset proof applies group-wise, so state is O(groups·k) per
+    * partition (use for bounded group domains: languages, sources,
+    * shards) — and the recount is the same broadcast semi-join, now on
+    * `(group, value)`, thresholded against each group's own total via a
+    * broadcast totals join. Exact and partitioning-independent, like the
+    * global variant.
+    */
+  def exactPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = df.select(col(groupCol).cast("string"),
+        col(valueCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val groups = mutable.HashMap
+          .empty[String, (mutable.HashMap[String, Long], Array[Long])]
+        it.foreach { case (g, v) =>
+          if (g != null && v != null) {
+            val (counters, np) = groups.getOrElseUpdate(g,
+              (mutable.HashMap.empty[String, Long], Array(0L)))
+            np(0) += 1
+            counters.get(v) match {
+              case Some(c) => counters.update(v, c + 1)
+              case None if counters.size < k => counters.update(v, 1L)
+              case None =>
+                val dead = List.newBuilder[String]
+                counters.foreach { case (cv, c) =>
+                  if (c == 1L) dead += cv else counters.update(cv, c - 1)
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+        }
+        groups.iterator.flatMap { case (g, (counters, np)) =>
+          counters.keysIterator.map(v => (g, v, 0L)) ++
+            Iterator((g, (null: String), np(0)))
+        }
+      }.toDF("group", "value", "np")
+    val rows = sketch.collect()
+    val totals = rows.filter(_.isNullAt(1))
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(2)).sum }
+    val cands = rows.filterNot(_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1))).distinct.toSeq
+    val candDf = cands.toDF("_hh_grp", "_hh_cand")
+    val totalsDf = totals.toSeq.toDF("_hh_grp2", "_hh_total")
+    df.join(broadcast(candDf),
+        col(groupCol).cast("string") === col("_hh_grp") &&
+          col(valueCol).cast("string") === col("_hh_cand"), "left_semi")
+      .groupBy(col(groupCol).cast("string").as(groupCol),
+        col(valueCol).cast("string").as(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totalsDf), col(groupCol) === col("_hh_grp2"))
+      .where(col("cnt") * k > col("_hh_total"))
+      .select(groupCol, valueCol, "cnt")
+  }
 }

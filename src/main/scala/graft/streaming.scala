@@ -559,6 +559,38 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** Event-time interval join of two LIVE streams — the stream-stream
+    * join family (Spark's state-store join, the one join shape neither a
+    * broadcast nor a static side can express): each click matched to
+    * every view of the same user within the preceding `lag`. BOTH sides
+    * carry watermarks and the range condition bounds the join state — the
+    * store retains only rows inside the watermark+lag band per key, so
+    * state is O(arrival rate × lag), never O(history); at cluster scale
+    * both sides hash-partition on the key and the state store shards with
+    * them. Inner join, append mode: each match emits exactly once.
+    */
+  def intervalJoinIngest(clicks: DataFrame, views: DataFrame,
+                         outPath: String, checkpoint: String,
+                         lag: String = "1 hour") = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", lag)
+    val v = views
+      .select(col("user_id").as("_v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withWatermark("view_ts", lag)
+    c.join(v, col("user_id") === col("_v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lag"))
+      .select("user_id", "click_ts", "view_ts", "click_value", "view_value")
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+  }
+
   /** [[dedupIngest]] with BOUNDED state: `withWatermark` +
     * `dropDuplicatesWithinWatermark` caps the dedup state by event time —
     * a content hash is remembered only until the watermark passes its

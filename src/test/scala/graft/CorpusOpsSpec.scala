@@ -116,6 +116,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(approx.count() === 3L)
   }
 
+  test("per-group heavy hitters: each group thresholds against its own " +
+      "total, exact under partitioning, null groups/values ignored") {
+    import spark.implicits._
+    // group A: skewed (hot 40 of 100); group B: uniform (no hitters at
+    // k=4); group C: tiny with one dominant value; plus nulls both ways
+    val rows =
+      Seq.fill(40)(("A", "hot")) ++ (0 until 60).map(i => ("A", s"a$i")) ++
+      (0 until 80).map(i => ("B", s"b${i % 8}")) ++
+      Seq(("C", "only"), ("C", "only"), ("C", "other")) ++
+      Seq((null, "x"), ("A", null))
+    def brute(k: Int) = rows
+      .filter(r => r._1 != null && r._2 != null).groupBy(_._1).flatMap {
+        case (g, rs) =>
+          val n = rs.size
+          rs.groupBy(_._2).collect {
+            case (v, vs) if vs.size.toLong * k > n => (g, v) -> vs.size.toLong
+          }
+      }.toMap
+    for (parts <- Seq(1, 5); k <- Seq(2, 4, 50)) {
+      val df = spark.sparkContext.parallelize(
+        scala.util.Random.shuffle(rows), parts).toDF("g", "v")
+      val got = operators.HeavyHitters.exactPerGroup(df, "g", "v", k)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got === brute(k), s"parts=$parts k=$k")
+    }
+  }
+
   test("heavy hitters: recount is a broadcast semi-join, no wide shuffle " +
       "of the raw distribution") {
     import spark.implicits._
