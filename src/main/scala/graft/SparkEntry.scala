@@ -280,6 +280,8 @@ object SparkEntry {
     "q_lang_profile" -> Queries.langProfile _,
     "q_fingerprint" -> Queries.fingerprint _,
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
+    "q_search_bm25" -> Queries.searchBm25 _,
+    "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
     "q_audio_decode" -> Queries.audioDecode _,
@@ -458,6 +460,8 @@ object SparkEntry {
     "q_lang_profile" -> Oracles.langProfile,
     "q_fingerprint" -> Oracles.fingerprint,
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
+    "q_search_bm25" -> Oracles.searchBm25,
+    "q_hybrid_rrf" -> Oracles.hybridRrf,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
     // exactly-once streaming decode ≡ the batch closed-form dims table
@@ -3592,6 +3596,37 @@ object Queries {
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.tfIdfTopTerms(Sources.documents(spark, sfDir))
 
+  /** X4+ keyword retrieval: Okapi BM25 top-15 for two queries in one
+    * corpus pass — a 3-term common-vocabulary query and a query anchored
+    * on the corpus's one rare term (`dup`, df≈5% of docs), so the idf
+    * ratio actually separates candidates. The oracle replays the entire
+    * log-free scoring fold (tf via list_filter, df/N/avgdl from a corpus
+    * CTE, the same pinned term order) bit-for-bit in SQL.
+    */
+  def searchBm25(spark: SparkSession, sfDir: String): DataFrame =
+    ext.Search.bm25(Sources.documents(spark, sfDir),
+      Seq("qa" -> Seq("spark", "window", "merge"),
+        "qb" -> Seq("dup", "customer")), topK = 15)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 ranking
+    * (3-term query, top-50) with the embedding cosine ranking (query
+    * vector = vec 0, top-50), joined on the shared doc/vec id space —
+    * the standard two-tower + keyword RAG retrieval combiner. Both input
+    * rankings AND the fused list are recomputed independently by the
+    * oracle, so a drifted rank on either side or a wrong fusion constant
+    * breaks the hash.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Sources.documents(spark, sfDir)
+    val bm = ext.Search.bm25(docs,
+        Seq("q0" -> Seq("spark", "window", "merge")), topK = 50)
+      .select(col("doc_id"), col("rank"))
+    val emb = Sources.embeddings(spark, sfDir)
+    val cos = ext.Similarity.topK(emb, emb.where(col("vec_id") === 0), k = 50)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    ext.Search.rrfFuse(bm, cos, kRrf = 60, topK = 20)
+  }
+
   def langReport(spark: SparkSession, sfDir: String): DataFrame =
     ext.Text.languageReport(Sources.documents(spark, sfDir))
 
@@ -6526,6 +6561,99 @@ SELECT doc_id, rank, term, tf, df FROM (
       ORDER BY tf.tf DESC, df.df ASC, tf.term) AS BIGINT) AS rank
   FROM tf JOIN df USING (term))
 WHERE rank <= 5"""
+
+  /** BM25 contribution of one term — EXACTLY the double association the
+    * Spark side uses (`Search.bm25`'s `contrib`), literal-for-literal:
+    * every constant is CAST(… AS DOUBLE) so DuckDB's decimal literals
+    * never enter the arithmetic, and the idf × (tf·(k1+1)) / (tf + norm)
+    * association matches the Column expression parenthesis-for-parenthesis.
+    */
+  private def bm25Contrib(t: String): String =
+    s"(((CAST(n_docs - df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      s"(CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))) * " +
+      s"(CAST(tf_$t AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))) / " +
+      s"(CAST(tf_$t AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      s"(CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / " +
+      s"(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+
+  /** Shared BM25 prelude: tokenization, per-term tf (list_filter — the
+    * twin of Spark's array `filter`), and the 1-row corpus stats CTE. */
+  private def bm25Base(terms: Seq[String]): String =
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+""" + terms.map(t =>
+      s"    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n") + """
+  FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+""" + terms.map(t =>
+      s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n") + """
+  FROM base)"""
+
+  val searchBm25: String =
+    bm25Base(Seq("customer", "dup", "merge", "spark", "window")) + s""",
+scored AS (
+  SELECT doc_id, dl,
+    ${Seq("merge", "spark", "window").map(bm25Contrib).mkString(" + ")} AS s_qa,
+    ${Seq("customer", "dup").map(bm25Contrib).mkString(" + ")} AS s_qb
+  FROM base, stats),
+stacked AS (
+  SELECT 'qa' AS query_id, doc_id, s_qa AS score, dl FROM scored
+  UNION ALL
+  SELECT 'qb' AS query_id, doc_id, s_qb AS score, dl FROM scored)
+SELECT query_id, rank, doc_id, score, dl FROM (
+  SELECT query_id, doc_id, score, dl,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM stacked WHERE score > 0)
+WHERE rank <= 15"""
+
+  /** Hybrid RRF twin: recompute the BM25 top-50, the cosine top-50 (same
+    * fold as `similarityTopK`), and the fused reciprocal-rank list. */
+  val hybridRrf: String =
+    bm25Base(Seq("merge", "spark", "window")) + s""",
+bm_scored AS (
+  SELECT doc_id,
+    ${Seq("merge", "spark", "window").map(bm25Contrib).mkString(" + ")} AS score
+  FROM base, stats),
+bm AS (
+  SELECT doc_id, rank_a FROM (
+    SELECT doc_id, CAST(row_number() OVER
+      (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+    FROM bm_scored WHERE score > 0)
+  WHERE rank_a <= 50),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+cos_scored AS (
+  SELECT e.vec_id AS doc_id,
+    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(range(1, len(qvec) + 1),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), (a, b) -> a + b))
+     * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+    AS cosine
+  FROM qv, embeddings e WHERE e.vec_id <> 0),
+cos AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id, CAST(row_number() OVER
+      (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_b
+    FROM cos_scored)
+  WHERE rank_b <= 50),
+fused AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.rank_a, b.rank_b,
+    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + a.rank_a AS DOUBLE), CAST(0 AS DOUBLE)) +
+    COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + b.rank_b AS DOUBLE), CAST(0 AS DOUBLE))
+    AS rrf_score
+  FROM bm a FULL OUTER JOIN cos b ON a.doc_id = b.doc_id)
+SELECT rank, doc_id, rrf_score, rank_a, rank_b FROM (
+  SELECT doc_id, rrf_score, rank_a, rank_b,
+    CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+  FROM fused)
+WHERE rank <= 20"""
 
   val downsampleNominal: String =
     """SELECT user_id, event_type,

@@ -1708,10 +1708,21 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * watermark were never finalized, so the semi-join against the purged
     * set re-adds exactly what existed. Work is proportional to the deleted
     * window × doomed streams, never the table.
+    *
+    * `upsertKeys` (the upsert path): the purge set is widened with the
+    * FINALIZED bucket of every upserted `(stream_id, ts)` key — finalized
+    * means `bucket_start < downsampled_until[g]`, the exact predicate the
+    * maintenance watermark advances under — whether or not that bucket
+    * currently exists in the rollup. An upsert into a finalized GAP bucket
+    * (no prior rows, watermark already past) must materialize the bucket
+    * now: maintenance will never revisit it. Buckets at-or-above the
+    * watermark stay untouched — maintenance owns them, and pre-adding them
+    * here would double their rows when the cascade finalizes.
     */
   private def repairRollups(doomedIds: DataFrame,
                             doomedSorted: IndexedSeq[String],
-                            loUs: Long, hiUs: Long): Unit = {
+                            loUs: Long, hiUs: Long,
+                            upsertKeys: Option[DataFrame] = None): Unit = {
     def survivorsFact(): DataFrame = {
       val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
       val raw = commitRead("raw", Schemas.rawDatapointsPartitioned)
@@ -1728,6 +1739,16 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       minusDeleted(fact, commitRead("raw_deletes", Schemas.rawDeletes))
     }
     lazy val fact = survivorsFact()
+    // per-stream downsample watermarks, captured eagerly (the registry swap
+    // in the surrounding commit must not invalidate this plan) — only the
+    // upsert path needs them, and only for the doomed streams
+    val wmSlice = upsertKeys.map { _ =>
+      Plans.checkpointTracked(
+        streams.select(col("stream_id"), col("downsampled_until"))
+          .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+          .coalesce(1)) // metadata-sized: doomed streams only
+    }
+    try {
     Granularity.ladder.foreach { g =>
       val durUs = g.durationSeconds * 1000000L
       val winLo = loUs - java.lang.Math.floorMod(loUs, durUs)
@@ -1736,18 +1757,37 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       commitRead(table, Schemas.downsampledPartitioned).foreach { cur =>
         val bucketInWin = col("bucket_start") >= tsLit(winLo) &&
           col("bucket_start") <= tsLit(winHi)
+        // upsert: every finalized bucket an upserted key lands in, existing
+        // in the rollup or not (the gap-bucket case in the scaladoc)
+        val extraPurged = upsertKeys.map { keys =>
+          keys.select(col("stream_id"),
+              Downsample.bucketStart(col("ts"), g).as("bucket_start"))
+            .join(wmSlice.get._1, Seq("stream_id"))
+            .where(unix_micros(col("bucket_start")) <
+              coalesce(element_at(col("downsampled_until"), lit(g.name)),
+                lit(Long.MinValue)))
+            .select("stream_id", "bucket_start").distinct()
+        }
         val (purged, rdds) = Plans.checkpointTracked(
-          cur.where(bucketInWin)
-            .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
-            .select("stream_id", "bucket_start"))
+          extraPurged.foldLeft(
+            cur.where(bucketInWin)
+              .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+              .select("stream_id", "bucket_start"))(
+            (base, extra) => base.unionByName(extra).distinct()))
         try {
           if (!purged.isEmpty) {
             val touched = retireTouchedByRanges(table,
               Seq((winLo, winHi, doomedSorted)))
-            val old = spark.read.option("basePath", tablePath(table))
-              .schema(Schemas.downsampledPartitioned)
-              .parquet(touched.toSeq.sorted
-                .map(f => s"${tablePath(table)}/$f"): _*)
+            // a purely-gap-bucket upsert touches no existing rollup file
+            val old =
+              if (touched.isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  Schemas.downsampledPartitioned)
+              else spark.read.option("basePath", tablePath(table))
+                .schema(Schemas.downsampledPartitioned)
+                .parquet(touched.toSeq.sorted
+                  .map(f => s"${tablePath(table)}/$f"): _*)
             val keptRows = old.join(purged,
               Seq("stream_id", "bucket_start"), "left_anti")
             val recomputed = Downsample.aggregateRaw(
@@ -1763,6 +1803,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         } finally rdds.foreach(_.unpersist(blocking = false))
       }
     }
+    } finally wmSlice.foreach(_._2.foreach(_.unpersist(blocking = false)))
   }
 
   /** ROW-LEVEL DELETE — the takedown/right-to-be-forgotten verb a training
@@ -1891,6 +1932,154 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val hiUs = usOfTs(before) - 1L // strict: [epoch, before)
     if (hiUs < 0L) return 0L
     deleteDatapoints(tagQuery, new Timestamp(0L), tsOf(hiUs), mode)
+  }
+
+  /** UPSERT — the merge-by-key write verb (Delta/Iceberg `MERGE INTO`
+    * shape): each incoming `(stream_id, ts)` row REPLACES whatever the
+    * fact table stores at that exact key, or inserts when the key is new.
+    * The correction/late-restatement verb the monotone [[appendMultiple]]
+    * contract deliberately refuses — a sensor re-reports a window, a
+    * backfill recomputes a slice, an ingest bug's rows get restated.
+    *
+    * Physical shape is merge-on-read, O(batch) regardless of table size:
+    * one equality-delete file voids the MATCHED keys (point ranges,
+    * `lo_us = hi_us`; unmatched keys contribute nothing), the full batch
+    * appends as fresh date-partitioned files, and both land in ONE atomic
+    * commit — a reader sees the pre-upsert snapshot or the fully merged
+    * table, never a torn middle. [[applyDeletes]] later rewrites the
+    * anti-join away, exactly as for [[deleteDatapoints]].
+    *
+    * The downsample cascade is repaired in the SAME commit
+    * ([[repairRollups]]): every finalized bucket an upserted key lands in
+    * is recomputed from the post-merge rows — including a finalized GAP
+    * bucket the insert creates (maintenance will never revisit it; the
+    * repair must materialize it now). Buckets above the watermark are left
+    * to maintenance. Registry bounds WIDEN from the batch (least/greatest)
+    * — an upsert may extend history at either end.
+    *
+    * Contract edges, all pinned by tests: the merge key must be unique
+    * within the batch (rejected otherwise — "last write wins" inside one
+    * batch is unordered nonsense on a distributed frame); multiple stored
+    * rows at one key (legal under append's `ts == latest`) all collapse
+    * into the single incoming row; derived streams are refused like
+    * append; streams with derived dependents are refused like
+    * [[deleteDatapoints]] (`OutstandingDependenciesError` — silently
+    * rewriting a derivation's inputs would orphan its outputs); CHECK
+    * constraints gate the batch at the front door. Time travel to a
+    * pre-upsert version serves the original rows; [[restore]] undoes the
+    * merge wholesale.
+    *
+    * Returns the number of stored rows REPLACED (0 = pure insert).
+    */
+  def upsertDatapoints(points0: DataFrame): Long = {
+    val withJson = if (points0.columns.contains("value_json")) points0
+      else points0.withColumn("value_json", lit(null).cast("string"))
+    val points = withJson
+      .select(col("stream_id"), col("ts"), col("value"), col("value_json"))
+      .cache()
+    try {
+      val cons = checkConstraints
+      if (cons.nonEmpty) {
+        val bad = points
+          .select(violationOf(cons).as("_violated"), col("stream_id"), col("ts"))
+          .where(col("_violated").isNotNull).limit(1).collect()
+        if (bad.nonEmpty) {
+          val b = bad.head
+          throw new errors.ConstraintViolation(
+            s"upsert rejected by CHECK constraint '${b.getString(0)}' " +
+              s"(${cons(b.getString(0))}): e.g. stream ${b.getString(1)} at " +
+              s"${b.getTimestamp(2)}")
+        }
+      }
+      val dup = points.groupBy("stream_id", "ts").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"upsert batch has duplicate merge keys, e.g. " +
+            s"(${dup.head.getString(0)}, ${dup.head.getTimestamp(1)}) — " +
+            "(stream_id, ts) must be unique per batch")
+      // same broadcast-registry validation as append, minus the monotone
+      // check (rewriting history is this verb's purpose)
+      val meta = streams.select(col("stream_id"), col("derive_op"),
+        col("value_type"))
+      val joined = points.join(broadcast(meta), Seq("stream_id"), "left")
+      val isDerived = col("derive_op").isNotNull
+      val isBadNumeric = col("value_type") === ValueType.Numeric &&
+        col("value").isNull
+      val flags = joined.agg(
+        sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
+        sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric")).first()
+      if (flags.getLong(0) > 0)
+        throw new errors.AppendToDerivedStreamNotAllowed(
+          joined.where(isDerived).select("stream_id").distinct()
+            .collect().map(_.getString(0)).mkString(", "))
+      if (flags.getLong(1) > 0)
+        throw new IllegalArgumentException(
+          s"null value upserted to numeric stream(s): " +
+            joined.where(isBadNumeric).select("stream_id").distinct()
+              .collect().map(_.getString(0)).mkString(", "))
+      val sidDf = points.select("stream_id").distinct()
+      val violSample = StreamRegistry.outstandingDependencies(streams, sidDf)
+        .limit(5).collect()
+      if (violSample.nonEmpty)
+        throw new errors.OutstandingDependenciesError(
+          violSample.mkString(", "))
+      val b = points.agg(min("ts").as("_lo"), max("ts").as("_hi"),
+        count(lit(1)).as("_n")).first()
+      if (b.getLong(2) == 0L) return 0L
+      val loTs = b.getTimestamp(0)
+      val hiTs = b.getTimestamp(1)
+      import spark.implicits._
+      // batch-scale collect by contract: the id set drives manifest pruning
+      val sidsSorted = sidDf.collect().map(_.getString(0)).sorted.toIndexedSeq
+      val doomedIds = sidsSorted.toDF("stream_id")
+      val keys = points.select("stream_id", "ts")
+      // matched through the CURRENT snapshot (earlier-voided rows excluded)
+      val matchedRows = rawDatapointsInRange(Some(loTs), Some(hiTs), None,
+          Some(sidsSorted))
+        .join(keys, Seq("stream_id", "ts"), "left_semi")
+      val (matchedKeys, mRdds) = Plans.checkpointTracked(
+        matchedRows.select(col("stream_id"),
+            unix_micros(col("ts")).as("lo_us"),
+            unix_micros(col("ts")).as("hi_us"))
+          .distinct().coalesce(1))
+      try {
+        val nReplaced = matchedRows.count()
+        withCommit("upsert_datapoints") {
+          if (!matchedKeys.isEmpty) {
+            scopeWrite("raw_deletes")
+            // one shard: point deletes are metadata-sized by contract
+            matchedKeys.coalesce(1).write.mode(SaveMode.Append)
+              .parquet(tablePath("raw_deletes"))
+          }
+          val touchedDates = points.select(to_date(col("ts")).as("d"))
+            .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")
+          scopeWrite("raw", touchedDates.toSeq)
+          points.withColumn("dp_date", to_date(col("ts")))
+            .write.mode(SaveMode.Append).partitionBy("dp_date")
+            .parquet(rawPath)
+          // widen bounds from the whole batch (inserts can extend history)
+          val bounds = points.groupBy("stream_id")
+            .agg(min("ts").as("_lo"), max("ts").as("_hi"))
+          val updated = streams.join(bounds, Seq("stream_id"), "left")
+            .withColumn("earliest_datapoint",
+              when(col("_lo").isNotNull,
+                least(coalesce(col("earliest_datapoint"), col("_lo")),
+                  col("_lo")))
+                .otherwise(col("earliest_datapoint")))
+            .withColumn("latest_datapoint",
+              when(col("_hi").isNotNull,
+                greatest(coalesce(col("latest_datapoint"), col("_hi")),
+                  col("_hi")))
+                .otherwise(col("latest_datapoint")))
+            .drop("_lo", "_hi")
+          swapRegistry(updated)
+          repairRollups(doomedIds, sidsSorted, usOfTs(loTs), usOfTs(hiTs),
+            upsertKeys = Some(keys))
+        }
+        nReplaced
+      } finally mRdds.foreach(_.unpersist(blocking = false))
+    } finally points.unpersist()
   }
 
   /** Rewrite every fact file the active merge-on-read delete files touch

@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword search over a document corpus — the retrieval side of a
+  * training-data pipeline (dataset search, eval-set mining, RAG corpus
+  * curation): Okapi BM25 ranking and reciprocal-rank fusion of
+  * heterogeneous rankers (lexical BM25 × embedding cosine).
+  *
+  * Scoring contract: BM25 with a LOG-FREE idf, `idf(t) = (N - df + 0.5) /
+  * (df + 0.5)` — the ratio inside the conventional `ln(...)`, used
+  * directly. Per term it is the same monotone relevance signal (ln is
+  * strictly increasing), and dropping the log keeps every score an exact
+  * IEEE-754 fold of longs and pinned literals that a second engine
+  * replays bit-for-bit — the house rule every scored operator here
+  * follows (`ln` is NOT correctly-rounded-specified and differs across
+  * libm implementations; +,-,*,/ are). The fold order over query terms is
+  * pinned (distinct terms, lexicographic), so the sum itself is
+  * reproducible.
+  *
+  * Plan shape at 100 TB: scoring is embarrassingly parallel — one NARROW
+  * pass computes per-document token counts for the (tiny, fixed) query
+  * vocabulary via array `filter` on the token array, one 1-row corpus
+  * aggregate (N, Σdl, per-term df) is broadcast back as a scalar carrier,
+  * and the only data-sized movement is the slim (query_id, doc_id, score,
+  * dl) rank shuffle — the corpus text never shuffles. At real scale the
+  * corpus-stats row comes from the same pass that built the index; here it
+  * is recomputed per call, which is one extra scan, not an extra shuffle.
+  */
+object Search {
+
+  /** Okapi BM25 top-k for a batch of queries in ONE corpus pass.
+    *
+    * `queries` maps a query id (must be `[A-Za-z0-9_]+` — it is spliced
+    * into a generator expression) to its term list; terms are de-duplicated
+    * and scored in lexicographic order (the pinned IEEE fold order). Only
+    * documents containing at least one query term are candidates
+    * (`score > 0`); ties break by `doc_id`. Output: `(query_id, rank,
+    * doc_id, score, dl)`.
+    */
+  def bm25(docs: DataFrame, queries: Seq[(String, Seq[String])],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 15,
+           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty, "bm25: at least one query")
+    require(queries.forall(_._2.nonEmpty), "bm25: every query needs terms")
+    require(queries.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "bm25: query ids must be [A-Za-z0-9_]+ (spliced into a stack() expr)")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25: query ids must be unique")
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val termIdx = terms.zipWithIndex.toMap
+
+    // Narrow pass: doc length + tf for each distinct query term. Array
+    // `filter` keeps this a per-row map over the token array — no explode,
+    // no shuffle, no |corpus|×|vocab| intermediate.
+    val toks = Text.tokens(col(textCol))
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("_toks"))
+      .select(Seq(col("doc_id"),
+        size(col("_toks")).cast("long").as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("_toks"), x => x === lit(t))).cast("long")
+            .as(s"_tf$i")
+        }: _*)
+
+    // One 1-row aggregate: corpus size, total length, per-term df — then a
+    // broadcast scalar carrier (the house 1-row crossJoin pattern).
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+
+    // avgdl and the per-term contribution, written as the EXACT double
+    // expression the oracle states: association and literal forms matter
+    // for bit-equality, so keep them in lockstep with Oracles.searchBm25.
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    def contrib(i: Int): Column = {
+      val tf = col(s"_tf$i").cast("double")
+      val idf = ((col("n_docs") - col(s"_df$i")).cast("double") + lit(0.5)) /
+        (col(s"_df$i").cast("double") + lit(0.5))
+      val norm = lit(k1) *
+        (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / avgdl)
+      (idf * (tf * lit(k1 + 1.0))) / (tf + norm)
+    }
+    val withScores = scored.select(
+      Seq(col("doc_id"), col("dl")) ++ queries.zipWithIndex.map {
+        case ((_, qTerms), qi) =>
+          qTerms.distinct.sorted.map(t => contrib(termIdx(t)))
+            .reduceLeft(_ + _).as(s"_s$qi")
+      }: _*)
+
+    // stack() fans the per-query score columns into rows in the same scan;
+    // the rank shuffle then moves only slim scalar rows.
+    val stackExpr = s"stack(${queries.size}, " + queries.zipWithIndex.map {
+      case ((qid, _), qi) => s"'$qid', _s$qi"
+    }.mkString(", ") + ") as (query_id, score)"
+    val stacked = withScores.select(col("doc_id"), col("dl"), expr(stackExpr))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    stacked.where(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "score", "dl")
+  }
+
+  /** Reciprocal-rank fusion of two rankers over the same id space:
+    * `rrf = 1/(kRrf + rank_a) + 1/(kRrf + rank_b)` with an absent side
+    * contributing 0 (full-outer semantics — a document only one ranker
+    * surfaced still competes). The classic hybrid-retrieval combiner
+    * (Cormack/Clarke/Buettcher, SIGIR'09): rank-space fusion needs no
+    * score calibration between lexical and embedding rankers.
+    *
+    * Inputs are top-k lists (bounded by contract — both sides are already
+    * rank-truncated), so the full-outer join and the single-partition
+    * final ordering touch ≤ |a|+|b| slim rows; document-scale data never
+    * reaches this operator. Ties break by `doc_id`. Output: `(rank,
+    * doc_id, rrf_score, rank_a, rank_b)` — the input ranks ride along for
+    * attribution.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame,
+              kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    val aa = a.select(col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank_a"))
+    val bb = b.select(col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank_b"))
+    // a-side contribution first, then b — the pinned two-term fold order
+    val fused = aa.join(bb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rank_a")).cast("double"),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("rank_b")).cast("double"),
+            lit(0.0)))
+    val w = Window.orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("rank", "doc_id", "rrf_score", "rank_a", "rank_b")
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword search + reciprocal-rank fusion (ext.Search). */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "cat dog cat fish"),
+    (1L, "dog dog dog"),
+    (2L, "fish fish cat cat cat cat"),
+    (3L, "bird bird bird bird"),
+    (4L, "cat")
+  ).toDF("doc_id", "text")
+
+  /** Scala model of the pinned scoring contract — the same IEEE ops in the
+    * same order as Search.bm25's Column expression. */
+  private def model(terms: Seq[String]): Map[Long, Double] = {
+    val docs = Seq(
+      0L -> Seq("cat", "dog", "cat", "fish"),
+      1L -> Seq("dog", "dog", "dog"),
+      2L -> Seq("fish", "fish", "cat", "cat", "cat", "cat"),
+      3L -> Seq("bird", "bird", "bird", "bird"),
+      4L -> Seq("cat"))
+    val nDocs = docs.size.toLong
+    val totalDl = docs.map(_._2.size.toLong).sum
+    val avgdl = totalDl.toDouble / nDocs.toDouble
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    docs.map { case (id, toks) =>
+      val dl = toks.size.toLong
+      val score = terms.distinct.sorted.map { t =>
+        val tf = toks.count(_ == t).toLong.toDouble
+        val idf = ((nDocs - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5)
+        val norm = 1.2 * ((1.0 - 0.75) + (0.75 * dl.toDouble) / avgdl)
+        (idf * (tf * (1.2 + 1.0))) / (tf + norm)
+      }.reduceLeft(_ + _)
+      id -> score
+    }.toMap
+  }
+
+  test("bm25 scores match the scalar model bit-for-bit") {
+    val got = ext.Search.bm25(corpus, Seq("q" -> Seq("cat", "fish")), topK = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val want = model(Seq("cat", "fish")).filter(_._2 > 0)
+    assert(got == want) // exact double equality: same IEEE fold on both sides
+  }
+
+  test("bm25 excludes zero-score docs, ranks are contiguous, topK truncates") {
+    val r = ext.Search.bm25(corpus, Seq("q" -> Seq("dog")), topK = 10)
+      .orderBy("rank").select("rank", "doc_id").as[(Long, Long)].collect()
+    // docs 0 and 1 contain "dog"; 1 has higher tf (and shorter dl) → rank 1
+    assert(r.toSeq == Seq((1L, 1L), (2L, 0L)))
+    val truncated = ext.Search.bm25(corpus, Seq("q" -> Seq("cat")), topK = 2)
+    assert(truncated.count() == 2)
+  }
+
+  test("bm25 rare term outranks common term under idf") {
+    // "bird" appears only in doc 3; a (bird, cat) query must put doc 3 first
+    // even though "cat" matches more docs overall
+    val top = ext.Search.bm25(corpus, Seq("q" -> Seq("bird", "cat")), topK = 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 3L)
+  }
+
+  test("bm25 scores several queries in one pass with independent ranks") {
+    val r = ext.Search.bm25(corpus,
+      Seq("qa" -> Seq("cat"), "qb" -> Seq("dog")), topK = 10)
+    val byQ = r.select("query_id", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ("qa") == Set(0L, 2L, 4L))
+    assert(byQ("qb") == Set(0L, 1L))
+  }
+
+  test("bm25 validates query ids and shapes") {
+    intercept[IllegalArgumentException] {
+      ext.Search.bm25(corpus, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ext.Search.bm25(corpus, Seq("bad id" -> Seq("cat")))
+    }
+    intercept[IllegalArgumentException] {
+      ext.Search.bm25(corpus, Seq("q" -> Seq.empty))
+    }
+    intercept[IllegalArgumentException] {
+      ext.Search.bm25(corpus, Seq("q" -> Seq("cat"), "q" -> Seq("dog")))
+    }
+  }
+
+  test("rrfFuse full-outer semantics: one-sided docs still compete") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1L), (13L, 2L)).toDF("doc_id", "rank")
+    val r = ext.Search.rrfFuse(a, b, kRrf = 60, topK = 10)
+      .orderBy("rank")
+      .select("rank", "doc_id", "rrf_score")
+      .as[(Long, Long, Double)].collect()
+    // doc 11: both sides → 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+    val want = Seq(
+      (1L, 11L, 1.0 / 62L.toDouble + 1.0 / 61L.toDouble),
+      (2L, 10L, 1.0 / 61L.toDouble),
+      (3L, 13L, 1.0 / 62L.toDouble),
+      (4L, 12L, 1.0 / 63L.toDouble))
+    assert(r.toSeq == want)
+  }
+
+  test("rrfFuse preserves source ranks for attribution and truncates") {
+    val a = Seq((10L, 1L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (21L, 2L)).toDF("doc_id", "rank")
+    val r = ext.Search.rrfFuse(a, b, kRrf = 60, topK = 2)
+    assert(r.count() == 2)
+    val row = r.where(col("doc_id") === 10L)
+      .select("rank_a", "rank_b").collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1))
+  }
+
+  test("bm25 corpus text never shuffles: only slim rank rows reach an Exchange") {
+    val plan = ext.Search.bm25(corpus, Seq("q" -> Seq("cat")), topK = 5)
+      .queryExecution.executedPlan.toString
+    // the token array / text column must not appear below any Exchange —
+    // pin the slim-shuffle shape by checking no exchange carries _toks
+    assert(!plan.contains("_toks") ||
+      !plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("_toks")))
+  }
+}
