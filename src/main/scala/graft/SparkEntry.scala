@@ -56,6 +56,7 @@ object SparkEntry {
     // ROW-LEVEL DELETE (GDPR takedown): merge-on-read delete files +
     // copy-on-write rewrite + rollup repair + applyDeletes convergence
     "q_row_delete" -> Queries.rowDelete _,
+    "q_upsert" -> Queries.upsert _,
     // SQL surface: warehouse registered as temp views, queried via
     // spark.sql with snapshot + merge-on-read-delete semantics intact
     "q_sql_surface" -> Queries.sqlSurface _,
@@ -281,6 +282,7 @@ object SparkEntry {
     "q_fingerprint" -> Queries.fingerprint _,
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_search_bm25" -> Queries.searchBm25 _,
+    "q_search_index" -> Queries.searchIndex _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
@@ -311,6 +313,7 @@ object SparkEntry {
     "q_time_travel" -> Oracles.timeTravel,
     "q_history" -> Oracles.historyLedger,
     "q_row_delete" -> Oracles.rowDelete,
+    "q_upsert" -> Oracles.upsert,
     "q_sql_surface" -> Oracles.sqlSurface,
     "q_changefeed" -> Oracles.changefeed,
     "q_changefeed_deletes" -> Oracles.changefeedDeletes,
@@ -461,6 +464,8 @@ object SparkEntry {
     "q_fingerprint" -> Oracles.fingerprint,
     "q_tfidf_topterms" -> Oracles.tfidfTopTerms,
     "q_search_bm25" -> Oracles.searchBm25,
+    // index-served retrieval must land on the SAME rows as the scan twin
+    "q_search_index" -> Oracles.searchBm25,
     "q_hybrid_rrf" -> Oracles.hybridRrf,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
@@ -691,6 +696,73 @@ object Queries {
       .unionByName(one("applied_pending", ds.pendingDeletes.count()))
     current.unionByName(asOf).unionByName(hours)
       .unionByName(counts).unionByName(applied)
+  }
+
+  /** UPSERT gate: build the two-stream warehouse, finalize rollups, then
+    * merge one batch carrying all three key shapes — REPLACE (7:click rows
+    * in a 15-day window restated as value+1000), INSERT at fresh keys
+    * (3:view rows shifted +1µs, value×2 — if a shifted key happens to
+    * collide with a real row it simply becomes a replace, and the oracle's
+    * generic key anti-join replays that identically), and INSERT into a
+    * finalized GAP bucket (2023-12-25, before all history — the watermark
+    * passed it, so the repair must materialize the bucket now or never).
+    * Emitted phases: post-merge per-stream stats, the pre-upsert snapshot
+    * via time travel, the repaired hour buckets (replace window + gap
+    * hour), the verb's matched count, and the metadata-only total count.
+    */
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-upsert")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val pts = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    ds.appendMultiple(pts)
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    val vBefore = ds.currentVersion.get
+    val updReplace = pts
+      .where(col("stream_id") === "7:click" &&
+        col("ts") >= lit(ts("2024-01-05T00:00:00Z")) &&
+        col("ts") < lit(ts("2024-01-20T00:00:00Z")))
+      .groupBy("stream_id", "ts")
+      .agg((max("value") + lit(1000.0).cast("double")).as("value"))
+    val updInsert = pts
+      .where(col("stream_id") === "3:view" &&
+        col("ts") >= lit(ts("2024-01-01T00:00:00Z")) &&
+        col("ts") < lit(ts("2024-01-15T00:00:00Z")))
+      .select(col("stream_id"),
+        (col("ts") + expr("INTERVAL 1 MICROSECOND")).as("ts"),
+        (col("value") * lit(2.0).cast("double")).as("value"))
+      .groupBy("stream_id", "ts").agg(max("value").as("value"))
+    val gap = spark.range(1).select(lit("7:click").as("stream_id"),
+      lit(ts("2023-12-25T10:30:00Z")).as("ts"), lit(42.0).as("value"))
+    val n = ds.upsertDatapoints(
+      updReplace.unionByName(updInsert).unionByName(gap))
+    def stats(phase: String, df: DataFrame) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    def one(phase: String, v: Long) =
+      spark.range(1).select(lit(phase).as("phase"), lit("-").as("stream_id"),
+        lit(v).as("n_rows"), lit(0.0).as("value_sum"))
+    val hours = ds.getData("7:click", Granularity.Hours)
+      .where((col("bucket_start") >= lit(ts("2024-01-05T00:00:00Z")) &&
+        col("bucket_start") < lit(ts("2024-01-20T00:00:00Z"))) ||
+        col("bucket_start") === lit(ts("2023-12-25T10:00:00Z")))
+      .select(concat(lit("hour:"),
+          date_format(col("bucket_start"), "yyyy-MM-dd HH:mm")).as("phase"),
+        col("stream_id"), col("count").as("n_rows"), col("sum").as("value_sum"))
+    stats("current", ds.rawDatapoints)
+      .unionByName(stats("as_of", ds.rawDatapointsAt(vBefore)))
+      .unionByName(hours)
+      .unionByName(one("matched", n))
+      .unionByName(one("count_all", ds.countDatapoints()))
   }
 
   /** SQL surface on the gate: the warehouse registered as temp views and
@@ -3608,6 +3680,20 @@ object Queries {
       Seq("qa" -> Seq("spark", "window", "merge"),
         "qb" -> Seq("dup", "customer")), topK = 15)
 
+  /** Index-served twin of `q_search_bm25`: build the persisted inverted
+    * index (term-range-partitioned postings + doc lengths + shard stats),
+    * then serve the SAME two queries from it — term-pruned postings scan,
+    * never the corpus. Shares the scan gate's oracle: the index path must
+    * land on bit-identical rows.
+    */
+  def searchIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-bm25idx")
+    ext.Search.buildIndex(Sources.documents(spark, sfDir), dir)
+    ext.Search.queryIndex(spark, dir,
+      Seq("qa" -> Seq("spark", "window", "merge"),
+        "qb" -> Seq("dup", "customer")), topK = 15)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 ranking
     * (3-term query, top-50) with the embedding cosine ranking (query
     * vector = vec 0, top-50), joined on the shared doc/vec id space —
@@ -4155,6 +4241,62 @@ UNION ALL
 SELECT 'pending', '-', CAST(1 AS BIGINT), 0.0
 UNION ALL
 SELECT 'applied_pending', '-', CAST(0 AS BIGINT), 0.0"""
+
+  /** Upsert twin: replay the merge generically — update rows replace by
+    * key anti-join (a shifted insert key colliding with a real row becomes
+    * a replace on both engines identically), then recompute every emitted
+    * phase from the merged row set. */
+  val upsert: String =
+    """WITH pts AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view')),
+upd AS (
+  SELECT stream_id, ts, max(value) + CAST(1000 AS DOUBLE) AS value FROM pts
+  WHERE stream_id = '7:click'
+    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT stream_id, ts + INTERVAL 1 MICROSECOND,
+    max(value * CAST(2 AS DOUBLE)) FROM pts
+  WHERE stream_id = '3:view'
+    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT '7:click', TIMESTAMP '2023-12-25 10:30:00', CAST(42 AS DOUBLE)),
+merged AS (
+  SELECT p.stream_id, p.ts, p.value FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM upd u
+    WHERE u.stream_id = p.stream_id AND u.ts = p.ts)
+  UNION ALL
+  SELECT stream_id, ts, value FROM upd),
+hourly AS (
+  SELECT stream_id,
+    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
+    count(*) AS c, CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s
+  FROM merged WHERE stream_id = '7:click' GROUP BY 1, 2)
+SELECT 'current' AS phase, stream_id, count(*) AS n_rows,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+FROM merged GROUP BY 2
+UNION ALL
+SELECT 'as_of', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM pts GROUP BY 2
+UNION ALL
+SELECT 'hour:' || strftime(b, '%Y-%m-%d %H:%M'), stream_id, c, s
+FROM hourly
+WHERE (b >= TIMESTAMP '2024-01-05 00:00:00'
+    AND b < TIMESTAMP '2024-01-20 00:00:00')
+   OR b = TIMESTAMP '2023-12-25 10:00:00'
+UNION ALL
+SELECT 'matched', '-',
+  (SELECT count(*) FROM pts p WHERE EXISTS (SELECT 1 FROM upd u
+    WHERE u.stream_id = p.stream_id AND u.ts = p.ts)), 0.0
+UNION ALL
+SELECT 'count_all', '-', (SELECT count(*) FROM merged), 0.0"""
 
   val historyLedger: String =
     """SELECT * FROM (VALUES

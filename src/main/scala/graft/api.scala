@@ -1778,6 +1778,17 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           if (!purged.isEmpty) {
             val touched = retireTouchedByRanges(table,
               Seq((winLo, winHi, doomedSorted)))
+            // upsert can create buckets in partitions NO touched file
+            // covers (gap buckets, fresh dates) — declare those partitions
+            // as write scope explicitly, or the commit diff never adopts
+            // the recomputed files and the write is silently invisible.
+            // Batch-bucket-scale collect; the delete path (recomputed ⊆
+            // touched partitions by construction) skips it.
+            if (upsertKeys.nonEmpty) {
+              val dates = purged.select(to_date(col("bucket_start")).as("d"))
+                .distinct().collect().map(r => s"bucket_date=${r.getDate(0)}")
+              scopeWrite(table, dates.toSeq.sorted)
+            }
             // a purely-gap-bucket upsert touches no existing rollup file
             val old =
               if (touched.isEmpty)
@@ -1941,13 +1952,19 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * contract deliberately refuses — a sensor re-reports a window, a
     * backfill recomputes a slice, an ingest bug's rows get restated.
     *
-    * Physical shape is merge-on-read, O(batch) regardless of table size:
-    * one equality-delete file voids the MATCHED keys (point ranges,
-    * `lo_us = hi_us`; unmatched keys contribute nothing), the full batch
-    * appends as fresh date-partitioned files, and both land in ONE atomic
-    * commit — a reader sees the pre-upsert snapshot or the fully merged
-    * table, never a torn middle. [[applyDeletes]] later rewrites the
-    * anti-join away, exactly as for [[deleteDatapoints]].
+    * Physical shape is COPY-ON-WRITE (Iceberg's CoW `MERGE`): the
+    * manifest-pruned files holding matched keys are rewritten minus those
+    * keys, the full batch appends as fresh date-partitioned files, and
+    * both land in ONE atomic commit — a reader sees the pre-upsert
+    * snapshot or the fully merged table, never a torn middle. Merge-on-
+    * read equality deletes are deliberately NOT used here: this format's
+    * delete ranges carry no sequence numbers, so a same-commit append at
+    * a matched key would be voided by its own delete (the problem Iceberg
+    * v2 solves with per-file data sequence numbers). Rather than grow the
+    * format, the upsert pays the rewrite — pruned to files that actually
+    * contain matched keys (date-partition + manifest-stats pruning), so a
+    * pure insert rewrites nothing and a point correction rewrites one
+    * file, not the table. No pending-delete state is left behind.
     *
     * The downsample cascade is repaired in the SAME commit
     * ([[repairRollups]]): every finalized bucket an upserted key lands in
@@ -2047,10 +2064,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         val nReplaced = matchedRows.count()
         withCommit("upsert_datapoints") {
           if (!matchedKeys.isEmpty) {
-            scopeWrite("raw_deletes")
-            // one shard: point deletes are metadata-sized by contract
-            matchedKeys.coalesce(1).write.mode(SaveMode.Append)
-              .parquet(tablePath("raw_deletes"))
+            // copy-on-write: retire the snapshot files overlapping the
+            // matched streams×window, rewrite them minus the matched keys
+            // (point ranges, lo_us = hi_us); survivors land as fresh files
+            rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+              "dp_date",
+              retireTouchedByRanges("raw",
+                Seq((usOfTs(loTs), usOfTs(hiTs), sidsSorted))),
+              matchedKeys)
           }
           val touchedDates = points.select(to_date(col("ts")).as("d"))
             .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")

@@ -139,4 +139,131 @@ object Search {
       .where(col("rank") <= topK)
       .select("rank", "doc_id", "rrf_score", "rank_a", "rank_b")
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted inverted index — build once, serve keyword queries from
+  // term-pruned postings instead of rescanning the corpus per query.
+  // ---------------------------------------------------------------------
+
+  /** VERSIONED layout under `path` (the shared [[VersionedIndex]]
+    * protocol — atomic `CURRENT.v<N>` marker commits, shard-manifest
+    * appends, retention + explicit [[vacuumIndex]]):
+    *
+    *   v<N>/data/postings/  (term, doc_id, tf) — range-partitioned and
+    *                        sorted BY TERM, so a query's `term IN (…)`
+    *                        predicate prunes at parquet row-group level
+    *                        (min/max stats); directory-per-term would not
+    *                        survive a real vocabulary, range-by-term does
+    *   v<N>/data/doclens/   (doc_id, dl) — the length normalizer
+    *   v<N>/data/stats/     1 row (n_docs, total_dl) per shard; the
+    *                        corpus totals are the SUM over shard stats,
+    *                        which is what makes an append O(shard)
+    *
+    * [[queryIndex]] is bit-identical to the one-pass [[bm25]] scan: same
+    * contribution expression, and the per-document sum is an ORDERED fold
+    * over the lexicographically-sorted matched terms (`sort_array` +
+    * `aggregate`), which reproduces the scan's pinned `reduceLeft` order
+    * exactly — absent terms contribute an exact `0.0` there, an identity
+    * under IEEE addition for these non-negative contributions, so
+    * skipping them here changes nothing bit-wise.
+    */
+  def buildIndex(docs: DataFrame, path: String,
+                 textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    writeShard(docs, s"$path/v$next/data", textCol, idCol)
+    VersionedIndex.commit(path, next)
+  }
+
+  /** Fold a NEW shard in as a fresh version referencing the parent's data
+    * by manifest — O(shard) work, one atomic pointer move. The caller
+    * guarantees shard doc ids are new (dedup upstream); corpus stats and
+    * per-term df compose additively across shards by construction.
+    */
+  def appendToIndex(docs: DataFrame, path: String,
+                    textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val cur = VersionedIndex.resolveDir(path, None)
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    writeShard(docs, s"$path/v$next/data", textCol, idCol)
+    VersionedIndex.publishAppend(path, cur, next, "data")
+  }
+
+  /** Live (or pinned) version directory — shared resolution surface. */
+  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(path, asOfVersion)
+
+  /** Reclaim superseded versions past the retention window. */
+  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(path, retainVersions, "data",
+      Seq("postings", "doclens", "stats", "data"))
+
+  private def writeShard(docs: DataFrame, dir: String,
+                         textCol: String, idCol: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(col(textCol)).as("_toks"))
+    val base = toks.select(col("doc_id"),
+      size(col("_toks")).cast("long").as("dl"), col("_toks"))
+    base.select("doc_id", "dl").write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/doclens")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    base.select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+  }
+
+  /** BM25 top-k served FROM the index: reads only the query terms'
+    * postings slice (term-range pruned), the doc-length side, and the
+    * driver-summed shard stats — never the corpus. Bit-identical to
+    * [[bm25]] over the same documents (asserted in tests and by the
+    * gate's shared oracle).
+    */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: Seq[(String, Seq[String])],
+                 k1: Double = 1.2, b: Double = 0.75, topK: Int = 15,
+                 asOfVersion: Option[Long] = None): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "queryIndex: at least one query with terms")
+    val dir = VersionedIndex.resolveDir(path, asOfVersion)
+    val roots = VersionedIndex.shardsOf(path, dir, "data")
+    def side(name: String): DataFrame =
+      roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
+    // corpus totals: sum of per-shard 1-row stats — driver-scale by layout
+    val st = side("stats").agg(sum("n_docs"), sum("total_dl")).first()
+    val nDocs = st.getLong(0)
+    val totalDl = st.getLong(1)
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val post = side("postings").where(col("term").isInCollection(terms))
+    // per-term df across shards (each doc posts a term in exactly one
+    // shard) — vocabulary-of-the-query sized, broadcast back
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
+    val tf = col("tf").cast("double")
+    val idf = ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(k1) *
+      (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / avgdl)
+    val contrib = post.join(broadcast(dfs), "term")
+      .join(side("doclens"), "doc_id")
+      .select(col("doc_id"), col("term"), col("dl"),
+        ((idf * (tf * lit(k1 + 1.0))) / (tf + norm)).as("c"))
+    val scored = queries.map { case (qid, qTerms) =>
+      contrib.where(col("term").isInCollection(qTerms.distinct))
+        .groupBy("doc_id", "dl")
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("term"), col("c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("score"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"),
+          col("dl"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.where(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "score", "dl")
+  }
 }

@@ -113,6 +113,37 @@ class SearchSpec extends SparkSpec {
     assert(row.getLong(0) == 1L && row.isNullAt(1))
   }
 
+  private def asRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "doc_id", "score", "dl")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+
+  test("index-served BM25 is bit-identical to the one-pass scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    ext.Search.buildIndex(corpus, path)
+    val qs = Seq("qa" -> Seq("cat", "fish"), "qb" -> Seq("dog", "bird"))
+    val fromIndex = ext.Search.queryIndex(spark, path, qs, topK = 10)
+    val fromScan = ext.Search.bm25(corpus, qs, topK = 10)
+    assert(asRows(fromIndex) == asRows(fromScan))
+    assert(fromIndex.count() > 0)
+  }
+
+  test("index append composes: query over two shards equals scan over the union") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25idx2").toString
+    val shard1 = corpus.where(col("doc_id") < 3)
+    val shard2 = corpus.where(col("doc_id") >= 3)
+    ext.Search.buildIndex(shard1, path)
+    val v1 = ext.Search.indexDir(path)
+    ext.Search.appendToIndex(shard2, path)
+    val qs = Seq("q" -> Seq("cat", "bird"))
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+    // pinned pre-append read still serves shard 1's world exactly
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10,
+        asOfVersion = Some(1L))) ==
+      asRows(ext.Search.bm25(shard1, qs, topK = 10)))
+    assert(v1.endsWith("/v1"))
+  }
+
   test("bm25 corpus text never shuffles: only slim rank rows reach an Exchange") {
     val plan = ext.Search.bm25(corpus, Seq("q" -> Seq("cat")), topK = 5)
       .queryExecution.executedPlan.toString
