@@ -57,6 +57,7 @@ object SparkEntry {
     // copy-on-write rewrite + rollup repair + applyDeletes convergence
     "q_row_delete" -> Queries.rowDelete _,
     "q_upsert" -> Queries.upsert _,
+    "q_streaming_upsert" -> Queries.streamingUpsert _,
     // SQL surface: warehouse registered as temp views, queried via
     // spark.sql with snapshot + merge-on-read-delete semantics intact
     "q_sql_surface" -> Queries.sqlSurface _,
@@ -314,6 +315,7 @@ object SparkEntry {
     "q_history" -> Oracles.historyLedger,
     "q_row_delete" -> Oracles.rowDelete,
     "q_upsert" -> Oracles.upsert,
+    "q_streaming_upsert" -> Oracles.streamingUpsert,
     "q_sql_surface" -> Oracles.sqlSurface,
     "q_changefeed" -> Oracles.changefeed,
     "q_changefeed_deletes" -> Oracles.changefeedDeletes,
@@ -710,8 +712,10 @@ object Queries {
     * via time travel, the repaired hour buckets (replace window + gap
     * hour), the verb's matched count, and the metadata-only total count.
     */
-  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = tempDir("graft-upsert")
+  /** Shared upsert-gate fixture: the seeded two-stream warehouse and the
+    * restatement batch arms (replace / insert / finalized-gap-bucket). */
+  private def upsertFixture(spark: SparkSession, sfDir: String, dir: String)
+      : (Datastream, DataFrame, DataFrame, DataFrame) = {
     val ds = new Datastream(spark, dir)
     ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
       highestGranularity = Granularity.Minutes)
@@ -723,7 +727,6 @@ object Queries {
       .select("stream_id", "ts", "value")
     ds.appendMultiple(pts)
     ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
-    val vBefore = ds.currentVersion.get
     val updReplace = pts
       .where(col("stream_id") === "7:click" &&
         col("ts") >= lit(ts("2024-01-05T00:00:00Z")) &&
@@ -740,6 +743,13 @@ object Queries {
       .groupBy("stream_id", "ts").agg(max("value").as("value"))
     val gap = spark.range(1).select(lit("7:click").as("stream_id"),
       lit(ts("2023-12-25T10:30:00Z")).as("ts"), lit(42.0).as("value"))
+    (ds, updReplace, updInsert, gap)
+  }
+
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ds, updReplace, updInsert, gap) =
+      upsertFixture(spark, sfDir, tempDir("graft-upsert"))
+    val vBefore = ds.currentVersion.get
     val n = ds.upsertDatapoints(
       updReplace.unionByName(updInsert).unionByName(gap))
     def stats(phase: String, df: DataFrame) =
@@ -763,6 +773,53 @@ object Queries {
       .unionByName(hours)
       .unionByName(one("matched", n))
       .unionByName(one("count_all", ds.countDatapoints()))
+  }
+
+  /** Streaming restatement arm of `q_upsert`: the SAME replace/insert/gap
+    * batch arrives as a two-micro-batch file stream through
+    * `Streaming.upsertToWarehouse` (foreachBatch → idempotent
+    * `upsertBatch`), so the merged warehouse, the repaired hour buckets,
+    * the metadata count, AND the widened registry bound must all land on
+    * the batch verb's closed form — recomputed independently by the
+    * oracle from events.
+    */
+  def streamingUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-sups")
+    val src = tempDir("graft-sups-src")
+    val (ds, updReplace, updInsert, gap) = upsertFixture(spark, sfDir, dir)
+    updReplace.coalesce(1).write.mode("append").parquet(src)
+    updInsert.unionByName(gap).coalesce(1)
+      .write.mode("append").parquet(src)
+    val feed = spark.readStream.schema(updReplace.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.upsertToWarehouse(feed, ds, s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def stats(phase: String, df: DataFrame) =
+      df.groupBy("stream_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"))
+        .select(lit(phase).as("phase"), col("stream_id"),
+          col("n_rows"), col("value_sum"))
+    def one(phase: String, v: Long) =
+      spark.range(1).select(lit(phase).as("phase"), lit("-").as("stream_id"),
+        lit(v).as("n_rows"), lit(0.0).as("value_sum"))
+    val hours = ds.getData("7:click", Granularity.Hours)
+      .where((col("bucket_start") >= lit(ts("2024-01-05T00:00:00Z")) &&
+        col("bucket_start") < lit(ts("2024-01-20T00:00:00Z"))) ||
+        col("bucket_start") === lit(ts("2023-12-25T10:00:00Z")))
+      .select(concat(lit("hour:"),
+          date_format(col("bucket_start"), "yyyy-MM-dd HH:mm")).as("phase"),
+        col("stream_id"), col("count").as("n_rows"), col("sum").as("value_sum"))
+    val bounds = ds.streams.where(col("stream_id") === "3:view")
+      .select(lit("bounds_view_us").as("phase"), lit("-").as("stream_id"),
+        unix_micros(col("latest_datapoint")).as("n_rows"),
+        lit(0.0).as("value_sum"))
+    stats("current", ds.rawDatapoints)
+      .unionByName(hours)
+      .unionByName(one("count_all", ds.countDatapoints()))
+      .unionByName(bounds)
   }
 
   /** SQL surface on the gate: the warehouse registered as temp views and
@@ -4245,8 +4302,9 @@ SELECT 'applied_pending', '-', CAST(0 AS BIGINT), 0.0"""
   /** Upsert twin: replay the merge generically — update rows replace by
     * key anti-join (a shifted insert key colliding with a real row becomes
     * a replace on both engines identically), then recompute every emitted
-    * phase from the merged row set. */
-  val upsert: String =
+    * phase from the merged row set. The CTE prelude is shared with the
+    * streaming-restatement twin. */
+  private val upsertCte: String =
     """WITH pts AS (
   SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
   FROM events
@@ -4278,13 +4336,12 @@ hourly AS (
     make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
     count(*) AS c, CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s
   FROM merged WHERE stream_id = '7:click' GROUP BY 1, 2)
-SELECT 'current' AS phase, stream_id, count(*) AS n_rows,
+"""
+
+  private val upsertSharedTail: String =
+    """SELECT 'current' AS phase, stream_id, count(*) AS n_rows,
   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
 FROM merged GROUP BY 2
-UNION ALL
-SELECT 'as_of', stream_id, count(*),
-  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
-FROM pts GROUP BY 2
 UNION ALL
 SELECT 'hour:' || strftime(b, '%Y-%m-%d %H:%M'), stream_id, c, s
 FROM hourly
@@ -4292,11 +4349,24 @@ WHERE (b >= TIMESTAMP '2024-01-05 00:00:00'
     AND b < TIMESTAMP '2024-01-20 00:00:00')
    OR b = TIMESTAMP '2023-12-25 10:00:00'
 UNION ALL
+SELECT 'count_all', '-', (SELECT count(*) FROM merged), 0.0"""
+
+  val upsert: String = upsertCte + upsertSharedTail + """
+UNION ALL
+SELECT 'as_of', stream_id, count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+FROM pts GROUP BY 2
+UNION ALL
 SELECT 'matched', '-',
   (SELECT count(*) FROM pts p WHERE EXISTS (SELECT 1 FROM upd u
-    WHERE u.stream_id = p.stream_id AND u.ts = p.ts)), 0.0
+    WHERE u.stream_id = p.stream_id AND u.ts = p.ts)), 0.0"""
+
+  /** Streaming-restatement twin: same merged state, plus the widened
+    * registry bound the streaming sink must maintain per micro-batch. */
+  val streamingUpsert: String = upsertCte + upsertSharedTail + """
 UNION ALL
-SELECT 'count_all', '-', (SELECT count(*) FROM merged), 0.0"""
+SELECT 'bounds_view_us', '-',
+  (SELECT epoch_us(max(ts)) FROM merged WHERE stream_id = '3:view'), 0.0"""
 
   val historyLedger: String =
     """SELECT * FROM (VALUES

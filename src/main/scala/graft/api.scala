@@ -2363,16 +2363,35 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * markers whose max is still correct, and a legacy plain
     * `ingest_batch_hwm` file keeps counting.
     */
-  private def advanceIngestHwm(batchId: Long): Unit = {
-    val hwmBase = s"$warehouse/ingest_batch_hwm"
+  private def advanceIngestHwm(batchId: Long): Unit =
+    advanceBatchHwm("ingest_batch_hwm", batchId)
+
+  private def advanceBatchHwm(base: String, batchId: Long): Unit = {
+    val hwmBase = s"$warehouse/$base"
     def markerIds = io.childNames(warehouse)
-      .filter(_.startsWith("ingest_batch_hwm.v"))
-      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+      .filter(_.startsWith(s"$base.v"))
+      .flatMap(_.stripPrefix(s"$base.v").toLongOption)
     io.writeString(s"$hwmBase.v$batchId", batchId.toString)
     markerIds.filter(_ < batchId)
       .foreach(v => io.deleteFile(s"$hwmBase.v$v"))
     if (io.exists(hwmBase)) io.deleteFile(hwmBase)
     ()
+  }
+
+  /** Idempotent streaming RESTATEMENT sink body (the `foreachBatch` of
+    * [[Streaming.upsertToWarehouse]]): merge the micro-batch by key unless
+    * `batchId` is at or below the recorded high-watermark — the same
+    * replayed-micro-batch guard as [[appendBatch]], on a SEPARATE marker
+    * family (`upsert_batch_hwm`) so a pipeline that both ingests and
+    * restates does not share a cursor between the two sinks. (An upsert
+    * replay would also converge by idempotence of the merge itself; the
+    * watermark spares the wasted commit.) Batch keys must be unique per
+    * micro-batch, as for [[upsertDatapoints]] — dedupe upstream.
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= batchHwm("upsert_batch_hwm")) return
+    upsertDatapoints(batch)
+    advanceBatchHwm("upsert_batch_hwm", batchId)
   }
 
   /** Idempotently apply a set of row-delete ranges under the SAME batch-id
@@ -2406,11 +2425,13 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * DESTINATION's watermark to know which source commits were already
     * applied — the cursor lives with the data it guards.
     */
-  private[graft] def ingestHighWatermark: Long = {
-    val hwmBase = s"$warehouse/ingest_batch_hwm"
+  private[graft] def ingestHighWatermark: Long = batchHwm("ingest_batch_hwm")
+
+  private def batchHwm(base: String): Long = {
+    val hwmBase = s"$warehouse/$base"
     val markerIds = io.childNames(warehouse)
-      .filter(_.startsWith("ingest_batch_hwm.v"))
-      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+      .filter(_.startsWith(s"$base.v"))
+      .flatMap(_.stripPrefix(s"$base.v").toLongOption)
     val legacy =
       if (io.exists(hwmBase)) io.readString(hwmBase).trim.toLongOption
       else None

@@ -307,6 +307,25 @@ object Streaming {
         ds.appendBatch(batch, batchId)
       }
 
+  /** Streaming RESTATEMENT sink — the upsert twin of [[ingestToWarehouse]]:
+    * each micro-batch MERGES by `(stream_id, ts)` through
+    * [[Datastream.upsertBatch]] (idempotent under foreachBatch replays via
+    * its own watermark family), so a correction feed — sensors re-reporting
+    * a window, a backfill restating a slice — lands through the same
+    * atomic copy-on-write commit and same-commit rollup repair as the
+    * batch verb. Keys must be unique within each micro-batch (the upsert
+    * contract); dedupe upstream with `dropDuplicates` when the feed can
+    * carry intra-batch restatements of one key.
+    */
+  def upsertToWarehouse(points: DataFrame, ds: Datastream, checkpoint: String) =
+    points.select(col("stream_id"), col("ts"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ds.upsertBatch(batch, batchId)
+      }
+
   /** An emitted anomaly score (nullable stats during warm-up). */
   case class Scored(stream_id: String, ts: Timestamp, value: Double,
                     n_prior: Long, prior_mean: Option[Double],

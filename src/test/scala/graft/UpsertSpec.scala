@@ -162,6 +162,29 @@ class UpsertSpec extends SparkSpec {
     assert(ds.pendingDeletes.count() === 0) // no matched keys → no delete file
   }
 
+  test("upsertBatch is idempotent under foreachBatch replays, on its own " +
+    "watermark family") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a")
+    // ingest hwm advanced to 5 must NOT mask upsert batch 1 (separate family)
+    ds.appendBatch(dp(Seq(("a", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"), batchId = 5L)
+    val batch = dp(Seq(("a", "2024-01-01T00:00:10Z", 7.0)))
+      .select("stream_id", "ts", "value")
+    ds.upsertBatch(batch, batchId = 1L)
+    import spark.implicits._
+    assert(ds.rawDatapoints.select("value").as[Double].collect().toSeq
+      === Seq(7.0))
+    val vAfter = ds.currentVersion.get
+    ds.upsertBatch(batch, batchId = 1L) // replay: no-op, no new commit
+    assert(ds.currentVersion.get === vAfter)
+    assert(ds.rawDatapoints.count() === 1)
+    ds.upsertBatch(dp(Seq(("a", "2024-01-01T00:00:10Z", 9.0)))
+      .select("stream_id", "ts", "value"), batchId = 2L)
+    assert(ds.rawDatapoints.select("value").as[Double].collect().toSeq
+      === Seq(9.0))
+  }
+
   test("refusals: duplicate batch keys, derived streams, outstanding " +
     "dependents, CHECK constraints") {
     val (ds, _) = freshDs
