@@ -144,6 +144,22 @@ class SearchSpec extends SparkSpec {
     assert(v1.endsWith("/v1"))
   }
 
+  test("queryIndex pushes the term predicate into the postings scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25idx3").toString
+    ext.Search.buildIndex(corpus, path)
+    val plan = ext.Search.queryIndex(spark, path, Seq("q" -> Seq("cat", "dog")))
+      .queryExecution.executedPlan.toString
+    // the postings scan must carry the term filter as a parquet pushed
+    // filter (row-group min/max pruning on the term-sorted layout) — a
+    // scan reading the whole vocabulary for a 2-term query is wrong
+    val postingsScans = plan.linesIterator
+      .filter(l => l.contains("postings") && l.contains("PushedFilters"))
+      .toSeq
+    assert(postingsScans.nonEmpty)
+    assert(postingsScans.forall(l => l.contains("In(term") ||
+      l.contains("EqualTo(term")), s"term filter not pushed:\n$plan")
+  }
+
   test("bm25 corpus text never shuffles: only slim rank rows reach an Exchange") {
     val plan = ext.Search.bm25(corpus, Seq("q" -> Seq("cat")), topK = 5)
       .queryExecution.executedPlan.toString

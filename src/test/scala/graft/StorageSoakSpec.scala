@@ -388,4 +388,103 @@ class StorageSoakSpec extends SparkSpec {
     assert(check.pendingDeletes.count() === 0L)
     ()
   }
+
+  test("racing upsert soak: restatements serialize with appends, row count " +
+      "is invariant, rollup repair lands the restated values exactly") {
+    val dir = Files.createTempDirectory("graft-upsrace").toString
+    val setup = new Datastream(spark, dir)
+    setup.ensureStream("old", Map("kind" -> "old"))
+    setup.ensureStream("w0")
+    setup.ensureStream("w1")
+    val baseUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def tsOfMin(j: Int) = new Timestamp((baseUs + j * 60L * 1000000L) / 1000L)
+    setup.appendMultiple((1 to 40).map(j => ("old", tsOfMin(j), j.toDouble))
+      .toDF("stream_id", "ts", "value"))
+    // rollups exist BEFORE the storm so every upsert runs the repair path
+    // under contention
+    setup.downsampleStreams(new Timestamp(
+      (baseUs + 86400L * 1000000L) / 1000L))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      while (!done) {
+        try { body; done = true } catch {
+          case _: errors.MaintenanceLockContended |
+               _: errors.CommitConflict =>
+            Thread.sleep(2L + scala.util.Random.nextInt(8))
+        }
+      }
+    }
+    val perWriter = 5
+    val appenders = (0 until 2).map { i =>
+      new Thread(() => {
+        try {
+          val ds = new Datastream(spark, dir)
+          var us = baseUs + (i + 1) * 1000000L
+          (1 to perWriter).foreach { j =>
+            us += 3600L * 1000000L
+            val t = new Timestamp(us / 1000L)
+            retrying(ds.appendMultiple(
+              Seq((s"w$i", t, j.toDouble)).toDF("stream_id", "ts", "value")))
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val nWindows = 4
+    val upserter = new Thread(() => {
+      try {
+        val ds = new Datastream(spark, dir)
+        (0 until nWindows).foreach { k =>
+          val batch = (1 to 5).map { m =>
+            val j = k * 5 + m
+            ("old", tsOfMin(j), j.toDouble + 1000.0)
+          }.toDF("stream_id", "ts", "value")
+          retrying {
+            val n = ds.upsertDatapoints(batch)
+            assert(n === 5L, s"window $k replaced $n rows, expected 5")
+          }
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        val ds = new Datastream(spark, dir)
+        var lastNew = 0L
+        while (!stopReader.get()) {
+          // an upsert REPLACES — the restated stream's row count never moves
+          assert(ds.getData("old", Granularity.Seconds).count() === 40L)
+          val n = ds.rawDatapoints
+            .where(col("stream_id").isin("w0", "w1")).count()
+          assert(n >= lastNew, s"append went backwards: $lastNew -> $n")
+          lastNew = n
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    reader.start()
+    (appenders :+ upserter).foreach(_.start())
+    (appenders :+ upserter).foreach(_.join(180000))
+    stopReader.set(true)
+    reader.join(30000)
+    assert(failures.isEmpty,
+      s"writer/upserter/reader died: ${Option(failures.peek()).map(_.toString)}")
+    val check = new Datastream(spark, dir)
+    assert(check.getData("old", Granularity.Seconds).count() === 40L)
+    assert(check.rawDatapoints.where(col("stream_id").isin("w0", "w1"))
+      .count() === (2 * perWriter).toLong)
+    // every restated value landed; untouched tail kept its original values
+    val vals = check.getData("old", Granularity.Seconds)
+      .orderBy("ts").select("value").collect().map(_.getDouble(0)).toSeq
+    assert(vals === (1 to 40).map(j =>
+      if (j <= nWindows * 5) j.toDouble + 1000.0 else j.toDouble))
+    // rollup repair held under contention: each restated minute bucket
+    // carries the restated sum
+    val mins = check.getData("old", Granularity.Minutes)
+      .orderBy("bucket_start").select("sum").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(mins === (1 to 40).map(j =>
+      if (j <= nWindows * 5) j.toDouble + 1000.0 else j.toDouble))
+    assert(check.tornOperations.isEmpty)
+    ()
+  }
 }
