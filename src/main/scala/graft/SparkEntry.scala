@@ -151,6 +151,7 @@ object SparkEntry {
     "q_similarity_ivf_refined" -> Queries.similarityIvfRefined _,
     // persisted IVF index: build once into storage, query from the index
     "q_similarity_index" -> Queries.similarityIndex _,
+    "q_similarity_filtered" -> Queries.similarityFiltered _,
     // takedown: tombstoned ids voided, exhaustive query ≡ brute over survivors
     "q_index_takedown" -> Queries.indexTakedown _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
@@ -385,6 +386,7 @@ object SparkEntry {
     // the persisted-index round-trip at exhaustive probing is bit-identical
     // to brute force — same oracle as the in-memory IVF configurations
     "q_similarity_index" -> Oracles.similarityTopK,
+    "q_similarity_filtered" -> Oracles.similarityFiltered,
     "q_index_takedown" -> Oracles.indexTakedown,
     "q_ivf_index_append" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
@@ -2646,6 +2648,28 @@ object Queries {
     val qv = queryVectors(spark, sfDir)
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** FILTERED vector search on the gate: top-10 per label-anchored query
+    * over ONLY the even-id half of the corpus (a pure metadata predicate,
+    * the "WHERE clause on ANN" every vector store grew), served through
+    * the IVF index with exhaustive probing — the allowed-set semi-join
+    * lands between cell pruning and scoring, and the result must be
+    * BIT-IDENTICAL to brute-force cosine over the filtered corpus (the
+    * oracle recomputes exactly that). An odd id leaking in, a filtered-out
+    * best match surviving, or a perturbed cosine breaks the hash.
+    */
+  def similarityFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-ivffilt")
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Ivf.buildIndex(emb, s"$dir/ivf", nCells = 16)
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"),
+      col("label"))
+    ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 16,
+        allowedIds = Some(emb.where(col("vec_id") % 2 === 0)))
       .join(broadcast(labels), "query_vec_id")
       .select("label", "query_vec_id", "vec_id", "cosine", "rank")
   }
@@ -5243,6 +5267,30 @@ scored AS (
         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
     AS cosine
   FROM qv, embeddings e WHERE e.vec_id <> qv.query_vec_id)
+SELECT label, query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 10"""
+
+  /** Filtered-search twin: brute-force cosine top-10 over ONLY the
+    * even-id corpus half — identical fold/tie-break to the top-k twin, so
+    * the filter-then-score index read must land bit-identically. */
+  val similarityFiltered: String =
+    """WITH q AS (SELECT label, min(vec_id) AS query_vec_id FROM embeddings GROUP BY label),
+qv AS (SELECT q.label, q.query_vec_id, e.embedding AS qvec
+       FROM q JOIN embeddings e ON e.vec_id = q.query_vec_id),
+scored AS (
+  SELECT qv.label, qv.query_vec_id, e.vec_id,
+    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(range(1, len(qvec) + 1),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)), (a, b) -> a + b))
+     * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+    AS cosine
+  FROM qv, embeddings e
+  WHERE e.vec_id <> qv.query_vec_id AND e.vec_id % 2 = 0)
 SELECT label, query_vec_id, vec_id, cosine, rank FROM (
   SELECT *, CAST(row_number() OVER
     (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank

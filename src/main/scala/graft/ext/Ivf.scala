@@ -438,9 +438,21 @@ object Ivf {
     * result is bit-identical to brute (the gate configuration). No second
     * corpus join: the inverted file already carries the vectors.
     */
+  /** `allowedIds` — FILTERED vector search (the metadata-predicate ANN
+    * every vector store grew: faiss IDSelector, pgvector WHERE, Milvus
+    * expr): when set, only corpus vectors whose id is in the set compete.
+    * The filter applies AFTER cell pruning and BEFORE scoring (excluded
+    * vectors are never dot-producted) as a semi-join on the id — no
+    * broadcast hint, the set may be corpus-sized and Catalyst/AQE picks
+    * the join strategy. Recall caveat under probing: a filter thins each
+    * probed cell's candidates, so a filtered approximate query should
+    * raise `nProbe` (at `nProbe = nCells` the result is exact over the
+    * filtered corpus — the configuration the gate pins bit-for-bit).
+    */
   def queryIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
                  vecCol: String = "embedding", idCol: String = "vec_id",
-                 asOfVersion: Option[Long] = None): DataFrame = {
+                 asOfVersion: Option[Long] = None,
+                 allowedIds: Option[DataFrame] = None): DataFrame = {
     import queries.sparkSession.implicits._
     val spark = queries.sparkSession
     val dir = indexDir(path, asOfVersion)
@@ -459,12 +471,18 @@ object Ivf {
     // literal list is what prunes the cells/ partitions at scan planning
     // (per shard: each shard dir of an appended chain prunes on its own)
     val probedCells = probes.select("cell").distinct().as[Int].collect().sorted
-    val cand = minusTombstones(
+    val cand0 = minusTombstones(
         readCells(spark, path, dir)
           .where(col("cell").isin(probedCells.toSeq: _*)),
         tombstonesOf(spark, path, dir))
       .join(broadcast(probes), "cell")
       .where(col("vec_id") =!= col("query_vec_id"))
+    val cand = allowedIds match {
+      case None => cand0
+      case Some(ids) => cand0.join(
+        ids.select(col(idCol).cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    }
     val qvecs = broadcast(queries.select(col(idCol).cast("long").as("query_vec_id"),
       col(vecCol).as("qvec")))
     val scored = cand.join(qvecs, "query_vec_id")
