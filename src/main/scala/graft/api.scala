@@ -1986,6 +1986,13 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * pre-upsert version serves the original rows; [[restore]] undoes the
     * merge wholesale.
     *
+    * Changefeed/replication interplay (pinned in UpsertSpec): a REPLACING
+    * upsert retires raw files, so [[readChanges]]/[[replicateTo]] treat
+    * its commit like any raw-rewriting change — loud failure by default,
+    * skipped wholesale under `skipChangeCommits` — while a PURE-INSERT
+    * upsert retires nothing and flows through the feed as a clean insert
+    * commit.
+    *
     * Returns the number of stored rows REPLACED (0 = pure insert).
     */
   def upsertDatapoints(points0: DataFrame): Long = {

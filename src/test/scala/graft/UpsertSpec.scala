@@ -162,6 +162,31 @@ class UpsertSpec extends SparkSpec {
     assert(ds.pendingDeletes.count() === 0) // no matched keys → no delete file
   }
 
+  test("changefeed treats an upsert as a raw-rewriting change commit: " +
+    "loud by default, skippable explicitly") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a")
+    ds.appendMultiple(dp(Seq(("a", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    val v1 = ds.currentVersion.get
+    ds.upsertDatapoints(dp(Seq(("a", "2024-01-01T00:00:10Z", 2.0)))
+      .select("stream_id", "ts", "value"))
+    // a replace retires the touched raw file — no row-level change encoding
+    // exists in the log, so the feed must fail loudly, naming the op
+    val e = intercept[IllegalStateException](ds.readChanges(v1).collect())
+    assert(e.getMessage.contains("upsert_datapoints"))
+    // the documented Delta-style opt-out skips the commit wholesale
+    assert(ds.readChanges(v1, skipChangeCommits = true)
+      .where(col("stream_id") === "a").count() === 0)
+    // a PURE-INSERT upsert retires nothing: it is a clean insert commit
+    // the feed surfaces like any append
+    val v2 = ds.currentVersion.get
+    ds.upsertDatapoints(dp(Seq(("a", "2024-01-02T00:00:10Z", 3.0)))
+      .select("stream_id", "ts", "value"))
+    val fed = ds.readChanges(v2).select("value").as[Double].collect().toSeq
+    assert(fed === Seq(3.0))
+  }
+
   test("upsertBatch is idempotent under foreachBatch replays, on its own " +
     "watermark family") {
     val (ds, _) = freshDs
