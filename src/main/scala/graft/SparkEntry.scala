@@ -285,6 +285,7 @@ object SparkEntry {
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_search_bm25" -> Queries.searchBm25 _,
     "q_search_index" -> Queries.searchIndex _,
+    "q_search_takedown" -> Queries.searchTakedown _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
@@ -470,6 +471,7 @@ object SparkEntry {
     "q_search_bm25" -> Oracles.searchBm25,
     // index-served retrieval must land on the SAME rows as the scan twin
     "q_search_index" -> Oracles.searchBm25,
+    "q_search_takedown" -> Oracles.searchTakedown,
     "q_hybrid_rrf" -> Oracles.hybridRrf,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
@@ -3775,6 +3777,24 @@ object Queries {
         "qb" -> Seq("dup", "customer")), topK = 15)
   }
 
+  /** SEARCH-INDEX TAKEDOWN on the gate: every 97th document is removed
+    * from the persisted index via a tombstone version (no shard rewrite),
+    * and the same two queries must then land BIT-IDENTICALLY on a fresh
+    * build over the survivors — the oracle recomputes BM25 from scratch
+    * over `doc_id % 97 <> 0`, so a dead doc leaking into results OR still
+    * haunting df/N/avgdl (a filter-only takedown) breaks the hash.
+    */
+  def searchTakedown(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-bm25take")
+    val docs = Sources.documents(spark, sfDir)
+    ext.Search.buildIndex(docs, dir)
+    ext.Search.removeFromIndex(dir,
+      docs.where(col("doc_id") % 97 === 0).select("doc_id"))
+    ext.Search.queryIndex(spark, dir,
+      Seq("qa" -> Seq("spark", "window", "merge"),
+        "qb" -> Seq("dup", "customer")), topK = 15)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 ranking
     * (3-term query, top-50) with the embedding cosine ranking (query
     * vector = vec 0, top-50), joined on the shared doc/vec id space —
@@ -6837,10 +6857,12 @@ WHERE rank <= 5"""
       s"(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
 
   /** Shared BM25 prelude: tokenization, per-term tf (list_filter — the
-    * twin of Spark's array `filter`), and the 1-row corpus stats CTE. */
-  private def bm25Base(terms: Seq[String]): String =
-    """WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    * twin of Spark's array `filter`), and the 1-row corpus stats CTE.
+    * `docFilter` narrows the corpus itself (the takedown twin) — it must
+    * sit INSIDE the prelude so df/N/avgdl forget the filtered docs. */
+  private def bm25Base(terms: Seq[String], docFilter: String = ""): String =
+    s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents$docFilter),
 base AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
 """ + terms.map(t =>
@@ -6854,8 +6876,7 @@ stats AS (
       .mkString(",\n") + """
   FROM base)"""
 
-  val searchBm25: String =
-    bm25Base(Seq("customer", "dup", "merge", "spark", "window")) + s""",
+  private val searchBm25Tail: String = s""",
 scored AS (
   SELECT doc_id, dl,
     ${Seq("merge", "spark", "window").map(bm25Contrib).mkString(" + ")} AS s_qa,
@@ -6871,6 +6892,16 @@ SELECT query_id, rank, doc_id, score, dl FROM (
       ORDER BY score DESC, doc_id) AS BIGINT) AS rank
   FROM stacked WHERE score > 0)
 WHERE rank <= 15"""
+
+  /** Takedown twin: a FRESH BM25 build over the surviving corpus — the
+    * filter sits inside the prelude so df/N/avgdl forget the dead docs. */
+  val searchTakedown: String =
+    bm25Base(Seq("customer", "dup", "merge", "spark", "window"),
+      "\n  WHERE doc_id % 97 <> 0") + searchBm25Tail
+
+  val searchBm25: String =
+    bm25Base(Seq("customer", "dup", "merge", "spark", "window")) +
+      searchBm25Tail
 
   /** Hybrid RRF twin: recompute the BM25 top-50, the cosine top-50 (same
     * fold as `similarityTopK`), and the fused reciprocal-rank list. */

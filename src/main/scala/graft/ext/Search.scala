@@ -181,8 +181,19 @@ object Search {
     */
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = docs.sparkSession
     val cur = VersionedIndex.resolveDir(path, None)
     val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    // per-version takedown metadata is copied forward (driver-scale); only
+    // the big side tables share by reference through the shard manifest
+    tombstonesOf(spark, path, cur).foreach(_.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/v$next/tombstones"))
+    statsAdjustOf(spark, path, cur).foreach { case (n, dl) =>
+      import spark.implicits._
+      Seq((n, dl)).toDF("dead_docs", "dead_dl").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/v$next/stats_adjust")
+    }
     writeShard(docs, s"$path/v$next/data", textCol, idCol)
     VersionedIndex.publishAppend(path, cur, next, "data")
   }
@@ -191,10 +202,84 @@ object Search {
   def indexDir(path: String, asOfVersion: Option[Long] = None): String =
     VersionedIndex.resolveDir(path, asOfVersion)
 
+  /** TAKEDOWN for the search index — the twin of `Ivf.removeFromIndex` /
+    * `DedupIndex.removeFromIndex`: void `removeIds`' postings and doc
+    * lengths from every subsequent read by publishing a metadata-only
+    * version whose `tombstones` table is the accumulated dead set and
+    * whose shard manifest carries the parent's data unchanged.
+    *
+    * Scoring stays AS-IF-REBUILT, not merely filtered: BM25's corpus
+    * terms (N, total length → avgdl, and per-term df) must stop counting
+    * a removed document or every surviving score drifts from a fresh
+    * build's. df comes out right for free (computed live from the
+    * tombstone-filtered postings); N and Σdl are served from per-shard
+    * stats, so the takedown version also writes a 1-row `stats_adjust`
+    * carrying the CUMULATIVE (docs, length) to subtract — computed once
+    * here from the dead docs' own doclens rows, O(removed), never a
+    * corpus scan at query time. Pinned pre-takedown versions still serve
+    * the full corpus until vacuum. Returns ids actually present (0 =
+    * no-op, nothing published).
+    */
+  def removeFromIndex(path: String, removeIds: DataFrame,
+                      idCol: String = "doc_id"): Long = {
+    import org.apache.spark.sql.SaveMode
+    val spark = removeIds.sparkSession
+    val cur = VersionedIndex.resolveDir(path, None)
+    val dead = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val roots = VersionedIndex.shardsOf(path, cur, "data")
+    def side(name: String): DataFrame =
+      roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
+    val prior = tombstonesOf(spark, path, cur)
+    val lens = prior.foldLeft(side("doclens"))((df, t) =>
+      df.join(t.select(col("doc_id").as("_dead")),
+        df("doc_id") === col("_dead"), "left_anti"))
+    // the dead docs' own (count, total length): O(removed) rows
+    val gone = lens.join(dead, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"))
+      .first()
+    val present = gone.getLong(0)
+    if (present == 0L) return 0L
+    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val dir = s"$path/v$next"
+    val mergedDead = prior match {
+      case Some(t) => t.select("doc_id").unionByName(dead).distinct()
+      case None => dead
+    }
+    mergedDead.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/tombstones")
+    val (priorN, priorDl) = statsAdjustOf(spark, path, cur)
+      .getOrElse((0L, 0L))
+    import spark.implicits._
+    Seq((priorN + present, priorDl + gone.getLong(1)))
+      .toDF("dead_docs", "dead_dl")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/stats_adjust")
+    VersionedIndex.publishCarry(path, cur, next, "data")
+    present
+  }
+
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dir: String): Option[DataFrame] = {
+    val s = VersionedIndex.io(path)
+    if (s.exists(s"$dir/tombstones"))
+      Some(spark.read.parquet(s"$dir/tombstones"))
+    else None
+  }
+
+  private def statsAdjustOf(spark: org.apache.spark.sql.SparkSession,
+                            path: String, dir: String): Option[(Long, Long)] = {
+    val s = VersionedIndex.io(path)
+    if (s.exists(s"$dir/stats_adjust")) {
+      val r = spark.read.parquet(s"$dir/stats_adjust").first()
+      Some((r.getLong(0), r.getLong(1)))
+    } else None
+  }
+
   /** Reclaim superseded versions past the retention window. */
   def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
     VersionedIndex.vacuum(path, retainVersions, "data",
-      Seq("postings", "doclens", "stats", "data"))
+      Seq("postings", "doclens", "stats", "data", "tombstones",
+        "stats_adjust"))
 
   private def writeShard(docs: DataFrame, dir: String,
                          textCol: String, idCol: String): Unit = {
@@ -230,12 +315,22 @@ object Search {
     val roots = VersionedIndex.shardsOf(path, dir, "data")
     def side(name: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
-    // corpus totals: sum of per-shard 1-row stats — driver-scale by layout
+    // corpus totals: sum of per-shard 1-row stats, minus the resolved
+    // version's takedown adjustment — scores stay as-if-rebuilt after a
+    // removeFromIndex, with zero corpus-side work at query time
     val st = side("stats").agg(sum("n_docs"), sum("total_dl")).first()
-    val nDocs = st.getLong(0)
-    val totalDl = st.getLong(1)
+    val (deadN, deadDl) = statsAdjustOf(spark, path, dir).getOrElse((0L, 0L))
+    val nDocs = st.getLong(0) - deadN
+    val totalDl = st.getLong(1) - deadDl
     val terms = queries.flatMap(_._2).distinct.sorted
-    val post = side("postings").where(col("term").isInCollection(terms))
+    val tomb = tombstonesOf(spark, path, dir)
+    val post0 = side("postings").where(col("term").isInCollection(terms))
+    // takedown tombstones void a removed doc's postings from candidacy AND
+    // from df (counted below off this filtered frame); its doclens rows
+    // never surface because the length join is inner from the post side
+    val post = tomb.fold(post0)(t =>
+      post0.join(t.select(col("doc_id").as("_dead")),
+        post0("doc_id") === col("_dead"), "left_anti"))
     // per-term df across shards (each doc posts a term in exactly one
     // shard) — vocabulary-of-the-query sized, broadcast back
     val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))

@@ -144,6 +144,37 @@ class SearchSpec extends SparkSpec {
     assert(v1.endsWith("/v1"))
   }
 
+  test("index takedown: removed docs stop being retrievable and surviving " +
+    "scores are as-if-rebuilt (df, N, avgdl all forget the dead docs)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25take").toString
+    ext.Search.buildIndex(corpus, path)
+    val qs = Seq("q" -> Seq("cat", "dog", "bird"))
+    assert(ext.Search.removeFromIndex(path,
+      Seq(1L, 3L).toDF("doc_id")) === 2L)
+    // bit-identical to a FRESH BUILD over the survivors — a filter-only
+    // implementation would keep the dead docs inside df/N/avgdl and the
+    // surviving scores would drift
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(
+        corpus.where(!col("doc_id").isin(1L, 3L)), qs, topK = 10)))
+    // pinned pre-takedown read still serves the full corpus
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10,
+        asOfVersion = Some(1L))) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+    // re-removing already-dead ids is a no-op (nothing published)
+    val vBefore = ext.Search.indexDir(path)
+    assert(ext.Search.removeFromIndex(path, Seq(1L).toDF("doc_id")) === 0L)
+    assert(ext.Search.indexDir(path) === vBefore)
+    // an append AFTER the takedown carries both the tombstones and the
+    // stats adjustment forward
+    val extra = Seq((10L, "bird cat cat")).toDF("doc_id", "text")
+    ext.Search.appendToIndex(extra, path)
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(
+        corpus.where(!col("doc_id").isin(1L, 3L)).unionByName(extra),
+        qs, topK = 10)))
+  }
+
   test("queryIndex pushes the term predicate into the postings scan") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25idx3").toString
     ext.Search.buildIndex(corpus, path)
