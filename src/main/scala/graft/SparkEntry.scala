@@ -287,6 +287,7 @@ object SparkEntry {
     "q_search_index" -> Queries.searchIndex _,
     "q_search_takedown" -> Queries.searchTakedown _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
+    "q_hybrid_indexed" -> Queries.hybridIndexed _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
     "q_audio_decode" -> Queries.audioDecode _,
@@ -473,6 +474,8 @@ object SparkEntry {
     "q_search_index" -> Oracles.searchBm25,
     "q_search_takedown" -> Oracles.searchTakedown,
     "q_hybrid_rrf" -> Oracles.hybridRrf,
+    // the index-served hybrid must land on the scan-served hybrid's rows
+    "q_hybrid_indexed" -> Oracles.hybridRrf,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
     // exactly-once streaming decode ≡ the batch closed-form dims table
@@ -3775,6 +3778,30 @@ object Queries {
     ext.Search.queryIndex(spark, dir,
       Seq("qa" -> Seq("spark", "window", "merge"),
         "qb" -> Seq("dup", "customer")), topK = 15)
+  }
+
+  /** The RAG serving path end-to-end from PERSISTED indexes: the lexical
+    * ranking comes from the BM25 inverted index (term-pruned postings),
+    * the embedding ranking from the IVF index under exhaustive probing,
+    * and reciprocal-rank fusion combines them — zero corpus scans at
+    * query time. Both index paths are exact by construction (gates
+    * `q_search_index`, `q_similarity_index`), so this shares
+    * `q_hybrid_rrf`'s oracle: the index-served hybrid must land on the
+    * scan-served hybrid's rows bit-for-bit.
+    */
+  def hybridIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-hybidx")
+    val docs = Sources.documents(spark, sfDir)
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Search.buildIndex(docs, s"$dir/bm25")
+    ext.Ivf.buildIndex(emb, s"$dir/ivf", nCells = 16)
+    val bm = ext.Search.queryIndex(spark, s"$dir/bm25",
+        Seq("q0" -> Seq("spark", "window", "merge")), topK = 50)
+      .select(col("doc_id"), col("rank"))
+    val cos = ext.Ivf.queryIndex(s"$dir/ivf",
+        emb.where(col("vec_id") === 0), k = 50, nProbe = 16)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    ext.Search.rrfFuse(bm, cos, kRrf = 60, topK = 20)
   }
 
   /** SEARCH-INDEX TAKEDOWN on the gate: every 97th document is removed
