@@ -286,6 +286,7 @@ object SparkEntry {
     "q_search_bm25" -> Queries.searchBm25 _,
     "q_search_index" -> Queries.searchIndex _,
     "q_search_takedown" -> Queries.searchTakedown _,
+    "q_streaming_search" -> Queries.streamingSearch _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_hybrid_indexed" -> Queries.hybridIndexed _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
@@ -473,6 +474,8 @@ object SparkEntry {
     // index-served retrieval must land on the SAME rows as the scan twin
     "q_search_index" -> Oracles.searchBm25,
     "q_search_takedown" -> Oracles.searchTakedown,
+    // stream-maintained index must serve the scan twin's rows exactly
+    "q_streaming_search" -> Oracles.searchBm25,
     "q_hybrid_rrf" -> Oracles.hybridRrf,
     // the index-served hybrid must land on the scan-served hybrid's rows
     "q_hybrid_indexed" -> Oracles.hybridRrf,
@@ -3802,6 +3805,33 @@ object Queries {
         emb.where(col("vec_id") === 0), k = 50, nProbe = 16)
       .select(col("vec_id").as("doc_id"), col("rank"))
     ext.Search.rrfFuse(bm, cos, kRrf = 60, topK = 20)
+  }
+
+  /** STREAM-MAINTAINED search index on the gate: the corpus arrives as a
+    * two-micro-batch file stream through `Streaming.ingestToSearchIndex`
+    * (first batch builds, second folds in as an O(shard) versioned
+    * append, both exactly-once via the index-side batch watermark), and
+    * the same two queries served from the live index must land on the
+    * one-pass scan twin's rows bit-for-bit — df, N and avgdl compose
+    * additively across the streamed shards or the hash breaks.
+    */
+  def streamingSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = tempDir("graft-ssearch")
+    val src = tempDir("graft-ssearch-src")
+    val docs = Sources.documents(spark, sfDir).select("doc_id", "text")
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    docs.where(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    val feed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.ingestToSearchIndex(feed, idx, s"$idx/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ext.Search.queryIndex(spark, idx,
+      Seq("qa" -> Seq("spark", "window", "merge"),
+        "qb" -> Seq("dup", "customer")), topK = 15)
   }
 
   /** SEARCH-INDEX TAKEDOWN on the gate: every 97th document is removed

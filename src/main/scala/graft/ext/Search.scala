@@ -202,6 +202,40 @@ object Search {
   def indexDir(path: String, asOfVersion: Option[Long] = None): String =
     VersionedIndex.resolveDir(path, asOfVersion)
 
+  /** Idempotent streaming maintenance body (the `foreachBatch` of
+    * [[graft.Streaming.ingestToSearchIndex]]): fold the micro-batch into
+    * the index unless `batchId` is at or below the recorded
+    * high-watermark — the warehouse's monotone-marker scheme
+    * (`ingest_batch_hwm.v<id>` files beside the version markers), because
+    * foreachBatch replays micro-batches on retry and a replayed
+    * [[appendToIndex]] would DOUBLE the shard's postings (df and scores
+    * silently wrong — unlike the warehouse upsert, an index append is not
+    * naturally idempotent). The marker advances only after the version
+    * commit, so a crash between them replays one batch into a fresh
+    * version whose half-written predecessor was never referenced by any
+    * CURRENT marker — invisible, reclaimed by vacuum.
+    */
+  def appendBatchToIndex(docs: DataFrame, path: String, batchId: Long,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): Unit = {
+    val s = VersionedIndex.io(path)
+    val hwm = s.childNames(path)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+      .foldLeft(-1L)(math.max)
+    if (batchId <= hwm) return
+    if (VersionedIndex.currentVersion(path).isEmpty)
+      buildIndex(docs, path, textCol, idCol)
+    else appendToIndex(docs, path, textCol, idCol)
+    s.writeString(s"$path/ingest_batch_hwm.v$batchId", batchId.toString)
+    s.childNames(path)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+      .filter(_ < batchId)
+      .foreach(v => s.deleteFile(s"$path/ingest_batch_hwm.v$v"))
+    ()
+  }
+
   /** TAKEDOWN for the search index — the twin of `Ivf.removeFromIndex` /
     * `DedupIndex.removeFromIndex`: void `removeIds`' postings and doc
     * lengths from every subsequent read by publishing a metadata-only

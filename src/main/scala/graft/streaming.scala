@@ -326,6 +326,30 @@ object Streaming {
         ds.upsertBatch(batch, batchId)
       }
 
+  /** Streaming SEARCH-INDEX maintenance: each micro-batch of documents
+    * folds into the persisted BM25 inverted index as one O(shard)
+    * versioned append (the first batch builds it), exactly-once via the
+    * index-side batch watermark ([[ext.Search.appendBatchToIndex]]) —
+    * a crawler feed keeps the retrieval index current without ever
+    * rebuilding or rescanning the corpus. Shard doc ids must be new
+    * (dedupe upstream — compose [[dedupIngest]] or the persisted dedup
+    * index); df/avgdl compose additively across shards by the index's
+    * stats layout, so a query after any batch equals a scan over
+    * everything ingested so far, bit-for-bit.
+    */
+  def ingestToSearchIndex(docs: DataFrame, indexPath: String,
+                          checkpoint: String,
+                          textCol: String = "text",
+                          idCol: String = "doc_id") =
+    docs.select(col(idCol), col(textCol))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ext.Search.appendBatchToIndex(batch, indexPath, batchId,
+          textCol, idCol)
+      }
+
   /** An emitted anomaly score (nullable stats during warm-up). */
   case class Scored(stream_id: String, ts: Timestamp, value: Double,
                     n_prior: Long, prior_mean: Option[Double],

@@ -175,6 +175,44 @@ class SearchSpec extends SparkSpec {
         qs, topK = 10)))
   }
 
+  test("appendBatchToIndex: replayed micro-batches fold in exactly once; " +
+    "a double-append would corrupt df and scores") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25sb").toString
+    val shard1 = corpus.where(col("doc_id") < 3)
+    val shard2 = corpus.where(col("doc_id") >= 3)
+    ext.Search.appendBatchToIndex(shard1, path, batchId = 0L) // first = build
+    ext.Search.appendBatchToIndex(shard2, path, batchId = 1L)
+    ext.Search.appendBatchToIndex(shard2, path, batchId = 1L) // replay: no-op
+    ext.Search.appendBatchToIndex(shard1, path, batchId = 0L) // stale: no-op
+    val qs = Seq("q" -> Seq("cat", "bird"))
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+  }
+
+  test("vacuumIndex reclaims superseded versions; pinned reads past " +
+    "retention fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25vac").toString
+    ext.Search.buildIndex(corpus.where(col("doc_id") < 3), path)
+    ext.Search.appendToIndex(corpus.where(col("doc_id") >= 3), path)
+    // retention 1 keeps only v2 — but v2's shard manifest references v1's
+    // data root, so the referenced data survives and the live query works
+    ext.Search.vacuumIndex(path, retainVersions = 1)
+    val qs = Seq("q" -> Seq("cat", "bird"))
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+    // the v1 version DIRECTORY may be retained (its data root is still
+    // referenced); if vacuum reclaimed it, the pinned read must fail
+    // loudly rather than serve a thinner corpus
+    try {
+      val pinned = ext.Search.queryIndex(spark, path, qs, topK = 10,
+        asOfVersion = Some(1L))
+      assert(asRows(pinned) ==
+        asRows(ext.Search.bm25(corpus.where(col("doc_id") < 3), qs, topK = 10)))
+    } catch {
+      case e: IllegalStateException => assert(e.getMessage.contains("reclaimed"))
+    }
+  }
+
   test("queryIndex pushes the term predicate into the postings scan") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25idx3").toString
     ext.Search.buildIndex(corpus, path)
