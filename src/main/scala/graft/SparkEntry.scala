@@ -1841,7 +1841,23 @@ object Queries {
         d.append("c", 1.0, ts("2024-01-10T00:00:00Z"))
         d.dropCheckConstraint("value_nonneg")
         d.append("c", -1.0, ts("2024-01-11T00:00:00Z"))
-      }
+      },
+      // upsert contracts: duplicate merge keys, derived targets, and
+      // source streams with live dependents are all refused pre-write
+      attempt("upsert_duplicate_keys") {
+        val d = new Datastream(spark, tempDir("graft-val-u1"))
+        d.ensureStream("u")
+        d.upsertDatapoints(Seq(
+          ("u", ts("2024-01-10T00:00:00Z"), 1.0),
+          ("u", ts("2024-01-10T00:00:00Z"), 2.0))
+          .toDF("stream_id", "ts", "value"))
+      },
+      attempt("upsert_to_derived")(ds.upsertDatapoints(
+        Seq(("d1", ts("2024-01-10T00:00:00Z"), 1.0))
+          .toDF("stream_id", "ts", "value"))),
+      attempt("upsert_with_dependents")(ds.upsertDatapoints(
+        Seq(("s1", ts("2024-01-10T00:00:00Z"), 9.0))
+          .toDF("stream_id", "ts", "value")))
     ).toDF("check_case", "error")
   }
 
@@ -4972,7 +4988,10 @@ FROM part"""
   ('symlink_with_pending_deletes', 'IllegalStateException'),
   ('append_constraint_violation', 'ConstraintViolation'),
   ('constraint_on_dirty_data', 'ConstraintViolation'),
-  ('constraint_clean_path', 'ok')
+  ('constraint_clean_path', 'ok'),
+  ('upsert_duplicate_keys', 'IllegalArgumentException'),
+  ('upsert_to_derived', 'AppendToDerivedStreamNotAllowed'),
+  ('upsert_with_dependents', 'OutstandingDependenciesError')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the
