@@ -648,11 +648,18 @@ object Ivf {
     * cosine, same fold as brute). Exhaustive probing plus full-depth
     * rerank reproduces brute force exactly over the indexed corpus.
     */
+  /** `allowedIds` — the filtered-search twin of [[queryIndex]]'s option,
+    * applied to the codes-only candidate scan before any LUT scoring;
+    * with `rerank`, the rerank corpus need only cover the FILTERED
+    * candidates (candidates ⊆ allowed by construction). Same recall
+    * caveat: a filter thins probed cells, raise `nProbe`.
+    */
   def queryPqIndex(path: String, queries: DataFrame, k: Int, nProbe: Int = 8,
                    rerank: Int = 0, rerankAgainst: Option[DataFrame] = None,
                    vecCol: String = "embedding", idCol: String = "vec_id",
                    maxQueries: Int = 100000,
-                   asOfVersion: Option[Long] = None): DataFrame = {
+                   asOfVersion: Option[Long] = None,
+                   allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val dir = indexDir(path, asOfVersion)
@@ -686,10 +693,17 @@ object Ivf {
     }
     val probed = perQuery.flatMap(_._4).toSeq.distinct
     val qB = spark.sparkContext.broadcast(perQuery)
-    val scored = minusTombstones(
+    val cand0 = minusTombstones(
         readCells(spark, path, dir)
           .where(col("cell").isInCollection(probed)), // partition-pruned scan
         tombstonesOf(spark, path, dir))
+    val cand = allowedIds match {
+      case None => cand0
+      case Some(ids) => cand0.join(
+        ids.select(col(idCol).cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    }
+    val scored = cand
       .select(col("vec_id").cast("long"), col("codes"), col("norm"), col("cell"))
       .as[(Long, Seq[Int], Double, Int)]
       .mapPartitions { it =>

@@ -117,6 +117,30 @@ class DotProductSpec extends SparkSpec {
     assert(viaIdx2 === brute2)
   }
 
+  test("filtered IVF-PQ search: exhaustive probe + full rerank over the " +
+      "allowed set equals brute over the filtered corpus") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") < 3)
+    val allowed = corpus.where(col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-f").toString
+    ext.Ivf.buildPqIndex(corpus, dir, nCells = 8, m = 4, codes = 8)
+    // rerank corpus = the ALLOWED set only: candidates ⊆ allowed by
+    // construction, so the coverage guard must not fire
+    val viaIdx = ext.Ivf.queryPqIndex(dir, queries, k = 5, nProbe = 8,
+        rerank = 1000, rerankAgainst = Some(allowed),
+        allowedIds = Some(allowed))
+      .select("query_vec_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = ext.Similarity.topK(allowed, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaIdx === brute)
+    assert(!viaIdx.exists(_._2 % 2 != 0))
+  }
+
   test("persisted IVF index round-trips: exhaustive queryIndex equals brute; cells are partition dirs") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 300).map(i =>
