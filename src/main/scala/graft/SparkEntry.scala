@@ -152,6 +152,7 @@ object SparkEntry {
     // persisted IVF index: build once into storage, query from the index
     "q_similarity_index" -> Queries.similarityIndex _,
     "q_similarity_filtered" -> Queries.similarityFiltered _,
+    "q_similarity_filtered_pq" -> Queries.similarityFilteredPq _,
     // takedown: tombstoned ids voided, exhaustive query ≡ brute over survivors
     "q_index_takedown" -> Queries.indexTakedown _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
@@ -390,6 +391,7 @@ object SparkEntry {
     // to brute force — same oracle as the in-memory IVF configurations
     "q_similarity_index" -> Oracles.similarityTopK,
     "q_similarity_filtered" -> Oracles.similarityFiltered,
+    "q_similarity_filtered_pq" -> Oracles.similarityFiltered,
     "q_index_takedown" -> Oracles.indexTakedown,
     "q_ivf_index_append" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
@@ -2567,6 +2569,22 @@ object Queries {
     ext.Ivf.buildPqIndex(emb, s"$dir/idx", nCells = 16, refineIters = 1)
     ext.Ivf.queryPqIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
       nProbe = 16, rerank = 1 << 20, rerankAgainst = Some(emb))
+  }
+
+  /** Filtered search through the IVF-PQ index: the same even-id metadata
+    * predicate as `q_similarity_filtered`, applied to the codes-only
+    * candidate scan, with exhaustive probing + full rerank against the
+    * ALLOWED corpus only — shares the filtered-brute oracle, so both
+    * vector indexes' filter paths are pinned bit-for-bit.
+    */
+  def similarityFilteredPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-ivfpqf")
+    val emb = Sources.embeddings(spark, sfDir)
+    val allowed = emb.where(col("vec_id") % 2 === 0)
+    ext.Ivf.buildPqIndex(emb, s"$dir/idx", nCells = 16)
+    ext.Ivf.queryPqIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
+      nProbe = 16, rerank = 1 << 20, rerankAgainst = Some(allowed),
+      allowedIds = Some(allowed))
   }
 
   /** IVF-PQ incremental lifecycle, EXACT arm: index built on the even-id
