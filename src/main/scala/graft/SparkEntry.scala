@@ -153,6 +153,7 @@ object SparkEntry {
     "q_similarity_index" -> Queries.similarityIndex _,
     "q_similarity_filtered" -> Queries.similarityFiltered _,
     "q_similarity_filtered_pq" -> Queries.similarityFilteredPq _,
+    "q_similarity_mmr" -> Queries.similarityMmr _,
     // takedown: tombstoned ids voided, exhaustive query ≡ brute over survivors
     "q_index_takedown" -> Queries.indexTakedown _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
@@ -392,6 +393,7 @@ object SparkEntry {
     "q_similarity_index" -> Oracles.similarityTopK,
     "q_similarity_filtered" -> Oracles.similarityFiltered,
     "q_similarity_filtered_pq" -> Oracles.similarityFiltered,
+    "q_similarity_mmr" -> Oracles.similarityMmr,
     "q_index_takedown" -> Oracles.indexTakedown,
     "q_ivf_index_append" -> Oracles.similarityTopK,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
@@ -2692,6 +2694,18 @@ object Queries {
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
       .join(broadcast(labels), "query_vec_id")
       .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** MMR diversification on the gate: the brute cosine top-30 for query
+    * vector 0 reranked by maximal marginal relevance (λ=0.75, k=10) — the
+    * oracle unrolls all ten greedy steps in SQL with the identical IEEE
+    * association and id tie-break, so a drifted pick order, a wrong
+    * pairwise cosine, or a perturbed score breaks the hash.
+    */
+  def similarityMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Similarity.mmrTopK(emb, emb.where(col("vec_id") === 0),
+      k = 10, poolSize = 30, lambda = 0.75)
   }
 
   /** FILTERED vector search on the gate: top-10 per label-anchored query
@@ -5386,6 +5400,61 @@ SELECT label, query_vec_id, vec_id, cosine, rank FROM (
     (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
   FROM scored)
 WHERE rank <= 10"""
+
+  /** The cosine fold between two embedding columns, matching the Scala
+    * `dotLoop`-based cosOf exactly (ascending index fold, dot / (‖a‖·‖b‖)
+    * with a's norm first). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(range(1, len($b) + 1),
+        i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)))"""
+
+  /** One unrolled MMR greedy step: candidates not yet selected, scored
+    * `λ·rel − (1−λ)·max cos(c, s∈selected)`, argmax with id tie-break. */
+  private def mmrStep(j: Int): String = {
+    val lam = "CAST(0.75 AS DOUBLE)"
+    val oneMinus = "CAST(0.25 AS DOUBLE)"
+    val maxsim =
+      if (j == 1) "CAST(0 AS DOUBLE)"
+      else {
+        val prev = (1 until j).map(i => s"SELECT embedding FROM sel$i")
+          .mkString(" UNION ALL ")
+        s"(SELECT max(${cosSql("c.embedding", "s.embedding")}) FROM ($prev) s)"
+      }
+    val notIn =
+      if (j == 1) ""
+      else "  WHERE c.vec_id NOT IN (" +
+        (1 until j).map(i => s"SELECT vec_id FROM sel$i")
+          .mkString(" UNION ALL ") + ")\n"
+    s"""sel$j AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, c.embedding,
+    $lam * c.rel - $oneMinus * $maxsim AS mmr
+  FROM pv c
+$notIn  ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+  }
+
+  /** MMR twin: replay the greedy EXACTLY — the pool is the brute cosine
+    * top-30 for query vector 0, and each of the ten picks is an unrolled
+    * CTE step whose argmax, arithmetic association and id tie-break match
+    * the Scala greedy bit-for-bit. */
+  val similarityMmr: String =
+    s"""WITH qv AS MATERIALIZED (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT vec_id, cosine AS rel FROM (
+    SELECT vec_id, cosine,
+      CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS r
+    FROM (SELECT e.vec_id, ${cosSql("qvec", "e.embedding")} AS cosine
+          FROM qv, embeddings e WHERE e.vec_id <> 0))
+  WHERE r <= 30),
+pv AS MATERIALIZED (SELECT p.vec_id, p.rel, e.embedding
+       FROM pool p JOIN embeddings e USING (vec_id)),
+${(1 to 10).map(mmrStep).mkString(",\n")}
+${(1 to 10).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS rank, vec_id, rel, mmr FROM sel$j")
+      .mkString("\nUNION ALL\n")}"""
 
   /** Filtered-search twin: brute-force cosine top-10 over ONLY the
     * even-id corpus half — identical fold/tie-break to the top-k twin, so

@@ -383,4 +383,71 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** MMR result DIVERSIFICATION (Carbonell & Goldstein, SIGIR'98): rerank
+    * a relevance top-`poolSize` so each pick maximizes
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the standard fix for
+    * a retrieval page (or a few-shot example set) collapsing onto near
+    * duplicates of one result. λ=1 degenerates to pure relevance order
+    * (pinned by a test); lower λ trades relevance for spread.
+    *
+    * Shape: the DISTRIBUTED part is the candidate pool (brute/ANN/IVF
+    * top-`poolSize` — any ranker); the greedy itself is O(k·poolSize)
+    * scalar work over the collected pool, driver-side BY DESIGN with the
+    * same bounded-collect guardrail as the centroid/codebook collects
+    * (`poolSize ≤ maxPool`, fail-fast). Every double derives by the same
+    * IEEE sequence the DuckDB oracle unrolls (`dotLoop` folds, fixed
+    * `λ·rel − (1−λ)·maxsim` association, greatest-of-doubles maxsim),
+    * so the gate compare is bit-exact; ties break by candidate id. Output:
+    * `(rank, vec_id, rel, mmr)` — `mmr` is the pick's score at selection
+    * time.
+    */
+  def mmrTopK(corpus: DataFrame, queryVec: DataFrame, k: Int = 10,
+              poolSize: Int = 30, lambda: Double = 0.75,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              maxPool: Int = 10000): DataFrame = {
+    require(k >= 1 && poolSize >= k, "mmrTopK: need poolSize >= k >= 1")
+    require(poolSize <= maxPool,
+      s"mmrTopK: poolSize $poolSize exceeds maxPool=$maxPool — the pool is " +
+        "collected for the greedy; raise maxPool deliberately")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrTopK: lambda in [0, 1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = topK(corpus, queryVec, poolSize)
+      .select(col("vec_id"), col("cosine").as("rel"))
+      .join(corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
+        "vec_id")
+      .select(col("vec_id"), col("rel"), col(vecCol))
+      .as[(Long, Double, Array[Float])]
+      .collect().sortBy(_._1)
+    val oneMinus = 1.0 - lambda
+    def cosOf(a: Array[Float], b: Array[Float]): Double =
+      dotLoop(a, b) / (math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b)))
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // (rank, id, rel, mmr)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (_, rel, vec) = remaining(i)
+        val maxsim =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => cosOf(vec, s)).max
+        val mmr = lambda * rel - oneMinus * maxsim
+        // strict > plus ascending-id iteration = smallest-id tie-break,
+        // matching the oracle's ORDER BY mmr DESC, vec_id LIMIT 1
+        if (mmr > bestScore) { bestScore = mmr; bestIdx = i }
+        i += 1
+      }
+      val (id, rel, vec) = remaining.remove(bestIdx)
+      selected += ((rank, id, rel, bestScore))
+      chosen += vec
+      rank += 1
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr")
+  }
 }

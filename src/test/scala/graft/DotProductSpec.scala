@@ -117,6 +117,38 @@ class DotProductSpec extends SparkSpec {
     assert(viaIdx2 === brute2)
   }
 
+  test("MMR diversification: lambda=1 is pure relevance order; a lower " +
+      "lambda skips the near-duplicate of the top result") {
+    // doc 1 ≈ doc 0's direction (near-dup); doc 2 is orthogonal-ish but
+    // still relevant; query aligned with doc 0
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.999f, 0.04f, 0.0f), 0),  // near-dup of 0
+      (2L, Seq(0.7f, 0.7f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.5f, 0.7f), 0),
+      (9L, Seq(1.0f, 0.01f, 0.0f), 0)     // the query vector row
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.where(col("vec_id") === 9L)
+    val pure = ext.Similarity.mmrTopK(corpus.where(col("vec_id") =!= 9L), q,
+        k = 3, poolSize = 4, lambda = 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val rel = ext.Similarity.topK(corpus.where(col("vec_id") =!= 9L), q, k = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(pure === rel) // λ=1 degenerates to the relevance ranking
+    assert(pure.take(2) === Seq(0L, 1L)) // near-dup sits at rank 2 on rel
+    val diverse = ext.Similarity.mmrTopK(corpus.where(col("vec_id") =!= 9L), q,
+        k = 3, poolSize = 4, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // MMR demotes the near-duplicate: rank 2 goes to the spread-out doc
+    assert(diverse.head === 0L)
+    assert(diverse(1) !== 1L)
+    assert(diverse.toSet.subsetOf(Set(0L, 1L, 2L, 3L)) && diverse.size === 3)
+    intercept[IllegalArgumentException](
+      ext.Similarity.mmrTopK(corpus, q, k = 5, poolSize = 3))
+    intercept[IllegalArgumentException](
+      ext.Similarity.mmrTopK(corpus, q, k = 1, poolSize = 2, lambda = 1.5))
+  }
+
   test("filtered IVF-PQ search: exhaustive probe + full rerank over the " +
       "allowed set equals brute over the filtered corpus") {
     val rnd = new scala.util.Random(29)
