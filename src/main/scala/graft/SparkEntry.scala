@@ -291,6 +291,7 @@ object SparkEntry {
     "q_streaming_search" -> Queries.streamingSearch _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_hybrid_indexed" -> Queries.hybridIndexed _,
+    "q_hybrid_mmr" -> Queries.hybridMmr _,
     "q_downsample_nominal" -> Queries.downsampleNominal _,
     "q_multimodal_decode" -> Queries.multimodalDecode _,
     "q_audio_decode" -> Queries.audioDecode _,
@@ -483,6 +484,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> Oracles.hybridRrf,
     // the index-served hybrid must land on the scan-served hybrid's rows
     "q_hybrid_indexed" -> Oracles.hybridRrf,
+    "q_hybrid_mmr" -> Oracles.hybridMmr,
     "q_downsample_nominal" -> Oracles.downsampleNominal,
     "q_multimodal_decode" -> Oracles.multimodalDecode,
     // exactly-once streaming decode ≡ the batch closed-form dims table
@@ -3882,6 +3884,31 @@ object Queries {
         "qb" -> Seq("dup", "customer")), topK = 15)
   }
 
+  /** The full retrieval pipeline: hybrid RRF top-30 served from BOTH
+    * persisted indexes, then MMR-diversified down to 10 against pairwise
+    * embedding cosine (`Similarity.mmrRerank` — the caller-supplied-rel
+    * composition entry). The oracle replays the whole chain: BM25 fold,
+    * cosine fold, RRF fusion, the pool cut, and all ten unrolled greedy
+    * steps.
+    */
+  def hybridMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-hybmmr")
+    val docs = Sources.documents(spark, sfDir)
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Search.buildIndex(docs, s"$dir/bm25")
+    ext.Ivf.buildIndex(emb, s"$dir/ivf", nCells = 16)
+    val bm = ext.Search.queryIndex(spark, s"$dir/bm25",
+        Seq("q0" -> Seq("spark", "window", "merge")), topK = 50)
+      .select(col("doc_id"), col("rank"))
+    val cos = ext.Ivf.queryIndex(s"$dir/ivf",
+        emb.where(col("vec_id") === 0), k = 50, nProbe = 16)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    val fused = ext.Search.rrfFuse(bm, cos, kRrf = 60, topK = 30)
+    ext.Similarity.mmrRerank(
+      fused.select(col("doc_id").as("vec_id"), col("rrf_score").as("rel")),
+      emb, k = 10, lambda = 0.75)
+  }
+
   /** SEARCH-INDEX TAKEDOWN on the gate: every 97th document is removed
     * from the persisted index via a tombstone version (no shard rewrite),
     * and the same two queries must then land BIT-IDENTICALLY on a fresh
@@ -7067,8 +7094,9 @@ WHERE rank <= 15"""
       searchBm25Tail
 
   /** Hybrid RRF twin: recompute the BM25 top-50, the cosine top-50 (same
-    * fold as `similarityTopK`), and the fused reciprocal-rank list. */
-  val hybridRrf: String =
+    * fold as `similarityTopK`), and the fused reciprocal-rank list. The
+    * CTE chain is shared with the MMR-over-hybrid pipeline twin. */
+  private val hybridCte: String =
     bm25Base(Seq("merge", "spark", "window")) + s""",
 bm_scored AS (
   SELECT doc_id,
@@ -7102,12 +7130,32 @@ fused AS (
     COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + a.rank_a AS DOUBLE), CAST(0 AS DOUBLE)) +
     COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + b.rank_b AS DOUBLE), CAST(0 AS DOUBLE))
     AS rrf_score
-  FROM bm a FULL OUTER JOIN cos b ON a.doc_id = b.doc_id)
+  FROM bm a FULL OUTER JOIN cos b ON a.doc_id = b.doc_id)"""
+
+  val hybridRrf: String = hybridCte + """
 SELECT rank, doc_id, rrf_score, rank_a, rank_b FROM (
   SELECT doc_id, rrf_score, rank_a, rank_b,
     CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
   FROM fused)
 WHERE rank <= 20"""
+
+  /** Pipeline twin: MMR over the hybrid pool — the fused top-30 (rel =
+    * rrf_score) diversified by the same unrolled greedy as
+    * `similarityMmr`, pairwise sims from the embeddings table. */
+  val hybridMmr: String = hybridCte + s""",
+pool AS MATERIALIZED (
+  SELECT doc_id AS vec_id, rrf_score AS rel FROM (
+    SELECT doc_id, rrf_score,
+      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS r
+    FROM fused)
+  WHERE r <= 30),
+pv AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, e.embedding
+  FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id),
+${(1 to 10).map(mmrStep).mkString(",\n")}
+${(1 to 10).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS rank, vec_id, rel, mmr FROM sel$j")
+      .mkString("\nUNION ALL\n")}"""
 
   val downsampleNominal: String =
     """SELECT user_id, event_type,

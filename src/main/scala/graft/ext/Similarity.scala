@@ -411,15 +411,42 @@ object Similarity {
       s"mmrTopK: poolSize $poolSize exceeds maxPool=$maxPool — the pool is " +
         "collected for the greedy; raise maxPool deliberately")
     require(lambda >= 0.0 && lambda <= 1.0, "mmrTopK: lambda in [0, 1]")
+    mmrRerank(
+      topK(corpus, queryVec, poolSize).select(col("vec_id"),
+        col("cosine").as("rel")),
+      corpus, k, lambda, vecCol, idCol, maxPool)
+  }
+
+  /** [[mmrTopK]] with the relevance ranking supplied by the CALLER — the
+    * composition entry: any ranker's `(vec_id, rel)` pool (hybrid RRF,
+    * an index-served list, a cross-encoder score) diversifies against
+    * pairwise embedding cosine looked up from `corpus`. Pool rows missing
+    * an embedding are a loud analysis-side error (inner join + count
+    * check), not a silent drop.
+    */
+  def mmrRerank(ranked: DataFrame, corpus: DataFrame, k: Int = 10,
+                lambda: Double = 0.75,
+                vecCol: String = "embedding", idCol: String = "vec_id",
+                maxPool: Int = 10000): DataFrame = {
+    require(k >= 1, "mmrRerank: k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "mmrRerank: lambda in [0, 1]")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pool = topK(corpus, queryVec, poolSize)
-      .select(col("vec_id"), col("cosine").as("rel"))
+    val nRanked = ranked.count()
+    require(nRanked <= maxPool,
+      s"mmrRerank: pool of $nRanked exceeds maxPool=$maxPool — the pool is " +
+        "collected for the greedy; raise maxPool deliberately")
+    val pool = ranked
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("rel").cast("double").as("rel"))
       .join(corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
         "vec_id")
       .select(col("vec_id"), col("rel"), col(vecCol))
       .as[(Long, Double, Array[Float])]
       .collect().sortBy(_._1)
+    require(pool.length == nRanked,
+      s"mmrRerank: ${nRanked - pool.length} pool ids have no embedding in " +
+        "the corpus — the pairwise-similarity side must cover the pool")
     val oneMinus = 1.0 - lambda
     def cosOf(a: Array[Float], b: Array[Float]): Double =
       dotLoop(a, b) / (math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b)))
