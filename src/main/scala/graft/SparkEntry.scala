@@ -3893,8 +3893,12 @@ object Queries {
     */
   def hybridMmr(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tempDir("graft-hybmmr")
-    val docs = Sources.documents(spark, sfDir)
     val emb = Sources.embeddings(spark, sfDir)
+    // the pipeline's retrieval corpus = documents WITH embeddings (MMR
+    // needs a vector per pool member; at sf0.1 only a subset has one)
+    val docs = Sources.documents(spark, sfDir)
+      .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi")
     ext.Search.buildIndex(docs, s"$dir/bm25")
     ext.Ivf.buildIndex(emb, s"$dir/ivf", nCells = 16)
     val bm = ext.Search.queryIndex(spark, s"$dir/bm25",
@@ -7096,8 +7100,8 @@ WHERE rank <= 15"""
   /** Hybrid RRF twin: recompute the BM25 top-50, the cosine top-50 (same
     * fold as `similarityTopK`), and the fused reciprocal-rank list. The
     * CTE chain is shared with the MMR-over-hybrid pipeline twin. */
-  private val hybridCte: String =
-    bm25Base(Seq("merge", "spark", "window")) + s""",
+  private def hybridCteWith(docFilter: String): String =
+    bm25Base(Seq("merge", "spark", "window"), docFilter) + s""",
 bm_scored AS (
   SELECT doc_id,
     ${Seq("merge", "spark", "window").map(bm25Contrib).mkString(" + ")} AS score
@@ -7132,6 +7136,8 @@ fused AS (
     AS rrf_score
   FROM bm a FULL OUTER JOIN cos b ON a.doc_id = b.doc_id)"""
 
+  private val hybridCte: String = hybridCteWith("")
+
   val hybridRrf: String = hybridCte + """
 SELECT rank, doc_id, rrf_score, rank_a, rank_b FROM (
   SELECT doc_id, rrf_score, rank_a, rank_b,
@@ -7141,8 +7147,12 @@ WHERE rank <= 20"""
 
   /** Pipeline twin: MMR over the hybrid pool — the fused top-30 (rel =
     * rrf_score) diversified by the same unrolled greedy as
-    * `similarityMmr`, pairwise sims from the embeddings table. */
-  val hybridMmr: String = hybridCte + s""",
+    * `similarityMmr`, pairwise sims from the embeddings table. The BM25
+    * corpus is scoped to the EMBEDDED id space (diversification needs a
+    * vector per pool member — at sf0.1 only a subset of documents carries
+    * embeddings, and the gate's coverage guard fails loudly otherwise). */
+  val hybridMmr: String = hybridCteWith(
+    "\n  WHERE doc_id IN (SELECT vec_id FROM embeddings)") + s""",
 pool AS MATERIALIZED (
   SELECT doc_id AS vec_id, rrf_score AS rel FROM (
     SELECT doc_id, rrf_score,
