@@ -149,6 +149,24 @@ class DotProductSpec extends SparkSpec {
       ext.Similarity.mmrTopK(corpus, q, k = 1, poolSize = 2, lambda = 1.5))
   }
 
+  test("mmrRerank: caller-supplied relevance composes; a pool id without " +
+      "an embedding fails the coverage guard loudly") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val ranked = Seq((0L, 0.9), (1L, 0.8), (2L, 0.5)).toDF("vec_id", "rel")
+    val r = ext.Similarity.mmrRerank(ranked, corpus, k = 2, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // pick 1 = best rel (0); pick 2 = the orthogonal doc, not the near-dup
+    assert(r === Seq(0L, 2L))
+    // the guard that caught the sf0.1 fixture gap: an unknown pool id is
+    // a loud failure, never a silent drop
+    val bad = Seq((0L, 0.9), (99L, 0.8)).toDF("vec_id", "rel")
+    val e = intercept[IllegalArgumentException](
+      ext.Similarity.mmrRerank(bad, corpus, k = 2))
+    assert(e.getMessage.contains("no embedding"))
+  }
+
   test("filtered IVF-PQ search: exhaustive probe + full rerank over the " +
       "allowed set equals brute over the filtered corpus") {
     val rnd = new scala.util.Random(29)
