@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench parser takes the LAST bare stdout line as JSON.
+// With fork := true, sbt decorates forked output as "[info] ..." unless
+// the output strategy passes it through raw; and sbt appends its own
+// "[success] Total time..." line after the run. Both defeated the parser
+// for 12 rounds (parsed: null) — pass stdout through and drop [success].
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
