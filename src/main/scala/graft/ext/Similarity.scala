@@ -411,8 +411,11 @@ object Similarity {
       s"mmrTopK: poolSize $poolSize exceeds maxPool=$maxPool — the pool is " +
         "collected for the greedy; raise maxPool deliberately")
     require(lambda >= 0.0 && lambda <= 1.0, "mmrTopK: lambda in [0, 1]")
+    // forward the column names so the relevance pool and the pairwise-
+    // similarity side read the SAME columns (topK additionally requires a
+    // `label` column on the query side — its broadcast carries it through)
     mmrRerank(
-      topK(corpus, queryVec, poolSize).select(col("vec_id"),
+      topK(corpus, queryVec, poolSize, vecCol, idCol).select(col("vec_id"),
         col("cosine").as("rel")),
       corpus, k, lambda, vecCol, idCol, maxPool)
   }
@@ -432,21 +435,40 @@ object Similarity {
     require(lambda >= 0.0 && lambda <= 1.0, "mmrRerank: lambda in [0, 1]")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val nRanked = ranked.count()
-    require(nRanked <= maxPool,
-      s"mmrRerank: pool of $nRanked exceeds maxPool=$maxPool — the pool is " +
+    // bounded fail-fast collect of the pool itself (house head(max+1)
+    // pattern), then DISTINCT-aware validation: raw count comparisons
+    // misfire under duplicates (a duplicated ranked id inflates the inner
+    // join and can mask a genuinely missing embedding — and would let the
+    // greedy select one id twice), so ranked ids must be unique and the
+    // corpus must carry exactly one embedding per pool id.
+    val rankedRows = ranked
+      .select(col("vec_id").cast("long"), col("rel").cast("double"))
+      .as[(Long, Double)].head(maxPool + 1)
+    require(rankedRows.length <= maxPool,
+      s"mmrRerank: pool exceeds maxPool=$maxPool — the pool is " +
         "collected for the greedy; raise maxPool deliberately")
-    val pool = ranked
-      .select(col("vec_id").cast("long").as("vec_id"),
-        col("rel").cast("double").as("rel"))
+    val dupRanked = rankedRows.groupBy(_._1).collect {
+      case (id, rs) if rs.length > 1 => id
+    }
+    require(dupRanked.isEmpty,
+      s"mmrRerank: ranked pool has duplicate vec_id rows (" +
+        dupRanked.toSeq.sorted.take(10).mkString(", ") +
+        ") — pool ids must be unique or the greedy could select one twice")
+    val joined = ranked.select(col("vec_id").cast("long").as("vec_id"))
       .join(corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol)),
         "vec_id")
-      .select(col("vec_id"), col("rel"), col(vecCol))
-      .as[(Long, Double, Array[Float])]
-      .collect().sortBy(_._1)
-    require(pool.length == nRanked,
-      s"mmrRerank: ${nRanked - pool.length} pool ids have no embedding in " +
-        "the corpus — the pairwise-similarity side must cover the pool")
+      .select(col("vec_id"), col(vecCol))
+      .as[(Long, Array[Float])].head(rankedRows.length + 1)
+    require(joined.length <= rankedRows.length,
+      s"mmrRerank: corpus has duplicate $idCol rows across the pool — the " +
+        "pairwise-similarity side must carry exactly one embedding per id")
+    val missing = rankedRows.map(_._1).toSet -- joined.map(_._1)
+    require(missing.isEmpty,
+      s"mmrRerank: ${missing.size} pool ids have no embedding in the " +
+        s"corpus ($idCol): " + missing.toSeq.sorted.take(10).mkString(", "))
+    val vecOf = joined.toMap
+    val pool = rankedRows.sortBy(_._1)
+      .map { case (id, rel) => (id, rel, vecOf(id)) }
     val oneMinus = 1.0 - lambda
     def cosOf(a: Array[Float], b: Array[Float]): Double =
       dotLoop(a, b) / (math.sqrt(dotLoop(a, a)) * math.sqrt(dotLoop(b, b)))

@@ -165,6 +165,48 @@ class DotProductSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       ext.Similarity.mmrRerank(bad, corpus, k = 2))
     assert(e.getMessage.contains("no embedding"))
+    assert(e.getMessage.contains("99")) // names the actual missing id
+    // duplicate ranked ids would let the greedy pick one id twice —
+    // rejected, and NOT maskable by a missing embedding for another id
+    // (the old count-vs-count guard could be fooled exactly that way)
+    val dup = Seq((0L, 0.9), (0L, 0.8), (99L, 0.5)).toDF("vec_id", "rel")
+    val e2 = intercept[IllegalArgumentException](
+      ext.Similarity.mmrRerank(dup, corpus, k = 2))
+    assert(e2.getMessage.contains("duplicate vec_id"))
+    // duplicate corpus rows per id inflate the pairwise join — loud error
+    val dupCorpus = corpus.unionByName(
+      Seq((0L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val e3 = intercept[IllegalArgumentException](
+      ext.Similarity.mmrRerank(ranked, dupCorpus, k = 2))
+    assert(e3.getMessage.contains("duplicate"))
+  }
+
+  test("mmrTopK forwards custom vecCol/idCol to the relevance pool (not " +
+      "just the pairwise side) — and decoy default-named columns are " +
+      "never read") {
+    // decoy columns literally named embedding/vec_id carry WRONG data; a
+    // regression to topK's defaults would silently score against them
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.999f, 0.04f, 0.0f), 0),
+      (2L, Seq(0.7f, 0.7f, 0.0f), 0),
+      (3L, Seq(0.5f, 0.5f, 0.7f), 0),
+      (9L, Seq(1.0f, 0.01f, 0.0f), 0)).toDF("doc_id", "emb", "label")
+    val decoyed = base
+      .withColumn("vec_id", -col("doc_id"))
+      .withColumn("embedding", expr("transform(emb, x -> -x)"))
+    val q = decoyed.where(col("doc_id") === 9L)
+    val got = ext.Similarity.mmrTopK(decoyed.where(col("doc_id") =!= 9L), q,
+        k = 3, poolSize = 4, lambda = 0.5, vecCol = "emb", idCol = "doc_id")
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val want = ext.Similarity.mmrTopK(
+        base.where(col("doc_id") =!= 9L)
+          .toDF("vec_id", "embedding", "label"),
+        base.where(col("doc_id") === 9L)
+          .toDF("vec_id", "embedding", "label"),
+        k = 3, poolSize = 4, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got === want)
   }
 
   test("filtered IVF-PQ search: exhaustive probe + full rerank over the " +

@@ -187,6 +187,27 @@ class SearchSpec extends SparkSpec {
     val qs = Seq("q" -> Seq("cat", "bird"))
     assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
       asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+    // CRASH WINDOW: a crash after the version commit but before the root
+    // high-watermark marker must NOT replay the batch — the committed
+    // version's in-version batch record witnesses it. Simulate by deleting
+    // the root marker and replaying.
+    val io = graft.ext.VersionedIndex.io(path)
+    io.childNames(path).filter(_.startsWith("ingest_batch_hwm."))
+      .foreach(n => io.deleteFile(s"$path/$n"))
+    ext.Search.appendBatchToIndex(shard2, path, batchId = 1L)
+    assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
+    // and the OTHER half of the window: an UNCOMMITTED version directory
+    // carrying a batch record (crash before commit) must not suppress the
+    // replay — the replay re-appends into a fresh committed version.
+    val path2 = java.nio.file.Files.createTempDirectory("graft-bm25sb2").toString
+    ext.Search.appendBatchToIndex(shard1, path2, batchId = 0L)
+    val io2 = graft.ext.VersionedIndex.io(path2)
+    io2.mkdirs(s"$path2/v2")
+    io2.writeString(s"$path2/v2/ingest_batch_id", "1") // orphan, no marker
+    ext.Search.appendBatchToIndex(shard2, path2, batchId = 1L)
+    assert(asRows(ext.Search.queryIndex(spark, path2, qs, topK = 10)) ==
+      asRows(ext.Search.bm25(corpus, qs, topK = 10)))
   }
 
   test("vacuumIndex reclaims superseded versions; pinned reads past " +
