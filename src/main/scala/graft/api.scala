@@ -1655,14 +1655,17 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * picked up by the commit. Returns the touched set.
     */
   private def retireTouchedByRanges(table: String,
-      groups: Seq[(Long, Long, IndexedSeq[String])]): Set[String] = {
+      groups: Seq[(Long, Long, Option[IndexedSeq[String]])]): Set[String] = {
     val committed = rawSnapshot.flatMap(_.tableFiles(table))
     val candidates = committed.getOrElse(listFilesUnder(table))
     val touched = committed match {
       case Some(_) =>
         val s = rawSnapshot.get
+        // sids = None is the PAST-THE-BOUND fallback: a mutation touching
+        // more distinct streams than the driver may collect prunes by time
+        // range only (still manifest-stats pruning, just a wider superset)
         candidates.filter(f => groups.exists { case (lo, hi, sids) =>
-          keepFile(s, table, f, Some((lo, hi)), Some(sids))
+          keepFile(s, table, f, Some((lo, hi)), sids)
         })
       case None => candidates
     }
@@ -1719,8 +1722,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * watermark stay untouched — maintenance owns them, and pre-adding them
     * here would double their rows when the cascade finalizes.
     */
+  /** `doomedIds` arrives pre-hinted by the caller: `broadcast(...)` when
+    * the id set fit the driver-collect bound, a plain (shuffle-joined)
+    * frame on the past-the-bound fallback path — the repair plan itself is
+    * identical either way. `doomedSorted` is `None` exactly on that
+    * fallback, degrading file pruning to time-range-only.
+    */
   private def repairRollups(doomedIds: DataFrame,
-                            doomedSorted: IndexedSeq[String],
+                            doomedSorted: Option[IndexedSeq[String]],
                             loUs: Long, hiUs: Long,
                             upsertKeys: Option[DataFrame] = None): Unit = {
     def survivorsFact(): DataFrame = {
@@ -1745,7 +1754,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val wmSlice = upsertKeys.map { _ =>
       Plans.checkpointTracked(
         streams.select(col("stream_id"), col("downsampled_until"))
-          .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+          .join(doomedIds, Seq("stream_id"), "left_semi")
           .coalesce(1)) // metadata-sized: doomed streams only
     }
     try {
@@ -1771,7 +1780,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         val (purged, rdds) = Plans.checkpointTracked(
           extraPurged.foldLeft(
             cur.where(bucketInWin)
-              .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+              .join(doomedIds, Seq("stream_id"), "left_semi")
               .select("stream_id", "bucket_start"))(
             (base, extra) => base.unionByName(extra).distinct()))
         try {
@@ -1802,7 +1811,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
             val keptRows = old.join(purged,
               Seq("stream_id", "bucket_start"), "left_anti")
             val recomputed = Downsample.aggregateRaw(
-                fact.join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+                fact.join(doomedIds, Seq("stream_id"), "left_semi")
                   .where(unix_micros(col("ts")) >= lit(winLo) &&
                     unix_micros(col("ts")) < lit(winHi + durUs)), g)
               .join(purged, Seq("stream_id", "bucket_start"), "left_semi")
@@ -1851,9 +1860,11 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     */
   def deleteDatapoints(tagQuery: Map[String, String],
                        start: Timestamp, end: Timestamp,
-                       mode: DeleteMode = DeleteMode.MergeOnRead): Long =
+                       mode: DeleteMode = DeleteMode.MergeOnRead,
+                       maxPruneStreams: Int =
+                         Datastream.DefaultMaxPruneStreams): Long =
     deleteDatapointsFrom(StreamRegistry.findStreams(streams, tagQuery),
-      start, end, mode)
+      start, end, mode, maxPruneStreams)
 
   /** [[deleteDatapoints]] over the full tag-query ALGEBRA (operator
     * leaves, `$or`/`$and` composition, `$regex` — everything
@@ -1862,13 +1873,17 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     */
   def deleteDatapointsWhere(query: StreamRegistry.TagQuery,
                             start: Timestamp, end: Timestamp,
-                            mode: DeleteMode = DeleteMode.MergeOnRead): Long =
+                            mode: DeleteMode = DeleteMode.MergeOnRead,
+                            maxPruneStreams: Int =
+                              Datastream.DefaultMaxPruneStreams): Long =
     deleteDatapointsFrom(StreamRegistry.findStreamsQuery(streams, query),
-      start, end, mode)
+      start, end, mode, maxPruneStreams)
 
   private def deleteDatapointsFrom(doomed0: DataFrame,
                                    start: Timestamp, end: Timestamp,
-                                   mode: DeleteMode): Long = {
+                                   mode: DeleteMode,
+                                   maxPruneStreams: Int =
+                                     Datastream.DefaultMaxPruneStreams): Long = {
     if (start == null || end == null)
       throw new errors.InvalidTimestamp(
         "delete_datapoints: start and end must both be set (the verb is " +
@@ -1881,27 +1896,48 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       .limit(5).collect()
     if (violSample.nonEmpty)
       throw new errors.OutstandingDependenciesError(violSample.mkString(", "))
-    // registry-scale collect (like every ensure/maintenance path): the id
-    // set drives driver-side manifest pruning and the delete-file contents,
-    // and must survive any registry rewrite underneath
-    val doomedSorted = doomed0.select("stream_id").collect()
-      .map(_.getString(0)).sorted.toIndexedSeq
-    if (doomedSorted.isEmpty) return 0L
+    // BOUNDED driver collect (the house head(max+1) fail-fast): the id set
+    // drives driver-side manifest pruning and must survive any registry
+    // rewrite underneath — but a takedown matching millions of streams must
+    // refuse loudly, not OOM the driver mid-collect. `maxPruneStreams = 0`
+    // is the documented distributed fallback: no id set is ever collected,
+    // file pruning degrades to time-range-only, the stream predicate stays
+    // exact via the (then shuffle-joined) semi-join, and the delete-file /
+    // range frames are built distributively from the registry frame.
+    val doomedDistinct = doomed0.select("stream_id").distinct()
+    val doomedSorted: Option[IndexedSeq[String]] =
+      if (maxPruneStreams <= 0) None
+      else {
+        val head = doomedDistinct
+          .limit(maxPruneStreams + 1).collect().map(_.getString(0))
+        if (head.length > maxPruneStreams)
+          throw new IllegalArgumentException(
+            s"delete_datapoints: matched stream set exceeds " +
+              s"maxPruneStreams=$maxPruneStreams — the id set is collected " +
+              "to drive manifest pruning; raise maxPruneStreams " +
+              "deliberately or pass maxPruneStreams = 0 for the " +
+              "distributed (time-range-pruned) path")
+        Some(head.sorted.toIndexedSeq)
+      }
+    if (doomedSorted.exists(_.isEmpty)) return 0L
     val loUs = usOfTs(start)
     val hiUs = usOfTs(end)
     import spark.implicits._
-    val doomedIds = doomedSorted.toDF("stream_id")
+    val doomedIds = doomedSorted match {
+      case Some(sids) => broadcast(sids.toDF("stream_id"))
+      case None => doomedDistinct
+    }
     // exact voided-row count (the verb's return value): counted through the
     // CURRENT snapshot, so rows an earlier delete already voided are not
     // double-counted. `streamIds` below is FILE-level skipping only (a
     // superset by contract) — the semi-join is the exact stream predicate.
     val matched = rawDatapointsInRange(Some(start), Some(end), None,
-        Some(doomedSorted))
-      .join(broadcast(doomedIds), Seq("stream_id"), "left_semi")
+        doomedSorted)
+      .join(doomedIds, Seq("stream_id"), "left_semi")
       .where(col("ts") >= lit(start) && col("ts") <= lit(end)).count()
     if (matched == 0L) return 0L
-    val ranges = doomedSorted.map(sid => (sid, loUs, hiUs))
-      .toDF("stream_id", "lo_us", "hi_us")
+    val ranges = doomedIds
+      .select(col("stream_id"), lit(loUs).as("lo_us"), lit(hiUs).as("hi_us"))
     withCommit("delete_datapoints") {
       mode match {
         case DeleteMode.MergeOnRead =>
@@ -1995,7 +2031,9 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     *
     * Returns the number of stored rows REPLACED (0 = pure insert).
     */
-  def upsertDatapoints(points0: DataFrame): Long = {
+  def upsertDatapoints(points0: DataFrame,
+                       maxPruneStreams: Int =
+                         Datastream.DefaultMaxPruneStreams): Long = {
     val withJson = if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
     val points = withJson
@@ -2054,13 +2092,34 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val loTs = b.getTimestamp(0)
       val hiTs = b.getTimestamp(1)
       import spark.implicits._
-      // batch-scale collect by contract: the id set drives manifest pruning
-      val sidsSorted = sidDf.collect().map(_.getString(0)).sorted.toIndexedSeq
-      val doomedIds = sidsSorted.toDF("stream_id")
+      // BOUNDED batch-scale collect (house head(max+1) fail-fast): the id
+      // set drives manifest pruning, but a batch touching millions of
+      // streams must refuse loudly, not OOM the driver mid-collect.
+      // `maxPruneStreams = 0` is the documented distributed fallback: no
+      // collect, time-range-only file pruning, semi-joins carry the exact
+      // stream predicate without a broadcast hint.
+      val sidsSorted: Option[IndexedSeq[String]] =
+        if (maxPruneStreams <= 0) None
+        else {
+          val head = sidDf.limit(maxPruneStreams + 1).collect()
+            .map(_.getString(0))
+          if (head.length > maxPruneStreams)
+            throw new IllegalArgumentException(
+              s"upsert batch touches more than maxPruneStreams=" +
+                s"$maxPruneStreams distinct streams — the id set is " +
+                "collected to drive manifest pruning; raise " +
+                "maxPruneStreams deliberately or pass maxPruneStreams = 0 " +
+                "for the distributed (time-range-pruned) path")
+          Some(head.sorted.toIndexedSeq)
+        }
+      val doomedIds = sidsSorted match {
+        case Some(sids) => broadcast(sids.toDF("stream_id"))
+        case None => sidDf
+      }
       val keys = points.select("stream_id", "ts")
       // matched through the CURRENT snapshot (earlier-voided rows excluded)
       val matchedRows = rawDatapointsInRange(Some(loTs), Some(hiTs), None,
-          Some(sidsSorted))
+          sidsSorted)
         .join(keys, Seq("stream_id", "ts"), "left_semi")
       val (matchedKeys, mRdds) = Plans.checkpointTracked(
         matchedRows.select(col("stream_id"),
@@ -2127,7 +2186,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       // group by window so per-file pruning is O(files × windows) with one
       // sorted-sid-set probe each, not O(files × ranges)
       val groups = rangeRows.groupBy(r => (r._2, r._3)).toSeq.map {
-        case ((lo, hi), rs) => (lo, hi, rs.map(_._1).sorted.toIndexedSeq)
+        case ((lo, hi), rs) => (lo, hi, Some(rs.map(_._1).sorted.toIndexedSeq))
       }
       rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
         "dp_date", retireTouchedByRanges("raw", groups), ranges)
@@ -2421,7 +2480,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       ranges.groupBy(r => (r._2, r._3)).toSeq.sortBy(_._1).foreach {
         case ((lo, hi), rs) =>
           val sids = rs.map(_._1).distinct.sorted.toIndexedSeq
-          repairRollups(sids.toDF("stream_id"), sids, lo, hi)
+          repairRollups(broadcast(sids.toDF("stream_id")), Some(sids), lo, hi)
       }
     }
     advanceIngestHwm(batchId)
@@ -4455,4 +4514,16 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       } finally rdds.foreach(_.unpersist(blocking = false))
     }
   }
+}
+
+object Datastream {
+  /** Bound on the driver-side distinct-stream-id collect the mutation
+    * verbs ([[Datastream.upsertDatapoints]], [[Datastream.deleteDatapoints]])
+    * use for manifest pruning — the house `head(max+1)` fail-fast: past
+    * it the verb refuses with a pinned message instead of OOMing the
+    * driver mid-collect. Callers either raise it deliberately or pass `0`
+    * for the distributed fallback (no collect; time-range-only file
+    * pruning, exact stream predicate via shuffle semi-join).
+    */
+  val DefaultMaxPruneStreams: Int = 100000
 }

@@ -246,4 +246,41 @@ class RowDeleteSpec extends SparkSpec {
     assert(ds.expireDatapoints(ts("2024-01-01T00:01:00Z")) === 0L)
     assert(ds.expireDatapoints(ts("1970-01-01T00:00:00Z")) === 0L)
   }
+
+  test("stream-id collect guardrail: an over-bound takedown refuses with " +
+    "the pinned message; the distributed fallback (maxPruneStreams = 0) " +
+    "is row-identical to the pruned path, both modes") {
+    val (ds, _) = freshDs
+    seed(ds)
+    // the tag-less query matches both streams; bound of 1 must refuse
+    val e = intercept[IllegalArgumentException](
+      ds.deleteDatapoints(Map.empty, delLo, delHi, maxPruneStreams = 1))
+    assert(e.getMessage.contains("maxPruneStreams=1"))
+    assert(ds.pendingDeletes.count() === 0) // nothing committed
+    // fallback ≡ pruned, merge-on-read
+    val (ds2, _) = freshDs
+    seed(ds2)
+    val nPruned = ds.deleteDatapoints(Map.empty, delLo, delHi)
+    val nWide = ds2.deleteDatapoints(Map.empty, delLo, delHi,
+      maxPruneStreams = 0)
+    assert(nWide === nPruned && nPruned === 3L) // a's 2 rows + b's 1
+    def facts(d: Datastream) = d.rawDatapoints
+      .select(col("stream_id"), col("ts").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(facts(ds2) === facts(ds))
+    assert(minutes(ds2, "a") === minutes(ds, "a"))
+    // fallback ≡ pruned, copy-on-write (fresh twin warehouses)
+    val (ds3, _) = freshDs
+    seed(ds3)
+    val (ds4, _) = freshDs
+    seed(ds4)
+    assert(ds3.deleteDatapoints(Map.empty, delLo, delHi,
+      mode = DeleteMode.CopyOnWrite) === 3L)
+    assert(ds4.deleteDatapoints(Map.empty, delLo, delHi,
+      mode = DeleteMode.CopyOnWrite, maxPruneStreams = 0) === 3L)
+    assert(facts(ds4) === facts(ds3))
+    assert(ds4.pendingDeletes.count() === 0)
+    assert(minutes(ds4, "b") === minutes(ds3, "b"))
+  }
 }

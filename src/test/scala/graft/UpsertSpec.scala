@@ -210,6 +210,36 @@ class UpsertSpec extends SparkSpec {
       === Seq(9.0))
   }
 
+  test("stream-id collect guardrail: an over-bound batch refuses with the " +
+    "pinned message; the distributed fallback (maxPruneStreams = 0) " +
+    "produces identical results to the pruned path") {
+    val (ds, _) = freshDs
+    seed(ds)
+    val batch = dp(Seq(
+      ("a", "2024-01-01T00:01:10Z", 400.0),
+      ("a", "2024-01-01T00:30:00Z", 7.0),
+      ("b", "2024-01-01T00:01:20Z", 999.0)
+    )).select("stream_id", "ts", "value")
+    // over-bound: loud refusal BEFORE any work, never an OOM mid-collect
+    val e = intercept[IllegalArgumentException](
+      ds.upsertDatapoints(batch, maxPruneStreams = 1))
+    assert(e.getMessage.contains("maxPruneStreams=1"))
+    assert(ds.rawDatapoints.count() === 9) // nothing committed
+    // fallback on a twin warehouse ≡ the pruned default path
+    val (ds2, _) = freshDs
+    seed(ds2)
+    val nPruned = ds.upsertDatapoints(batch)
+    val nWide = ds2.upsertDatapoints(batch, maxPruneStreams = 0)
+    assert(nWide === nPruned)
+    def facts(d: Datastream) = d.rawDatapoints
+      .select(col("stream_id"), col("ts").cast("string"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(facts(ds2) === facts(ds))
+    assert(minutes(ds2, "a") === minutes(ds, "a"))
+    assert(minutes(ds2, "b") === minutes(ds, "b"))
+  }
+
   test("refusals: duplicate batch keys, derived streams, outstanding " +
     "dependents, CHECK constraints") {
     val (ds, _) = freshDs
