@@ -78,6 +78,7 @@ object SparkEntry {
     // snapshot export for external engines: plain reads over listed paths
     "q_symlink_manifest" -> Queries.symlinkManifest _,
     "q_stats_count" -> Queries.statsCount _,
+    "q_stats_rollup" -> Queries.statsRollupCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
@@ -121,7 +122,8 @@ object SparkEntry {
     "q_graph_downsample" -> Queries.graphDownsample _,
     "q_wire_render" -> Queries.wireRender _,
     "q_wire_roundtrip" -> Queries.wireRoundtrip _,
-    "q_validation" -> Queries.validationErrors _,
+    "q_validation_api" -> Queries.validationApiErrors _,
+    "q_validation_occ" -> Queries.validationOccErrors _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
     "q_derivative_chunked" -> Queries.derivativeChunked _,
@@ -331,6 +333,7 @@ object SparkEntry {
     "q_replication" -> Oracles.replication,
     "q_symlink_manifest" -> Oracles.symlinkManifest,
     "q_stats_count" -> Oracles.statsCount,
+    "q_stats_rollup" -> Oracles.statsRollupCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
@@ -360,7 +363,8 @@ object SparkEntry {
     "q_graph_downsample" -> Oracles.graphDownsample,
     "q_wire_render" -> Oracles.wireRender,
     "q_wire_roundtrip" -> Oracles.wireRoundtrip,
-    "q_validation" -> Oracles.validationErrors,
+    "q_validation_api" -> Oracles.validationApiErrors,
+    "q_validation_occ" -> Oracles.validationOccErrors,
     "q_derivative" -> Oracles.derivative,
     // chunked formulation shares the window-lag twin: boundary stitching
     // must be invisible in the result
@@ -1191,17 +1195,37 @@ object Queries {
     ds.appendMultiple(dp.where(col("ts") < lit(cut)))
     val v = ds.currentVersion.get
     ds.appendMultiple(dp.where(col("ts") >= lit(cut)))
-    // rollup arms: the cascade materializes the minute ladder, then
-    // countRollup serves the bucket counts the same stats-first way —
-    // `rows=` for provably-covered files, a scan only at range boundaries
-    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
     Seq(
       ("all", ds.countDatapoints()),
       ("mid", ds.countDatapoints(Some(ts("2024-01-10T00:00:00Z")),
         Some(ts("2024-01-20T00:00:00Z")))),
       ("asof", ds.countDatapoints(asOfVersion = Some(v))),
       ("future", ds.countDatapoints(Some(ts("2030-01-01T00:00:00Z")), None)),
-      ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click")))),
+      ("stream", ds.countDatapoints(streamIds = Some(Seq("7:click"))))
+    ).toDF("label", "n")
+  }
+
+  /** METADATA-ONLY COUNT on the ROLLUP tables, split out of [[statsCount]]
+    * so the cascade's cost is individually visible in bench seconds: the
+    * minute ladder is materialized, then `countRollup` serves bucket counts
+    * the same stats-first way — manifest `rows=` for provably-covered
+    * files, a scan only at range boundaries. The oracle recomputes every
+    * arm as DISTINCT (stream, bucket) straight from events.
+    */
+  def statsRollupCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-cntr")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    Seq(
       ("rollup_all", ds.countRollup(Granularity.Minutes)),
       ("rollup_mid", ds.countRollup(Granularity.Minutes,
         Some(ts("2024-01-10T00:00:00Z")), Some(ts("2024-01-20T00:00:00Z")))),
@@ -1711,13 +1735,17 @@ object Queries {
       min("ts").as("t_min"), max("ts").as("t_max"))
   }
 
-  /** F4 validation surface: every documented error path of the facade,
+  /** F4 validation surface, facade half: every documented API error path
+    * (granularity/value-type/derive contracts, row-delete and upsert
+    * refusals, CHECK constraints, the new mutation-verb collect bound),
     * exercised against a real (temp) warehouse and reported as
     * (check_case, error-class) rows. The oracle pins the exact error class
     * per case, so a silently-succeeding invalid operation (or a wrong
-    * error) breaks the match.
+    * error) breaks the match. The commit-protocol arms (lock, CAS,
+    * staleness, rewrite feed) live in [[validationOccErrors]] so a
+    * regressing arm stays visible in per-gate bench seconds.
     */
-  def validationErrors(spark: SparkSession, sfDir: String): DataFrame = {
+  def validationApiErrors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = tempDir("graft-val")
     val ds = new Datastream(spark, dir)
@@ -1740,72 +1768,12 @@ object Queries {
         ds.getData("s1", Granularity.Hours, valueDownsamplers = Some(Seq("p99")))),
       attempt("append_to_derived")(ds.append("d1", 1.0, ts("2024-01-11T00:00:00Z"))),
       attempt("non_monotone_append")(ds.append("s1", 1.0, ts("2024-01-01T00:00:00Z"))),
-      // T5: a second writer holding the warehouse lock makes any mutation
-      // fail fast instead of interleaving table writes
-      attempt("maintenance_lock_contended") {
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(s"$dir/.writer_lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        val l = ch.tryLock()
-        try ds.append("s1", 5.0, ts("2024-01-12T00:00:00Z"))
-        finally { l.release(); ch.close() }
-      },
       attempt("delete_with_dependents")(ds.deleteStreams(Map("t" -> "a"))),
       attempt("unknown_derive_op")(ds.ensureStream("d3", Map.empty,
         ValueType.Numeric, Granularity.Minutes,
         deriveOp = Some("median"), derivedFrom = Seq("s1")) match {
         case _ => ds.deriveDatapoints("d3")
       }),
-      // OPTIMISTIC CONCURRENCY, both halves. CAS loss: a foreign intent
-      // steals the allocated version in the listing→create window — the
-      // writer must re-allocate past it and the mutation still SUCCEED.
-      attempt("commit_cas_stolen_version") {
-        ds.commitRaceInjection = () => {
-          val log = new java.io.File(s"$dir/commitlog")
-          val v = 1L + Option(log.listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
-            .foldLeft(0L)(math.max)
-          java.nio.file.Files.writeString(
-            new java.io.File(log, f"$v%09d.intent").toPath,
-            s"""{"version":$v,"op":"foreign"}""")
-          ds.commitRaceInjection = () => ()
-        }
-        ds.append("s1", 6.0, ts("2024-01-13T00:00:00Z"))
-        ds.acknowledgeTorn() // the stranded foreign intent, resolved
-      },
-      // staleness: a concurrent COMMIT lands while the mutation body runs —
-      // publishing would lose one of the two updates, so the loser aborts
-      // with the pinned conflict error (its writes stay invisible orphans)
-      attempt("commit_conflict_stale") {
-        ds.commitStaleInjection = () => {
-          val log = new java.io.File(s"$dir/commitlog")
-          val pv = ds.currentVersion.get
-          val fv = 1L + Option(log.listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
-            .foldLeft(0L)(math.max)
-          java.nio.file.Files.writeString(
-            new java.io.File(log, f"$fv%09d.manifest").toPath,
-            s"#graft v3 parent=$pv depth=1 full=0 tables=raw\n")
-          java.nio.file.Files.writeString(
-            new java.io.File(log, f"$fv%09d.commit").toPath,
-            s"""{"version":$fv,"op":"foreign"}""")
-          ds.commitStaleInjection = () => ()
-        }
-        try ds.append("s1", 7.0, ts("2024-01-14T00:00:00Z"))
-        finally ds.commitStaleInjection = () => ()
-      },
-      // the changefeed's rewrite contract: two same-day appends fragment a
-      // partition so the compaction genuinely retires files, then the
-      // unskipped feed across it must fail loudly
-      attempt("changefeed_across_rewrite") {
-        ds.append("s1", 8.0, ts("2024-01-15T00:00:00Z"))
-        ds.append("s1", 9.0, ts("2024-01-15T00:01:00Z"))
-        ds.compact()
-        ds.readChanges(0L)
-      },
       attempt("restore_unknown_version")(ds.restore(9999L)),
       attempt("replicate_into_self")(ds.replicateTo(ds)),
       // row-level delete contracts: an inverted range, doomed streams with
@@ -1863,7 +1831,106 @@ object Queries {
           .toDF("stream_id", "ts", "value"))),
       attempt("upsert_with_dependents")(ds.upsertDatapoints(
         Seq(("s1", ts("2024-01-10T00:00:00Z"), 9.0))
-          .toDF("stream_id", "ts", "value")))
+          .toDF("stream_id", "ts", "value"))),
+      // the mutation-verb collect bound: a batch/takedown touching more
+      // distinct streams than maxPruneStreams refuses loudly BEFORE any
+      // driver-side collect (the house head(max+1) fail-fast)
+      attempt("upsert_over_prune_bound") {
+        val d = new Datastream(spark, tempDir("graft-val-b1"))
+        d.ensureStream("b1"); d.ensureStream("b2")
+        d.upsertDatapoints(Seq(
+          ("b1", ts("2024-01-10T00:00:00Z"), 1.0),
+          ("b2", ts("2024-01-10T00:00:00Z"), 2.0))
+          .toDF("stream_id", "ts", "value"), maxPruneStreams = 1)
+      },
+      attempt("row_delete_over_prune_bound") {
+        val d = new Datastream(spark, tempDir("graft-val-b2"))
+        d.ensureStream("b1"); d.ensureStream("b2")
+        d.append("b1", 1.0, ts("2024-01-10T00:00:00Z"))
+        d.append("b2", 1.0, ts("2024-01-10T00:00:00Z"))
+        d.deleteDatapoints(Map.empty, ts("2024-01-09T00:00:00Z"),
+          ts("2024-01-11T00:00:00Z"), maxPruneStreams = 1)
+      }
+    ).toDF("check_case", "error")
+  }
+
+  /** F4 validation surface, commit-protocol half: the OPTIMISTIC
+    * CONCURRENCY arms split out of [[validationApiErrors]] so each
+    * fault-injected race is individually visible in bench seconds. Lock
+    * contention fails fast; a CAS-stolen version re-allocates and the
+    * mutation still succeeds; a concurrent commit landing mid-mutation
+    * aborts the loser with the pinned conflict class; an unskipped
+    * changefeed across a compaction rewrite fails loudly.
+    */
+  def validationOccErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-valocc")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("s1", Map("t" -> "a"), highestGranularity = Granularity.Minutes)
+    ds.append("s1", 1.0, ts("2024-01-10T00:00:00Z"))
+    def attempt(name: String)(f: => Any): (String, String) =
+      name -> (try { f; "ok" } catch { case e: Throwable => e.getClass.getSimpleName })
+    Seq(
+      // T5: a second writer holding the warehouse lock makes any mutation
+      // fail fast instead of interleaving table writes
+      attempt("maintenance_lock_contended") {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(s"$dir/.writer_lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val l = ch.tryLock()
+        try ds.append("s1", 5.0, ts("2024-01-12T00:00:00Z"))
+        finally { l.release(); ch.close() }
+      },
+      // OPTIMISTIC CONCURRENCY, both halves. CAS loss: a foreign intent
+      // steals the allocated version in the listing→create window — the
+      // writer must re-allocate past it and the mutation still SUCCEED.
+      attempt("commit_cas_stolen_version") {
+        ds.commitRaceInjection = () => {
+          val log = new java.io.File(s"$dir/commitlog")
+          val v = 1L + Option(log.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
+            .foldLeft(0L)(math.max)
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$v%09d.intent").toPath,
+            s"""{"version":$v,"op":"foreign"}""")
+          ds.commitRaceInjection = () => ()
+        }
+        ds.append("s1", 6.0, ts("2024-01-13T00:00:00Z"))
+        ds.acknowledgeTorn() // the stranded foreign intent, resolved
+      },
+      // staleness: a concurrent COMMIT lands while the mutation body runs —
+      // publishing would lose one of the two updates, so the loser aborts
+      // with the pinned conflict error (its writes stay invisible orphans)
+      attempt("commit_conflict_stale") {
+        ds.commitStaleInjection = () => {
+          val log = new java.io.File(s"$dir/commitlog")
+          val pv = ds.currentVersion.get
+          val fv = 1L + Option(log.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .flatMap(_.getName.split('.').headOption.flatMap(_.toLongOption))
+            .foldLeft(0L)(math.max)
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$fv%09d.manifest").toPath,
+            s"#graft v3 parent=$pv depth=1 full=0 tables=raw\n")
+          java.nio.file.Files.writeString(
+            new java.io.File(log, f"$fv%09d.commit").toPath,
+            s"""{"version":$fv,"op":"foreign"}""")
+          ds.commitStaleInjection = () => ()
+        }
+        try ds.append("s1", 7.0, ts("2024-01-14T00:00:00Z"))
+        finally ds.commitStaleInjection = () => ()
+      },
+      // the changefeed's rewrite contract: two same-day appends fragment a
+      // partition so the compaction genuinely retires files, then the
+      // unskipped feed across it must fail loudly
+      attempt("changefeed_across_rewrite") {
+        ds.append("s1", 8.0, ts("2024-01-15T00:00:00Z"))
+        ds.append("s1", 9.0, ts("2024-01-15T00:01:00Z"))
+        ds.compact()
+        ds.readChanges(0L)
+      }
     ).toDF("check_case", "error")
   }
 
@@ -4736,8 +4803,17 @@ UNION ALL SELECT 'asof', count(*) FROM dp
   WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
 UNION ALL SELECT 'future', count(*) FROM dp
   WHERE ts >= TIMESTAMP '2030-01-01 00:00:00'
-UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'
-UNION ALL SELECT 'rollup_all', count(*) FROM
+UNION ALL SELECT 'stream', count(*) FROM dp WHERE sid = '7:click'"""
+
+  /** Rollup-count twin: DISTINCT (stream, minute-bucket) straight from
+    * events for each [[Queries.statsRollupCount]] arm.
+    */
+  val statsRollupCount: String =
+    """WITH dp AS (
+  SELECT ts, CAST(user_id AS VARCHAR) || ':' || event_type AS sid FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT 'rollup_all' AS label, count(*) AS n FROM
   (SELECT DISTINCT sid, epoch_us(ts) // 60000000 FROM dp) b
 UNION ALL SELECT 'rollup_mid', count(*) FROM
   (SELECT DISTINCT sid, (epoch_us(ts) // 60000000) * 60000000 AS bs FROM dp) b
@@ -5027,8 +5103,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
   min(bucket_start) AS t_min, max(bucket_start) AS t_max
 FROM part"""
 
-  /** F4 twin: the exact error class each invalid operation must raise. */
-  val validationErrors: String =
+  /** F4 twin, facade half: the exact error class each invalid API
+    * operation must raise.
+    */
+  val validationApiErrors: String =
     """SELECT * FROM (VALUES
   ('granularity_unknown', 'UnsupportedGranularity'),
   ('value_type_unknown', 'IllegalArgumentException'),
@@ -5038,12 +5116,8 @@ FROM part"""
   ('undeclared_downsampler', 'UnsupportedDownsampler'),
   ('append_to_derived', 'AppendToDerivedStreamNotAllowed'),
   ('non_monotone_append', 'InvalidTimestamp'),
-  ('maintenance_lock_contended', 'MaintenanceLockContended'),
   ('delete_with_dependents', 'OutstandingDependenciesError'),
   ('unknown_derive_op', 'InvalidOperatorArguments'),
-  ('commit_cas_stolen_version', 'ok'),
-  ('commit_conflict_stale', 'CommitConflict'),
-  ('changefeed_across_rewrite', 'IllegalStateException'),
   ('restore_unknown_version', 'IllegalArgumentException'),
   ('replicate_into_self', 'IllegalArgumentException'),
   ('row_delete_inverted_range', 'InvalidTimestamp'),
@@ -5054,7 +5128,20 @@ FROM part"""
   ('constraint_clean_path', 'ok'),
   ('upsert_duplicate_keys', 'IllegalArgumentException'),
   ('upsert_to_derived', 'AppendToDerivedStreamNotAllowed'),
-  ('upsert_with_dependents', 'OutstandingDependenciesError')
+  ('upsert_with_dependents', 'OutstandingDependenciesError'),
+  ('upsert_over_prune_bound', 'IllegalArgumentException'),
+  ('row_delete_over_prune_bound', 'IllegalArgumentException')
+) AS t(check_case, error)"""
+
+  /** F4 twin, commit-protocol half: the pinned outcome of each
+    * fault-injected concurrency arm.
+    */
+  val validationOccErrors: String =
+    """SELECT * FROM (VALUES
+  ('maintenance_lock_contended', 'MaintenanceLockContended'),
+  ('commit_cas_stolen_version', 'ok'),
+  ('commit_conflict_stale', 'CommitConflict'),
+  ('changefeed_across_rewrite', 'IllegalStateException')
 ) AS t(check_case, error)"""
 
   /** Graph round-trip twin: totals recomputed from the source columns the
