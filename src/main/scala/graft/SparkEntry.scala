@@ -289,6 +289,8 @@ object SparkEntry {
     "q_tfidf_topterms" -> Queries.tfidfTopTerms _,
     "q_search_bm25" -> Queries.searchBm25 _,
     "q_search_index" -> Queries.searchIndex _,
+    "q_search_batch" -> Queries.searchBatch _,
+    "q_search_batch_indexed" -> Queries.searchBatchIndexed _,
     "q_search_takedown" -> Queries.searchTakedown _,
     "q_streaming_search" -> Queries.streamingSearch _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
@@ -482,6 +484,9 @@ object SparkEntry {
     "q_search_bm25" -> Oracles.searchBm25,
     // index-served retrieval must land on the SAME rows as the scan twin
     "q_search_index" -> Oracles.searchBm25,
+    // the DataFrame-native batch twins must land on the Seq path's rows
+    "q_search_batch" -> Oracles.searchBm25,
+    "q_search_batch_indexed" -> Oracles.searchBm25,
     "q_search_takedown" -> Oracles.searchTakedown,
     // stream-maintained index must serve the scan twin's rows exactly
     "q_streaming_search" -> Oracles.searchBm25,
@@ -3898,6 +3903,34 @@ object Queries {
     ext.Search.queryIndex(spark, dir,
       Seq("qa" -> Seq("spark", "window", "merge"),
         "qb" -> Seq("dup", "customer")), topK = 15)
+  }
+
+  /** DataFrame-native BM25 batch twin of `q_search_bm25`: the SAME two
+    * queries arrive as a `(query_id, terms)` DataFrame through
+    * `Search.bm25Batch` — the shape a million-query mining workload uses —
+    * and must land on the Seq path's rows bit-for-bit (shared oracle).
+    */
+  def searchBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ext.Search.bm25Batch(Sources.documents(spark, sfDir),
+      Seq(("qa", Seq("spark", "window", "merge")),
+        ("qb", Seq("dup", "customer"))).toDF("query_id", "terms"),
+      topK = 15)
+  }
+
+  /** Index-served batch twin: the `(query_id, terms)` DataFrame scored
+    * from the persisted inverted index via `Search.queryIndexBatch` — a
+    * fixed-size serving plan regardless of |queries|, still bit-identical
+    * to the one-pass scan (shared oracle).
+    */
+  def searchBatchIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-bm25bidx")
+    ext.Search.buildIndex(Sources.documents(spark, sfDir), dir)
+    ext.Search.queryIndexBatch(spark, dir,
+      Seq(("qa", Seq("spark", "window", "merge")),
+        ("qb", Seq("dup", "customer"))).toDF("query_id", "terms"),
+      topK = 15)
   }
 
   /** The RAG serving path end-to-end from PERSISTED indexes: the lexical

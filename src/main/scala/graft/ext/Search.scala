@@ -107,6 +107,95 @@ object Search {
       .select("query_id", "rank", "doc_id", "score", "dl")
   }
 
+  /** DataFrame-native batch twin of [[bm25]]: the query set arrives as a
+    * DataFrame of `(query_id, terms: array<string>)` rows instead of a
+    * driver-side Seq, so a million-query workload (hard-negative mining,
+    * eval-set retrieval) scores without the driver materializing — or the
+    * plan growing with — the query list. Bit-identical to [[bm25]] on the
+    * same query set (asserted in tests and by the gate's shared oracle).
+    *
+    * Plan shape: the corpus explodes to `(term, doc_id, tf)` postings
+    * RESTRICTED to the query vocabulary (semi-join before the groupBy, so
+    * off-vocabulary tokens never shuffle), per-term df is an aggregate of
+    * that slim frame, and the scoring join moves only `(query_id, term)` ×
+    * `(term, doc_id, contribution)` rows — corpus text never shuffles,
+    * nothing is driver-side. The per-document sum is the ORDERED fold over
+    * the lexicographically-sorted matched terms, reproducing the scan's
+    * pinned `reduceLeft` order (absent terms contribute an exact `0.0`
+    * there — the IEEE identity for these non-negative contributions).
+    */
+  def bm25Batch(docs: DataFrame, queries: DataFrame,
+                k1: Double = 1.2, b: Double = 0.75, topK: Int = 15,
+                textCol: String = "text", idCol: String = "doc_id",
+                queryIdCol: String = "query_id",
+                termsCol: String = "terms"): DataFrame = {
+    val qTerms = queries.select(
+      col(queryIdCol).cast("string").as("query_id"),
+      explode(col(termsCol)).as("term")).distinct()
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(col(textCol)).as("_toks"))
+    val base = toks.select(col("doc_id"),
+      size(col("_toks")).cast("long").as("dl"), col("_toks"))
+    val st = base.agg(count(lit(1)), sum(col("dl"))).first()
+    val post = vocabRestrict(
+      base.select(col("doc_id"), explode(col("_toks")).as("term")), qTerms)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    scoreBatch(qTerms, post, base.select("doc_id", "dl"),
+      st.getLong(0), st.getLong(1), k1, b, topK)
+  }
+
+  /** Small vocabularies (the serving case) are collected — bounded by the
+    * house `head(max+1)` probe — into a literal IN filter, which reaches a
+    * parquet postings scan as a pushed row-group filter and costs the scan
+    * path nothing but a per-row membership test; genuinely large query
+    * batches fall back to a (broadcastable) semi-join. Either restriction
+    * keeps the SAME rows, so scores are unaffected.
+    */
+  private val MaxLiteralVocab = 1024
+  private def vocabRestrict(post: DataFrame, qTerms: DataFrame): DataFrame = {
+    val vocab = qTerms.select("term").distinct()
+    val head = vocab.limit(MaxLiteralVocab + 1).collect().map(_.getString(0))
+    if (head.length <= MaxLiteralVocab)
+      post.where(col("term").isInCollection(head.toSeq.sorted))
+    else post.join(vocab, Seq("term"), "left_semi")
+  }
+
+  /** Shared batch-scoring tail: BM25 over pre-shaped postings. `qTerms` is
+    * the DISTINCT `(query_id, term)` set, `post` the `(term, doc_id, tf)`
+    * postings already restricted to live documents, `lens` the doc-length
+    * side (joined inner from the postings side, so ids absent from `post`
+    * never surface). The contribution expression and the sorted-struct
+    * ordered fold are the SAME pinned IEEE forms as [[bm25]]'s scan — keep
+    * them in lockstep with `Oracles.searchBm25`.
+    */
+  private def scoreBatch(qTerms: DataFrame, post: DataFrame, lens: DataFrame,
+                         nDocs: Long, totalDl: Long,
+                         k1: Double, b: Double, topK: Int): DataFrame = {
+    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
+    val tf = col("tf").cast("double")
+    val idf = ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(k1) *
+      (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / avgdl)
+    val contrib = post.join(dfs, "term")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("term"), col("dl"),
+        ((idf * (tf * lit(k1 + 1.0))) / (tf + norm)).as("c"))
+    val scored = qTerms.join(contrib, "term")
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.where(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "score", "dl")
+  }
+
   /** Reciprocal-rank fusion of two rankers over the same id space:
     * `rrf = 1/(kRrf + rank_a) + 1/(kRrf + rank_b)` with an absent side
     * contributing 0 (full-outer semantics — a document only one ranker
@@ -364,6 +453,26 @@ object Search {
                  asOfVersion: Option[Long] = None): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "queryIndex: at least one query with terms")
+    import spark.implicits._
+    queryIndexBatch(spark, path,
+      queries.toDF("query_id", "terms"), k1, b, topK, asOfVersion)
+  }
+
+  /** DataFrame-native batch twin of [[queryIndex]] (the index-served
+    * [[bm25Batch]]): a `(query_id, terms: array<string>)` query frame is
+    * scored against the postings slice its vocabulary prunes to — the
+    * serving plan is a fixed number of operators regardless of |queries|,
+    * where the Seq path unions one aggregate per query. Tombstones and the
+    * takedown stats adjustment apply exactly as in [[queryIndex]] (which
+    * now delegates here), so both shapes stay bit-identical to the
+    * one-pass scan by construction.
+    */
+  def queryIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame,
+                      k1: Double = 1.2, b: Double = 0.75, topK: Int = 15,
+                      asOfVersion: Option[Long] = None,
+                      queryIdCol: String = "query_id",
+                      termsCol: String = "terms"): DataFrame = {
     val dir = VersionedIndex.resolveDir(path, asOfVersion)
     val roots = VersionedIndex.shardsOf(path, dir, "data")
     def side(name: String): DataFrame =
@@ -373,45 +482,24 @@ object Search {
     // removeFromIndex, with zero corpus-side work at query time
     val st = side("stats").agg(sum("n_docs"), sum("total_dl")).first()
     val (deadN, deadDl) = statsAdjustOf(spark, path, dir).getOrElse((0L, 0L))
-    val nDocs = st.getLong(0) - deadN
-    val totalDl = st.getLong(1) - deadDl
-    val terms = queries.flatMap(_._2).distinct.sorted
+    val qTerms = queries.select(
+      col(queryIdCol).cast("string").as("query_id"),
+      explode(col(termsCol)).as("term")).distinct()
     val tomb = tombstonesOf(spark, path, dir)
-    val post0 = side("postings").where(col("term").isInCollection(terms))
+    // the vocabulary restriction reaches the postings scan as a pushed IN
+    // filter when the query set is literal-small, and stays a
+    // (broadcastable) semi-join for genuinely large batches — either way
+    // only the matched terms' row groups are read (postings are
+    // range-sorted by term)
+    val post0 = vocabRestrict(side("postings"), qTerms)
     // takedown tombstones void a removed doc's postings from candidacy AND
-    // from df (counted below off this filtered frame); its doclens rows
-    // never surface because the length join is inner from the post side
+    // from df (counted off this filtered frame in the scoring tail); its
+    // doclens rows never surface because the length join is inner from the
+    // postings side
     val post = tomb.fold(post0)(t =>
       post0.join(t.select(col("doc_id").as("_dead")),
         post0("doc_id") === col("_dead"), "left_anti"))
-    // per-term df across shards (each doc posts a term in exactly one
-    // shard) — vocabulary-of-the-query sized, broadcast back
-    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
-    val tf = col("tf").cast("double")
-    val idf = ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val norm = lit(k1) *
-      (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / avgdl)
-    val contrib = post.join(broadcast(dfs), "term")
-      .join(side("doclens"), "doc_id")
-      .select(col("doc_id"), col("term"), col("dl"),
-        ((idf * (tf * lit(k1 + 1.0))) / (tf + norm)).as("c"))
-    val scored = queries.map { case (qid, qTerms) =>
-      contrib.where(col("term").isInCollection(qTerms.distinct))
-        .groupBy("doc_id", "dl")
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("term"), col("c")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("c")).as("score"))
-        .select(lit(qid).as("query_id"), col("doc_id"), col("score"),
-          col("dl"))
-    }.reduce(_.unionByName(_))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.where(col("score") > 0)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select("query_id", "rank", "doc_id", "score", "dl")
+    scoreBatch(qTerms, post, side("doclens"),
+      st.getLong(0) - deadN, st.getLong(1) - deadDl, k1, b, topK)
   }
 }

@@ -250,6 +250,55 @@ class SearchSpec extends SparkSpec {
       l.contains("EqualTo(term")), s"term filter not pushed:\n$plan")
   }
 
+  test("bm25Batch (DataFrame query set) is bit-identical to the Seq path") {
+    val qs = Seq("qa" -> Seq("cat", "fish"), "qb" -> Seq("dog", "bird"))
+    val seqRows = ext.Search.bm25(corpus, qs, topK = 10)
+      .collect().map(_.toSeq).toSet
+    val batchRows = ext.Search.bm25Batch(corpus,
+      qs.toDF("query_id", "terms"), topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(batchRows == seqRows) // exact doubles: same pinned IEEE fold
+    // duplicate terms in the array dedup exactly like the Seq path
+    val dup = ext.Search.bm25Batch(corpus,
+      Seq(("qa", Seq("cat", "cat", "fish"))).toDF("query_id", "terms"),
+      topK = 10).collect().map(_.toSeq).toSet
+    assert(dup == ext.Search.bm25(corpus, Seq("qa" -> Seq("cat", "fish")),
+      topK = 10).collect().map(_.toSeq).toSet)
+  }
+
+  test("bm25Batch honors custom column names on both sides") {
+    val docs2 = corpus.withColumnRenamed("doc_id", "id")
+      .withColumnRenamed("text", "body")
+    val got = ext.Search.bm25Batch(docs2,
+      Seq(("qa", Seq("cat", "fish"))).toDF("qid", "qterms"),
+      topK = 10, textCol = "body", idCol = "id",
+      queryIdCol = "qid", termsCol = "qterms")
+      .collect().map(_.toSeq).toSet
+    assert(got == ext.Search.bm25(corpus, Seq("qa" -> Seq("cat", "fish")),
+      topK = 10).collect().map(_.toSeq).toSet)
+  }
+
+  test("queryIndexBatch serves a DataFrame query set bit-identical to the " +
+    "scan, including past the literal-vocab bound") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25b").toString
+    ext.Search.buildIndex(corpus, path)
+    val qs = Seq("qa" -> Seq("cat", "fish"), "qb" -> Seq("dog"))
+    val scan = ext.Search.bm25(corpus, qs, topK = 10)
+      .collect().map(_.toSeq).toSet
+    val served = ext.Search.queryIndexBatch(spark, path,
+      qs.toDF("query_id", "terms"), topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(served == scan)
+    // >1024 distinct terms forces the semi-join fallback (no literal IN);
+    // the off-vocabulary padding terms must not move any score
+    val padded = Seq(
+      ("qa", Seq("cat", "fish") ++ (0 until 1100).map(i => s"zz$i")),
+      ("qb", Seq("dog"))).toDF("query_id", "terms")
+    val wide = ext.Search.queryIndexBatch(spark, path, padded, topK = 10)
+      .collect().map(_.toSeq).toSet
+    assert(wide == scan)
+  }
+
   test("bm25 corpus text never shuffles: only slim rank rows reach an Exchange") {
     val plan = ext.Search.bm25(corpus, Seq("q" -> Seq("cat")), topK = 5)
       .queryExecution.executedPlan.toString
