@@ -293,6 +293,8 @@ object SparkEntry {
     "q_search_batch_indexed" -> Queries.searchBatchIndexed _,
     "q_search_takedown" -> Queries.searchTakedown _,
     "q_streaming_search" -> Queries.streamingSearch _,
+    "q_streaming_ivf_append" -> Queries.streamingIvfAppend _,
+    "q_streaming_pq_append" -> Queries.streamingPqAppend _,
     "q_hybrid_rrf" -> Queries.hybridRrf _,
     "q_hybrid_indexed" -> Queries.hybridIndexed _,
     "q_hybrid_mmr" -> Queries.hybridMmr _,
@@ -490,6 +492,9 @@ object SparkEntry {
     "q_search_takedown" -> Oracles.searchTakedown,
     // stream-maintained index must serve the scan twin's rows exactly
     "q_streaming_search" -> Oracles.searchBm25,
+    // stream-maintained vector indexes must land on the brute-force rows
+    "q_streaming_ivf_append" -> Oracles.similarityTopK,
+    "q_streaming_pq_append" -> Oracles.similarityTopK,
     "q_hybrid_rrf" -> Oracles.hybridRrf,
     // the index-served hybrid must land on the scan-served hybrid's rows
     "q_hybrid_indexed" -> Oracles.hybridRrf,
@@ -3982,6 +3987,64 @@ object Queries {
     ext.Search.queryIndex(spark, idx,
       Seq("qa" -> Seq("spark", "window", "merge"),
         "qb" -> Seq("dup", "customer")), topK = 15)
+  }
+
+  /** STREAM-MAINTAINED IVF index on the gate: embeddings arrive as a
+    * two-micro-batch file stream through `Streaming.ingestToIvfIndex`
+    * (first batch BUILDS — trains the 64 centroids on the even half —
+    * and the second folds the odd half in as an O(shard) versioned
+    * append, both exactly-once via the shared index-side batch
+    * watermark), then an exhaustive-probe query over the live index must
+    * be BIT-IDENTICAL to brute force over the full corpus (the
+    * `q_similarity_topk` oracle). A lost, doubled or replayed vector
+    * anywhere in the streamed chain breaks the row set.
+    */
+  def streamingIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = tempDir("graft-sivf")
+    val src = tempDir("graft-sivf-src")
+    val emb = Sources.embeddings(spark, sfDir).select("vec_id", "embedding")
+    emb.where(pmod(col("vec_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    emb.where(pmod(col("vec_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val feed = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.ingestToIvfIndex(feed, idx, s"$idx/ckpt", nCells = 64)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val qv = queryVectors(spark, sfDir)
+    val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"),
+      col("label"))
+    ext.Ivf.queryIndex(idx, qv, k = 10, nProbe = 64)
+      .join(broadcast(labels), "query_vec_id")
+      .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** `q_streaming_ivf_append`'s IVF-PQ twin: the first micro-batch trains
+    * centroids AND codebooks on the even half, the second encodes the odd
+    * half against the frozen model and publishes an O(shard) append, and
+    * the exhaustive + full-rerank query must reproduce brute force over
+    * the whole corpus bit-for-bit — the streamed version of
+    * `q_ivfpq_append`, under the same oracle.
+    */
+  def streamingPqAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = tempDir("graft-spq")
+    val src = tempDir("graft-spq-src")
+    val emb = Sources.embeddings(spark, sfDir).select("vec_id", "embedding")
+    emb.where(pmod(col("vec_id"), lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    emb.where(pmod(col("vec_id"), lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val feed = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.ingestToPqIndex(feed, idx, s"$idx/ckpt", nCells = 16)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ext.Ivf.queryPqIndex(idx, queryVectors(spark, sfDir), k = 10,
+      nProbe = 16, rerank = 1 << 20,
+      rerankAgainst = Some(Sources.embeddings(spark, sfDir)))
   }
 
   /** The full retrieval pipeline: hybrid RRF top-30 served from BOTH

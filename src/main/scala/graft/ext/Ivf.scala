@@ -379,6 +379,47 @@ object Ivf {
   private def publishAppend(path: String, parentDir: String, next: Long): Unit =
     VersionedIndex.publishAppend(path, parentDir, next, "cells")
 
+  /** Idempotent streaming maintenance body for the PLAIN IVF index (the
+    * `foreachBatch` of [[graft.Streaming.ingestToIvfIndex]]): fold the
+    * micro-batch in via the shared exactly-once protocol
+    * ([[VersionedIndex.foldBatch]] — in-version batch record made atomic
+    * with the version commit, vacuum-surviving root watermark), because a
+    * replayed [[appendToIndex]] would DOUBLE the appended vectors and
+    * every served top-k silently carries duplicates. The first batch on
+    * an empty index BUILDS (trains `nCells` centroids on that batch);
+    * later batches fold into the existing centroids as O(shard) versioned
+    * appends — drift is [[refreshIndex]]'s job, exactly as in the batch
+    * lifecycle.
+    */
+  def appendBatchToIndex(newVecs: DataFrame, path: String, batchId: Long,
+                         nCells: Int = 64,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): Unit = {
+    VersionedIndex.foldBatch(path, batchId) {
+      if (currentVersion(path).isEmpty)
+        buildIndex(newVecs, path, nCells, 0, vecCol, idCol)
+      else appendToIndex(newVecs, path, vecCol, idCol)
+    }
+    ()
+  }
+
+  /** [[appendBatchToIndex]]'s IVF-PQ twin (the `foreachBatch` of
+    * [[graft.Streaming.ingestToPqIndex]]): first batch trains centroids
+    * AND codebooks, later batches encode against the frozen model and
+    * publish O(shard) appends — same exactly-once protocol.
+    */
+  def appendBatchToPqIndex(newVecs: DataFrame, path: String, batchId: Long,
+                           nCells: Int = 64, m: Int = 16, codes: Int = 32,
+                           vecCol: String = "embedding",
+                           idCol: String = "vec_id"): Unit = {
+    VersionedIndex.foldBatch(path, batchId) {
+      if (currentVersion(path).isEmpty)
+        buildPqIndex(newVecs, path, nCells, m, codes, 0, 3, vecCol, idCol)
+      else appendToPqIndex(newVecs, path, vecCol, idCol)
+    }
+    ()
+  }
+
   /** PERIODIC compaction for an index that has absorbed appends:
     * re-learns centroids from the index's own contents (spherical k-means
     * seeded by the stored centroids — no access to the original corpus

@@ -293,54 +293,21 @@ object Search {
 
   /** Idempotent streaming maintenance body (the `foreachBatch` of
     * [[graft.Streaming.ingestToSearchIndex]]): fold the micro-batch into
-    * the index unless `batchId` is at or below the recorded
-    * high-watermark, because foreachBatch replays micro-batches on retry
-    * and a replayed [[appendToIndex]] would DOUBLE the shard's postings
-    * (df and scores silently wrong — unlike the warehouse upsert, an
-    * index append is not naturally idempotent).
-    *
-    * Exactly-once across EVERY crash point, via two records:
-    *
-    *  - `v<N>/ingest_batch_id` is written INSIDE the version directory
-    *    BEFORE that version's `CURRENT.v<N>` marker is created, so the
-    *    commit and the batch record become effectively atomic: a version
-    *    is either uncommitted (no marker → the record is invisible to the
-    *    high-watermark and the replay legitimately re-appends into a
-    *    fresh version; the orphaned directory is reclaimed by vacuum) or
-    *    committed WITH its batch id. A crash after the commit can no
-    *    longer replay the batch.
-    *  - `ingest_batch_hwm.v<id>` at the index root is advanced after the
-    *    commit as before — it survives [[vacuumIndex]] (which reclaims
-    *    old version directories together with their in-version records),
-    *    so the watermark never regresses on a long-vacuumed index.
-    *
-    * The high-watermark is the max over both.
+    * the index via the shared exactly-once protocol
+    * ([[VersionedIndex.foldBatch]] — in-version batch record made atomic
+    * with the commit, vacuum-surviving root watermark), because a
+    * replayed [[appendToIndex]] would DOUBLE the shard's postings (df and
+    * scores silently wrong — unlike the warehouse upsert, an index append
+    * is not naturally idempotent). First batch on an empty index builds.
     */
   def appendBatchToIndex(docs: DataFrame, path: String, batchId: Long,
                          textCol: String = "text",
                          idCol: String = "doc_id"): Unit = {
-    val s = VersionedIndex.io(path)
-    val inVersion = VersionedIndex.committedVersions(path).flatMap { v =>
-      val p = s"$path/v$v/ingest_batch_id"
-      if (s.exists(p)) s.readString(p).trim.toLongOption else None
+    VersionedIndex.foldBatch(path, batchId) {
+      if (VersionedIndex.currentVersion(path).isEmpty)
+        buildIndex(docs, path, textCol, idCol)
+      else appendToIndex(docs, path, textCol, idCol)
     }
-    val atRoot = s.childNames(path)
-      .filter(_.startsWith("ingest_batch_hwm.v"))
-      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
-    val hwm = (inVersion ++ atRoot).foldLeft(-1L)(math.max)
-    if (batchId <= hwm) return
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
-    s.mkdirs(s"$path/v$next")
-    s.writeString(s"$path/v$next/ingest_batch_id", batchId.toString)
-    if (VersionedIndex.currentVersion(path).isEmpty)
-      buildIndex(docs, path, textCol, idCol)
-    else appendToIndex(docs, path, textCol, idCol)
-    s.writeString(s"$path/ingest_batch_hwm.v$batchId", batchId.toString)
-    s.childNames(path)
-      .filter(_.startsWith("ingest_batch_hwm.v"))
-      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
-      .filter(_ < batchId)
-      .foreach(v => s.deleteFile(s"$path/ingest_batch_hwm.v$v"))
     ()
   }
 

@@ -138,6 +138,56 @@ private[graft] object VersionedIndex {
     commit(path, next)
   }
 
+  /** Exactly-once micro-batch fold — the shared `foreachBatch` body
+    * contract of every stream-maintained index (search postings, IVF,
+    * IVF-PQ): run `body` (which must commit exactly one new version via
+    * [[commit]]/[[publishAppend]]) unless `batchId` is at or below the
+    * recorded high-watermark, because foreachBatch replays micro-batches
+    * on retry and a replayed index append is NOT naturally idempotent —
+    * postings/vectors double and every served result is silently wrong.
+    *
+    * Exactly-once across EVERY crash point, via two records:
+    *
+    *  - `v<N>/ingest_batch_id` is written INSIDE the version directory
+    *    BEFORE the body runs (and therefore before that version's
+    *    `CURRENT.v<N>` marker exists), so the commit and the batch record
+    *    become effectively atomic: a version is either uncommitted (no
+    *    marker → the record is invisible to the high-watermark and the
+    *    replay legitimately re-appends into a fresh version; the orphaned
+    *    directory is reclaimed by vacuum) or committed WITH its batch id.
+    *    A crash after the commit can no longer replay the batch.
+    *  - `ingest_batch_hwm.v<id>` at the index root is advanced after the
+    *    body — it survives [[vacuum]] (which reclaims old version
+    *    directories together with their in-version records), so the
+    *    watermark never regresses on a long-vacuumed index.
+    *
+    * The high-watermark is the max over both. Returns whether the body
+    * ran (false = replay skipped).
+    */
+  def foldBatch(path: String, batchId: Long)(body: => Unit): Boolean = {
+    val s = io(path)
+    val inVersion = committedVersions(path).flatMap { v =>
+      val p = s"$path/v$v/ingest_batch_id"
+      if (s.exists(p)) s.readString(p).trim.toLongOption else None
+    }
+    val atRoot = s.childNames(path)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+    val hwm = (inVersion ++ atRoot).foldLeft(-1L)(math.max)
+    if (batchId <= hwm) return false
+    val next = currentVersion(path).getOrElse(0L) + 1
+    s.mkdirs(s"$path/v$next")
+    s.writeString(s"$path/v$next/ingest_batch_id", batchId.toString)
+    body
+    s.writeString(s"$path/ingest_batch_hwm.v$batchId", batchId.toString)
+    s.childNames(path)
+      .filter(_.startsWith("ingest_batch_hwm.v"))
+      .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
+      .filter(_ < batchId)
+      .foreach(v => s.deleteFile(s"$path/ingest_batch_hwm.v$v"))
+    true
+  }
+
   /** Reclaim versions superseded past the retention window. Keeps the
     * newest `retainVersions` committed versions PLUS any older version
     * directory (or legacy root) a retained version's shard manifest

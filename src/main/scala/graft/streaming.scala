@@ -350,6 +350,43 @@ object Streaming {
           textCol, idCol)
       }
 
+  /** Stream-maintain a PLAIN IVF vector index: each micro-batch folds in
+    * exactly-once through [[ext.Ivf.appendBatchToIndex]] (first batch
+    * builds/trains, later batches publish O(shard) versioned appends) —
+    * the live-embedding-pipeline twin of [[ingestToSearchIndex]].
+    * Readers keep resolving complete committed versions throughout.
+    */
+  def ingestToIvfIndex(vecs: DataFrame, indexPath: String,
+                       checkpoint: String, nCells: Int = 64,
+                       vecCol: String = "embedding",
+                       idCol: String = "vec_id") =
+    vecs.select(col(idCol), col(vecCol))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ext.Ivf.appendBatchToIndex(batch, indexPath, batchId, nCells,
+          vecCol, idCol)
+      }
+
+  /** [[ingestToIvfIndex]]'s IVF-PQ twin: first batch trains centroids and
+    * codebooks, later batches encode against the frozen model — same
+    * exactly-once batch-watermark protocol.
+    */
+  def ingestToPqIndex(vecs: DataFrame, indexPath: String,
+                      checkpoint: String, nCells: Int = 64,
+                      m: Int = 16, codes: Int = 32,
+                      vecCol: String = "embedding",
+                      idCol: String = "vec_id") =
+    vecs.select(col(idCol), col(vecCol))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ext.Ivf.appendBatchToPqIndex(batch, indexPath, batchId, nCells,
+          m, codes, vecCol, idCol)
+      }
+
   /** An emitted anomaly score (nullable stats during warm-up). */
   case class Scored(stream_id: String, ts: Timestamp, value: Double,
                     n_prior: Long, prior_mean: Option[Double],

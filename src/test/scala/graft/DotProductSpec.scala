@@ -324,6 +324,45 @@ class DotProductSpec extends SparkSpec {
     assert(!new java.io.File(s"${ext.Ivf.indexDir(dir)}/shards").exists())
   }
 
+  test("appendBatchToIndex is exactly-once: replayed batch ids are no-ops, " +
+      "the in-version record survives a lost root watermark, and the PQ " +
+      "twin holds the same contract") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val even = corpus.where(col("vec_id") % 2 === 0)
+    val odd = corpus.where(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfb").toString
+    ext.Ivf.appendBatchToIndex(even, dir, batchId = 0, nCells = 8) // builds
+    ext.Ivf.appendBatchToIndex(odd, dir, batchId = 1)              // appends
+    ext.Ivf.appendBatchToIndex(odd, dir, batchId = 1)              // replay
+    ext.Ivf.appendBatchToIndex(even, dir, batchId = 0)             // stale replay
+    assert(ext.Ivf.cells(spark, dir).select("vec_id")
+      .as[Long].collect().sorted.toSeq == (0L until 300L))
+    // the crash window the protocol closes: version committed, root
+    // watermark lost before it was written — the in-version batch record
+    // must still veto the replay
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("ingest_batch_hwm.v")).foreach(_.delete())
+    ext.Ivf.appendBatchToIndex(odd, dir, batchId = 1)
+    assert(ext.Ivf.cells(spark, dir).count() === 300L)
+    // PQ twin: same protocol, exact after full rerank
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqb").toString
+    ext.Ivf.appendBatchToPqIndex(even, pqDir, batchId = 0,
+      nCells = 8, m = 4, codes = 8)
+    ext.Ivf.appendBatchToPqIndex(odd, pqDir, batchId = 1)
+    ext.Ivf.appendBatchToPqIndex(odd, pqDir, batchId = 1)          // replay
+    val queries = corpus.where(col("vec_id") < 3)
+    val brute = ext.Similarity.topK(corpus, queries, k = 5)
+      .select("query_vec_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ext.Ivf.queryPqIndex(pqDir, queries, k = 5, nProbe = 8,
+        rerank = 1 << 20, rerankAgainst = Some(corpus))
+      .select("query_vec_id", "vec_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet == brute)
+  }
+
   test("refreshIndex crash before pointer commit leaves queries on the old complete version") {
     val rnd = new scala.util.Random(29)
     val corpus = (0 until 200).map(i =>
