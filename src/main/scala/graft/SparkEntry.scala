@@ -81,6 +81,7 @@ object SparkEntry {
     "q_stats_rollup" -> Queries.statsRollupCount _,
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
+    "q_schema_evolution" -> Queries.schemaEvolution _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -340,6 +341,7 @@ object SparkEntry {
     "q_stats_rollup" -> Oracles.statsRollupCount,
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
+    "q_schema_evolution" -> Oracles.schemaEvolution,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -1244,6 +1246,41 @@ object Queries {
     ).toDF("label", "n")
   }
 
+  /** ADDITIVE SCHEMA EVOLUTION on the gate: the first half of the fixture
+    * lands pre-evolution, `addRawColumn("quality", "double")` commits the
+    * declaration (manifest protocol v4), the second half lands carrying
+    * the column, and a compaction rewrites the mixed file generations.
+    * The evolved read must then serve NULL for every pre-evolution row
+    * and the exact value for every post-evolution row — the oracle
+    * recomputes all three aggregates straight from events with the same
+    * cut, so a dropped column in the rewrite, a mis-filled NULL, or a
+    * value corrupted by the evolved read path breaks the hash.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-evo")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    ds.addRawColumn("quality", "double")
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut))
+      .withColumn("quality", col("value") / lit(2.0)))
+    ds.compact() // the rewrite must carry the evolved column forward
+    ds.rawDatapointsWithExtras()
+      .groupBy("stream_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("quality")).as("n_quality"),
+        sum(col("quality").cast(Downsample.DecV)).cast("double")
+          .as("quality_sum"))
+  }
+
   /** DESCRIBE DETAIL on the gate: after an append + maintenance pass,
     * `tableDetail` must report — from the manifest alone, zero data I/O —
     * the exact raw row count and µs time bounds (both provable from
@@ -1852,6 +1889,11 @@ object Queries {
           ("b1", ts("2024-01-10T00:00:00Z"), 1.0),
           ("b2", ts("2024-01-10T00:00:00Z"), 2.0))
           .toDF("stream_id", "ts", "value"), maxPruneStreams = 1)
+      },
+      attempt("add_column_incompatible") {
+        val d = new Datastream(spark, tempDir("graft-val-e1"))
+        d.ensureStream("e")
+        d.addRawColumn("value", "double") // collides with the base schema
       },
       attempt("row_delete_over_prune_bound") {
         val d = new Datastream(spark, tempDir("graft-val-b2"))
@@ -4938,6 +4980,24 @@ SELECT 'derived', 0, false, true,
     * `layout_ok` pinned TRUE (a rewrite that failed to split files or to
     * prune on either dimension flips it and breaks the hash).
     */
+  /** Evolution twin: NULL before the cut (pre-evolution files), exact
+    * `value / 2.0` after it — counts and a DECIMAL(38,10)-accumulated sum
+    * recomputed straight from events.
+    */
+  val schemaEvolution: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT stream_id, count(*) AS n_rows,
+  CAST(count(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+    THEN 1 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+    THEN CAST(value / CAST(2.0 AS DOUBLE) AS DECIMAL(38,10)) END)
+    AS DOUBLE) AS quality_sum
+FROM dp GROUP BY 1"""
+
   val zorderCompaction: String =
     """WITH dp AS (
   SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
@@ -5226,7 +5286,8 @@ FROM part"""
   ('upsert_to_derived', 'AppendToDerivedStreamNotAllowed'),
   ('upsert_with_dependents', 'OutstandingDependenciesError'),
   ('upsert_over_prune_bound', 'IllegalArgumentException'),
-  ('row_delete_over_prune_bound', 'IllegalArgumentException')
+  ('row_delete_over_prune_bound', 'IllegalArgumentException'),
+  ('add_column_incompatible', 'IllegalArgumentException')
 ) AS t(check_case, error)"""
 
   /** F4 twin, commit-protocol half: the pinned outcome of each

@@ -526,7 +526,8 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                                   adds: Seq[(String, String, Option[FileStats])],
                                   removes: Seq[(String, String)],
                                   legacy: Boolean,
-                                  registry: Option[Long])
+                                  registry: Option[Long],
+                                  rawCols: Seq[(String, String)])
 
   /** Manifest format, one file per committed version:
     *
@@ -578,7 +579,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * reader accepts v2 and v3 and always writes v3.
     */
   private val ManifestWriteVersion = 3
-  private val ManifestReadVersions: Set[Int] = Set(2, 3)
+  // v4 = v3 plus the `rawcols=` header attribute (additive raw-table
+  // schema evolution). Written ONLY once a column has been declared —
+  // the Delta table-features pattern: an un-evolved warehouse stays v3
+  // and old readers keep working; an evolved one must refuse old
+  // binaries, whose BASE-schema compactions/CoW rewrites would silently
+  // DROP the declared column from every file they rewrite.
+  private val ManifestEvolvedWriteVersion = 4
+  private val ManifestReadVersions: Set[Int] = Set(2, 3, 4)
 
   private val FullManifestEvery = 10
 
@@ -609,7 +617,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       ManifestFile(v, -1L, 0, full = true, Set("raw"),
         lines.map(f => ("raw", f.trim, Option.empty[FileStats]))
           .filter(_._2.nonEmpty),
-        Seq.empty, legacy = true, registry = None)
+        Seq.empty, legacy = true, registry = None, rawCols = Seq.empty)
     else {
       // reader-protocol guard (see the format scaladoc): an unknown
       // version token means a newer writer whose lines this parser would
@@ -691,7 +699,15 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         legacy = false,
         // registry generation current when this version committed — the
         // metadata half of the snapshot; absent on pre-generation commits
-        registry = attrs.get("registry").flatMap(_.stripPrefix("g").toLongOption))
+        registry = attrs.get("registry").flatMap(_.stripPrefix("g").toLongOption),
+        // additive raw-table schema evolution (protocol v4): the FULL
+        // declared extra-column list, re-recorded by every commit —
+        // `<urlenc(name)>:<urlenc(typeDDL)>,...` in declaration order
+        rawCols = attrs.get("rawcols").toSeq.flatMap(_.split(',').toSeq)
+          .flatMap(_.split(':') match {
+            case Array(n, t) => Some((dec(n), dec(t)))
+            case _ => None
+          }))
     }
   }
 
@@ -861,6 +877,10 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   private val adoptedStats =
     new java.util.concurrent.ConcurrentHashMap[(String, String), FileStats]()
+  // additive raw-table columns DECLARED by the commit in flight
+  // (addRawColumn) — folded into the manifest header at commit write
+  private val pendingRawCols =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
   // test seam: ops listed here throw AFTER their table writes but BEFORE
   // the manifest/commit rename — the worst-case crash instant for a
   // rewrite-shaped mutation (every new file on disk, nothing committed)
@@ -973,6 +993,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     retiredFiles.clear()
     adoptedFiles.clear()
     adoptedStats.clear()
+    pendingRawCols.clear()
     val prev = rawSnapshot
     // Tables the manifest chain does not cover yet adopt their full
     // PRE-mutation listing as baseline (first-manifest semantics) — the
@@ -991,7 +1012,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       catch { case e: Throwable =>
         io.rename(intent, marker("failed"))
         scopeBefore.clear(); retiredFiles.clear()
-        adoptedFiles.clear(); adoptedStats.clear()
+        adoptedFiles.clear(); adoptedStats.clear(); pendingRawCols.clear()
         throw e
       }
     // OPTIMISTIC STALENESS CHECK (the second half of the commit CAS): the
@@ -1012,7 +1033,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     if (committedNow != prev.map(_.version)) {
       io.rename(intent, marker("failed"))
       scopeBefore.clear(); retiredFiles.clear()
-      adoptedFiles.clear(); adoptedStats.clear()
+      adoptedFiles.clear(); adoptedStats.clear(); pendingRawCols.clear()
       throw new errors.CommitConflict(
         s"commitlog: version ${committedNow.getOrElse(-1L)} committed while " +
           s"op $op was building version $version against parent " +
@@ -1070,9 +1091,27 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // half of the snapshot (mutation bodies that swap the registry do so
     // before this line, so the POST-mutation generation is recorded)
     val regAttr = registryGen.map(g => s" registry=g$g").getOrElse("")
-    val header = s"#graft v$ManifestWriteVersion parent=${prev.map(_.version).getOrElse(-1L)} " +
+    // additive raw-table columns: the parent's declared list plus any this
+    // commit declares (addRawColumn), re-recorded whole on EVERY commit so
+    // resolution never chain-walks. Presence bumps the manifest to the
+    // evolved protocol version — see ManifestEvolvedWriteVersion.
+    import scala.jdk.CollectionConverters._
+    val rawColsNow: Seq[(String, String)] =
+      prev.map(s => parseManifest(s.version).rawCols).getOrElse(Seq.empty) ++
+        pendingRawCols.asScala
+    val colsAttr =
+      if (rawColsNow.isEmpty) ""
+      else {
+        def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+        " rawcols=" + rawColsNow
+          .map { case (n, t) => s"${enc(n)}:${enc(t)}" }.mkString(",")
+      }
+    val writeVer =
+      if (rawColsNow.nonEmpty) ManifestEvolvedWriteVersion
+      else ManifestWriteVersion
+    val header = s"#graft v$writeVer parent=${prev.map(_.version).getOrElse(-1L)} " +
       s"depth=${if (full) 0 else prevDepth + 1} full=${if (full) "1" else "0"} " +
-      s"tables=${manifestTables.mkString(",")}" + regAttr
+      s"tables=${manifestTables.mkString(",")}" + regAttr + colsAttr
     val body0 = new StringBuilder(header).append('\n')
     manifestTables.foreach { t =>
       val now = snapshot(t)
@@ -1147,6 +1186,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     retiredFiles.clear()
     adoptedFiles.clear()
     adoptedStats.clear()
+    pendingRawCols.clear()
     out
   }
 
@@ -1615,7 +1655,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.global
       val purges =
-        Seq(Future(purgePruned("raw", Schemas.rawDatapointsPartitioned, "dp_date")),
+        Seq(Future(purgePruned("raw", rawSchemaPartitioned, "dp_date")),
           Future(purgeDerived())) ++
           Granularity.ladder.map(g => Future(
             purgePruned(s"rollup/granularity=${g.name}",
@@ -1947,7 +1987,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
             .parquet(tablePath("raw_deletes"))
         case DeleteMode.CopyOnWrite =>
           val groups = Seq((loUs, hiUs, doomedSorted))
-          rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+          rewriteMinusRanges("raw", rawSchemaPartitioned,
             "dp_date", retireTouchedByRanges("raw", groups), ranges)
           rewriteMinusRanges("derived", Schemas.rawDatapoints,
             "stream_id", retireTouchedByRanges("derived", groups), ranges)
@@ -2036,8 +2076,13 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                          Datastream.DefaultMaxPruneStreams): Long = {
     val withJson = if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
-    val points = withJson
-      .select(col("stream_id"), col("ts"), col("value"), col("value_json"))
+    // declared extra columns: batch-supplied values ride, absences null-fill
+    val withExtras = rawExtraColumns.foldLeft(withJson) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
+      else df.withColumn(n, lit(null).cast(t))
+    }
+    val points = withExtras
+      .select(rawSchemaAt(None).fieldNames.toSeq.map(col): _*)
       .cache()
     try {
       val cons = checkConstraints
@@ -2133,7 +2178,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
             // copy-on-write: retire the snapshot files overlapping the
             // matched streams×window, rewrite them minus the matched keys
             // (point ranges, lo_us = hi_us); survivors land as fresh files
-            rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+            rewriteMinusRanges("raw", rawSchemaPartitioned,
               "dp_date",
               retireTouchedByRanges("raw",
                 Seq((usOfTs(loTs), usOfTs(hiTs), sidsSorted))),
@@ -2188,7 +2233,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val groups = rangeRows.groupBy(r => (r._2, r._3)).toSeq.map {
         case ((lo, hi), rs) => (lo, hi, Some(rs.map(_._1).sorted.toIndexedSeq))
       }
-      rewriteMinusRanges("raw", Schemas.rawDatapointsPartitioned,
+      rewriteMinusRanges("raw", rawSchemaPartitioned,
         "dp_date", retireTouchedByRanges("raw", groups), ranges)
       rewriteMinusRanges("derived", Schemas.rawDatapoints,
         "stream_id", retireTouchedByRanges("derived", groups), ranges)
@@ -2310,10 +2355,113 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * analog of the reference's opt-out). Appending to a derived stream or a
     * null value to a numeric stream is always an error.
     */
+  // ---- additive schema evolution (raw fact table) --------------------------
+
+  /** Declared additive columns on the raw fact table, in declaration
+    * order: (name, Spark SQL type DDL). Resolved from the CURRENT
+    * manifest — the declaration travels with the snapshot, exactly like
+    * the file set.
+    */
+  def rawExtraColumns: Seq[(String, String)] = rawExtraColumnsAt(None)
+
+  private def rawExtraColumnsAt(v: Option[Long]): Seq[(String, String)] =
+    v.orElse(committedVersions.lastOption)
+      .map(ver => parseManifest(ver).rawCols).getOrElse(Seq.empty)
+
+  private def evolvedFields(extras: Seq[(String, String)]) =
+    extras.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t), nullable = true)
+    }
+
+  /** `Schemas.rawDatapoints` plus the declared extras (and `At` a pinned
+    * version: the extras declared AS OF that version — time travel reads
+    * the schema the snapshot had, like Delta's per-version metadata).
+    */
+  private def rawSchemaAt(v: Option[Long]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Schemas.rawDatapoints.fields ++ evolvedFields(rawExtraColumnsAt(v)))
+
+  private def rawSchemaPartitioned: org.apache.spark.sql.types.StructType =
+    rawSchemaPartitionedAt(None)
+
+  private def rawSchemaPartitionedAt(v: Option[Long]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(rawSchemaAt(v).fields :+
+      org.apache.spark.sql.types.StructField("dp_date",
+        org.apache.spark.sql.types.DateType, nullable = true))
+
+  /** ADD COLUMN for the raw fact table — ADDITIVE-ONLY schema evolution,
+    * the Delta/Iceberg `ALTER TABLE ADD COLUMN` shape: declares a new
+    * NULLABLE column; files written before the declaration are never
+    * rewritten, readers fill the column with NULL for them (parquet
+    * schema projection), and every rewrite path (compaction, z-order,
+    * copy-on-write delete/upsert, purge) carries the column forward. The
+    * declaration commits a metadata-only version whose manifest requires
+    * the EVOLVED reader protocol (`#graft v4`), so a pre-evolution binary
+    * refuses the warehouse loudly instead of silently dropping the column
+    * in its base-schema rewrites.
+    *
+    * Everything else is an incompatible change and is refused with a
+    * pinned error: re-declaring an existing column (any type), a name
+    * colliding with the base schema or the partition column, a
+    * non-identifier name, an unparseable type.
+    */
+  def addRawColumn(name: String, dataType: String): Unit = {
+    if (!name.matches("[a-z][a-z0-9_]*"))
+      throw new IllegalArgumentException(
+        s"add_raw_column: invalid column name '$name' — lowercase " +
+          "identifier ([a-z][a-z0-9_]*) required")
+    val canonical =
+      try org.apache.spark.sql.types.DataType.fromDDL(dataType).sql
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"add_raw_column: cannot parse type '$dataType': ${e.getMessage}")
+      }
+    val taken = Schemas.rawDatapointsPartitioned.fieldNames.toSet ++
+      rawExtraColumns.map(_._1)
+    if (taken(name))
+      throw new IllegalArgumentException(
+        s"add_raw_column: column '$name' already exists — raw-table " +
+          "schema evolution is ADDITIVE-ONLY (rename, retype and drop are " +
+          "incompatible changes; declare a fresh column instead)")
+    withCommit("add_column") {
+      pendingRawCols.add((name, canonical)); ()
+    }
+  }
+
+  /** The raw fact table INCLUDING declared extra columns — the evolved
+    * read surface (`rawDatapoints` stays the base-schema raw ∪ derived
+    * fact view). Pre-evolution files serve NULL for later-declared
+    * columns; merge-on-read row deletes apply exactly as on every other
+    * read. With `asOfVersion`, both the file set AND the column set pin
+    * to that version.
+    */
+  def rawDatapointsWithExtras(asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion match {
+      case Some(v) => Some(snapshotAt(v))
+      case None => rawSnapshot
+    }
+    val schema = rawSchemaAt(asOfVersion)
+    val cols = schema.fieldNames.toSeq.map(col)
+    val raw = tableReadFrom(snap, "raw", rawSchemaPartitionedAt(asOfVersion),
+        pinned = asOfVersion.nonEmpty)
+      .map(_.select(cols: _*))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    minusDeleted(raw, deleteRangesDF(snap))
+  }
+
   def appendMultiple(points0: DataFrame, checkTimestamp: Boolean = true): Unit = {
-    val points =
+    val points1 =
       if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
+    // declared extra columns ride the batch when present, null-fill when
+    // absent — either way the written files carry the full evolved schema
+    val points = rawExtraColumns.foldLeft(points1) { case (df, (n, t)) =>
+      if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
+      else df.withColumn(n, lit(null).cast(t))
+    }
     // CHECK constraints first (zero cost when none declared): the whole
     // batch is rejected on the first violating row, before any validation
     // join or write — an expectations gate at the table's front door
@@ -2359,7 +2507,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
             s"for stream ${ex.getString(0)}")
       }
       val kept = joined.where(!isStale)
-        .select("stream_id", "ts", "value", "value_json")
+        .select(rawSchemaAt(None).fieldNames.toSeq.map(col): _*)
       // validation is done — everything from here mutates two tables (raw
       // + registry), so it runs under an intent marker
       withCommit("append") {
@@ -3276,8 +3424,15 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       .join(dest.streams.select("stream_id"), Seq("stream_id"), "left_anti")
       .as[StreamMeta].collect()
     if (missing.nonEmpty) dest.ensureStreams(missing.toSeq)
+    // schema sync: declared extra columns the replica lacks are declared
+    // there first (idempotent — already-declared names are skipped), so
+    // the replayed appends carry the evolved columns instead of silently
+    // null-filling them at the destination
+    val destCols = dest.rawExtraColumns.map(_._1).toSet
+    rawExtraColumns.filterNot(c => destCols(c._1))
+      .foreach { case (n, t) => dest.addRawColumn(n, t) }
     val cursor = dest.ingestHighWatermark
-    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+    val cols = rawSchemaAt(None).fieldNames.toSeq.map(col)
     var applied = 0L
     committedVersions.filter(_ > cursor).foreach { v =>
       val m = parseManifest(v)
@@ -3317,7 +3472,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           Map("raw" -> rawAdds.map(_._2).toSet),
           rawAdds.collect { case (_, rel, Some(st)) => (("raw", rel), st) }.toMap)
         val rows = tableReadFrom(Some(snap), "raw",
-          Schemas.rawDatapointsPartitioned, pinned = true).get.select(cols: _*)
+          rawSchemaPartitioned, pinned = true).get.select(cols: _*)
         dest.appendBatch(rows, v)
         applied += 1L
       }
@@ -3748,7 +3903,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       implicit val ec: ExecutionContext = ExecutionContext.global
       val jobs: Seq[(String, Future[(Long, Long)])] =
         Seq("raw" -> Future(compactTable("raw",
-            Schemas.rawDatapointsPartitioned, "dp_date",
+            rawSchemaPartitioned, "dp_date",
             Seq("stream_id", "ts")))) ++
           // the derived table is stream-partitioned (no date axis): it
           // joins a FULL compaction only — a scoped run leaves it alone
@@ -3902,7 +4057,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     scopeWrite("raw", parts)
     val old = retireFiles("raw", parts)
     val slice = spark.read.option("basePath", rawPath)
-      .schema(Schemas.rawDatapointsPartitioned)
+      .schema(rawSchemaPartitioned)
       .parquet(old.toSeq.sorted.map(f => s"$rawPath/$f"): _*)
     val nStreams = math.max(streams.count(), 1L)
     // stream ranks, SIZE-ADAPTIVE: a plain `Window.orderBy(stream_id)`
@@ -3959,7 +4114,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       .sortWithinPartitions("dp_date", "_z", "stream_id", "ts")
       // restore the exact schema column order (the join moved
       // stream_id to the front) — order-preserving projection
-      .select(Schemas.rawDatapointsPartitioned.fieldNames.toSeq.map(col): _*)
+      .select(rawSchemaPartitioned.fieldNames.toSeq.map(col): _*)
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("dp_date").parquet(rawPath)
