@@ -235,6 +235,7 @@ object SparkEntry {
     // persisted dedup index: build → dedup shard → append survivors →
     // re-queue comes back empty
     "q_dedup_index" -> Queries.dedupIndexReport _,
+    "q_streaming_dedup_index" -> Queries.streamingDedupIndex _,
     // relational breadth on the TPC-H-ish tables: Q1 pricing summary and
     // Q3-shape top customers (broadcast dims into the fact scan)
     "q_tpch_pricing" -> Queries.tpchPricing _,
@@ -451,6 +452,8 @@ object SparkEntry {
     "q_decontaminate" -> Oracles.decontaminateReport,
     "q_decontaminate_spans" -> Oracles.decontaminateSpansReport,
     "q_dedup_index" -> Oracles.dedupIndexReport,
+    // the streamed fold must land on the batch verb's acceptance report
+    "q_streaming_dedup_index" -> Oracles.dedupIndexReport,
     "q_tpch_pricing" -> Oracles.tpchPricing,
     "q_tpch_topcust" -> Oracles.tpchTopCustomers,
     "q_tpch_volume" -> Oracles.tpchLocalVolume,
@@ -3805,6 +3808,50 @@ object Queries {
       ext.DedupIndex.dedupeAgainstIndex(shard, dir, threshold = 0.8).isEmpty
     shard.groupBy("lang").agg(count(lit(1)).as("n_before"))
       .join(clean.groupBy("lang").agg(count(lit(1)).as("n_after")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        lit(requeueEmpty).as("requeue_empty"))
+  }
+
+  /** STREAM-MAINTAINED dedup index on the gate: the odd-id shard arrives
+    * as two ID-ORDERED micro-batches (lower half, then upper) through
+    * `Streaming.ingestToDedupIndex` — each batch deduped against the live
+    * index and within itself, survivors folded in exactly-once — and the
+    * final per-lang acceptance report must land on the BATCH verb's rows
+    * (the shared `q_dedup_index` oracle). Id-ordering makes the
+    * sequential fold's keeper rule (first-arrival) coincide with the
+    * batch verb's min-id rule, so the streamed survivor set is the batch
+    * survivor set exactly; a doubled fingerprint from a replay, a lost
+    * shard, or a drifted candidate set breaks the counts.
+    */
+  def streamingDedupIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = tempDir("graft-sdidx")
+    val src = tempDir("graft-sdidx-src")
+    val docs = Sources.documents(spark, sfDir)
+    ext.DedupIndex.buildIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+    val shard = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val mid = shard.agg(
+      percentile_approx(col("doc_id"), lit(0.5), lit(10000))).first().getLong(0)
+    val feed0 = shard.select("doc_id", "text")
+    feed0.where(col("doc_id") <= mid).coalesce(1)
+      .write.mode("append").parquet(src)
+    feed0.where(col("doc_id") > mid).coalesce(1)
+      .write.mode("append").parquet(src)
+    val feed = spark.readStream.schema(feed0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streaming.ingestToDedupIndex(feed, idx, s"$idx/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val accepted = ext.DedupIndex.indexedIds(spark, idx)
+      .join(shard.select("doc_id"), Seq("doc_id"), "left_semi")
+    val requeueEmpty =
+      ext.DedupIndex.dedupeAgainstIndex(shard, idx, threshold = 0.8).isEmpty
+    shard.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(shard.join(accepted, Seq("doc_id"), "left_semi")
+          .groupBy("lang").agg(count(lit(1)).as("n_after")),
         Seq("lang"), "left")
       .select(col("lang"), col("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),

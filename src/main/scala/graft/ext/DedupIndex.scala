@@ -170,6 +170,45 @@ object DedupIndex {
     VersionedIndex.publishAppend(path, cur, next, "data")
   }
 
+  /** Ids currently present in the resolved index (exact side, takedown
+    * tombstones voided) — the membership surface a caller joins against
+    * to ask "which of these documents did the index accept".
+    */
+  def indexedIds(spark: org.apache.spark.sql.SparkSession, path: String,
+                 asOfVersion: Option[Long] = None): DataFrame =
+    readSide(spark, path, indexDir(path, asOfVersion), "exact")
+      .select("doc_id").distinct()
+
+  /** Idempotent streaming maintenance body (the `foreachBatch` of
+    * [[graft.Streaming.ingestToDedupIndex]]): DEDUPE-THEN-FOLD each
+    * micro-batch — survivors of [[dedupeAgainstIndex]] (against the live
+    * index AND within the batch) fold in as an O(shard) versioned append,
+    * exactly-once via the shared [[VersionedIndex.foldBatch]] protocol (a
+    * replayed batch would re-append its survivors, and duplicate
+    * fingerprints silently skew every later candidate set). The index
+    * stays internally duplicate-free by the same survivor contract the
+    * batch verb documents. A first batch finds an empty index: one
+    * zero-row build pins the banding params so the uniform
+    * dedupe-then-append path applies from batch 0 (guarded by
+    * `currentVersion.isEmpty`, so a replay never re-builds). An all-dup
+    * batch appends nothing — naturally idempotent, the root watermark
+    * still advances.
+    */
+  def appendBatchDeduped(docs: DataFrame, path: String, batchId: Long,
+                         threshold: Double = 0.8,
+                         n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): Unit = {
+    if (VersionedIndex.currentVersion(path).isEmpty)
+      buildIndex(docs.limit(0), path, n, bands, rowsPerBand, textCol, idCol)
+    VersionedIndex.foldBatch(path, batchId) {
+      val clean = dedupeAgainstIndex(docs, path, threshold, textCol, idCol)
+        .localCheckpoint(true) // consumed twice: emptiness probe + append
+      if (!clean.isEmpty) appendToIndex(clean, path, textCol, idCol)
+    }
+    ()
+  }
+
   /** Survivors of `newDocs` after removing every exact (md5) or near
     * (shingle-Jaccard ≥ `threshold`) duplicate of an INDEXED document —
     * and, when `withinShard` (the default), every shard document with a

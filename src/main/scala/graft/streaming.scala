@@ -387,6 +387,25 @@ object Streaming {
           m, codes, vecCol, idCol)
       }
 
+  /** Stream-maintain the persisted DEDUP index: each micro-batch is
+    * deduped against the live index (and within itself), survivors fold
+    * in exactly-once ([[ext.DedupIndex.appendBatchDeduped]]) — continuous
+    * corpus ingestion with online dedup, the last of the three persisted
+    * indexes to gain a streaming arm (search and IVF/IVF-PQ have theirs).
+    */
+  def ingestToDedupIndex(docs: DataFrame, indexPath: String,
+                         checkpoint: String, threshold: Double = 0.8,
+                         textCol: String = "text",
+                         idCol: String = "doc_id") =
+    docs.select(col(idCol), col(textCol))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ext.DedupIndex.appendBatchDeduped(batch, indexPath, batchId,
+          threshold, textCol = textCol, idCol = idCol)
+      }
+
   /** An emitted anomaly score (nullable stats during warm-up). */
   case class Scored(stream_id: String, ts: Timestamp, value: Double,
                     n_prior: Long, prior_mean: Option[Double],

@@ -277,6 +277,46 @@ class CorpusOpsSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("DedupIndex.appendBatchDeduped: dedupe-then-fold per batch, " +
+      "exactly-once under replayed and stale batch ids, all-dup batch is " +
+      "a natural no-op") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-s").toString
+    def ids() = ext.DedupIndex.indexedIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // batch 0 on an empty index: params pinned, within-batch dup dropped
+    ext.DedupIndex.appendBatchDeduped(docsDF(Seq(
+      (0L, base, "en"),
+      (1L, base, "en"), // within-batch exact dup of 0 — dropped
+      (2L, "completely different words entirely here now today maybe", "en"))),
+      dir, batchId = 0, threshold = 0.7)
+    assert(ids() === Set(0L, 2L))
+    // batch 1: cross-batch dup dropped, fresh doc folds in
+    val b1 = docsDF(Seq(
+      (3L, base + " lambda", "en"), // near dup of indexed 0 — dropped
+      (5L, "nothing in common with anything at all whatsoever", "en")))
+    ext.DedupIndex.appendBatchDeduped(b1, dir, batchId = 1, threshold = 0.7)
+    assert(ids() === Set(0L, 2L, 5L))
+    // replayed and stale batch ids are vetoed by the watermark
+    ext.DedupIndex.appendBatchDeduped(b1, dir, batchId = 1, threshold = 0.7)
+    ext.DedupIndex.appendBatchDeduped(b1, dir, batchId = 0, threshold = 0.7)
+    assert(ids() === Set(0L, 2L, 5L))
+    // an all-dup batch appends nothing and still advances the watermark
+    val before = ext.DedupIndex.indexDir(dir)
+    ext.DedupIndex.appendBatchDeduped(docsDF(Seq((7L, base, "en"))),
+      dir, batchId = 2, threshold = 0.7)
+    assert(ids() === Set(0L, 2L, 5L))
+    assert(ext.DedupIndex.indexDir(dir) === before) // no version published
+    ext.DedupIndex.appendBatchDeduped(docsDF(Seq((7L, base, "en"))),
+      dir, batchId = 2, threshold = 0.7) // replay of the no-op: still no-op
+    assert(ids() === Set(0L, 2L, 5L))
+    // a later real batch reuses the orphaned version slot cleanly
+    ext.DedupIndex.appendBatchDeduped(docsDF(Seq(
+      (9L, "yet another unrelated set of tokens right", "en"))),
+      dir, batchId = 3, threshold = 0.7)
+    assert(ids() === Set(0L, 2L, 5L, 9L))
+  }
+
   test("substringOverlap: span counts by hand, hashed ≡ string keys, " +
       "crossDocOnly ignores within-doc repeats, short docs emit no row") {
     // doc 1: "a b c d a b c d" → 5 4-grams; "a b c d" appears at positions
