@@ -124,6 +124,7 @@ object SparkEntry {
     "q_wire_render" -> Queries.wireRender _,
     "q_wire_roundtrip" -> Queries.wireRoundtrip _,
     "q_validation_api" -> Queries.validationApiErrors _,
+    "q_validation_mutation" -> Queries.validationMutationErrors _,
     "q_validation_occ" -> Queries.validationOccErrors _,
     // §2.5 derive operators W1–W4
     "q_derivative" -> Queries.derivative _,
@@ -371,6 +372,7 @@ object SparkEntry {
     "q_wire_render" -> Oracles.wireRender,
     "q_wire_roundtrip" -> Oracles.wireRoundtrip,
     "q_validation_api" -> Oracles.validationApiErrors,
+    "q_validation_mutation" -> Oracles.validationMutationErrors,
     "q_validation_occ" -> Oracles.validationOccErrors,
     "q_derivative" -> Oracles.derivative,
     // chunked formulation shares the window-lag twin: boundary stitching
@@ -1843,6 +1845,26 @@ object Queries {
           ts("2024-01-09T00:00:00Z"), ts("2024-01-11T00:00:00Z"))
         ds.generateSymlinkManifest()
       },
+      attempt("upsert_to_derived")(ds.upsertDatapoints(
+        Seq(("d1", ts("2024-01-10T00:00:00Z"), 1.0))
+          .toDF("stream_id", "ts", "value"))),
+      attempt("upsert_with_dependents")(ds.upsertDatapoints(
+        Seq(("s1", ts("2024-01-10T00:00:00Z"), 9.0))
+          .toDF("stream_id", "ts", "value")))
+    ).toDF("check_case", "error")
+  }
+
+  /** F4 validation surface, mutation-fixture half: the arms that each
+    * need a FRESH warehouse (CHECK constraints, upsert key contracts, the
+    * mutation-verb collect bound, schema-evolution refusal) — split out
+    * of [[validationApiErrors]] so the shared-fixture API arms and these
+    * warehouse-per-arm cases stay individually visible in bench seconds.
+    */
+  def validationMutationErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def attempt(name: String)(f: => Any): (String, String) =
+      name -> (try { f; "ok" } catch { case e: Throwable => e.getClass.getSimpleName })
+    Seq(
       // CHECK constraints: a violating batch is rejected whole; declaring
       // a constraint existing rows violate is refused; declare → enforce →
       // drop → append-freely is the clean path
@@ -1866,8 +1888,7 @@ object Queries {
         d.dropCheckConstraint("value_nonneg")
         d.append("c", -1.0, ts("2024-01-11T00:00:00Z"))
       },
-      // upsert contracts: duplicate merge keys, derived targets, and
-      // source streams with live dependents are all refused pre-write
+      // upsert contract: duplicate merge keys are refused pre-write
       attempt("upsert_duplicate_keys") {
         val d = new Datastream(spark, tempDir("graft-val-u1"))
         d.ensureStream("u")
@@ -1876,12 +1897,6 @@ object Queries {
           ("u", ts("2024-01-10T00:00:00Z"), 2.0))
           .toDF("stream_id", "ts", "value"))
       },
-      attempt("upsert_to_derived")(ds.upsertDatapoints(
-        Seq(("d1", ts("2024-01-10T00:00:00Z"), 1.0))
-          .toDF("stream_id", "ts", "value"))),
-      attempt("upsert_with_dependents")(ds.upsertDatapoints(
-        Seq(("s1", ts("2024-01-10T00:00:00Z"), 9.0))
-          .toDF("stream_id", "ts", "value"))),
       // the mutation-verb collect bound: a batch/takedown touching more
       // distinct streams than maxPruneStreams refuses loudly BEFORE any
       // driver-side collect (the house head(max+1) fail-fast)
@@ -5326,15 +5341,22 @@ FROM part"""
   ('row_delete_inverted_range', 'InvalidTimestamp'),
   ('row_delete_with_dependents', 'OutstandingDependenciesError'),
   ('symlink_with_pending_deletes', 'IllegalStateException'),
+  ('upsert_to_derived', 'AppendToDerivedStreamNotAllowed'),
+  ('upsert_with_dependents', 'OutstandingDependenciesError')
+) AS t(check_case, error)"""
+
+  /** F4 twin, mutation-fixture half: the pinned outcome of each
+    * fresh-warehouse refusal arm.
+    */
+  val validationMutationErrors: String =
+    """SELECT * FROM (VALUES
   ('append_constraint_violation', 'ConstraintViolation'),
   ('constraint_on_dirty_data', 'ConstraintViolation'),
   ('constraint_clean_path', 'ok'),
   ('upsert_duplicate_keys', 'IllegalArgumentException'),
-  ('upsert_to_derived', 'AppendToDerivedStreamNotAllowed'),
-  ('upsert_with_dependents', 'OutstandingDependenciesError'),
   ('upsert_over_prune_bound', 'IllegalArgumentException'),
-  ('row_delete_over_prune_bound', 'IllegalArgumentException'),
-  ('add_column_incompatible', 'IllegalArgumentException')
+  ('add_column_incompatible', 'IllegalArgumentException'),
+  ('row_delete_over_prune_bound', 'IllegalArgumentException')
 ) AS t(check_case, error)"""
 
   /** F4 twin, commit-protocol half: the pinned outcome of each
