@@ -223,6 +223,8 @@ object SparkEntry {
     "q_similarity_pq" -> Queries.similarityPq _,
     "q_similarity_ivfpq" -> Queries.similarityIvfPq _,
     "q_ivfpq_append" -> Queries.ivfPqAppend _,
+    "q_similarity_sq8" -> Queries.similaritySq8 _,
+    "q_sq8_recall" -> Queries.sq8Recall _,
     "q_ivfpq_recall" -> Queries.ivfPqRecall _,
     "q_pq_recall" -> Queries.pqRecall _,
     "q_ivf_recall" -> Queries.ivfRecall _,
@@ -446,6 +448,9 @@ object SparkEntry {
     "q_pq_recall" -> Oracles.recallAllLabels,
     "q_similarity_ivfpq" -> Oracles.similarityTopK,
     "q_ivfpq_append" -> Oracles.similarityTopK,
+    // SQ8 exact arm shares the brute oracle; the recall arm pins ≥0.9
+    "q_similarity_sq8" -> Oracles.similarityTopK,
+    "q_sq8_recall" -> Oracles.recallAllLabels,
     "q_ivfpq_recall" -> Oracles.recallAllLabels,
     "q_ivf_recall" -> Oracles.recallAllLabels,
     "q_simhash_recall" -> Oracles.simhashRecall,
@@ -2743,6 +2748,36 @@ object Queries {
     ext.Ivf.appendToPqIndex(emb.where(col("vec_id") % 2 === 1), s"$dir/idx")
     ext.Ivf.queryPqIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
       nProbe = 16, rerank = 1 << 20, rerankAgainst = Some(emb))
+  }
+
+  /** SQ8 scalar-quantized index, EXACT arm: built on the even-id half,
+    * the odd half appended against the FROZEN per-dimension bounds
+    * (clamped), then a full-depth exact rerank over the SQ8 candidate
+    * order must reproduce brute force over the whole corpus bit-for-bit
+    * (the `q_similarity_topk` oracle) — a lost, doubled or mis-encoded
+    * vector anywhere in the quantize/append chain breaks the hash.
+    */
+  def similaritySq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-sq8")
+    val emb = Sources.embeddings(spark, sfDir)
+    ext.Sq.buildIndex(emb.where(col("vec_id") % 2 === 0), s"$dir/idx")
+    ext.Sq.appendToIndex(emb.where(col("vec_id") % 2 === 1), s"$dir/idx")
+    ext.Sq.queryIndex(s"$dir/idx", queryVectors(spark, sfDir), k = 10,
+      rerank = 1 << 20, rerankAgainst = Some(emb))
+  }
+
+  /** Pure SQ8 serving config (no rerank): one unsigned byte per dimension
+    * must preserve the brute top-10 almost exactly — far above PQ's
+    * recall on this fixture, the reason SQ8 exists. Gate at 0.9.
+    */
+  def sq8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-sq8r")
+    val emb = Sources.embeddings(spark, sfDir)
+    val qv = queryVectors(spark, sfDir)
+    ext.Sq.buildIndex(emb, s"$dir/idx")
+    recallVsBrute(ext.Similarity.topK(emb, qv, k = 10),
+      ext.Sq.queryIndex(s"$dir/idx", qv, k = 10),
+      threshold = 0.9)
   }
 
   /** Realistic IVF-PQ config: probe 14 of 16 cells, candidate depth 120.

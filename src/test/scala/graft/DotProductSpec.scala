@@ -363,6 +363,56 @@ class DotProductSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == brute)
   }
 
+  test("SQ8 index: full-depth rerank is bit-identical to brute; appends " +
+      "encode against frozen bounds; takedown voids ids; batch fold is " +
+      "exactly-once; pure SQ8 order is near-brute") {
+    val rnd = new scala.util.Random(47)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    // build on the even half, append the odd half (frozen bounds, clamped)
+    ext.Sq.buildIndex(corpus.where(col("vec_id") % 2 === 0), dir)
+    ext.Sq.appendToIndex(corpus.where(col("vec_id") % 2 === 1), dir)
+    def brute(c: org.apache.spark.sql.DataFrame) =
+      ext.Similarity.topK(c, queries, k = 5)
+        .select("query_vec_id", "vec_id", "rank", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val exact = ext.Sq.queryIndex(dir, queries, k = 5,
+        rerank = 1 << 20, rerankAgainst = Some(corpus))
+      .select("query_vec_id", "vec_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exact == brute(corpus)) // exact doubles: same fold, same ties
+    // pure SQ8 (no rerank): high-fidelity — recall@5 vs brute well past PQ
+    val approx = ext.Sq.queryIndex(dir, queries, k = 5)
+      .select("query_vec_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = brute(corpus).count(r => approx((r._1, r._2)))
+    assert(hits >= 12, s"SQ8 recall@5 too low: $hits/15") // ≥0.8
+    // takedown: removed ids vanish; full rerank equals brute over survivors
+    assert(ext.Sq.removeFromIndex(dir,
+      corpus.where(col("vec_id") >= 150 && col("vec_id") < 160)
+        .select("vec_id")) === 10L)
+    val after = ext.Sq.queryIndex(dir, queries, k = 5,
+        rerank = 1 << 20, rerankAgainst = Some(corpus))
+      .select("query_vec_id", "vec_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(after == brute(corpus.where(col("vec_id") < 150 ||
+      col("vec_id") >= 160)))
+    // exactly-once batch fold on a fresh index
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sq8b").toString
+    val even = corpus.where(col("vec_id") % 2 === 0)
+    val odd = corpus.where(col("vec_id") % 2 === 1)
+    ext.Sq.appendBatchToIndex(even, dir2, batchId = 0) // builds
+    ext.Sq.appendBatchToIndex(odd, dir2, batchId = 1)
+    ext.Sq.appendBatchToIndex(odd, dir2, batchId = 1)  // replay: no-op
+    ext.Sq.appendBatchToIndex(even, dir2, batchId = 0) // stale: no-op
+    assert(ext.Sq.queryIndex(dir2, queries, k = 5,
+        rerank = 1 << 20, rerankAgainst = Some(corpus))
+      .select("query_vec_id", "vec_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect().toSet == brute(corpus))
+  }
+
   test("refreshIndex crash before pointer commit leaves queries on the old complete version") {
     val rnd = new scala.util.Random(29)
     val corpus = (0 until 200).map(i =>
