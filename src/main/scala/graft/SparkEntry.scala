@@ -82,6 +82,7 @@ object SparkEntry {
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
     "q_schema_evolution" -> Queries.schemaEvolution _,
+    "q_getdata_matrix" -> Queries.getDataMatrixReport _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
     "q_reprocess_equiv" -> Queries.reprocessEquiv _,
@@ -346,6 +347,7 @@ object SparkEntry {
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
     "q_schema_evolution" -> Oracles.schemaEvolution,
+    "q_getdata_matrix" -> Oracles.getDataMatrix,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
     "q_reprocess_equiv" -> Oracles.reprocessEquiv,
@@ -1254,6 +1256,30 @@ object Queries {
       ("rollup_stream", ds.countRollup(Granularity.Minutes,
         streamIds = Some(Seq("7:click"))))
     ).toDF("label", "n")
+  }
+
+  /** MULTI-STREAM MATRIX export on the gate: both streams land, the
+    * minute ladder finalizes, and `getDataMatrix` pivots the window into
+    * one aligned frame — one row per bucket, one column per stream, cells
+    * = the exact rollup-derived mean (NULL where a stream has no bucket).
+    * The oracle recomputes every cell straight from events with the same
+    * decimal-accumulated mean, so a dropped bucket, a misaligned pivot,
+    * or a wrong column mapping breaks the hash.
+    */
+  def getDataMatrixReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-matrix")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    ds.appendMultiple(Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-02-01T00:00:00Z"))
+    ds.getDataMatrix(Map.empty, Granularity.Minutes,
+      ts("2024-01-10T00:00:00Z"), ts("2024-01-20T00:00:00Z"))
   }
 
   /** ADDITIVE SCHEMA EVOLUTION on the gate: the first half of the fixture
@@ -5094,6 +5120,30 @@ SELECT stream_id, count(*) AS n_rows,
     THEN CAST(value / CAST(2.0 AS DOUBLE) AS DECIMAL(38,10)) END)
     AS DOUBLE) AS quality_sum
 FROM dp GROUP BY 1"""
+
+  /** Matrix twin: every cell recomputed from events — per (stream,
+    * minute bucket) the decimal-accumulated mean, pivoted by conditional
+    * aggregation over the window.
+    */
+  val getDataMatrix: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS sid, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view')),
+b AS (
+  SELECT sid,
+    make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS bucket_start,
+    CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS mean
+  FROM dp GROUP BY 1, 2)
+SELECT bucket_start,
+  max(CASE WHEN sid = '3:view' THEN mean END) AS "3:view",
+  max(CASE WHEN sid = '7:click' THEN mean END) AS "7:click"
+FROM b
+WHERE bucket_start >= TIMESTAMP '2024-01-10 00:00:00'
+  AND bucket_start <= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1"""
 
   val zorderCompaction: String =
     """WITH dp AS (

@@ -4131,6 +4131,60 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         Schemas.downsampledPartitioned))
       .drop("bucket_date")
 
+  /** Aligned MULTI-STREAM matrix export — the "hand a training job /
+    * notebook one frame" read shape the reference's one-stream get_data
+    * cannot express: one row per `bucket_start` in `[start, end]`, one
+    * column per tag-matched stream, each cell the requested downsampler
+    * at `granularity` (derived from the finalized rollup partials exactly
+    * as [[getData]] derives it — [[Downsample.finalizeView]]). A bucket a
+    * stream has no finalized data for is NULL, so the frame is a dense
+    * time grid over a sparse union of series.
+    *
+    * Scale shape: ONE rollup read (partition-pruned to the window), one
+    * pivot shuffle on `bucket_start`; the matched stream ids are collected
+    * (bounded by the house `head(max+1)` fail-fast) because they become
+    * COLUMNS — a matrix is driver-width by construction, which is also
+    * why `maxStreams` defaults low; wide exports should raise it
+    * deliberately or stay in the long (stream_id, bucket, value) shape.
+    */
+  def getDataMatrix(tagQuery: Map[String, String], granularity: Granularity,
+                    start: Timestamp, end: Timestamp,
+                    downsampler: String = "mean",
+                    maxStreams: Int = 1024): DataFrame = {
+    val matched = StreamRegistry.findStreams(streams, tagQuery)
+    val metaRows = matched.select(col("stream_id"),
+        col("highest_granularity"), col("value_downsamplers"))
+      .limit(maxStreams + 1).collect()
+    if (metaRows.length > maxStreams)
+      throw new IllegalArgumentException(
+        s"get_data_matrix: tag query matches more than maxStreams=" +
+          s"$maxStreams streams — each matched stream becomes a COLUMN; " +
+          "raise maxStreams deliberately or read the long shape instead")
+    if (metaRows.isEmpty)
+      throw new errors.StreamNotFound(
+        s"get_data_matrix: no stream matches $tagQuery")
+    metaRows.foreach { r =>
+      if (!Granularity.isCoarserOrEqual(granularity,
+          Granularity(r.getString(1))))
+        throw new errors.UnsupportedGranularity(
+          s"${granularity.name} finer than stream ${r.getString(0)}'s " +
+            r.getString(1))
+      if (!r.getSeq[String](2).contains(downsampler))
+        throw new errors.UnsupportedDownsampler(
+          s"stream ${r.getString(0)} does not declare: $downsampler")
+    }
+    val sids = metaRows.map(_.getString(0)).sorted.toSeq
+    val slice = rollup(granularity)
+      .where(col("stream_id").isInCollection(sids) &&
+        col("bucket_start") >= lit(start) && col("bucket_start") <= lit(end))
+    Downsample.finalizeView(slice)
+      .select(col("stream_id"), col("bucket_start"),
+        col(downsampler).as("_v"))
+      .groupBy("bucket_start")
+      .pivot("stream_id", sids) // explicit values: no discovery pass
+      .agg(first(col("_v")))
+  }
+
   /** Register the warehouse's read surfaces as session temp views so plain
     * `spark.sql` queries the engine — the Spark-native equivalent of the
     * reference's HTTP query layer. Registered under `<prefix>_*`:

@@ -66,4 +66,42 @@ class GetDataSpec extends SparkSpec {
     assertThrows[errors.UnsupportedDownsampler](
       GetData.downsampled(partial, "a", valueDownsamplers = Seq("median")))
   }
+
+  test("getDataMatrix: one column per matched stream, cells = rollup " +
+    "downsampler, NULL where a stream lacks the bucket; refusals pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-matrix-t").toString
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("a", Map("team" -> "red"))
+    ds.ensureStream("b", Map("team" -> "red"))
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0),
+      ("a", "2024-01-01T00:00:40Z", 3.0),
+      ("a", "2024-01-01T00:01:10Z", 8.0),
+      ("b", "2024-01-01T00:00:20Z", 100.0))).select("stream_id", "ts", "value"))
+    ds.downsampleStreams(ts("2024-01-01T01:00:00Z"))
+    val m = ds.getDataMatrix(Map("team" -> "red"), Granularity.Minutes,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:05:00Z"))
+    assert(m.columns.toSeq == Seq("bucket_start", "a", "b"))
+    val rows = m.orderBy("bucket_start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(1) === 2.0 && rows(0).getDouble(2) === 100.0)
+    assert(rows(1).getDouble(1) === 8.0 && rows(1).isNullAt(2))
+    // count downsampler arm
+    val c = ds.getDataMatrix(Map("team" -> "red"), Granularity.Minutes,
+      ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:05:00Z"),
+      downsampler = "count").orderBy("bucket_start").collect()
+    assert(c(0).getLong(1) === 2L && c(0).getLong(2) === 1L)
+    // refusals: no match, finer-than-highest, undeclared, over-bound
+    assertThrows[errors.StreamNotFound](
+      ds.getDataMatrix(Map("team" -> "blue"), Granularity.Minutes,
+        ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:05:00Z")))
+    intercept[IllegalArgumentException](
+      ds.getDataMatrix(Map("team" -> "red"), Granularity.Minutes,
+        ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:05:00Z"),
+        maxStreams = 1))
+    assertThrows[errors.UnsupportedDownsampler](
+      ds.getDataMatrix(Map("team" -> "red"), Granularity.Minutes,
+        ts("2024-01-01T00:00:00Z"), ts("2024-01-01T00:05:00Z"),
+        downsampler = "median"))
+  }
 }
