@@ -1944,7 +1944,9 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // file pruning degrades to time-range-only, the stream predicate stays
     // exact via the (then shuffle-joined) semi-join, and the delete-file /
     // range frames are built distributively from the registry frame.
-    val doomedDistinct = doomed0.select("stream_id").distinct()
+    // registry-derived: stream_id is unique by construction (findStreams
+    // filters the registry), so no dedup shuffle is spent here
+    val doomedDistinct = doomed0.select("stream_id")
     val doomedSorted: Option[IndexedSeq[String]] =
       if (maxPruneStreams <= 0) None
       else {
@@ -2077,12 +2079,15 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     val withJson = if (points0.columns.contains("value_json")) points0
       else points0.withColumn("value_json", lit(null).cast("string"))
     // declared extra columns: batch-supplied values ride, absences null-fill
-    val withExtras = rawExtraColumns.foldLeft(withJson) { case (df, (n, t)) =>
+    // (resolved once per verb, like appendMultiple)
+    val rawExtras = rawExtraColumns
+    val withExtras = rawExtras.foldLeft(withJson) { case (df, (n, t)) =>
       if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
       else df.withColumn(n, lit(null).cast(t))
     }
     val points = withExtras
-      .select(rawSchemaAt(None).fieldNames.toSeq.map(col): _*)
+      .select((Schemas.rawDatapoints.fieldNames.toSeq ++
+        rawExtras.map(_._1)).map(col): _*)
       .cache()
     try {
       val cons = checkConstraints
@@ -2458,7 +2463,10 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       else points0.withColumn("value_json", lit(null).cast("string"))
     // declared extra columns ride the batch when present, null-fill when
     // absent — either way the written files carry the full evolved schema
-    val points = rawExtraColumns.foldLeft(points1) { case (df, (n, t)) =>
+    // (resolved ONCE per verb: the manifest lookup is memoized but the
+    // commit-log listing behind currentVersion is not)
+    val rawExtras = rawExtraColumns
+    val points = rawExtras.foldLeft(points1) { case (df, (n, t)) =>
       if (df.columns.contains(n)) df.withColumn(n, col(n).cast(t))
       else df.withColumn(n, lit(null).cast(t))
     }
@@ -2507,7 +2515,8 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
             s"for stream ${ex.getString(0)}")
       }
       val kept = joined.where(!isStale)
-        .select(rawSchemaAt(None).fieldNames.toSeq.map(col): _*)
+        .select((Schemas.rawDatapoints.fieldNames.toSeq ++
+          rawExtras.map(_._1)).map(col): _*)
       // validation is done — everything from here mutates two tables (raw
       // + registry), so it runs under an intent marker
       withCommit("append") {
