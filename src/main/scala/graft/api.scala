@@ -1728,11 +1728,12 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
   private def rewriteMinusRanges(table: String,
                                  schema: org.apache.spark.sql.types.StructType,
                                  partCol: String, touched: Set[String],
-                                 ranges: DataFrame): Unit =
+                                 ranges: DataFrame,
+                                 hinted: Boolean = true): Unit =
     if (touched.nonEmpty) {
       val slice = spark.read.option("basePath", tablePath(table)).schema(schema)
         .parquet(touched.toSeq.sorted.map(f => s"${tablePath(table)}/$f"): _*)
-      minusDeleted(slice, Some(ranges))
+      minusDeleted(slice, Some(ranges), hinted)
         .write.mode(SaveMode.Append).partitionBy(partCol)
         .parquet(tablePath(table))
     }
@@ -1942,8 +1943,19 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // refuse loudly, not OOM the driver mid-collect. `maxPruneStreams = 0`
     // is the documented distributed fallback: no id set is ever collected,
     // file pruning degrades to time-range-only, the stream predicate stays
-    // exact via the (then shuffle-joined) semi-join, and the delete-file /
-    // range frames are built distributively from the registry frame.
+    // exact via the (then shuffle-joined, un-hinted) semi-join, and the id
+    // frame is CHECKPOINTED so its contents survive any concurrent registry
+    // rewrite (the same guarantee the collected set gives the bounded
+    // path). The fallback is COPY-ON-WRITE ONLY: a merge-on-read delete
+    // file is metadata-scale by contract — every read broadcasts it and
+    // maintenance collects it — so a stream-count-sized one must be
+    // refused, not written.
+    if (maxPruneStreams <= 0 && mode == DeleteMode.MergeOnRead)
+      throw new IllegalArgumentException(
+        "delete_datapoints: the distributed path (maxPruneStreams = 0) " +
+          "supports CopyOnWrite only — a merge-on-read delete file is " +
+          "metadata-scale by contract (reads broadcast it; applyDeletes " +
+          "collects it), which an unbounded matched-stream set would break")
     // registry-derived: stream_id is unique by construction (findStreams
     // filters the registry), so no dedup shuffle is spent here
     val doomedDistinct = doomed0.select("stream_id")
@@ -1958,50 +1970,57 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
               s"maxPruneStreams=$maxPruneStreams — the id set is collected " +
               "to drive manifest pruning; raise maxPruneStreams " +
               "deliberately or pass maxPruneStreams = 0 for the " +
-              "distributed (time-range-pruned) path")
+              "distributed (time-range-pruned, copy-on-write) path")
         Some(head.sorted.toIndexedSeq)
       }
     if (doomedSorted.exists(_.isEmpty)) return 0L
     val loUs = usOfTs(start)
     val hiUs = usOfTs(end)
     import spark.implicits._
-    val doomedIds = doomedSorted match {
-      case Some(sids) => broadcast(sids.toDF("stream_id"))
-      case None => doomedDistinct
+    val hinted = doomedSorted.isDefined
+    val (doomedIds, doomedRdds) = doomedSorted match {
+      case Some(sids) => (broadcast(sids.toDF("stream_id")),
+        Seq.empty[org.apache.spark.rdd.RDD[_]])
+      case None => Plans.checkpointTracked(doomedDistinct)
     }
-    // exact voided-row count (the verb's return value): counted through the
-    // CURRENT snapshot, so rows an earlier delete already voided are not
-    // double-counted. `streamIds` below is FILE-level skipping only (a
-    // superset by contract) — the semi-join is the exact stream predicate.
-    val matched = rawDatapointsInRange(Some(start), Some(end), None,
-        doomedSorted)
-      .join(doomedIds, Seq("stream_id"), "left_semi")
-      .where(col("ts") >= lit(start) && col("ts") <= lit(end)).count()
-    if (matched == 0L) return 0L
-    val ranges = doomedIds
-      .select(col("stream_id"), lit(loUs).as("lo_us"), lit(hiUs).as("hi_us"))
-    withCommit("delete_datapoints") {
-      mode match {
-        case DeleteMode.MergeOnRead =>
-          scopeWrite("raw_deletes")
-          // one shard: the delete file is metadata-sized by contract
-          ranges.coalesce(1).write.mode(SaveMode.Append)
-            .parquet(tablePath("raw_deletes"))
-        case DeleteMode.CopyOnWrite =>
-          val groups = Seq((loUs, hiUs, doomedSorted))
-          rewriteMinusRanges("raw", rawSchemaPartitioned,
-            "dp_date", retireTouchedByRanges("raw", groups), ranges)
-          rewriteMinusRanges("derived", Schemas.rawDatapoints,
-            "stream_id", retireTouchedByRanges("derived", groups), ranges)
+    try {
+      // exact voided-row count (the verb's return value): counted through
+      // the CURRENT snapshot, so rows an earlier delete already voided are
+      // not double-counted. `streamIds` below is FILE-level skipping only
+      // (a superset by contract) — the semi-join is the exact stream
+      // predicate.
+      val matched = rawDatapointsInRange(Some(start), Some(end), None,
+          doomedSorted)
+        .join(doomedIds, Seq("stream_id"), "left_semi")
+        .where(col("ts") >= lit(start) && col("ts") <= lit(end)).count()
+      if (matched == 0L) return 0L
+      val ranges = doomedIds
+        .select(col("stream_id"), lit(loUs).as("lo_us"), lit(hiUs).as("hi_us"))
+      withCommit("delete_datapoints") {
+        mode match {
+          case DeleteMode.MergeOnRead =>
+            scopeWrite("raw_deletes")
+            // one shard: the delete file is metadata-sized by contract
+            // (the bounded path is the only way here — see the refusal)
+            ranges.coalesce(1).write.mode(SaveMode.Append)
+              .parquet(tablePath("raw_deletes"))
+          case DeleteMode.CopyOnWrite =>
+            val groups = Seq((loUs, hiUs, doomedSorted))
+            rewriteMinusRanges("raw", rawSchemaPartitioned,
+              "dp_date", retireTouchedByRanges("raw", groups), ranges, hinted)
+            rewriteMinusRanges("derived", Schemas.rawDatapoints,
+              "stream_id", retireTouchedByRanges("derived", groups), ranges,
+              hinted)
+        }
+        // crash seam for tests: after the fact-table mutation, before the
+        // rollup repair — isolation must be total (nothing visible)
+        if (crashBeforeCommitOf("delete_datapoints_repair"))
+          throw new IllegalStateException(
+            "injected crash mid delete_datapoints")
+        repairRollups(doomedIds, doomedSorted, loUs, hiUs)
       }
-      // crash seam for tests: after the fact-table mutation, before the
-      // rollup repair — isolation must be total (nothing visible)
-      if (crashBeforeCommitOf("delete_datapoints_repair"))
-        throw new IllegalStateException(
-          "injected crash mid delete_datapoints")
-      repairRollups(doomedIds, doomedSorted, loUs, hiUs)
-    }
-    matched
+      matched
+    } finally doomedRdds.foreach(_.unpersist(blocking = false))
   }
 
   /** RETENTION EXPIRY — the TTL twin of [[deleteDatapoints]]: void every
@@ -2015,12 +2034,15 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     */
   def expireDatapoints(before: Timestamp,
                        tagQuery: Map[String, String] = Map.empty,
-                       mode: DeleteMode = DeleteMode.MergeOnRead): Long = {
+                       mode: DeleteMode = DeleteMode.MergeOnRead,
+                       maxPruneStreams: Int =
+                         Datastream.DefaultMaxPruneStreams): Long = {
     if (before == null)
       throw new errors.InvalidTimestamp("expire_datapoints: before must be set")
     val hiUs = usOfTs(before) - 1L // strict: [epoch, before)
     if (hiUs < 0L) return 0L
-    deleteDatapoints(tagQuery, new Timestamp(0L), tsOf(hiUs), mode)
+    deleteDatapoints(tagQuery, new Timestamp(0L), tsOf(hiUs), mode,
+      maxPruneStreams)
   }
 
   /** UPSERT — the merge-by-key write verb (Delta/Iceberg `MERGE INTO`
@@ -2182,12 +2204,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           if (!matchedKeys.isEmpty) {
             // copy-on-write: retire the snapshot files overlapping the
             // matched streams×window, rewrite them minus the matched keys
-            // (point ranges, lo_us = hi_us); survivors land as fresh files
+            // (point ranges, lo_us = hi_us); survivors land as fresh files.
+            // Past the collect bound the matched-keys frame is batch-scale
+            // with no size guarantee — no broadcast hint there.
             rewriteMinusRanges("raw", rawSchemaPartitioned,
               "dp_date",
               retireTouchedByRanges("raw",
                 Seq((usOfTs(loTs), usOfTs(hiTs), sidsSorted))),
-              matchedKeys)
+              matchedKeys, hinted = sidsSorted.isDefined)
           }
           val touchedDates = points.select(to_date(col("ts")).as("d"))
             .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")
@@ -2430,6 +2454,18 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         s"add_raw_column: column '$name' already exists — raw-table " +
           "schema evolution is ADDITIVE-ONLY (rename, retype and drop are " +
           "incompatible changes; declare a fresh column instead)")
+    // the append/upsert validation joins pull registry columns alongside
+    // the batch (value_type/derive_op/latest/...): a same-named extra
+    // would make every later ingest ambiguous — and evolution has no drop
+    // verb, so the collision would be PERMANENT. Refuse up front.
+    val reserved =
+      org.apache.spark.sql.Encoders.product[StreamMeta].schema
+        .fieldNames.toSet + "latest"
+    if (reserved(name))
+      throw new IllegalArgumentException(
+        s"add_raw_column: '$name' is reserved — it collides with a " +
+          "registry column the ingest validation joins carry alongside " +
+          "the batch, which would break every subsequent append")
     withCommit("add_column") {
       pendingRawCols.add((name, canonical)); ()
     }
@@ -2611,9 +2647,11 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * watermark spares the wasted commit.) Batch keys must be unique per
     * micro-batch, as for [[upsertDatapoints]] — dedupe upstream.
     */
-  def upsertBatch(batch: DataFrame, batchId: Long): Unit = {
+  def upsertBatch(batch: DataFrame, batchId: Long,
+                  maxPruneStreams: Int =
+                    Datastream.DefaultMaxPruneStreams): Unit = {
     if (batchId <= batchHwm("upsert_batch_hwm")) return
-    upsertDatapoints(batch)
+    upsertDatapoints(batch, maxPruneStreams)
     advanceBatchHwm("upsert_batch_hwm", batchId)
   }
 
@@ -2934,17 +2972,24 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       .getOrElse(Seq.empty)
 
   /** Anti-join `df` (fact-table shape: `stream_id`, `ts`) against delete
-    * ranges: equality on the stream id (broadcast hash), the µs range as
-    * the residual condition. Broadcast is safe by the delete-file size
-    * contract. No-op (the same plan, untouched) when `dels` is None.
+    * ranges: equality on the stream id, the µs range as the residual
+    * condition. Read paths pass `hinted = true` — broadcast is safe there
+    * by the merge-on-read delete-file size contract (a contract
+    * [[deleteDatapointsFrom]] ENFORCES by refusing merge-on-read on the
+    * unbounded distributed path). The copy-on-write rewrite of a
+    * past-the-bound delete passes `hinted = false`: its range frame is
+    * stream-count-sized, and an unconditional broadcast hint would collect
+    * it to the driver — the exact OOM the bound exists to prevent. No-op
+    * (the same plan, untouched) when `dels` is None.
     */
-  private def minusDeleted(df: DataFrame, dels: Option[DataFrame]): DataFrame =
+  private def minusDeleted(df: DataFrame, dels: Option[DataFrame],
+                           hinted: Boolean = true): DataFrame =
     dels match {
       case None => df
       case Some(d) =>
         val r = d.select(col("stream_id").as("_del_sid"),
           col("lo_us").as("_del_lo"), col("hi_us").as("_del_hi"))
-        df.join(broadcast(r),
+        df.join(if (hinted) broadcast(r) else r,
           df("stream_id") === r("_del_sid") &&
             unix_micros(df("ts")) >= r("_del_lo") &&
             unix_micros(df("ts")) <= r("_del_hi"),
@@ -3434,12 +3479,21 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       .as[StreamMeta].collect()
     if (missing.nonEmpty) dest.ensureStreams(missing.toSeq)
     // schema sync: declared extra columns the replica lacks are declared
-    // there first (idempotent — already-declared names are skipped), so
-    // the replayed appends carry the evolved columns instead of silently
-    // null-filling them at the destination
-    val destCols = dest.rawExtraColumns.map(_._1).toSet
-    rawExtraColumns.filterNot(c => destCols(c._1))
-      .foreach { case (n, t) => dest.addRawColumn(n, t) }
+    // there first (idempotent — an identical declaration is skipped), and
+    // a SAME-NAMED column with a DIFFERENT type refuses loudly: replaying
+    // through it would silently cast every value to the destination's
+    // type and the replica would diverge without an error
+    val destCols = dest.rawExtraColumns.toMap
+    rawExtraColumns.foreach { case (n, t) =>
+      destCols.get(n) match {
+        case None => dest.addRawColumn(n, t)
+        case Some(dt) if dt == t => () // already declared, same type
+        case Some(dt) => throw new IllegalArgumentException(
+          s"replicateTo: destination declares raw column '$n' as $dt but " +
+            s"the source declares $t — incompatible schema evolution; " +
+            "re-seed the replica or reconcile the declarations")
+      }
+    }
     val cursor = dest.ingestHighWatermark
     val cols = rawSchemaAt(None).fieldNames.toSeq.map(col)
     var applied = 0L

@@ -171,7 +171,10 @@ object Search {
   private def scoreBatch(qTerms: DataFrame, post: DataFrame, lens: DataFrame,
                          nDocs: Long, totalDl: Long,
                          k1: Double, b: Double, topK: Int): DataFrame = {
-    val dfs = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // df is query-vocabulary-sized — broadcast it back (statistics-free
+    // after the aggregate, so without the hint the planner can shuffle the
+    // whole postings slice into a sort-merge join on the serving path)
+    val dfs = broadcast(post.groupBy("term").agg(count(lit(1)).as("df")))
     val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
     val tf = col("tf").cast("double")
     val idf = ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) /

@@ -166,10 +166,17 @@ private[graft] object VersionedIndex {
     */
   def foldBatch(path: String, batchId: Long)(body: => Unit): Boolean = {
     val s = io(path)
-    val inVersion = committedVersions(path).flatMap { v =>
-      val p = s"$path/v$v/ingest_batch_id"
-      if (s.exists(p)) s.readString(p).trim.toLongOption else None
-    }
+    // NEWEST-FIRST scan with an early stop: under the single-writer
+    // contract batch ids are monotone in version order, so the newest
+    // version carrying a record holds the max — a long-lived stream
+    // (markers are kept forever) pays O(versions since the last recorded
+    // fold) per micro-batch, not O(all versions) small-file reads
+    val inVersion = committedVersions(path).sorted.reverse.iterator
+      .map { v =>
+        val p = s"$path/v$v/ingest_batch_id"
+        if (s.exists(p)) s.readString(p).trim.toLongOption else None
+      }
+      .collectFirst { case Some(id) => id }
     val atRoot = s.childNames(path)
       .filter(_.startsWith("ingest_batch_hwm.v"))
       .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)

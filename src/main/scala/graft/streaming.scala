@@ -317,13 +317,15 @@ object Streaming {
     * contract); dedupe upstream with `dropDuplicates` when the feed can
     * carry intra-batch restatements of one key.
     */
-  def upsertToWarehouse(points: DataFrame, ds: Datastream, checkpoint: String) =
+  def upsertToWarehouse(points: DataFrame, ds: Datastream, checkpoint: String,
+                        maxPruneStreams: Int =
+                          Datastream.DefaultMaxPruneStreams) =
     points.select(col("stream_id"), col("ts"), col("value"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ds.upsertBatch(batch, batchId)
+        ds.upsertBatch(batch, batchId, maxPruneStreams)
       }
 
   /** Streaming SEARCH-INDEX maintenance: each micro-batch of documents

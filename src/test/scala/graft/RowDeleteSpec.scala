@@ -257,20 +257,20 @@ class RowDeleteSpec extends SparkSpec {
       ds.deleteDatapoints(Map.empty, delLo, delHi, maxPruneStreams = 1))
     assert(e.getMessage.contains("maxPruneStreams=1"))
     assert(ds.pendingDeletes.count() === 0) // nothing committed
-    // fallback ≡ pruned, merge-on-read
-    val (ds2, _) = freshDs
-    seed(ds2)
+    // merge-on-read REFUSES the distributed path: the delete file must
+    // stay metadata-scale (reads broadcast it; applyDeletes collects it)
+    val mor = intercept[IllegalArgumentException](
+      ds.deleteDatapoints(Map.empty, delLo, delHi, maxPruneStreams = 0))
+    assert(mor.getMessage.contains("CopyOnWrite only"))
+    assert(ds.pendingDeletes.count() === 0)
     val nPruned = ds.deleteDatapoints(Map.empty, delLo, delHi)
-    val nWide = ds2.deleteDatapoints(Map.empty, delLo, delHi,
-      maxPruneStreams = 0)
-    assert(nWide === nPruned && nPruned === 3L) // a's 2 rows + b's 1
+    assert(nPruned === 3L) // a's 2 rows + b's 1
     def facts(d: Datastream) = d.rawDatapoints
       .select(col("stream_id"), col("ts").cast("string"), col("value"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       .toSeq.sorted
-    assert(facts(ds2) === facts(ds))
-    assert(minutes(ds2, "a") === minutes(ds, "a"))
-    // fallback ≡ pruned, copy-on-write (fresh twin warehouses)
+    // fallback ≡ pruned, copy-on-write (fresh twin warehouses; the
+    // un-hinted rewrite path must land on identical rows and rollups)
     val (ds3, _) = freshDs
     seed(ds3)
     val (ds4, _) = freshDs
@@ -281,6 +281,7 @@ class RowDeleteSpec extends SparkSpec {
       mode = DeleteMode.CopyOnWrite, maxPruneStreams = 0) === 3L)
     assert(facts(ds4) === facts(ds3))
     assert(ds4.pendingDeletes.count() === 0)
+    assert(minutes(ds4, "a") === minutes(ds3, "a"))
     assert(minutes(ds4, "b") === minutes(ds3, "b"))
   }
 }
