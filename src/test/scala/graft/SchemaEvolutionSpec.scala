@@ -113,6 +113,14 @@ class SchemaEvolutionSpec extends SparkSpec {
       .getMessage.contains("invalid column name"))
     assert(bad(ds.addRawColumn("okname", "no_such_type"))
       .getMessage.contains("cannot parse type"))
+    // registry-join internals: a same-named extra would make every later
+    // append's validation join ambiguous, irreversibly
+    assert(bad(ds.addRawColumn("value_type", "string"))
+      .getMessage.contains("reserved"))
+    assert(bad(ds.addRawColumn("derive_op", "string"))
+      .getMessage.contains("reserved"))
+    assert(bad(ds.addRawColumn("latest", "double"))
+      .getMessage.contains("reserved"))
     // a NEWER writer's protocol (v5) must refuse loudly at resolve time
     val log = new java.io.File(s"${ds.warehouse}/commitlog")
     val v = ds.currentVersion.get + 1
@@ -143,5 +151,12 @@ class SchemaEvolutionSpec extends SparkSpec {
     src.replicateTo(dst)
     assert(dst.rawExtraColumns == Seq(("quality", "DOUBLE")))
     assert(extrasOf(dst) == extrasOf(src))
+    // a destination declaring the same name with a DIFFERENT type refuses
+    // loudly — replaying through it would silently cast the replica apart
+    val (dst2, _) = freshDs
+    dst2.ensureStream("a", Map("t" -> "x"))
+    dst2.addRawColumn("quality", "string")
+    val e = intercept[IllegalArgumentException](src.replicateTo(dst2))
+    assert(e.getMessage.contains("incompatible schema evolution"))
   }
 }
