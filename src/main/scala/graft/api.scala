@@ -1793,10 +1793,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // in the surrounding commit must not invalidate this plan) — only the
     // upsert path needs them, and only for the doomed streams
     val wmSlice = upsertKeys.map { _ =>
+      val slice = streams.select(col("stream_id"), col("downsampled_until"))
+        .join(doomedIds, Seq("stream_id"), "left_semi")
+      // metadata-sized ONLY on the bounded/hinted path (doomedSorted
+      // defined); the maxPruneStreams=0 fallback joins a potentially
+      // stream-count-sized id frame — funneling it through one task
+      // would undo the distributed fallback's point
       Plans.checkpointTracked(
-        streams.select(col("stream_id"), col("downsampled_until"))
-          .join(doomedIds, Seq("stream_id"), "left_semi")
-          .coalesce(1)) // metadata-sized: doomed streams only
+        if (doomedSorted.isDefined) slice.coalesce(1) else slice)
     }
     try {
     Granularity.ladder.foreach { g =>
@@ -3015,24 +3019,34 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     }
   }
 
+  /** `evolved = true` serves the raw table's declared extra columns (as
+    * of `asOfVersion`, or current) alongside the base fields — the
+    * changefeed's delete-decode needs the voided rows' extras, not a
+    * null-filled shadow of them. Derived rows null-fill the extras (the
+    * derived table is base-schema by construction).
+    */
   private def rawDatapointsInRange(start: Option[Timestamp],
                                    end: Option[Timestamp],
                                    asOfVersion: Option[Long] = None,
-                                   streamIds: Option[Seq[String]] = None): DataFrame = {
+                                   streamIds: Option[Seq[String]] = None,
+                                   evolved: Boolean = false): DataFrame = {
     val snap = asOfVersion match {
       case Some(v) => Some(snapshotAt(v))
       case None => rawSnapshot
     }
-    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
+    val schema = if (evolved) rawSchemaAt(asOfVersion) else Schemas.rawDatapoints
+    val cols = schema.fieldNames.toSeq.map(col)
     val bounds = Seq(
       start.map(s => col("dp_date") >= to_date(lit(s))),
       end.map(e => col("dp_date") <= to_date(lit(e)))).flatten
     def emptyRaw =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.rawDatapoints)
+        schema)
     val skip = usSkipRange(start, end)
     val sids = streamIds.map(_.sorted.toIndexedSeq)
-    val raw = tableReadFrom(snap, "raw", Schemas.rawDatapointsPartitioned,
+    val raw = tableReadFrom(snap, "raw",
+        if (evolved) rawSchemaPartitionedAt(asOfVersion)
+        else Schemas.rawDatapointsPartitioned,
         skip, sids, pinned = asOfVersion.nonEmpty)
       .map(df => bounds.foldLeft(df)(_.where(_)).select(cols: _*))
       .getOrElse(emptyRaw)
@@ -3040,7 +3054,11 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         pinned = asOfVersion.nonEmpty) match {
       // full schema supplied: the stream_id partition column takes its type
       // from the schema instead of partition-value inference
-      case Some(der) => raw.unionByName(der.select(cols: _*))
+      case Some(der) =>
+        val have = der.columns.toSet
+        raw.unionByName(der.select(schema.fields.toSeq.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*))
       case None => raw
     }
     // merge-on-read row deletes: voided rows vanish from EVERY read built on
@@ -3242,11 +3260,20 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * skipping the gap, mirroring the [[snapshotAt]] contract.
     */
   def readChanges(sinceVersion: Long, toVersion: Option[Long] = None,
-                  skipChangeCommits: Boolean = false): DataFrame =
+                  skipChangeCommits: Boolean = false): DataFrame = {
+    // project through the schema AS OF the feed's end version: files
+    // written after [[addRawColumn]] carry the declared extras, and a
+    // CDF consumer mirroring the table must see them — silently dropping
+    // a declared column is the exact failure mode the v4 protocol bump
+    // exists to prevent. Pre-evolution raw files null-fill (parquet
+    // schema projection); the derived table is base-schema by
+    // construction and null-fills in the output projection.
+    val hi = toVersion.orElse(committedVersions.lastOption)
     changesOver(
-      Map("raw" -> Schemas.rawDatapointsPartitioned,
+      Map("raw" -> rawSchemaPartitionedAt(hi),
         "derived" -> Schemas.rawDatapoints),
-      Schemas.rawDatapoints, sinceVersion, toVersion, skipChangeCommits)
+      rawSchemaAt(hi), sinceVersion, toVersion, skipChangeCommits)
+  }
 
   /** [[readChanges]] for ONE rollup granularity — the incremental consumer
     * of the downsample cascade (dashboard cache, alerting tier): buckets
@@ -3300,8 +3327,17 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     if (sinceVersion > hi)
       throw new IllegalArgumentException(
         s"changefeed: sinceVersion $sinceVersion is past toVersion $hi")
-    val cols = Schemas.rawDatapoints.fieldNames.toSeq.map(col)
-    val tables = Map("raw" -> Schemas.rawDatapointsPartitioned,
+    // evolved projection, as in [[readChanges]]: the feed carries the
+    // schema as of its end version; slices lacking a declared extra
+    // (derived rows, pre-evolution raw files) null-fill it
+    val outSchema = rawSchemaAt(Some(hi))
+    def project(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outSchema.fields.toSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+    val tables = Map("raw" -> rawSchemaPartitionedAt(Some(hi)),
       "derived" -> Schemas.rawDatapoints)
     val rowPreserving = Set("compact", "apply_deletes")
     val slices = vs.filter(v => v > sinceVersion && v <= hi).flatMap { v =>
@@ -3322,8 +3358,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           .groupBy(_._1).toSeq.sortBy(_._1).map { case (t, tAdds) =>
             val snap = Snapshot(v, Set(t), Map(t -> tAdds.map(_._2).toSet),
               tAdds.collect { case (_, rel, Some(st)) => ((t, rel), st) }.toMap)
-            tableReadFrom(Some(snap), t, tables(t), pinned = true).get
-              .select(cols: _*)
+            project(tableReadFrom(Some(snap), t, tables(t), pinned = true).get)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
               .withColumn("_commit_op", lit(op))
@@ -3345,13 +3380,16 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           val hiUs = rows.map(_._3).max
           val r = rangesDF.select(col("stream_id").as("_del_sid"),
             col("lo_us").as("_del_lo"), col("hi_us").as("_del_hi"))
+          // extras as declared AT the parent snapshot (⊆ extras at `hi`,
+          // evolution being additive) — the voided rows' true values, not
+          // a null-filled shadow; columns declared after parentV null-fill
+          // in the output projection
           val parent = rawDatapointsInRange(Some(tsOf(lo)), Some(tsOf(hiUs)),
-            Some(parentV), Some(sids))
-          Seq(parent.join(broadcast(r),
+            Some(parentV), Some(sids), evolved = true)
+          Seq(project(parent.join(broadcast(r),
               parent("stream_id") === r("_del_sid") &&
                 unix_micros(parent("ts")) >= r("_del_lo") &&
-                unix_micros(parent("ts")) <= r("_del_hi"), "left_semi")
-            .select(cols: _*)
+                unix_micros(parent("ts")) <= r("_del_hi"), "left_semi"))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_op", lit(op)))
@@ -3362,7 +3400,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Schemas.rawDatapoints.fields ++ Seq(
+        StructType(outSchema.fields ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_version", LongType, nullable = false),
           StructField("_commit_op", StringType, nullable = false))))
@@ -3389,7 +3427,16 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     if (sinceVersion > hi)
       throw new IllegalArgumentException(
         s"changefeed: sinceVersion $sinceVersion is past toVersion $hi")
-    val cols = outSchema.fieldNames.toSeq.map(col)
+    // project to the feed's output schema, NULL-FILLING columns a slice's
+    // table lacks — the derived table never carries the raw table's
+    // declared extra columns, and under an evolved outSchema its slices
+    // must null-fill them rather than fail the select
+    def project(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outSchema.fields.toSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
     def opOf(v: Long): String = commitOpOf(v)
     val slices = vs.filter(v => v > sinceVersion && v <= hi).flatMap { v =>
       val m = parseManifest(v)
@@ -3420,8 +3467,7 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           // zero-listing FileIndex path and data skipping
           val snap = Snapshot(v, Set(t), Map(t -> tAdds.map(_._2).toSet),
             tAdds.collect { case (_, rel, Some(st)) => ((t, rel), st) }.toMap)
-          tableReadFrom(Some(snap), t, tables(t), pinned = true).get
-            .select(cols: _*)
+          project(tableReadFrom(Some(snap), t, tables(t), pinned = true).get)
             .withColumn("_commit_version", lit(v))
             .withColumn("_commit_op", lit(op))
         }

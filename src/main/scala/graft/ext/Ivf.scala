@@ -396,9 +396,16 @@ object Ivf {
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): Unit = {
     VersionedIndex.foldBatch(path, batchId) {
-      if (currentVersion(path).isEmpty)
-        buildIndex(newVecs, path, nCells, 0, vecCol, idCol)
-      else appendToIndex(newVecs, path, vecCol, idCol)
+      // EMPTY micro-batch: skip the fold body but still advance the
+      // watermark (DedupIndex's all-dup shape). An empty FIRST batch would
+      // otherwise commit a 0-centroid build whose every later append dies
+      // on `nearestCells(...).head` — and since the same batch replays
+      // forever, the stream would be permanently wedged.
+      if (!newVecs.isEmpty) {
+        if (currentVersion(path).isEmpty)
+          buildIndex(newVecs, path, nCells, 0, vecCol, idCol)
+        else appendToIndex(newVecs, path, vecCol, idCol)
+      }
     }
     ()
   }
@@ -413,9 +420,13 @@ object Ivf {
                            vecCol: String = "embedding",
                            idCol: String = "vec_id"): Unit = {
     VersionedIndex.foldBatch(path, batchId) {
-      if (currentVersion(path).isEmpty)
-        buildPqIndex(newVecs, path, nCells, m, codes, 0, 3, vecCol, idCol)
-      else appendToPqIndex(newVecs, path, vecCol, idCol)
+      // empty-batch skip, as in [[appendBatchToIndex]] (an empty first
+      // batch would train a degenerate model and wedge the stream)
+      if (!newVecs.isEmpty) {
+        if (currentVersion(path).isEmpty)
+          buildPqIndex(newVecs, path, nCells, m, codes, 0, 3, vecCol, idCol)
+        else appendToPqIndex(newVecs, path, vecCol, idCol)
+      }
     }
     ()
   }

@@ -307,9 +307,14 @@ object Search {
                          textCol: String = "text",
                          idCol: String = "doc_id"): Unit = {
     VersionedIndex.foldBatch(path, batchId) {
-      if (VersionedIndex.currentVersion(path).isEmpty)
-        buildIndex(docs, path, textCol, idCol)
-      else appendToIndex(docs, path, textCol, idCol)
+      // empty-batch skip (watermark still advances) — harmless here
+      // (empty shards compose), but it keeps the chain free of zero-row
+      // shard versions, mirroring the vector indexes' guard
+      if (!docs.isEmpty) {
+        if (VersionedIndex.currentVersion(path).isEmpty)
+          buildIndex(docs, path, textCol, idCol)
+        else appendToIndex(docs, path, textCol, idCol)
+      }
     }
     ()
   }

@@ -152,9 +152,13 @@ object Sq {
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): Unit = {
     VersionedIndex.foldBatch(path, batchId) {
-      if (VersionedIndex.currentVersion(path).isEmpty)
-        buildIndex(newVecs, path, vecCol, idCol)
-      else appendToIndex(newVecs, path, vecCol, idCol)
+      // empty-batch skip (watermark still advances): an empty first batch
+      // would throw in learnBounds, and the replay would fail forever
+      if (!newVecs.isEmpty) {
+        if (VersionedIndex.currentVersion(path).isEmpty)
+          buildIndex(newVecs, path, vecCol, idCol)
+        else appendToIndex(newVecs, path, vecCol, idCol)
+      }
     }
     ()
   }
@@ -189,7 +193,7 @@ object Sq {
   /** Cosine top-k from the quantized corpus: broadcast queries (bounded
     * by the house `head(max+1)` fail-fast), one narrow pass over the
     * codes (decode + score, emitting only scalars), rank window. With
-    * `rerank > k` and `rerankAgainst`, the top-`rerank` SQ8 candidates
+    * `rerankAgainst`, the top-`max(k, rerank)` SQ8 candidates
     * are exact-rescored against their true vectors — the same ordered
     * fold and self-exclusion as [[Similarity.topK]], so a full-depth
     * rerank reproduces brute force exactly. `label` on the query side is
@@ -231,8 +235,12 @@ object Sq {
       .orderBy(col("sq8_cosine").desc, col("vec_id"))
     val cand = approx.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= depth)
-    val out = (rerankAgainst, if (rerank > k) Some(rerank) else None) match {
-      case (Some(corpus), Some(_)) =>
+    // ANY supplied rerank corpus requests the exact rescore (at depth
+    // max(k, rerank)): the earlier `rerank > k` guard silently skipped the
+    // rerank at rerank == k — the natural way to ask for an exact rescore
+    // of the top-k — returning SQ8-approximate scores labeled 'cosine'
+    val out = rerankAgainst match {
+      case Some(corpus) =>
         // exact rescore of the candidate slice: joins move only ids; the
         // float vectors are read once from the caller's corpus
         val exact = cand.select(col("label"), col("query_vec_id"), col("vec_id"))

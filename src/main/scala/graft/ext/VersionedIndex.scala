@@ -93,6 +93,14 @@ private[graft] object VersionedIndex {
     shardRels(path, dir, defaultSub)
       .map(rel => if (rel == ".") path else s"$path/$rel")
 
+  /** The (path, version) the current thread's in-flight [[foldBatch]] is
+    * entitled to commit WITH its batch record. Thread-scoped is sound
+    * here: a fold body runs synchronously on the calling thread (the
+    * foreachBatch driver thread), and its commit happens in that same
+    * call stack.
+    */
+  private val activeFold = new ThreadLocal[(String, Long)]
+
   /** Publish version `v`: CREATE its marker exclusively (the commit
     * point — create-fails-if-exists, so two writers colliding on one
     * version number fail LOUDLY instead of silently double-publishing) and
@@ -100,9 +108,20 @@ private[graft] object VersionedIndex {
     * contract; this guard turns a violated contract into an error
     * instead of a corrupted pointer history. Superseded versions are
     * retired, never reclaimed here.
+    *
+    * ORPHAN SCRUB: [[foldBatch]] stamps `v<N>/ingest_batch_id` BEFORE its
+    * body commits. If the body crashed pre-commit, a later NON-fold
+    * mutation (batch append/remove/refresh/compact) allocating the same
+    * version number would otherwise ADOPT the orphaned record — the
+    * restarted stream then sees `batchId <= hwm` and skips the replay,
+    * silently losing the batch's rows. Every commit that is not the
+    * active fold's own therefore deletes a pre-existing record in the
+    * version directory it is about to publish.
     */
   def commit(path: String, v: Long): Unit = {
     val s = io(path)
+    val rec = s"$path/v$v/ingest_batch_id"
+    if (activeFold.get != ((path, v)) && s.exists(rec)) s.deleteFile(rec)
     if (!s.createExclusive(s"$path/CURRENT.v$v", s"v$v"))
       throw new IllegalStateException(
         s"index $path: version $v is already committed — a concurrent " +
@@ -185,7 +204,11 @@ private[graft] object VersionedIndex {
     val next = currentVersion(path).getOrElse(0L) + 1
     s.mkdirs(s"$path/v$next")
     s.writeString(s"$path/v$next/ingest_batch_id", batchId.toString)
-    body
+    // entitle THIS body's commit of (path, next) to keep the record — any
+    // other commit of that version scrubs it (see [[commit]]'s orphan
+    // scrub; the entitlement is cleared even when the body throws)
+    activeFold.set((path, next))
+    try body finally activeFold.remove()
     s.writeString(s"$path/ingest_batch_hwm.v$batchId", batchId.toString)
     s.childNames(path)
       .filter(_.startsWith("ingest_batch_hwm.v"))

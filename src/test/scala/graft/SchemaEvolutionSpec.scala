@@ -134,6 +134,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("reader protocol 'v5'"))
   }
 
+  test("the changefeed serves declared extras: inserts carry values, " +
+    "pre-evolution rows null-fill, decoded deletes keep their extras") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a", Map("t" -> "x"))
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:10Z", 1.0))).select("stream_id", "ts", "value"))
+    ds.addRawColumn("quality", "double")
+    ds.appendMultiple(dp(Seq(
+      ("a", "2024-01-01T00:00:40Z", 2.0)))
+      .select("stream_id", "ts", "value").withColumn("quality", lit(0.5)))
+    // a CDF consumer mirroring the table must see the declared column —
+    // the silent-drop failure mode the v4 protocol bump exists to prevent
+    val feed = ds.readChanges(0L)
+    assert(feed.columns.contains("quality"))
+    val got = feed.select(col("value"), col("quality")).collect()
+      .map(r => (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq.sorted
+    assert(got == Seq((1.0, None), (2.0, Some(0.5))))
+    // a merge-on-read delete's DECODED rows carry the voided extras too
+    ds.deleteDatapoints(Map("t" -> "x"),
+      ts("2024-01-01T00:00:30Z"), ts("2024-01-01T00:01:00Z"))
+    val deletes = ds.readChangesWithDeletes(0L)
+      .where(col("_change_type") === "delete")
+      .select(col("value"), col("quality")).collect()
+      .map(r => (r.getDouble(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    assert(deletes == Seq((2.0, Some(0.5))))
+  }
+
   test("replication propagates the declaration and the column values") {
     val (src, _) = freshDs
     val (dst, _) = freshDs
