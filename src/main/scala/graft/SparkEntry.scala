@@ -162,6 +162,9 @@ object SparkEntry {
     // takedown: tombstoned ids voided, exhaustive query ≡ brute over survivors
     "q_index_takedown" -> Queries.indexTakedown _,
     "q_ivf_index_append" -> Queries.ivfIndexAppend _,
+    // chain compaction across all five index families: shard-count reset,
+    // bit-identical results, tombstone fold, vacuum reclamation
+    "q_index_compaction" -> Queries.indexCompaction _,
     "q_neardup_embedding" -> Queries.nearDupEmbedding _,
     // SemDeDup: exact arm (nCells=1, full SQL oracle) + clustered arm's
     // structural-precision/measured-recall gate
@@ -414,6 +417,7 @@ object SparkEntry {
     "q_similarity_mmr" -> Oracles.similarityMmr,
     "q_index_takedown" -> Oracles.indexTakedown,
     "q_ivf_index_append" -> Oracles.similarityTopK,
+    "q_index_compaction" -> Oracles.indexCompaction,
     // q_similarity_ann, q_similarity_ivf_probe, q_neardup_embedding:
     // approximate (LSH/IVF) results by design — not SQL-expressible as an
     // exact twin; rows-only check. Their QUALITY is gated instead: the
@@ -2975,6 +2979,116 @@ object Queries {
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
       .join(broadcast(labels), "query_vec_id")
       .select("label", "query_vec_id", "vec_id", "cosine", "rank")
+  }
+
+  /** INDEX-CHAIN COMPACTION across all five persisted index families
+    * (IVF, IVF-PQ, SQ8, dedup, BM25 search): each index is built, grown by
+    * appends (one shard per append — the read amplification streaming
+    * maintenance accretes), hit with a takedown, then compacted. Pinned
+    * per family: the live shard count drops from the chain length to 1,
+    * query/dedup decisions are BIT-IDENTICAL pre/post (compaction copies
+    * models forward and merges data — never a retrain), the tombstones
+    * and stats adjustments fold physically into the merged shard, and
+    * vacuum reclaims the superseded chain while the compacted version
+    * keeps serving the same rows.
+    */
+  def indexCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tempDir("graft-icomp")
+    val emb = Sources.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val docs = Sources.documents(spark, sfDir)
+    val qv = queryVectors(spark, sfDir)
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq.sorted
+    def nShards(p: String, sub: String): Int =
+      ext.VersionedIndex.liveShardCount(p, sub)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, Boolean, Boolean, Boolean)]
+    // one family's lifecycle: capture the query baseline and shard count,
+    // compact, re-query (must be bit-identical — compaction is a physical
+    // merge, not a retrain), check the fold, vacuum, re-query again
+    def run(family: String, p: String, sub: String,
+            compact: () => Unit, vacuum: () => Unit,
+            foldedAlso: Seq[String])(q: () => DataFrame): Unit = {
+      val before = rows(q())
+      val nb = nShards(p, sub)
+      compact()
+      val na = nShards(p, sub)
+      val equal = rows(q()) == before
+      val io = ext.VersionedIndex.io(p)
+      val live = ext.VersionedIndex.resolveDir(p, None)
+      val folded = !io.exists(s"$live/tombstones") &&
+        foldedAlso.forall(f => !io.exists(s"$live/$f"))
+      vacuum()
+      // the build version's directory is reclaimed (the compacted version
+      // is self-contained, so nothing references the old chain's shards)
+      // and the live read still serves the identical rows
+      val vacOk = !io.exists(s"$p/v1") && rows(q()) == before
+      out += ((family, nb, na, equal, folded, vacOk))
+    }
+    locally { // plain IVF: build + 2 appends + takedown; exhaustive probe
+      val p = s"$dir/ivf"
+      ext.Ivf.buildIndex(emb.where(pmod(col("vec_id"), lit(3)) === 0), p, nCells = 16)
+      ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 1), p)
+      ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 2), p)
+      ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+      run("ivf", p, "cells", () => ext.Ivf.compactIndex(p, spark),
+        () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+        () => ext.Ivf.queryIndex(p, qv, k = 10, nProbe = 16))
+    }
+    locally { // IVF-PQ: codebooks copied forward, codes-only shards merge
+      val p = s"$dir/ivfpq"
+      ext.Ivf.buildPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p,
+        nCells = 8, refineIters = 0)
+      ext.Ivf.appendToPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
+      ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+      run("ivfpq", p, "cells", () => ext.Ivf.compactIndex(p, spark),
+        () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+        () => ext.Ivf.queryPqIndex(p, qv, k = 10, nProbe = 8,
+          rerank = 1 << 20, rerankAgainst = Some(emb)))
+    }
+    locally { // SQ8: frozen bounds copied forward, code shards merge
+      val p = s"$dir/sq8"
+      ext.Sq.buildIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p)
+      ext.Sq.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
+      ext.Sq.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+      run("sq8", p, "codes", () => ext.Sq.compactIndex(p, spark),
+        () => ext.Sq.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+        () => ext.Sq.queryIndex(p, qv, k = 10, rerank = 40,
+          rerankAgainst = Some(emb)))
+    }
+    locally { // dedup: banding params pinned, side tables merge; the
+      // "query" is the dedup DECISION SET over a fixed probe shard
+      val p = s"$dir/dedup"
+      val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      ext.DedupIndex.buildIndex(even, p)
+      val survivors = ext.DedupIndex.dedupeAgainstIndex(odd, p, 0.8)
+        .localCheckpoint(true)
+      ext.DedupIndex.appendToIndex(survivors, p)
+      ext.DedupIndex.removeFromIndex(p, docs.where(col("doc_id") < 5)
+        .select("doc_id"))
+      val probe = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+      run("dedup", p, "data", () => ext.DedupIndex.compactIndex(p, spark),
+        () => ext.DedupIndex.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+        () => ext.DedupIndex.dedupeAgainstIndex(probe, p, 0.8)
+          .select("doc_id"))
+    }
+    locally { // BM25 search: stats_adjust must fold away with the tombstones
+      val p = s"$dir/search"
+      ext.Search.buildIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0), p)
+      ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 1), p)
+      ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 2), p)
+      ext.Search.removeFromIndex(p, docs.where(col("doc_id") < 5)
+        .select("doc_id"))
+      run("search", p, "data", () => ext.Search.compactIndex(p, spark),
+        () => ext.Search.vacuumIndex(p, retainVersions = 1),
+        Seq("stats_adjust"))(
+        () => ext.Search.queryIndex(spark, p,
+          Seq("qa" -> Seq("spark", "window", "merge"),
+            "qb" -> Seq("dup", "customer")), topK = 15))
+    }
+    out.toSeq.toDF("family", "shards_before", "shards_after",
+      "results_equal", "tombstones_folded", "vacuum_ok")
   }
 
   /** Embedding-cosine near-dup candidates through LSH bands. */

@@ -170,6 +170,31 @@ object DedupIndex {
     VersionedIndex.publishAppend(path, cur, next, "data")
   }
 
+  /** Chain compaction, the twin of [[Ivf.compactIndex]]: merge each side
+    * table's live shards (bands / shingles / exact, tombstones folded)
+    * into one data shard under a fresh version, banding params copied
+    * forward unchanged — so signatures keep colliding exactly as before
+    * and dedup decisions are bit-identical pre/post (the gate pins this).
+    * Streaming maintenance adds one shard per micro-batch and every
+    * candidate join unions the whole chain; compaction resets that read
+    * amplification to one shard per side.
+    */
+  def compactIndex(path: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = indexDir(path)
+    val next = VersionedIndex.currentVersion(path).getOrElse(
+      throw new IllegalStateException(
+        s"compactIndex: no committed version at $path")) + 1
+    val dir = s"$path/v$next"
+    spark.read.parquet(s"$cur/params").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    Seq("exact", "shingles", "bands").foreach { side =>
+      readSide(spark, path, cur, side)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$side")
+    }
+    VersionedIndex.commit(path, next)
+  }
+
   /** Ids currently present in the resolved index (exact side, takedown
     * tombstones voided) — the membership surface a caller joins against
     * to ask "which of these documents did the index accept".

@@ -431,6 +431,42 @@ object Ivf {
     ()
   }
 
+  /** INDEX-CHAIN COMPACTION — collapse an appended chain's live shards
+    * into ONE complete shard per table, published as a fresh version (the
+    * streaming-maintenance counterweight: every micro-batch fold adds a
+    * shard, and every query unions and prunes ALL live shards — a week of
+    * 5-minute batches is ~2,000 parquet scans per probe; compaction resets
+    * that read amplification to one). Unlike [[refreshIndex]] it does NOT
+    * re-learn anything: centroids (and PQ codebooks, when present — one
+    * verb serves both the plain and the PQ layout) are copied forward
+    * unchanged and every vector keeps its cell, so post-compaction query
+    * results are BIT-IDENTICAL to pre-compaction by construction (the
+    * gate pins this) — it is the warehouse `compact()` at index scale,
+    * not a retrain. Takedown tombstones FOLD: the merged shard carries
+    * only live vectors and the new version no tombstone table (the
+    * physical drain, same as refresh). The old chain stays intact for
+    * pinned reads until [[vacuumIndex]] reclaims it; the commit is the
+    * same atomic marker create as every other publish.
+    */
+  def compactIndex(path: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = indexDir(path)
+    val s = VersionedIndex.io(path)
+    val next = currentVersion(path).getOrElse(throw new IllegalStateException(
+      s"compactIndex: no committed version at $path")) + 1
+    val dir = s"$path/v$next"
+    Seq("centroids", "pq").foreach { sub =>
+      if (s.exists(s"$cur/$sub"))
+        spark.read.parquet(s"$cur/$sub").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/$sub")
+    }
+    // the chain's LOGICAL content (tombstones folded), one partitioned
+    // table — cell partitioning preserved, so probe pruning is unchanged
+    minusTombstones(readCells(spark, path, cur), tombstonesOf(spark, path, cur))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    commitVersion(path, next)
+  }
+
   /** PERIODIC compaction for an index that has absorbed appends:
     * re-learns centroids from the index's own contents (spherical k-means
     * seeded by the stored centroids — no access to the original corpus

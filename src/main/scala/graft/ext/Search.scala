@@ -383,6 +383,42 @@ object Search {
     else None
   }
 
+  /** Chain compaction, the twin of [[Ivf.compactIndex]]: merge the live
+    * postings/doclens shards (tombstones folded) into one data shard under
+    * a fresh version, re-establishing the by-term range partitioning so
+    * row-group pruning is as sharp as a fresh build's. The per-shard stats
+    * are RECOMPUTED from the compacted doclens (exact long count/sum — the
+    * accumulated `stats_adjust` folds away with the tombstones), so BM25's
+    * corpus terms are identical pre/post and scores stay bit-equal (the
+    * gate pins this). Read amplification resets to one shard.
+    */
+  def compactIndex(path: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val cur = VersionedIndex.resolveDir(path, None)
+    val next = VersionedIndex.currentVersion(path).getOrElse(
+      throw new IllegalStateException(
+        s"compactIndex: no committed version at $path")) + 1
+    val dir = s"$path/v$next"
+    val roots = VersionedIndex.shardsOf(path, cur, "data")
+    def side(name: String): DataFrame =
+      roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
+    val tomb = tombstonesOf(spark, path, cur)
+    def live(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+      df.join(t.select(col("doc_id").as("_dead")),
+        df("doc_id") === col("_dead"), "left_anti"))
+    val lens = live(side("doclens"))
+    lens.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/doclens")
+    lens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/data/stats")
+    live(side("postings"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/postings")
+    VersionedIndex.commit(path, next)
+  }
+
   private def statsAdjustOf(spark: org.apache.spark.sql.SparkSession,
                             path: String, dir: String): Option[(Long, Long)] = {
     val s = VersionedIndex.io(path)

@@ -163,6 +163,25 @@ object Sq {
     ()
   }
 
+  /** Chain compaction, the twin of [[Ivf.compactIndex]]: merge the live
+    * code shards into one table under a fresh version, tombstones folded,
+    * frozen params copied forward — queries are bit-identical pre/post
+    * (same codes, same bounds), read amplification resets to one shard.
+    */
+  def compactIndex(path: String,
+                   spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = indexDir(path)
+    val next = VersionedIndex.currentVersion(path).getOrElse(
+      throw new IllegalStateException(
+        s"compactIndex: no committed version at $path")) + 1
+    val dir = s"$path/v$next"
+    spark.read.parquet(s"$cur/params").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+    codesOf(spark, path, cur)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    VersionedIndex.commit(path, next)
+  }
+
   /** TAKEDOWN — the tombstone pattern shared with the sibling indexes:
     * a metadata-only version voids the ids from every later read; pinned
     * pre-takedown versions serve until vacuum. Returns ids present.

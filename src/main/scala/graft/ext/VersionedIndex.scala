@@ -93,6 +93,13 @@ private[graft] object VersionedIndex {
     shardRels(path, dir, defaultSub)
       .map(rel => if (rel == ".") path else s"$path/$rel")
 
+  /** How many data shards the LIVE version unions per read — the read
+    * amplification a query pays, and the number `compactIndex` resets to
+    * 1 (probed by the compaction gate; grows by one per streaming fold).
+    */
+  def liveShardCount(path: String, defaultSub: String): Int =
+    shardRels(path, resolveDir(path, None), defaultSub).length
+
   /** The (path, version) the current thread's in-flight [[foldBatch]] is
     * entitled to commit WITH its batch record. Thread-scoped is sound
     * here: a fold body runs synchronously on the calling thread (the
