@@ -27,6 +27,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.downsampleAt(spark, "/root/testdata/sf0.001", Granularity.Minutes)
 
+  /** The DECLARED rows-only queries: approximate (LSH/IVF/PQ/SimHash)
+    * configurations whose result sets are not SQL-expressible as an exact
+    * twin — each is bracketed by a hash-green recall gate instead
+    * (`q_ann_recall`, `q_ivf_recall`, `q_pq_recall`, `q_simhash_recall`,
+    * and the minhash pair-set oracle for near-dup). EntrySpec asserts
+    * `queries.keySet == oracleSql.keySet ++ rowsOnly`, so registering a
+    * query without EITHER an oracle or an explicit entry here fails the
+    * suite by name — the failure class that broke round 14 (a gate
+    * registered before its oracle existed) now dies in `sbt test`.
+    */
+  val rowsOnly: Set[String] = Set(
+    "q_similarity_ann", "q_similarity_ivf_probe", "q_similarity_pq",
+    "q_simhash", "q_neardup_embedding")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 downsampling cascade (A1–A7, T2)
@@ -82,6 +96,7 @@ object SparkEntry {
     "q_zorder" -> Queries.zorderCompaction _,
     "q_table_detail" -> Queries.tableDetailReport _,
     "q_schema_evolution" -> Queries.schemaEvolution _,
+    "q_changes_evolved" -> Queries.changesEvolved _,
     "q_getdata_matrix" -> Queries.getDataMatrixReport _,
     "q_delete_streams" -> Queries.deleteStreamsE2E _,
     "q_tag_crud" -> Queries.tagCrud _,
@@ -350,6 +365,7 @@ object SparkEntry {
     "q_zorder" -> Oracles.zorderCompaction,
     "q_table_detail" -> Oracles.tableDetail,
     "q_schema_evolution" -> Oracles.schemaEvolution,
+    "q_changes_evolved" -> Oracles.changesEvolved,
     "q_getdata_matrix" -> Oracles.getDataMatrix,
     "q_delete_streams" -> Oracles.deleteStreamsE2E,
     "q_tag_crud" -> Oracles.tagCrud,
@@ -1319,6 +1335,49 @@ object Queries {
         count(col("quality")).as("n_quality"),
         sum(col("quality").cast(Downsample.DecV)).cast("double")
           .as("quality_sum"))
+  }
+
+  /** CHANGEFEED ACROSS SCHEMA EVOLUTION on the gate: pre-evolution rows
+    * land, `addRawColumn` bumps the schema, post-evolution rows land with
+    * the new column populated. `readChanges(0)` spans the boundary and
+    * must project EVERY commit through the evolved (end-of-feed) schema:
+    * the pre-evolution commit's rows null-fill `quality` (n_quality = 0,
+    * quality_sum null), the post-evolution commit carries the written
+    * values, and the add_column commit itself contributes no rows (so
+    * exactly two commit_seq values appear). Aggregated per (commit,
+    * stream) BEFORE the dense_rank window — the scan shuffles once and
+    * the window orders only the handful of per-commit aggregate rows,
+    * never the datapoints.
+    */
+  def changesEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft-cfe")
+    val ds = new Datastream(spark, dir)
+    ds.ensureStream("7:click", Map("user" -> "7", "type" -> "click"),
+      highestGranularity = Granularity.Minutes)
+    ds.ensureStream("3:view", Map("user" -> "3", "type" -> "view"),
+      highestGranularity = Granularity.Minutes)
+    val dp = Sources.eventsAsDatapoints(spark, sfDir)
+      .where((col("user_id") === 7 && col("event_type") === "click") ||
+        (col("user_id") === 3 && col("event_type") === "view"))
+      .select("stream_id", "ts", "value")
+    val cut = ts("2024-01-15T00:00:00Z")
+    ds.appendMultiple(dp.where(col("ts") < lit(cut)))
+    ds.addRawColumn("quality", "double")
+    ds.appendMultiple(dp.where(col("ts") >= lit(cut))
+      .withColumn("quality", col("value") / lit(2.0)))
+    val perCommit = ds.readChanges(0L)
+      .groupBy(col("_commit_version"), col("_commit_op").as("op"),
+        col("stream_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("quality")).as("n_quality"),
+        sum(col("value").cast(Downsample.DecV)).cast("double").as("value_sum"),
+        sum(col("quality").cast(Downsample.DecV)).cast("double")
+          .as("quality_sum"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_commit_version")
+    perCommit
+      .withColumn("commit_seq", dense_rank().over(w).cast("long"))
+      .select("commit_seq", "op", "stream_id", "n_rows", "n_quality",
+        "value_sum", "quality_sum")
   }
 
   /** DESCRIBE DETAIL on the gate: after an append + maintenance pass,
@@ -5235,6 +5294,29 @@ SELECT stream_id, count(*) AS n_rows,
     AS DOUBLE) AS quality_sum
 FROM dp GROUP BY 1"""
 
+  /** Changefeed-evolution twin: commit_seq 1 replays the pre-evolution
+    * append (quality null-filled by the evolved projection: n_quality 0,
+    * quality_sum null), commit_seq 2 the post-evolution append (quality
+    * populated on every row). The add_column commit contributes no rows,
+    * so exactly these two sequences exist.
+    */
+  val changesEvolved: String =
+    """WITH dp AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS stream_id, ts, value
+  FROM events
+  WHERE (user_id = 7 AND event_type = 'click')
+     OR (user_id = 3 AND event_type = 'view'))
+SELECT CAST(1 AS BIGINT) AS commit_seq, 'append' AS op, stream_id,
+  count(*) AS n_rows, CAST(0 AS BIGINT) AS n_quality,
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum,
+  CAST(NULL AS DOUBLE) AS quality_sum
+FROM dp WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY stream_id
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'append', stream_id, count(*), count(*),
+  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE),
+  CAST(sum(CAST(value / CAST(2.0 AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+FROM dp WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY stream_id"""
+
   /** Matrix twin: every cell recomputed from events — per (stream,
     * minute bucket) the decimal-accumulated mean, pivoted by conditional
     * aggregation over the window.
@@ -6058,6 +6140,22 @@ WHERE rank <= 10"""
     "SELECT * FROM (VALUES " +
       (0 until 10).map(l => s"($l, true)").mkString(", ") +
       ") AS t(label, recall_ok)"
+
+  /** Index-chain-compaction twin: one pinned row per index family. The
+    * shard counts are fixed by the gate's own construction (build + N
+    * appends → chain of N+1 shards; compaction merges to exactly 1), and
+    * the three booleans are contracts, not measurements — query results
+    * bit-identical across compaction, tombstones/stats physically folded,
+    * vacuum reclaims the chain while serving the same rows. Any deviation
+    * turns the corresponding literal false/≠1 and reds the hash compare.
+    */
+  val indexCompaction: String =
+    "SELECT * FROM (VALUES " +
+      Seq("dedup" -> 2, "ivf" -> 3, "ivfpq" -> 2, "search" -> 3, "sq8" -> 2)
+        .map { case (f, nb) => s"('$f', $nb, 1, true, true, true)" }
+        .mkString(", ") +
+      ") AS t(family, shards_before, shards_after," +
+      " results_equal, tombstones_folded, vacuum_ok)"
 
   /** SimHash recall twin: n_exact recomputed from the exact shingle-Jaccard
     * pair set (the same inverted-index CTE as the minhash oracle), plus the

@@ -3268,7 +3268,17 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // exists to prevent. Pre-evolution raw files null-fill (parquet
     // schema projection); the derived table is base-schema by
     // construction and null-fills in the output projection.
-    val hi = toVersion.orElse(committedVersions.lastOption)
+    //
+    // Validate toVersion BEFORE resolving the evolved schema: an unknown
+    // bound must fail the argument contract (IllegalArgumentException,
+    // as changesOver pins), not surface as parseManifest's broken-chain
+    // IllegalStateException from the schema lookup.
+    val vs = committedVersions
+    val hi = toVersion.orElse(vs.lastOption)
+    hi.filterNot(vs.contains).foreach(h =>
+      throw new IllegalArgumentException(
+        s"changefeed: toVersion $h is not a committed, retained snapshot " +
+          s"(retained: ${vs.mkString(", ")})"))
     changesOver(
       Map("raw" -> rawSchemaPartitionedAt(hi),
         "derived" -> Schemas.rawDatapoints),
@@ -3514,16 +3524,31 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     * Returns the number of source commits applied this run.
     */
   def replicateTo(dest: Datastream,
-                  skipChangeCommits: Boolean = false): Long = {
+                  skipChangeCommits: Boolean = false,
+                  maxSyncStreams: Int =
+                    Datastream.DefaultMaxPruneStreams): Long = {
     require(dest.warehouse != warehouse,
       "replicateTo: destination is this warehouse")
+    require(maxSyncStreams > 0, "replicateTo: maxSyncStreams must be > 0")
     import spark.implicits._
-    // registry sync: specs dest lacks, one idempotent batch ensure
-    // (registry-scale collect, like every ensure/maintenance path)
-    val missing = streams
-      .join(dest.streams.select("stream_id"), Seq("stream_id"), "left_anti")
-      .as[StreamMeta].collect()
-    if (missing.nonEmpty) dest.ensureStreams(missing.toSeq)
+    // registry sync, BOUNDED DRIVER: the missing-spec set is collected in
+    // chunks of `maxSyncStreams`, each ensured before the anti-join is
+    // recomputed against the swapped registry — so the set strictly
+    // shrinks every round and a replica bootstrapping a very large
+    // registry holds at most ONE chunk of specs on the driver, never the
+    // whole registry. ensureStreams is a driver-side registry swap by
+    // design (stream metadata is registry-scale, like every
+    // ensure/maintenance path), so the bound is chunked iteration rather
+    // than a distributed write; each chunk is one idempotent batch ensure
+    // and a crash between chunks just resumes where it left off.
+    var syncing = true
+    while (syncing) {
+      val chunk = streams
+        .join(dest.streams.select("stream_id"), Seq("stream_id"), "left_anti")
+        .as[StreamMeta].head(maxSyncStreams)
+      if (chunk.nonEmpty) dest.ensureStreams(chunk.toSeq)
+      syncing = chunk.length == maxSyncStreams
+    }
     // schema sync: declared extra columns the replica lacks are declared
     // there first (idempotent — an identical declaration is skipped), and
     // a SAME-NAMED column with a DIFFERENT type refuses loudly: replaying

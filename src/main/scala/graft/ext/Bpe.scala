@@ -144,25 +144,71 @@ object Bpe {
     val merges = Seq.newBuilder[(String, String, Long)]
     var k = 0
     var done = false
+    // BATCHED ROUNDS, bit-identical to the one-merge-per-job loop: each
+    // round collects the top `BatchK` pairs (same shuffle as top-1) and
+    // merges the maximal SAFE PREFIX of that sorted list in one pass over
+    // the word table. A prefix element p_j is safe iff
+    //  (a) its symbols are disjoint from every earlier chosen pair's —
+    //      then no earlier merge changes p_j's count or positions, and
+    //  (b) p_j's weight STRICTLY exceeds the best possible weight of any
+    //      pair an earlier merge CREATES — a new pair (x, ab) consumes an
+    //      occurrence of (x, a), so its weight is ≤ min(w(x,a), w(a,b));
+    //      pairs outside the collected list are bounded by the last
+    //      collected weight. Strict ensures no new pair can even TIE p_j,
+    //      so the sequential (w DESC, l, r) order is reproduced exactly.
+    // Existing pairs can't overtake a prefix element either: merge steps
+    // only ever decrease existing counts. The first unsafe element ends
+    // the batch (no skipping — a skipped higher-weight pair would be the
+    // sequential argmax). Worst case the prefix is length 1 and the round
+    // degenerates to the original loop; Zipfian pair tables batch heavily,
+    // cutting the jobs-per-vocab constant (the trainer's 100 TB watch item).
+    val BatchK = 64
     while (k < numMerges && !done) {
-      val best = words
+      val top = words
         .flatMap { case (s, c) =>
           (0 until s.length - 1).map(i => (s(i), s(i + 1), c)) }
         .toDF("l", "r", "cnt")
         .groupBy("l", "r").agg(sum("cnt").as("w"))
         .orderBy(col("w").desc, col("l"), col("r"))
-        .limit(1)
+        .limit(BatchK)
         .as[(String, String, Long)].collect()
-      if (best.isEmpty || best.head._3 < minCount) done = true
+      if (top.isEmpty || top.head._3 < minCount) done = true
       else {
-        val (l, r, w) = best.head
-        merges += ((l, r, w))
+        val uncollectedBound = top.last._3 // any pair not collected is ≤ this
+        val chosen = scala.collection.mutable.ArrayBuffer(top.head)
+        var stop = false
+        top.tail.foreach { cand =>
+          val (cl, cr, cw) = cand
+          if (!stop && k + chosen.length < numMerges && cw >= minCount) {
+            val disjoint = chosen.forall { case (l, r, _) =>
+              cl != l && cl != r && cr != l && cr != r }
+            val beatsNewPairs = chosen.forall { case (l, r, w) =>
+              // strongest pair a merge of (l, r) can create: (x, l·r)
+              // needs (x, l) before it, (l·r, y) needs (r, y) after it
+              val interacting = top.iterator
+                .filter { case (ql, qr, _) => qr == l || ql == r }
+                .map { case (_, _, qw) => math.min(qw, w) }
+              val bound = (interacting ++
+                Iterator.single(math.min(uncollectedBound, w))).max
+              cw > bound
+            }
+            if (disjoint && beatsNewPairs) chosen += cand else stop = true
+          } else stop = true
+        }
+        merges ++= chosen
+        val batch = chosen.toArray
         words = words
-          .map { case (s, c) => (applyMerge(s, l, r), c) }
+          .map { case (s, c) =>
+            var cur = s
+            batch.foreach { case (l, r, _) => cur = applyMerge(cur, l, r) }
+            (cur, c)
+          }
           .localCheckpoint(true)
         prev.unpersist(blocking = false)
         prev = words
-        k += 1
+        k += chosen.length
+        // a sub-minCount top-1 NEXT round ends the loop (new pairs this
+        // round's merges created may still clear minCount — recount)
       }
     }
     words.unpersist(blocking = false)

@@ -180,12 +180,16 @@ object DedupIndex {
     * amplification to one shard per side.
     */
   def compactIndex(path: String,
-                   spark: org.apache.spark.sql.SparkSession): Unit = {
+                   spark: org.apache.spark.sql.SparkSession): Boolean = {
     val cur = indexDir(path)
     val next = VersionedIndex.currentVersion(path).getOrElse(
       throw new IllegalStateException(
         s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
+    // fully-tombstoned chain: refuse (no-op, nothing committed) — a
+    // zero-row write can emit no part files, leaving unreadable data
+    // dirs in the committed version (see Ivf.compactIndex)
+    if (readSide(spark, path, cur, "exact").isEmpty) return false
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     Seq("exact", "shingles", "bands").foreach { side =>
@@ -193,6 +197,7 @@ object DedupIndex {
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$side")
     }
     VersionedIndex.commit(path, next)
+    true
   }
 
   /** Ids currently present in the resolved index (exact side, takedown

@@ -447,24 +447,34 @@ object Ivf {
     * physical drain, same as refresh). The old chain stays intact for
     * pinned reads until [[vacuumIndex]] reclaims it; the commit is the
     * same atomic marker create as every other publish.
+    *
+    * FULLY-TOMBSTONED REFUSAL (returns false, nothing committed — the
+    * codebase's no-op convention): a `partitionBy` over zero rows emits
+    * no part files, so the committed version's `cells` dir would fail
+    * every later read with "unable to infer schema". The un-compacted
+    * chain stays correct (tombstones keep filtering), just un-collapsed;
+    * the right verb for an emptied index is takedown, not compaction.
     */
   def compactIndex(path: String,
-                   spark: org.apache.spark.sql.SparkSession): Unit = {
+                   spark: org.apache.spark.sql.SparkSession): Boolean = {
     val cur = indexDir(path)
     val s = VersionedIndex.io(path)
     val next = currentVersion(path).getOrElse(throw new IllegalStateException(
       s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
+    // the chain's LOGICAL content (tombstones folded), one partitioned
+    // table — cell partitioning preserved, so probe pruning is unchanged
+    val live = minusTombstones(readCells(spark, path, cur),
+      tombstonesOf(spark, path, cur))
+    if (live.isEmpty) return false
     Seq("centroids", "pq").foreach { sub =>
       if (s.exists(s"$cur/$sub"))
         spark.read.parquet(s"$cur/$sub").coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/$sub")
     }
-    // the chain's LOGICAL content (tombstones folded), one partitioned
-    // table — cell partitioning preserved, so probe pruning is unchanged
-    minusTombstones(readCells(spark, path, cur), tombstonesOf(spark, path, cur))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    live.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     commitVersion(path, next)
+    true
   }
 
   /** PERIODIC compaction for an index that has absorbed appends:
@@ -810,13 +820,19 @@ object Ivf {
       .withColumn("label", col("label").cast("int"))
     val w = Window.partitionBy("query_vec_id")
       .orderBy(col("cosine").desc, col("vec_id"))
-    val out = (rerank, rerankAgainst) match {
-      case (r, Some(corpus)) if r > k =>
+    // ANY supplied rerank corpus requests the exact rescore (at depth
+    // max(k, rerank)): the earlier `rerank > k` guard silently skipped the
+    // rescore at rerank == k — the natural way to ask for an exact rescore
+    // of the top-k — returning PQ-approximate scores labeled 'cosine'.
+    // Same contract as Sq.queryIndex.
+    val out = rerankAgainst match {
+      case Some(corpus) =>
+        val depth = math.max(k, rerank)
         exactRerank(scored.withColumn("rank", row_number().over(w))
-            .where(col("rank") <= r)
+            .where(col("rank") <= depth)
             .select("label", "query_vec_id", "vec_id"),
           corpus, qRows, k, vecCol, idCol)
-      case _ =>
+      case None =>
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= k)
     }

@@ -171,6 +171,15 @@ object Search {
   private def scoreBatch(qTerms: DataFrame, post: DataFrame, lens: DataFrame,
                          nDocs: Long, totalDl: Long,
                          k1: Double, b: Double, topK: Int): DataFrame = {
+    // an emptied corpus (every document taken down) serves an empty
+    // result — without the guard `avgdl = 0/0` explodes at PLAN time
+    // (ANSI division, constant-folded before any row is touched)
+    if (nDocs <= 0L) {
+      val spark = qTerms.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Double, Long)]
+        .toDF("query_id", "rank", "doc_id", "score", "dl")
+    }
     // df is query-vocabulary-sized — broadcast it back (statistics-free
     // after the aggregate, so without the hint the planner can shuffle the
     // whole postings slice into a sort-merge join on the serving path)
@@ -393,7 +402,7 @@ object Search {
     * gate pins this). Read amplification resets to one shard.
     */
   def compactIndex(path: String,
-                   spark: org.apache.spark.sql.SparkSession): Unit = {
+                   spark: org.apache.spark.sql.SparkSession): Boolean = {
     import org.apache.spark.sql.SaveMode
     val cur = VersionedIndex.resolveDir(path, None)
     val next = VersionedIndex.currentVersion(path).getOrElse(
@@ -408,6 +417,10 @@ object Search {
       df.join(t.select(col("doc_id").as("_dead")),
         df("doc_id") === col("_dead"), "left_anti"))
     val lens = live(side("doclens"))
+    // fully-tombstoned chain: refuse (no-op, nothing committed) — a
+    // zero-row write can emit no part files, leaving unreadable data
+    // dirs in the committed version (see Ivf.compactIndex)
+    if (lens.isEmpty) return false
     lens.write.mode(SaveMode.Overwrite).parquet(s"$dir/data/doclens")
     lens.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
@@ -417,6 +430,7 @@ object Search {
       .sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/postings")
     VersionedIndex.commit(path, next)
+    true
   }
 
   private def statsAdjustOf(spark: org.apache.spark.sql.SparkSession,

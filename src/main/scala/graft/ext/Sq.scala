@@ -169,17 +169,22 @@ object Sq {
     * (same codes, same bounds), read amplification resets to one shard.
     */
   def compactIndex(path: String,
-                   spark: org.apache.spark.sql.SparkSession): Unit = {
+                   spark: org.apache.spark.sql.SparkSession): Boolean = {
     val cur = indexDir(path)
     val next = VersionedIndex.currentVersion(path).getOrElse(
       throw new IllegalStateException(
         s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
+    // fully-tombstoned chain: refuse (no-op, nothing committed) — a
+    // zero-row write can emit no part files, leaving an unreadable
+    // `codes` dir in the committed version (see Ivf.compactIndex)
+    val live = codesOf(spark, path, cur)
+    if (live.isEmpty) return false
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    codesOf(spark, path, cur)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
+    live.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
     VersionedIndex.commit(path, next)
+    true
   }
 
   /** TAKEDOWN — the tombstone pattern shared with the sibling indexes:

@@ -987,6 +987,54 @@ class CorpusOpsSpec extends SparkSpec {
       === Seq("aa", "a"))
   }
 
+  test("Bpe.learnMerges: batched rounds equal the sequential trainer on random corpora") {
+    // pure-Scala reference: the textbook one-merge-at-a-time loop with the
+    // same (weight DESC, left, right) tie-break and leftmost-greedy apply
+    def sequential(texts: Seq[String], numMerges: Int,
+                   minCount: Long): Seq[(String, String, Long)] = {
+      var words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toArray, ws.size.toLong) }.toSeq
+      val out = Seq.newBuilder[(String, String, Long)]
+      var k = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (s, c) =>
+          (0 until s.length - 1).foreach { i =>
+            counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+          }
+        }
+        val best = counts.toSeq
+          .sortBy { case ((l, r), w) => (-w, l, r) }.headOption
+        best match {
+          case Some(((l, r), w)) if w >= minCount =>
+            out += ((l, r, w))
+            words = words.map { case (s, c) => (ext.Bpe.applyMerge(s, l, r), c) }
+            k += 1
+          case _ => done = true
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(97)
+    (0 until 3).foreach { trial =>
+      // heavy-tailed random words over a tiny alphabet → dense pair ties
+      // and interaction chains, the hard case for batching soundness
+      val vocabWords = (0 until 12).map(_ =>
+        (0 until (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+          .mkString)
+      val texts = (0 until 30).map(_ =>
+        (0 until (3 + rnd.nextInt(6)))
+          .map(_ => vocabWords(math.min(rnd.nextInt(12), rnd.nextInt(12))))
+          .mkString(" "))
+      val df = docsDF(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") })
+      val want = sequential(texts, numMerges = 12, minCount = 2L)
+      val got = ext.Bpe.learnMerges(df, numMerges = 12, minCount = 2L)
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
   test("Bpe: greedy longest-prefix tokenization with unknown-char fallback") {
     import ext.Bpe
     val vocab = Set("the", "th", "he", "ab", "abc", "x")

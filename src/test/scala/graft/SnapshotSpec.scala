@@ -638,6 +638,28 @@ class SnapshotSpec extends SparkSpec {
     ()
   }
 
+  test("replicateTo: registry sync is chunk-bounded — more missing specs " +
+      "than maxSyncStreams still converge without a full-registry collect") {
+    val (src, _) = freshDs
+    val (dst, _) = freshDs
+    (0 until 7).foreach(i =>
+      src.ensureStream(s"s$i", Map("who" -> s"s$i", "grp" -> (i % 2).toString)))
+    src.appendMultiple(dp((0 until 7).map(i =>
+      (s"s$i", "2024-01-01T00:00:00Z", i.toDouble)))
+      .select("stream_id", "ts", "value"))
+    // 7 missing specs, chunks of 3 → three ensure rounds, then the data
+    assert(src.replicateTo(dst, maxSyncStreams = 3) === 1L)
+    assert(dst.streams.count() === 7L)
+    assert(dst.findStreams(Map("grp" -> "1")).count() === 3L)
+    assert(dst.rawDatapoints.select("value").as[Double].collect()
+      .sorted.toSeq === (0 until 7).map(_.toDouble))
+    // idempotent re-run: registry already synced, nothing applied
+    assert(src.replicateTo(dst, maxSyncStreams = 3) === 0L)
+    intercept[IllegalArgumentException] {
+      src.replicateTo(dst, maxSyncStreams = 0) }
+    ()
+  }
+
   test("restore: rolls data AND registry back to a snapshot by log " +
       "manipulation alone; history preserved; restore is restorable") {
     val (ds, _) = freshDs
