@@ -3060,14 +3060,13 @@ object Queries {
     def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq.sorted
     def nShards(p: String, sub: String): Int =
       ext.VersionedIndex.liveShardCount(p, sub)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Int, Int, Boolean, Boolean, Boolean)]
     // one family's lifecycle: capture the query baseline and shard count,
     // compact, re-query (must be bit-identical — compaction is a physical
     // merge, not a retrain), check the fold, vacuum, re-query again
     def run(family: String, p: String, sub: String,
             compact: () => Unit, vacuum: () => Unit,
-            foldedAlso: Seq[String])(q: () => DataFrame): Unit = {
+            foldedAlso: Seq[String])(q: () => DataFrame)
+        : (String, Int, Int, Boolean, Boolean, Boolean) = {
       val before = rows(q())
       val nb = nShards(p, sub)
       compact()
@@ -3082,71 +3081,80 @@ object Queries {
       // is self-contained, so nothing references the old chain's shards)
       // and the live read still serves the identical rows
       val vacOk = !io.exists(s"$p/v1") && rows(q()) == before
-      out += ((family, nb, na, equal, folded, vacOk))
+      (family, nb, na, equal, folded, vacOk)
     }
-    locally { // plain IVF: build + 2 appends + takedown; exhaustive probe
-      val p = s"$dir/ivf"
-      ext.Ivf.buildIndex(emb.where(pmod(col("vec_id"), lit(3)) === 0), p, nCells = 16)
-      ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 1), p)
-      ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 2), p)
-      ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
-      run("ivf", p, "cells", () => ext.Ivf.compactIndex(p, spark),
-        () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
-        () => ext.Ivf.queryIndex(p, qv, k = 10, nProbe = 16))
-    }
-    locally { // IVF-PQ: codebooks copied forward, codes-only shards merge
-      val p = s"$dir/ivfpq"
-      ext.Ivf.buildPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p,
-        nCells = 8, refineIters = 0)
-      ext.Ivf.appendToPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
-      ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
-      run("ivfpq", p, "cells", () => ext.Ivf.compactIndex(p, spark),
-        () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
-        () => ext.Ivf.queryPqIndex(p, qv, k = 10, nProbe = 8,
-          rerank = 1 << 20, rerankAgainst = Some(emb)))
-    }
-    locally { // SQ8: frozen bounds copied forward, code shards merge
-      val p = s"$dir/sq8"
-      ext.Sq.buildIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p)
-      ext.Sq.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
-      ext.Sq.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
-      run("sq8", p, "codes", () => ext.Sq.compactIndex(p, spark),
-        () => ext.Sq.vacuumIndex(p, retainVersions = 1), Seq.empty)(
-        () => ext.Sq.queryIndex(p, qv, k = 10, rerank = 40,
-          rerankAgainst = Some(emb)))
-    }
-    locally { // dedup: banding params pinned, side tables merge; the
-      // "query" is the dedup DECISION SET over a fixed probe shard
-      val p = s"$dir/dedup"
-      val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
-      val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-      ext.DedupIndex.buildIndex(even, p)
-      val survivors = ext.DedupIndex.dedupeAgainstIndex(odd, p, 0.8)
-        .localCheckpoint(true)
-      ext.DedupIndex.appendToIndex(survivors, p)
-      ext.DedupIndex.removeFromIndex(p, docs.where(col("doc_id") < 5)
-        .select("doc_id"))
-      val probe = docs.where(pmod(col("doc_id"), lit(7)) === 3)
-      run("dedup", p, "data", () => ext.DedupIndex.compactIndex(p, spark),
-        () => ext.DedupIndex.vacuumIndex(p, retainVersions = 1), Seq.empty)(
-        () => ext.DedupIndex.dedupeAgainstIndex(probe, p, 0.8)
+    // The five families are fully independent — separate index dirs, no
+    // shared mutable state — so their lifecycles run as CONCURRENT driver
+    // threads (guide §2.6: overlap independent jobs). Sequentially each
+    // family leaves most of local[32] idle on its many small single-shard
+    // jobs; overlapped, one family's tail back-fills another's. Each
+    // family's result tuple is deterministic and computed exactly as
+    // before, so the gate's row set is unchanged.
+    val families: Seq[() => (String, Int, Int, Boolean, Boolean, Boolean)] = Seq(
+      () => { // plain IVF: build + 2 appends + takedown; exhaustive probe
+        val p = s"$dir/ivf"
+        ext.Ivf.buildIndex(emb.where(pmod(col("vec_id"), lit(3)) === 0), p, nCells = 16)
+        ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 1), p)
+        ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 2), p)
+        ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+        run("ivf", p, "cells", () => ext.Ivf.compactIndex(p, spark),
+          () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Ivf.queryIndex(p, qv, k = 10, nProbe = 16))
+      },
+      () => { // IVF-PQ: codebooks copied forward, codes-only shards merge
+        val p = s"$dir/ivfpq"
+        ext.Ivf.buildPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p,
+          nCells = 8, refineIters = 0)
+        ext.Ivf.appendToPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
+        ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+        run("ivfpq", p, "cells", () => ext.Ivf.compactIndex(p, spark),
+          () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Ivf.queryPqIndex(p, qv, k = 10, nProbe = 8,
+            rerank = 1 << 20, rerankAgainst = Some(emb)))
+      },
+      () => { // SQ8: frozen bounds copied forward, code shards merge
+        val p = s"$dir/sq8"
+        ext.Sq.buildIndex(emb.where(pmod(col("vec_id"), lit(2)) === 0), p)
+        ext.Sq.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
+        ext.Sq.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
+        run("sq8", p, "codes", () => ext.Sq.compactIndex(p, spark),
+          () => ext.Sq.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Sq.queryIndex(p, qv, k = 10, rerank = 40,
+            rerankAgainst = Some(emb)))
+      },
+      () => { // dedup: banding params pinned, side tables merge; the
+        // "query" is the dedup DECISION SET over a fixed probe shard
+        val p = s"$dir/dedup"
+        val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        ext.DedupIndex.buildIndex(even, p)
+        val survivors = ext.DedupIndex.dedupeAgainstIndex(odd, p, 0.8)
+          .localCheckpoint(true)
+        ext.DedupIndex.appendToIndex(survivors, p)
+        ext.DedupIndex.removeFromIndex(p, docs.where(col("doc_id") < 5)
           .select("doc_id"))
-    }
-    locally { // BM25 search: stats_adjust must fold away with the tombstones
-      val p = s"$dir/search"
-      ext.Search.buildIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0), p)
-      ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 1), p)
-      ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 2), p)
-      ext.Search.removeFromIndex(p, docs.where(col("doc_id") < 5)
-        .select("doc_id"))
-      run("search", p, "data", () => ext.Search.compactIndex(p, spark),
-        () => ext.Search.vacuumIndex(p, retainVersions = 1),
-        Seq("stats_adjust"))(
-        () => ext.Search.queryIndex(spark, p,
-          Seq("qa" -> Seq("spark", "window", "merge"),
-            "qb" -> Seq("dup", "customer")), topK = 15))
-    }
-    out.toSeq.toDF("family", "shards_before", "shards_after",
+        val probe = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+        run("dedup", p, "data", () => ext.DedupIndex.compactIndex(p, spark),
+          () => ext.DedupIndex.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.DedupIndex.dedupeAgainstIndex(probe, p, 0.8)
+            .select("doc_id"))
+      },
+      () => { // BM25 search: stats_adjust must fold away with the tombstones
+        val p = s"$dir/search"
+        ext.Search.buildIndex(docs.where(pmod(col("doc_id"), lit(3)) === 0), p)
+        ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 1), p)
+        ext.Search.appendToIndex(docs.where(pmod(col("doc_id"), lit(3)) === 2), p)
+        ext.Search.removeFromIndex(p, docs.where(col("doc_id") < 5)
+          .select("doc_id"))
+        run("search", p, "data", () => ext.Search.compactIndex(p, spark),
+          () => ext.Search.vacuumIndex(p, retainVersions = 1),
+          Seq("stats_adjust"))(
+          () => ext.Search.queryIndex(spark, p,
+            Seq("qa" -> Seq("spark", "window", "merge"),
+              "qb" -> Seq("dup", "customer")), topK = 15))
+      })
+    val out = Concurrency.inParallel(families)
+    out.toDF("family", "shards_before", "shards_after",
       "results_equal", "tombstones_folded", "vacuum_ok")
   }
 

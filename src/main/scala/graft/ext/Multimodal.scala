@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte], meta: String)
+
+  /** The synthetic-asset fixtures inherit the documents scan's file-split
+    * partitioning — one or two map tasks at gate scale (measured: the whole
+    * video decode gate ran as a single 8 s task on a 32-core session) —
+    * while codec work (JPEG/PNG encode + decode) is embarrassingly parallel
+    * CPU. Spreading the METADATA rows (ids only — payload bytes are
+    * synthesized downstream of the exchange) across the session's full
+    * parallelism is the guide-§8 discipline: shuffle the lightweight proxy,
+    * never the payload. Scale-adaptive (defaultParallelism), not a pinned
+    * local constant; row values are untouched, so every consumer's result
+    * set is bit-identical.
+    */
+  private def spread[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
   case class Decoded(asset_id: Long, kind: String, width: Int, height: Int,
                      channels: Int, n_bytes: Long, duration_ms: Long,
                      decode_ok: Boolean)
@@ -117,7 +131,7 @@ object Multimodal {
     */
   def pngAssets(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)]
+    spread(docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)])
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, lang) =>
@@ -236,7 +250,7 @@ object Multimodal {
     */
   def dupPngAssets(docs: DataFrame, nBases: Int = 40): Dataset[Asset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    spread(docs.select(col("doc_id").cast("long")).as[Long])
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -280,7 +294,7 @@ object Multimodal {
     */
   def wavAssets(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    spread(docs.select(col("doc_id").cast("long")).as[Long]).mapPartitions { it =>
       it.map { id =>
         val n = (400 + (id % 50) * 16).toInt
         val amp = (4000 + (id % 8) * 1000).toInt
@@ -465,8 +479,8 @@ object Multimodal {
         if (b == 0) a else gcd(b, a % b)
       nBases.toLong * 13 / gcd(nBases.toLong, 13)
     }
-    docs.select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id < idBound)
+    spread(docs.select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id < idBound))
       .mapPartitions { it =>
         it.map { id =>
           val base = id % nBases
@@ -734,7 +748,7 @@ object Multimodal {
     */
   def aviAssets(docs: DataFrame): Dataset[Asset] = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)]
+    spread(docs.select(col("doc_id").cast("long"), col("lang")).as[(Long, String)])
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, lang) =>
@@ -838,8 +852,8 @@ object Multimodal {
         if (b == 0) a else gcd(b, a % b)
       nBases.toLong * 13 / gcd(nBases.toLong, 13)
     }
-    docs.select(col("doc_id").cast("long")).as[Long]
-      .filter((id: Long) => id < idBound)
+    spread(docs.select(col("doc_id").cast("long")).as[Long]
+        .filter((id: Long) => id < idBound))
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
