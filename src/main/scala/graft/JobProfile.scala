@@ -62,6 +62,35 @@ object JobProfile {
     def drain(): Unit =
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext)
 
+    // JP_SAMPLE=1: sample executor-task thread stacks twice a second and
+    // print a frame histogram at the end — the poor man's async-profiler
+    // for "task wall ≫ task CPU, what are tasks blocked on?"
+    if (sys.env.contains("JP_SAMPLE")) {
+      val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+      val t = new Thread(() => {
+        while (true) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (th, frames) =>
+            if (th.getName.startsWith("Executor task launch") && frames.nonEmpty) {
+              val sig = frames.take(6).map(f =>
+                s"${f.getClassName.split('.').last}.${f.getMethodName}")
+                .mkString(" <- ")
+              hist.merge(s"[${th.getState}] $sig", 1, (a, b) => a + b)
+            }
+          }
+          Thread.sleep(500)
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        hist.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (sig, n) =>
+          println(f"[sample] $n%5d  $sig")
+        }
+      }))
+    }
+
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.toSeq.sortBy(_._1)

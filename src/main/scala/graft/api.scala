@@ -1068,11 +1068,19 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
     // files carry their stats forward from the resolved parent, re-added
     // (adopted) files carry theirs from the snapshot that last referenced
     // them — a footer read only for an adopted file with none recorded
+    // the per-file footer opens are independent metadata I/O — a commit
+    // that wrote one file per date partition pays dozens of them, so read
+    // them from a small pool instead of serially on the driver
+    val writtenPairs: Seq[(String, String)] =
+      writtenByTable.toSeq.flatMap { case (t, fs) => fs.toSeq.sorted.map(t -> _) }
+    val writtenStats: Seq[((String, String), FileStats)] =
+      Concurrency.inParallel(
+        writtenPairs.map { case (t, f) =>
+          () => footerStats(t, f).map(((t, f), _))
+        }, maxConcurrent = 8).flatten
     val statsAll: Map[(String, String), FileStats] =
       prev.map(_.stats).getOrElse(Map.empty) ++
-        writtenByTable.toSeq.flatMap { case (t, fs) =>
-          fs.flatMap(f => footerStats(t, f).map(((t, f), _)))
-        } ++
+        writtenStats ++
         adoptedFiles.asScala.toSeq.flatMap { case (t, f) =>
           (Option(adoptedStats.get((t, f))) orElse footerStats(t, f))
             .map(((t, f), _))
@@ -1803,7 +1811,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         if (doomedSorted.isDefined) slice.coalesce(1) else slice)
     }
     try {
-    Granularity.ladder.foreach { g =>
+    // The seven ladder levels are INDEPENDENT: each reads and rewrites only
+    // its own rollup table, `fact` / `wmSlice` are shared read-only plans,
+    // and the commit bookkeeping (scopeBefore/retiredFiles) is concurrent
+    // by design ("some mutation bodies fan out concurrent per-table jobs").
+    // Overlapping them (guide §2.6) lets one level's small-job tails
+    // back-fill cores another level freed — the repair was the dominant
+    // sequential span of every upsert/row-delete commit.
+    Concurrency.inParallel[Unit](Granularity.ladder.map(g => () => {
       val durUs = g.durationSeconds * 1000000L
       val winLo = loUs - java.lang.Math.floorMod(loUs, durUs)
       val winHi = hiUs - java.lang.Math.floorMod(hiUs, durUs)
@@ -1867,8 +1882,9 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
           }
         } finally rdds.foreach(_.unpersist(blocking = false))
       }
-    }
+    }), maxConcurrent = 4)
     } finally wmSlice.foreach(_._2.foreach(_.unpersist(blocking = false)))
+    ()
   }
 
   /** ROW-LEVEL DELETE — the takedown/right-to-be-forgotten verb a training
@@ -2129,15 +2145,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
               s"${b.getTimestamp(2)}")
         }
       }
-      val dup = points.groupBy("stream_id", "ts").agg(count(lit(1)).as("_n"))
-        .where(col("_n") > 1).limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalArgumentException(
-          s"upsert batch has duplicate merge keys, e.g. " +
-            s"(${dup.head.getString(0)}, ${dup.head.getTimestamp(1)}) — " +
-            "(stream_id, ts) must be unique per batch")
       // same broadcast-registry validation as append, minus the monotone
-      // check (rewriting history is this verb's purpose)
+      // check (rewriting history is this verb's purpose). ONE aggregation
+      // pass answers every validation question AND the driver-side batch
+      // facts (bounds, touched dates, duplicate-key presence): lifecycle
+      // verbs are dominated by per-action overhead, so the former four
+      // actions (dup check, flag aggregation, bounds, touched dates) fold
+      // into one job; the failure paths still recompute their examples
+      // lazily, paying only when an error is actually thrown.
       val meta = streams.select(col("stream_id"), col("derive_op"),
         col("value_type"))
       val joined = points.join(broadcast(meta), Seq("stream_id"), "left")
@@ -2146,7 +2161,24 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         col("value").isNull
       val flags = joined.agg(
         sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
-        sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric")).first()
+        sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric"),
+        count(lit(1)).as("_n"),
+        count_distinct(col("stream_id"), col("ts")).as("_nkeys"),
+        min("ts").as("_lo"), max("ts").as("_hi"),
+        collect_set(to_date(col("ts"))).as("_dates")).first()
+      // count_distinct skips null-keyed rows, so `_nkeys < _n` is a
+      // SUPERSET trigger (null ts/stream_id rows fire it without being
+      // duplicates); the groupBy recompute below is the exact test and
+      // throws precisely when the old eager check would have
+      if (flags.getLong(2) > 0 && flags.getLong(3) < flags.getLong(2)) {
+        val dup = points.groupBy("stream_id", "ts").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"upsert batch has duplicate merge keys, e.g. " +
+              s"(${dup.head.getString(0)}, ${dup.head.getTimestamp(1)}) — " +
+              "(stream_id, ts) must be unique per batch")
+      }
       if (flags.getLong(0) > 0)
         throw new errors.AppendToDerivedStreamNotAllowed(
           joined.where(isDerived).select("stream_id").distinct()
@@ -2162,11 +2194,11 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       if (violSample.nonEmpty)
         throw new errors.OutstandingDependenciesError(
           violSample.mkString(", "))
-      val b = points.agg(min("ts").as("_lo"), max("ts").as("_hi"),
-        count(lit(1)).as("_n")).first()
-      if (b.getLong(2) == 0L) return 0L
-      val loTs = b.getTimestamp(0)
-      val hiTs = b.getTimestamp(1)
+      if (flags.getLong(2) == 0L) return 0L
+      val loTs = flags.getTimestamp(4)
+      val hiTs = flags.getTimestamp(5)
+      val touchedDates = flags.getSeq[java.sql.Date](6)
+        .map(d => s"dp_date=$d").sorted
       import spark.implicits._
       // BOUNDED batch-scale collect (house head(max+1) fail-fast): the id
       // set drives manifest pruning, but a batch touching millions of
@@ -2193,19 +2225,26 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
         case None => sidDf
       }
       val keys = points.select("stream_id", "ts")
-      // matched through the CURRENT snapshot (earlier-voided rows excluded)
+      // matched through the CURRENT snapshot (earlier-voided rows excluded).
+      // The per-key match COUNT rides the same checkpointed frame (`_n`),
+      // so nReplaced is a sum over the tiny materialized key set instead of
+      // a second full manifest-pruned fact scan + semi-join.
       val matchedRows = rawDatapointsInRange(Some(loTs), Some(hiTs), None,
           sidsSorted)
         .join(keys, Seq("stream_id", "ts"), "left_semi")
-      val (matchedKeys, mRdds) = Plans.checkpointTracked(
-        matchedRows.select(col("stream_id"),
-            unix_micros(col("ts")).as("lo_us"),
-            unix_micros(col("ts")).as("hi_us"))
-          .distinct().coalesce(1))
+      val (matchedKeyCounts, mRdds) = Plans.checkpointTracked(
+        matchedRows.groupBy(col("stream_id"),
+            unix_micros(col("ts")).as("lo_us"))
+          .agg(count(lit(1)).as("_n"))
+          .select(col("stream_id"), col("lo_us"),
+            col("lo_us").as("hi_us"), col("_n"))
+          .coalesce(1))
+      val matchedKeys = matchedKeyCounts.drop("_n")
       try {
-        val nReplaced = matchedRows.count()
+        val nReplaced = matchedKeyCounts
+          .agg(coalesce(sum("_n"), lit(0L))).first().getLong(0)
         withCommit("upsert_datapoints") {
-          if (!matchedKeys.isEmpty) {
+          if (nReplaced > 0) {
             // copy-on-write: retire the snapshot files overlapping the
             // matched streams×window, rewrite them minus the matched keys
             // (point ranges, lo_us = hi_us); survivors land as fresh files.
@@ -2217,9 +2256,8 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
                 Seq((usOfTs(loTs), usOfTs(hiTs), sidsSorted))),
               matchedKeys, hinted = sidsSorted.isDefined)
           }
-          val touchedDates = points.select(to_date(col("ts")).as("d"))
-            .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")
-          scopeWrite("raw", touchedDates.toSeq)
+          // touched dates come from the single validation aggregation above
+          scopeWrite("raw", touchedDates)
           points.withColumn("dp_date", to_date(col("ts")))
             .write.mode(SaveMode.Append).partitionBy("dp_date")
             .parquet(rawPath)
@@ -2535,10 +2573,14 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val isDerived = col("derive_op").isNotNull
       val isBadNumeric = col("value_type") === ValueType.Numeric && col("value").isNull
       val isStale = col("latest").isNotNull && col("ts") < col("latest")
+      // the touched-date set for the commit's write scope rides the same
+      // single validation job (stale rows contribute null → dropped by
+      // collect_set), saving one action per append
       val flags = joined.agg(
         sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
         sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric"),
-        sum(when(isStale, 1L).otherwise(0L)).as("stale")).first()
+        sum(when(isStale, 1L).otherwise(0L)).as("stale"),
+        collect_set(when(!isStale, to_date(col("ts")))).as("_dates")).first()
       if (flags.getLong(0) > 0)
         throw new errors.AppendToDerivedStreamNotAllowed(
           joined.where(isDerived).select("stream_id").distinct()
@@ -2560,12 +2602,13 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       // validation is done — everything from here mutates two tables (raw
       // + registry), so it runs under an intent marker
       withCommit("append") {
-        // declared write scope = the touched date partitions, so the commit
-        // diffs this append's files with an O(batch dates) walk — per-append
-        // driver cost stays flat no matter how many files the table holds
-        val touchedDates = kept.select(to_date(col("ts")).as("d"))
-          .distinct().collect().map(r => s"dp_date=${r.getDate(0)}")
-        scopeWrite("raw", touchedDates.toSeq)
+        // declared write scope = the touched date partitions (from the one
+        // validation job above), so the commit diffs this append's files
+        // with an O(batch dates) walk — per-append driver cost stays flat
+        // no matter how many files the table holds
+        val touchedDates = flags.getSeq[java.sql.Date](3)
+          .map(d => s"dp_date=$d").sorted
+        scopeWrite("raw", touchedDates)
         // the 100 TB fact-table layout: partitioned by date(ts), so
         // maintenance slices and get_data range scans prune whole partitions
         kept.withColumn("dp_date", to_date(col("ts")))
