@@ -8,6 +8,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Local checkpoints: the default FileContext-based checkpoint manager
+      // passes explicit permissions on every mkdir/create, and local Hadoop
+      // without native IO implements that as a FORKED `chmod` per call —
+      // serialized under StateStore's global provider lock, it stalled every
+      // stateful streaming gate ~2x (measured: stream-stream join gate
+      // 10.1s -> 4.7s warm). The FileSystem-based manager (rename-commit) is
+      // exactly as safe for a SINGLE-WRITER local checkpoint dir; an HDFS
+      // deployment with zombie-driver concerns keeps the FileContext default
+      // — this is a per-deployment conf, overridable like any Spark conf.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Task-metric capture: executor CPU time is immune to ambient-load

@@ -16,7 +16,8 @@ package graft
 object Concurrency {
   def inParallel[T](thunks: Seq[() => T], maxConcurrent: Int = 0): Seq[T] = {
     if (thunks.isEmpty) return Seq.empty
-    if (thunks.size == 1) return Seq(thunks.head())
+    if (thunks.size == 1 || sys.env.contains("GRAFT_NO_PARALLEL"))
+      return thunks.map(_())
     val n = if (maxConcurrent > 0) math.min(maxConcurrent, thunks.size)
             else thunks.size
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)

@@ -12,7 +12,11 @@ object Probe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -1956,9 +1956,14 @@ object Queries {
     */
   def validationMutationErrors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def attempt(name: String)(f: => Any): (String, String) =
-      name -> (try { f; "ok" } catch { case e: Throwable => e.getClass.getSimpleName })
-    Seq(
+    def attempt(name: String)(f: => Any): () => (String, String) =
+      () => name ->
+        (try { f; "ok" } catch { case e: Throwable => e.getClass.getSimpleName })
+    // every arm builds its OWN throwaway warehouse (separate dirs, separate
+    // writer locks) — the expected error class per arm is deterministic
+    // either way, so the arms run overlapped (guide §2.6) and only the
+    // tuple ORDER is fixed by the input sequence
+    Concurrency.inParallel(Seq(
       // CHECK constraints: a violating batch is rejected whole; declaring
       // a constraint existing rows violate is refused; declare → enforce →
       // drop → append-freely is the clean path
@@ -2015,7 +2020,7 @@ object Queries {
         d.deleteDatapoints(Map.empty, ts("2024-01-09T00:00:00Z"),
           ts("2024-01-11T00:00:00Z"), maxPruneStreams = 1)
       }
-    ).toDF("check_case", "error")
+    )).toDF("check_case", "error")
   }
 
   /** F4 validation surface, commit-protocol half: the OPTIMISTIC

@@ -192,10 +192,12 @@ object DedupIndex {
     if (readSide(spark, path, cur, "exact").isEmpty) return false
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    Seq("exact", "shingles", "bands").foreach { side =>
-      readSide(spark, path, cur, side)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$side")
-    }
+    // independent merged-side writes into the unpublished version dir —
+    // overlap them; the commit marker below still lands strictly after
+    graft.Concurrency.inParallel[Unit](
+      Seq("exact", "shingles", "bands").map(side => () =>
+        readSide(spark, path, cur, side)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$side")))
     VersionedIndex.commit(path, next)
     true
   }
@@ -319,12 +321,17 @@ object DedupIndex {
     val sh = Dedup.shingled(docs, n, textCol, idCol)
       .where(size(col("sh")) > 0).persist()
     try {
-      docs.select(col(idCol).cast("long").as("doc_id"),
-          md5(col(textCol)).as("text_md5"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/exact")
-      sh.write.mode(SaveMode.Overwrite).parquet(s"$dataDir/shingles")
-      Dedup.bandedRows(sh, bands, rowsPerBand)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/bands")
+      // the three side tables are independent outputs into an UNPUBLISHED
+      // version dir (commit marker lands after) — write them concurrently
+      // (guide §2.6); shingles/bands share the persisted shingle frame
+      graft.Concurrency.inParallel[Unit](Seq(
+        () => docs.select(col(idCol).cast("long").as("doc_id"),
+            md5(col(textCol)).as("text_md5"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/exact"),
+        () => sh.write.mode(SaveMode.Overwrite).parquet(s"$dataDir/shingles"),
+        () => Dedup.bandedRows(sh, bands, rowsPerBand)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/bands")))
+      ()
     } finally { sh.unpersist(); () }
   }
 
