@@ -14,18 +14,39 @@ package graft
   * The first failure is rethrown after all threads settle (no thread leak).
   */
 object Concurrency {
+  /** Default in-flight bound: a few jobs are enough to fill stage tails
+    * (guide §2.6 — "2-3 jobs in flight is plenty"); unbounded fan-out is a
+    * driver-memory/fairness footgun as call sites nest (each arm of one
+    * level may open its own pool below). Overridable per call site where a
+    * wider bound was measured to help.
+    */
+  val DefaultMaxConcurrent = 4
+
   def inParallel[T](thunks: Seq[() => T], maxConcurrent: Int = 0): Seq[T] = {
     if (thunks.isEmpty) return Seq.empty
     if (thunks.size == 1 || sys.env.contains("GRAFT_NO_PARALLEL"))
       return thunks.map(_())
-    val n = if (maxConcurrent > 0) math.min(maxConcurrent, thunks.size)
-            else thunks.size
+    val n = math.min(
+      if (maxConcurrent > 0) maxConcurrent else DefaultMaxConcurrent,
+      thunks.size)
+    // Worker threads must resolve the SAME session as the submitting
+    // thread: Spark's active-session thread-local is inheritable, but a
+    // pool thread spawned from a context with none set (e.g. a ScalaTest
+    // runner thread) would leave ambient lookups session-less. Capture it
+    // here, install it in each worker, restore after.
+    val callerSession = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
     try {
       import scala.jdk.CollectionConverters._
       val futures = pool.invokeAll(
         thunks.map(t => new java.util.concurrent.Callable[T] {
-          override def call(): T = t()
+          override def call(): T = {
+            callerSession.foreach(
+              org.apache.spark.sql.SparkSession.setActiveSession)
+            try t()
+            finally org.apache.spark.sql.SparkSession.clearActiveSession()
+          }
         }).asJava)
       futures.asScala.toSeq.map { f =>
         try f.get()

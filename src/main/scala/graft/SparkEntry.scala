@@ -3037,7 +3037,7 @@ object Queries {
       s"$dir/ivf", nCells = 64)
     ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), s"$dir/ivf")
     ext.Ivf.refreshIndex(s"$dir/ivf", spark, refineIters = 1)
-    ext.Ivf.vacuumIndex(s"$dir/ivf", retainVersions = 1)
+    ext.Ivf.vacuumIndex(spark, s"$dir/ivf", retainVersions = 1)
     val qv = queryVectors(spark, sfDir)
     val labels = qv.select(col("vec_id").cast("long").as("query_vec_id"), col("label"))
     ext.Ivf.queryIndex(s"$dir/ivf", qv, k = 10, nProbe = 64)
@@ -3064,7 +3064,7 @@ object Queries {
     val qv = queryVectors(spark, sfDir)
     def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).toSeq.sorted
     def nShards(p: String, sub: String): Int =
-      ext.VersionedIndex.liveShardCount(p, sub)
+      ext.VersionedIndex.liveShardCount(spark, p, sub)
     // one family's lifecycle: capture the query baseline and shard count,
     // compact, re-query (must be bit-identical — compaction is a physical
     // merge, not a retrain), check the fold, vacuum, re-query again
@@ -3077,8 +3077,8 @@ object Queries {
       compact()
       val na = nShards(p, sub)
       val equal = rows(q()) == before
-      val io = ext.VersionedIndex.io(p)
-      val live = ext.VersionedIndex.resolveDir(p, None)
+      val io = ext.VersionedIndex.io(spark, p)
+      val live = ext.VersionedIndex.resolveDir(spark, p, None)
       val folded = !io.exists(s"$live/tombstones") &&
         foldedAlso.forall(f => !io.exists(s"$live/$f"))
       vacuum()
@@ -3103,7 +3103,7 @@ object Queries {
         ext.Ivf.appendToIndex(emb.where(pmod(col("vec_id"), lit(3)) === 2), p)
         ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
         run("ivf", p, "cells", () => ext.Ivf.compactIndex(p, spark),
-          () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Ivf.vacuumIndex(spark, p, retainVersions = 1), Seq.empty)(
           () => ext.Ivf.queryIndex(p, qv, k = 10, nProbe = 16))
       },
       () => { // IVF-PQ: codebooks copied forward, codes-only shards merge
@@ -3113,7 +3113,7 @@ object Queries {
         ext.Ivf.appendToPqIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
         ext.Ivf.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
         run("ivfpq", p, "cells", () => ext.Ivf.compactIndex(p, spark),
-          () => ext.Ivf.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Ivf.vacuumIndex(spark, p, retainVersions = 1), Seq.empty)(
           () => ext.Ivf.queryPqIndex(p, qv, k = 10, nProbe = 8,
             rerank = 1 << 20, rerankAgainst = Some(emb)))
       },
@@ -3123,7 +3123,7 @@ object Queries {
         ext.Sq.appendToIndex(emb.where(pmod(col("vec_id"), lit(2)) === 1), p)
         ext.Sq.removeFromIndex(p, emb.where(col("vec_id") < 5).select("vec_id"))
         run("sq8", p, "codes", () => ext.Sq.compactIndex(p, spark),
-          () => ext.Sq.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.Sq.vacuumIndex(spark, p, retainVersions = 1), Seq.empty)(
           () => ext.Sq.queryIndex(p, qv, k = 10, rerank = 40,
             rerankAgainst = Some(emb)))
       },
@@ -3140,7 +3140,7 @@ object Queries {
           .select("doc_id"))
         val probe = docs.where(pmod(col("doc_id"), lit(7)) === 3)
         run("dedup", p, "data", () => ext.DedupIndex.compactIndex(p, spark),
-          () => ext.DedupIndex.vacuumIndex(p, retainVersions = 1), Seq.empty)(
+          () => ext.DedupIndex.vacuumIndex(spark, p, retainVersions = 1), Seq.empty)(
           () => ext.DedupIndex.dedupeAgainstIndex(probe, p, 0.8)
             .select("doc_id"))
       },
@@ -3152,7 +3152,7 @@ object Queries {
         ext.Search.removeFromIndex(p, docs.where(col("doc_id") < 5)
           .select("doc_id"))
         run("search", p, "data", () => ext.Search.compactIndex(p, spark),
-          () => ext.Search.vacuumIndex(p, retainVersions = 1),
+          () => ext.Search.vacuumIndex(spark, p, retainVersions = 1),
           Seq("stats_adjust"))(
           () => ext.Search.queryIndex(spark, p,
             Seq("qa" -> Seq("spark", "window", "merge"),

@@ -2159,13 +2159,23 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       val isDerived = col("derive_op").isNotNull
       val isBadNumeric = col("value_type") === ValueType.Numeric &&
         col("value").isNull
+      val isNullKey = col("stream_id").isNull || col("ts").isNull
       val flags = joined.agg(
         sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
         sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric"),
         count(lit(1)).as("_n"),
         count_distinct(col("stream_id"), col("ts")).as("_nkeys"),
         min("ts").as("_lo"), max("ts").as("_hi"),
-        collect_set(to_date(col("ts"))).as("_dates")).first()
+        collect_set(to_date(col("ts"))).as("_dates"),
+        sum(when(isNullKey, 1L).otherwise(0L)).as("null_keys")).first()
+      // null merge keys are rejected BEFORE any write: the declared write
+      // scope below comes from collect_set(to_date(ts)), which drops
+      // nulls, so a null-ts row would land in the default partition
+      // invisible to the commit's scope diff (silently unadopted file)
+      if (flags.getLong(7) > 0)
+        throw new IllegalArgumentException(
+          s"upsert batch has ${flags.getLong(7)} row(s) with null " +
+            "stream_id or ts — merge keys must be non-null")
       // count_distinct skips null-keyed rows, so `_nkeys < _n` is a
       // SUPERSET trigger (null ts/stream_id rows fire it without being
       // duplicates); the groupBy recompute below is the exact test and
@@ -2576,11 +2586,21 @@ class Datastream(spark: SparkSession, private[graft] val warehouse: String) {
       // the touched-date set for the commit's write scope rides the same
       // single validation job (stale rows contribute null → dropped by
       // collect_set), saving one action per append
+      val isNullKey = col("stream_id").isNull || col("ts").isNull
       val flags = joined.agg(
         sum(when(isDerived, 1L).otherwise(0L)).as("derived"),
         sum(when(isBadNumeric, 1L).otherwise(0L)).as("bad_numeric"),
         sum(when(isStale, 1L).otherwise(0L)).as("stale"),
-        collect_set(when(!isStale, to_date(col("ts")))).as("_dates")).first()
+        collect_set(when(!isStale, to_date(col("ts")))).as("_dates"),
+        sum(when(isNullKey, 1L).otherwise(0L)).as("null_keys")).first()
+      // null keys rejected pre-write: the commit's declared scope is the
+      // collect_set of dates above, which silently drops nulls — a
+      // null-ts row would otherwise write an undeclared default-partition
+      // file the commit diff never adopts
+      if (flags.getLong(4) > 0)
+        throw new IllegalArgumentException(
+          s"append batch has ${flags.getLong(4)} row(s) with null " +
+            "stream_id or ts — keys must be non-null")
       if (flags.getLong(0) > 0)
         throw new errors.AppendToDerivedStreamNotAllowed(
           joined.where(isDerived).select("stream_id").distinct()

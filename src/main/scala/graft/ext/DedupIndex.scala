@@ -45,21 +45,24 @@ object DedupIndex {
 
   /** Live (or pinned) version directory — the public resolution surface,
     * shared with the vector indexes. */
-  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
-    VersionedIndex.resolveDir(path, asOfVersion)
+  def indexDir(spark: org.apache.spark.sql.SparkSession, path: String,
+               asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(spark, path, asOfVersion)
 
   /** Reclaim superseded index versions past the retention window; keeps
     * data roots a retained version's shard manifest still references.
     */
-  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
-    VersionedIndex.vacuum(path, retainVersions, "data",
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(spark, path, retainVersions, "data",
       Seq("bands", "shingles", "exact", "params", "data"))
 
   /** The data-shard roots of the resolved version (legacy indexes with
     * side tables at the root resolve to `path` itself via the `.` rel).
     */
-  private def dataRoots(path: String, dir: String): Seq[String] =
-    VersionedIndex.shardsOf(path, dir, "data")
+  private def dataRoots(spark: org.apache.spark.sql.SparkSession, path: String,
+                        dir: String): Seq[String] =
+    VersionedIndex.shardsOf(spark, path, dir, "data")
 
   /** One side table (`bands` / `shingles` / `exact`) as the union of its
     * shard instances, with the resolved version's takedown tombstones
@@ -69,7 +72,7 @@ object DedupIndex {
     */
   private def readSide(spark: org.apache.spark.sql.SparkSession,
                        path: String, dir: String, side: String): DataFrame = {
-    val raw = dataRoots(path, dir).map(r => spark.read.parquet(s"$r/$side"))
+    val raw = dataRoots(spark, path, dir).map(r => spark.read.parquet(s"$r/$side"))
       .reduce(_.unionByName(_))
     tombstonesOf(spark, path, dir) match {
       case None => raw
@@ -81,7 +84,7 @@ object DedupIndex {
 
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                            path: String, dir: String): Option[DataFrame] = {
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     if (s.exists(s"$dir/tombstones")) Some(spark.read.parquet(s"$dir/tombstones"))
     else None
   }
@@ -99,12 +102,12 @@ object DedupIndex {
   def removeFromIndex(path: String, removeIds: DataFrame,
                       idCol: String = "doc_id"): Long = {
     val spark = removeIds.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val dead = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
     val present = readSide(spark, path, cur, "exact").select("doc_id")
       .join(broadcast(dead), Seq("doc_id"), "left_semi").count()
     if (present == 0L) return 0L
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
@@ -114,7 +117,7 @@ object DedupIndex {
     }
     merged.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/tombstones")
-    VersionedIndex.publishCarry(path, cur, next, "data")
+    VersionedIndex.publishCarry(spark, path, cur, next, "data")
     present
   }
 
@@ -132,13 +135,14 @@ object DedupIndex {
                  bands: Int = 16, rowsPerBand: Int = 4,
                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
     import docs.sparkSession.implicits._
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val spark = docs.sparkSession
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     Seq((n, bands, rowsPerBand, probeHash(bands, rowsPerBand)))
       .toDF("n", "bands", "rows_per_band", "probe_hash")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     writeSides(docs, s"$dir/data", n, bands, rowsPerBand, textCol, idCol)
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
   }
 
   /** Fold a shard into the index as a fresh VERSION: the same side-table
@@ -155,9 +159,10 @@ object DedupIndex {
     */
   def appendToIndex(docs: DataFrame, path: String,
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val cur = indexDir(path)
+    val spark = docs.sparkSession
+    val cur = indexDir(spark, path)
     val (n, bands, rowsPerBand) = readParams(docs, path)
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     // per-version metadata copied forward (driver-scale, takedown
     // tombstones included); only the big side tables share by reference
@@ -167,7 +172,7 @@ object DedupIndex {
       t.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(s"$dir/tombstones"))
     writeSides(docs, s"$dir/data", n, bands, rowsPerBand, textCol, idCol)
-    VersionedIndex.publishAppend(path, cur, next, "data")
+    VersionedIndex.publishAppend(spark, path, cur, next, "data")
   }
 
   /** Chain compaction, the twin of [[Ivf.compactIndex]]: merge each side
@@ -181,8 +186,8 @@ object DedupIndex {
     */
   def compactIndex(path: String,
                    spark: org.apache.spark.sql.SparkSession): Boolean = {
-    val cur = indexDir(path)
-    val next = VersionedIndex.currentVersion(path).getOrElse(
+    val cur = indexDir(spark, path)
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
@@ -198,7 +203,7 @@ object DedupIndex {
       Seq("exact", "shingles", "bands").map(side => () =>
         readSide(spark, path, cur, side)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/$side")))
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
     true
   }
 
@@ -208,7 +213,7 @@ object DedupIndex {
     */
   def indexedIds(spark: org.apache.spark.sql.SparkSession, path: String,
                  asOfVersion: Option[Long] = None): DataFrame =
-    readSide(spark, path, indexDir(path, asOfVersion), "exact")
+    readSide(spark, path, indexDir(spark, path, asOfVersion), "exact")
       .select("doc_id").distinct()
 
   /** Idempotent streaming maintenance body (the `foreachBatch` of
@@ -231,9 +236,10 @@ object DedupIndex {
                          n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                          textCol: String = "text",
                          idCol: String = "doc_id"): Unit = {
-    if (VersionedIndex.currentVersion(path).isEmpty)
+    val spark = docs.sparkSession
+    if (VersionedIndex.currentVersion(spark, path).isEmpty)
       buildIndex(docs.limit(0), path, n, bands, rowsPerBand, textCol, idCol)
-    VersionedIndex.foldBatch(path, batchId) {
+    VersionedIndex.foldBatch(spark, path, batchId) {
       val clean = dedupeAgainstIndex(docs, path, threshold, textCol, idCol)
         .localCheckpoint(true) // consumed twice: emptiness probe + append
       if (!clean.isEmpty) appendToIndex(clean, path, textCol, idCol)
@@ -270,7 +276,7 @@ object DedupIndex {
     // small side), never the indexed corpus
     val shN = Dedup.shingled(newDocs, n, textCol, idCol)
       .where(size(col("sh")) > 0)
-    val dir = indexDir(path, asOfVersion)
+    val dir = indexDir(spark, path, asOfVersion)
     val candidates = Dedup.bandedRows(shN, bands, rowsPerBand)
       .join(readSide(spark, path, dir, "bands")
           .select(col("doc_id").as("idx_id"), col("band"), col("band_hash")),
@@ -337,8 +343,9 @@ object DedupIndex {
 
   private def readParams(any: DataFrame, path: String,
                          asOfVersion: Option[Long] = None): (Int, Int, Int) = {
+    val spark = any.sparkSession
     val row = any.sparkSession.read.parquet(
-      s"${indexDir(path, asOfVersion)}/params")
+      s"${indexDir(spark, path, asOfVersion)}/params")
       .select("n", "bands", "rows_per_band", "probe_hash").head()
     val (n, bands, rowsPerBand) = (row.getInt(0), row.getInt(1), row.getInt(2))
     val expected = probeHash(bands, rowsPerBand)

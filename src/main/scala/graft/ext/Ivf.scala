@@ -160,8 +160,8 @@ object Ivf {
     * file (pre-marker layout) keeps resolving until the next commit
     * migrates it.
     */
-  private def currentVersion(path: String): Option[Long] =
-    VersionedIndex.currentVersion(path)
+  private def currentVersion(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    VersionedIndex.currentVersion(spark, path)
 
   /** Directory holding the index tables (`centroids/`, `cells/` or a
     * `shards` manifest): the LIVE version per the CURRENT pointer — or
@@ -173,11 +173,13 @@ object Ivf {
     * vacuum already reclaimed — never serves the wrong version silently.
     * (Plumbing shared with the dedup index: [[VersionedIndex]].)
     */
-  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
-    VersionedIndex.resolveDir(path, asOfVersion)
+  def indexDir(spark: org.apache.spark.sql.SparkSession, path: String,
+               asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(spark, path, asOfVersion)
 
-  private def cellShards(path: String, dir: String): Seq[String] =
-    VersionedIndex.shardsOf(path, dir, "cells")
+  private def cellShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                         dir: String): Seq[String] =
+    VersionedIndex.shardsOf(spark, path, dir, "cells")
 
   /** PUBLIC read surface for a version's inverted file: the union of its
     * cell shards (one partitioned parquet table per shard; `cell` pruning
@@ -187,7 +189,7 @@ object Ivf {
     */
   def cells(spark: org.apache.spark.sql.SparkSession, path: String,
             asOfVersion: Option[Long] = None): DataFrame = {
-    val dir = indexDir(path, asOfVersion)
+    val dir = indexDir(spark, path, asOfVersion)
     // LOGICAL content: the version's shards minus its tombstones — a
     // takedown is invisible here the instant its version commits
     minusTombstones(readCells(spark, path, dir), tombstonesOf(spark, path, dir))
@@ -195,7 +197,7 @@ object Ivf {
 
   private def readCells(spark: org.apache.spark.sql.SparkSession,
                         path: String, dir: String): DataFrame =
-    cellShards(path, dir).map(d => spark.read.parquet(d))
+    cellShards(spark, path, dir).map(d => spark.read.parquet(d))
       .reduce(_.unionByName(_))
 
   // ---- takedown (right-to-be-forgotten for persisted indexes) -------------
@@ -207,7 +209,7 @@ object Ivf {
     */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                            path: String, dir: String): Option[DataFrame] = {
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     if (s.exists(s"$dir/tombstones")) Some(spark.read.parquet(s"$dir/tombstones"))
     else None
   }
@@ -249,16 +251,16 @@ object Ivf {
   def removeFromIndex(path: String, removeIds: DataFrame,
                       idCol: String = "vec_id"): Long = {
     val spark = removeIds.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val dead = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
     val present = minusTombstones(
         readCells(spark, path, cur).select("vec_id"),
         tombstonesOf(spark, path, cur))
       .join(broadcast(dead), Seq("vec_id"), "left_semi").count()
     if (present == 0L) return 0L
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     // self-contained per-version metadata, like the append paths
     Seq("centroids", "pq").foreach { sub =>
       if (s.exists(s"$cur/$sub"))
@@ -270,7 +272,7 @@ object Ivf {
       case None => dead
     }
     merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
-    VersionedIndex.publishCarry(path, cur, next, "cells")
+    VersionedIndex.publishCarry(spark, path, cur, next, "cells")
     present
   }
 
@@ -285,8 +287,9 @@ object Ivf {
     * kept as the audit trail: a pinned read past retention fails with
     * "reclaimed", loudly, never resolves wrong data.
     */
-  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
-    VersionedIndex.vacuum(path, retainVersions, "cells",
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(spark, path, retainVersions, "cells",
       Seq("cells", "centroids", "pq", "centroids_next", "cells_next"))
 
 
@@ -301,7 +304,8 @@ object Ivf {
                            cents: Array[(Int, Array[Float])],
                            vecCol: String, idCol: String): Unit = {
     import vecs.sparkSession.implicits._
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val spark = vecs.sparkSession
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     cents.toSeq.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -314,7 +318,7 @@ object Ivf {
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    commitVersion(path, next)
+    commitVersion(spark, path, next)
   }
 
   // the marker CREATE is the commit point. Superseded versions are
@@ -323,8 +327,8 @@ object Ivf {
   // (`asOfVersion`) reads keep working — explicit [[vacuumIndex]] is the
   // only reclamation path, exactly the retention/vacuum split the
   // warehouse snapshots carry.
-  private def commitVersion(path: String, v: Long): Unit =
-    VersionedIndex.commit(path, v)
+  private def commitVersion(spark: org.apache.spark.sql.SparkSession, path: String, v: Long): Unit =
+    VersionedIndex.commit(spark, path, v)
 
   /** INCREMENTAL index maintenance: assign a new shard to the EXISTING
     * centroids and publish it as a fresh index VERSION — O(shard) work
@@ -346,12 +350,12 @@ object Ivf {
                     vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     import newVecs.sparkSession.implicits._
     val spark = newVecs.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val cents = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     // self-contained per-version metadata: the tiny centroid table (and
     // any takedown tombstones, which stay in force) copied forward
@@ -367,7 +371,7 @@ object Ivf {
         it.map { case (id, v) => (id, v, nearestCells(v, cs, 1).head) }
       }.toDF("vec_id", "embedding", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    publishAppend(path, cur, next)
+    publishAppend(spark, path, cur, next)
   }
 
   /** Write version `next`'s `shards` manifest (parent's effective shards
@@ -376,8 +380,9 @@ object Ivf {
     * AFTER the new shard's data is fully on disk; the pointer move is the
     * only commit point.
     */
-  private def publishAppend(path: String, parentDir: String, next: Long): Unit =
-    VersionedIndex.publishAppend(path, parentDir, next, "cells")
+  private def publishAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                            parentDir: String, next: Long): Unit =
+    VersionedIndex.publishAppend(spark, path, parentDir, next, "cells")
 
   /** Idempotent streaming maintenance body for the PLAIN IVF index (the
     * `foreachBatch` of [[graft.Streaming.ingestToIvfIndex]]): fold the
@@ -395,14 +400,15 @@ object Ivf {
                          nCells: Int = 64,
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): Unit = {
-    VersionedIndex.foldBatch(path, batchId) {
+    val spark = newVecs.sparkSession
+    VersionedIndex.foldBatch(spark, path, batchId) {
       // EMPTY micro-batch: skip the fold body but still advance the
       // watermark (DedupIndex's all-dup shape). An empty FIRST batch would
       // otherwise commit a 0-centroid build whose every later append dies
       // on `nearestCells(...).head` — and since the same batch replays
       // forever, the stream would be permanently wedged.
       if (!newVecs.isEmpty) {
-        if (currentVersion(path).isEmpty)
+        if (currentVersion(spark, path).isEmpty)
           buildIndex(newVecs, path, nCells, 0, vecCol, idCol)
         else appendToIndex(newVecs, path, vecCol, idCol)
       }
@@ -419,11 +425,12 @@ object Ivf {
                            nCells: Int = 64, m: Int = 16, codes: Int = 32,
                            vecCol: String = "embedding",
                            idCol: String = "vec_id"): Unit = {
-    VersionedIndex.foldBatch(path, batchId) {
+    val spark = newVecs.sparkSession
+    VersionedIndex.foldBatch(spark, path, batchId) {
       // empty-batch skip, as in [[appendBatchToIndex]] (an empty first
       // batch would train a degenerate model and wedge the stream)
       if (!newVecs.isEmpty) {
-        if (currentVersion(path).isEmpty)
+        if (currentVersion(spark, path).isEmpty)
           buildPqIndex(newVecs, path, nCells, m, codes, 0, 3, vecCol, idCol)
         else appendToPqIndex(newVecs, path, vecCol, idCol)
       }
@@ -457,9 +464,9 @@ object Ivf {
     */
   def compactIndex(path: String,
                    spark: org.apache.spark.sql.SparkSession): Boolean = {
-    val cur = indexDir(path)
-    val s = VersionedIndex.io(path)
-    val next = currentVersion(path).getOrElse(throw new IllegalStateException(
+    val cur = indexDir(spark, path)
+    val s = VersionedIndex.io(spark, path)
+    val next = currentVersion(spark, path).getOrElse(throw new IllegalStateException(
       s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
     // the chain's LOGICAL content (tombstones folded), one partitioned
@@ -473,7 +480,7 @@ object Ivf {
           .write.mode("overwrite").parquet(s"$dir/$sub")
     }
     live.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    commitVersion(path, next)
+    commitVersion(spark, path, next)
     true
   }
 
@@ -501,7 +508,7 @@ object Ivf {
                                       refineIters: Int,
                                       crashBeforeCommit: Boolean): Unit = {
     import spark.implicits._
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     // read through the shard manifest: an appended chain's version holds
     // its cells as parent-shard references, not one literal directory.
     // LOGICAL content only — a refresh is the physical drain of any
@@ -513,7 +520,7 @@ object Ivf {
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect().sortBy(_._1)
     val refined = refineCentroids(all, init, refineIters)
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     refined.toSeq.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -526,7 +533,7 @@ object Ivf {
       }.toDF("vec_id", "embedding", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     if (crashBeforeCommit) return
-    commitVersion(path, next)
+    commitVersion(spark, path, next)
   }
 
   /** Query a persisted index: probe each query's `nProbe` nearest cells,
@@ -553,7 +560,7 @@ object Ivf {
                  allowedIds: Option[DataFrame] = None): DataFrame = {
     import queries.sparkSession.implicits._
     val spark = queries.sparkSession
-    val dir = indexDir(path, asOfVersion)
+    val dir = indexDir(spark, path, asOfVersion)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
@@ -665,7 +672,8 @@ object Ivf {
       if (refineIters > 0) refineCentroids(corpus, seeds, refineIters, vecCol, idCol)
       else seeds
     val model = learnPq(corpus, m, codes, pqIters, vecCol, idCol)
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val spark = corpus.sparkSession
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     cents.toSeq.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -687,7 +695,7 @@ object Ivf {
         }
       }.toDF("vec_id", "codes", "norm", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    commitVersion(path, next)
+    commitVersion(spark, path, next)
   }
 
   /** INCREMENTAL IVF-PQ maintenance, the twin of [[appendToIndex]]: a new
@@ -706,13 +714,13 @@ object Ivf {
                       idCol: String = "vec_id"): Unit = {
     import newVecs.sparkSession.implicits._
     val spark = newVecs.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val cents = spark.read.parquet(s"$cur/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()
       .map { case (c, v) => (c, v, math.sqrt(dotLoop(v, v))) }
     val model = loadPqModel(spark, cur)
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     // per-version metadata copied forward (all driver-scale tables,
     // takedown tombstones included); the codes shards share by reference
@@ -735,7 +743,7 @@ object Ivf {
         }
       }.toDF("vec_id", "codes", "norm", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    publishAppend(path, cur, next)
+    publishAppend(spark, path, cur, next)
   }
 
   /** Query a persisted IVF-PQ index: per query, probe the `nProbe`
@@ -760,7 +768,7 @@ object Ivf {
                    allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dir = indexDir(path, asOfVersion)
+    val dir = indexDir(spark, path, asOfVersion)
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("centroid"))
       .as[(Int, Array[Float])].collect()

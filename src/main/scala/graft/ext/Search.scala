@@ -270,9 +270,10 @@ object Search {
     */
   def buildIndex(docs: DataFrame, path: String,
                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val spark = docs.sparkSession
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     writeShard(docs, s"$path/v$next/data", textCol, idCol)
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
   }
 
   /** Fold a NEW shard in as a fresh version referencing the parent's data
@@ -284,8 +285,8 @@ object Search {
                     textCol: String = "text", idCol: String = "doc_id"): Unit = {
     import org.apache.spark.sql.SaveMode
     val spark = docs.sparkSession
-    val cur = VersionedIndex.resolveDir(path, None)
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val cur = VersionedIndex.resolveDir(spark, path, None)
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     // per-version takedown metadata is copied forward (driver-scale); only
     // the big side tables share by reference through the shard manifest
     tombstonesOf(spark, path, cur).foreach(_.coalesce(1)
@@ -296,12 +297,13 @@ object Search {
         .write.mode(SaveMode.Overwrite).parquet(s"$path/v$next/stats_adjust")
     }
     writeShard(docs, s"$path/v$next/data", textCol, idCol)
-    VersionedIndex.publishAppend(path, cur, next, "data")
+    VersionedIndex.publishAppend(spark, path, cur, next, "data")
   }
 
   /** Live (or pinned) version directory — shared resolution surface. */
-  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
-    VersionedIndex.resolveDir(path, asOfVersion)
+  def indexDir(spark: org.apache.spark.sql.SparkSession, path: String,
+               asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(spark, path, asOfVersion)
 
   /** Idempotent streaming maintenance body (the `foreachBatch` of
     * [[graft.Streaming.ingestToSearchIndex]]): fold the micro-batch into
@@ -315,12 +317,13 @@ object Search {
   def appendBatchToIndex(docs: DataFrame, path: String, batchId: Long,
                          textCol: String = "text",
                          idCol: String = "doc_id"): Unit = {
-    VersionedIndex.foldBatch(path, batchId) {
+    val spark = docs.sparkSession
+    VersionedIndex.foldBatch(spark, path, batchId) {
       // empty-batch skip (watermark still advances) — harmless here
       // (empty shards compose), but it keeps the chain free of zero-row
       // shard versions, mirroring the vector indexes' guard
       if (!docs.isEmpty) {
-        if (VersionedIndex.currentVersion(path).isEmpty)
+        if (VersionedIndex.currentVersion(spark, path).isEmpty)
           buildIndex(docs, path, textCol, idCol)
         else appendToIndex(docs, path, textCol, idCol)
       }
@@ -350,9 +353,9 @@ object Search {
                       idCol: String = "doc_id"): Long = {
     import org.apache.spark.sql.SaveMode
     val spark = removeIds.sparkSession
-    val cur = VersionedIndex.resolveDir(path, None)
+    val cur = VersionedIndex.resolveDir(spark, path, None)
     val dead = removeIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val roots = VersionedIndex.shardsOf(path, cur, "data")
+    val roots = VersionedIndex.shardsOf(spark, path, cur, "data")
     def side(name: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
     val prior = tombstonesOf(spark, path, cur)
@@ -365,7 +368,7 @@ object Search {
       .first()
     val present = gone.getLong(0)
     if (present == 0L) return 0L
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     val mergedDead = prior match {
       case Some(t) => t.select("doc_id").unionByName(dead).distinct()
@@ -380,13 +383,13 @@ object Search {
       .toDF("dead_docs", "dead_dl")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/stats_adjust")
-    VersionedIndex.publishCarry(path, cur, next, "data")
+    VersionedIndex.publishCarry(spark, path, cur, next, "data")
     present
   }
 
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                            path: String, dir: String): Option[DataFrame] = {
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     if (s.exists(s"$dir/tombstones"))
       Some(spark.read.parquet(s"$dir/tombstones"))
     else None
@@ -404,12 +407,12 @@ object Search {
   def compactIndex(path: String,
                    spark: org.apache.spark.sql.SparkSession): Boolean = {
     import org.apache.spark.sql.SaveMode
-    val cur = VersionedIndex.resolveDir(path, None)
-    val next = VersionedIndex.currentVersion(path).getOrElse(
+    val cur = VersionedIndex.resolveDir(spark, path, None)
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
-    val roots = VersionedIndex.shardsOf(path, cur, "data")
+    val roots = VersionedIndex.shardsOf(spark, path, cur, "data")
     def side(name: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
     val tomb = tombstonesOf(spark, path, cur)
@@ -429,13 +432,13 @@ object Search {
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/data/postings")
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
     true
   }
 
   private def statsAdjustOf(spark: org.apache.spark.sql.SparkSession,
                             path: String, dir: String): Option[(Long, Long)] = {
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     if (s.exists(s"$dir/stats_adjust")) {
       val r = spark.read.parquet(s"$dir/stats_adjust").first()
       Some((r.getLong(0), r.getLong(1)))
@@ -443,8 +446,9 @@ object Search {
   }
 
   /** Reclaim superseded versions past the retention window. */
-  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
-    VersionedIndex.vacuum(path, retainVersions, "data",
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(spark, path, retainVersions, "data",
       Seq("postings", "doclens", "stats", "data", "tombstones",
         "stats_adjust"))
 
@@ -498,8 +502,8 @@ object Search {
                       asOfVersion: Option[Long] = None,
                       queryIdCol: String = "query_id",
                       termsCol: String = "terms"): DataFrame = {
-    val dir = VersionedIndex.resolveDir(path, asOfVersion)
-    val roots = VersionedIndex.shardsOf(path, dir, "data")
+    val dir = VersionedIndex.resolveDir(spark, path, asOfVersion)
+    val roots = VersionedIndex.shardsOf(spark, path, dir, "data")
     def side(name: String): DataFrame =
       roots.map(r => spark.read.parquet(s"$r/$name")).reduce(_.unionByName(_))
     // corpus totals: sum of per-shard 1-row stats, minus the resolved

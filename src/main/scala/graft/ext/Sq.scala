@@ -104,23 +104,26 @@ object Sq {
     }
   }
 
-  def indexDir(path: String, asOfVersion: Option[Long] = None): String =
-    VersionedIndex.resolveDir(path, asOfVersion)
+  def indexDir(spark: org.apache.spark.sql.SparkSession, path: String,
+               asOfVersion: Option[Long] = None): String =
+    VersionedIndex.resolveDir(spark, path, asOfVersion)
 
-  def vacuumIndex(path: String, retainVersions: Int = 2): Unit =
-    VersionedIndex.vacuum(path, retainVersions, "codes",
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  retainVersions: Int = 2): Unit =
+    VersionedIndex.vacuum(spark, path, retainVersions, "codes",
       Seq("codes", "params", "tombstones"))
 
   def buildIndex(corpus: DataFrame, path: String,
                  vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     import corpus.sparkSession.implicits._
+    val spark = corpus.sparkSession
     val (lo, hi) = learnBounds(corpus, vecCol)
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     Seq((lo.length, lo.toSeq, hi.toSeq)).toDF("dim", "lo", "hi")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     writeCodes(corpus, s"$dir/codes", lo, hi, vecCol, idCol)
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
   }
 
   /** Fold a new shard in against the FROZEN bounds — O(shard) encode +
@@ -132,16 +135,16 @@ object Sq {
   def appendToIndex(newVecs: DataFrame, path: String,
                     vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
     val spark = newVecs.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val (lo, hi) = readParams(spark, cur)
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     tombstonesOf(spark, path, cur).foreach(_.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/tombstones"))
     writeCodes(newVecs, s"$dir/codes", lo, hi, vecCol, idCol)
-    VersionedIndex.publishAppend(path, cur, next, "codes")
+    VersionedIndex.publishAppend(spark, path, cur, next, "codes")
   }
 
   /** Idempotent streaming maintenance body (`foreachBatch` shape): the
@@ -151,11 +154,12 @@ object Sq {
   def appendBatchToIndex(newVecs: DataFrame, path: String, batchId: Long,
                          vecCol: String = "embedding",
                          idCol: String = "vec_id"): Unit = {
-    VersionedIndex.foldBatch(path, batchId) {
+    val spark = newVecs.sparkSession
+    VersionedIndex.foldBatch(spark, path, batchId) {
       // empty-batch skip (watermark still advances): an empty first batch
       // would throw in learnBounds, and the replay would fail forever
       if (!newVecs.isEmpty) {
-        if (VersionedIndex.currentVersion(path).isEmpty)
+        if (VersionedIndex.currentVersion(spark, path).isEmpty)
           buildIndex(newVecs, path, vecCol, idCol)
         else appendToIndex(newVecs, path, vecCol, idCol)
       }
@@ -170,8 +174,8 @@ object Sq {
     */
   def compactIndex(path: String,
                    spark: org.apache.spark.sql.SparkSession): Boolean = {
-    val cur = indexDir(path)
-    val next = VersionedIndex.currentVersion(path).getOrElse(
+    val cur = indexDir(spark, path)
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(
       throw new IllegalStateException(
         s"compactIndex: no committed version at $path")) + 1
     val dir = s"$path/v$next"
@@ -183,7 +187,7 @@ object Sq {
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
     live.write.mode(SaveMode.Overwrite).parquet(s"$dir/codes")
-    VersionedIndex.commit(path, next)
+    VersionedIndex.commit(spark, path, next)
     true
   }
 
@@ -194,13 +198,13 @@ object Sq {
   def removeFromIndex(path: String, removeIds: DataFrame,
                       idCol: String = "vec_id"): Long = {
     val spark = removeIds.sparkSession
-    val cur = indexDir(path)
+    val cur = indexDir(spark, path)
     val dead = removeIds.select(col(idCol).cast("long").as("vec_id")).distinct()
     val live = codesOf(spark, path, cur)
       .join(dead, Seq("vec_id"), "left_semi")
     val present = live.count()
     if (present == 0L) return 0L
-    val next = VersionedIndex.currentVersion(path).getOrElse(0L) + 1
+    val next = VersionedIndex.currentVersion(spark, path).getOrElse(0L) + 1
     val dir = s"$path/v$next"
     val merged = tombstonesOf(spark, path, cur) match {
       case Some(t) => t.select("vec_id").unionByName(dead).distinct()
@@ -210,7 +214,7 @@ object Sq {
       .parquet(s"$dir/tombstones")
     spark.read.parquet(s"$cur/params").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
-    VersionedIndex.publishCarry(path, cur, next, "codes")
+    VersionedIndex.publishCarry(spark, path, cur, next, "codes")
     present
   }
 
@@ -230,7 +234,7 @@ object Sq {
                  asOfVersion: Option[Long] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val dir = indexDir(path, asOfVersion)
+    val dir = indexDir(spark, path, asOfVersion)
     val (lo, hi) = readParams(spark, dir)
     val hasLabel = queries.columns.contains("label")
     val labelCol = if (hasLabel) col("label").cast("long") else lit(-1L)
@@ -325,7 +329,7 @@ object Sq {
   /** Codes side across the shard manifest, tombstones voided. */
   private def codesOf(spark: org.apache.spark.sql.SparkSession,
                       path: String, dir: String): DataFrame = {
-    val raw = VersionedIndex.shardsOf(path, dir, "codes")
+    val raw = VersionedIndex.shardsOf(spark, path, dir, "codes")
       .map(r => spark.read.parquet(r))
       .reduce(_.unionByName(_))
       .select(col("vec_id").cast("long"), col("codes"), col("dnorm"))
@@ -339,7 +343,7 @@ object Sq {
 
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
                            path: String, dir: String): Option[DataFrame] = {
-    val s = VersionedIndex.io(path)
+    val s = VersionedIndex.io(spark, path)
     if (s.exists(s"$dir/tombstones")) Some(spark.read.parquet(s"$dir/tombstones"))
     else None
   }

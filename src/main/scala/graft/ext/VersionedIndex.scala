@@ -26,24 +26,40 @@ package graft.ext
   *    references.
   */
 private[graft] object VersionedIndex {
+  import org.apache.spark.sql.SparkSession
 
-  def io(path: String): graft.WarehouseIO =
-    new graft.WarehouseIO(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-      path)
+  /** IO bound to the CALLER's session conf — threaded explicitly because
+    * ambient `SparkSession.active` resolution is thread-context-dependent
+    * (a pool/stream thread without an inherited active or default session
+    * throws), and every caller already holds the session it means.
+    * The per-session Hadoop conf is cached: `newHadoopConf()` copies the
+    * full property map per call, and index metadata ops call here often.
+    */
+  def io(spark: SparkSession, path: String): graft.WarehouseIO =
+    new graft.WarehouseIO(confOf(spark), path)
+
+  private val confCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        org.apache.hadoop.conf.Configuration]())
+  private def confOf(spark: SparkSession) = {
+    val c = confCache.get(spark)
+    if (c != null) c
+    else { val n = spark.sessionState.newHadoopConf(); confCache.put(spark, n); n }
+  }
 
   /** Versions ever committed via a `CURRENT.v<N>` marker, ascending.
     * Markers are KEPT past supersession (tiny files, and the audit trail
     * that lets a vacuumed version fail with "reclaimed", not "unknown").
     */
-  def committedVersions(path: String): Seq[Long] =
-    io(path).childNames(path)
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    io(spark, path).childNames(path)
       .filter(_.startsWith("CURRENT.v"))
       .flatMap(_.stripPrefix("CURRENT.v").toLongOption).sorted
 
-  def currentVersion(path: String): Option[Long] = {
-    val s = io(path)
-    val markers = committedVersions(path)
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val s = io(spark, path)
+    val markers = committedVersions(spark, path)
     if (markers.nonEmpty) Some(markers.max)
     else if (s.exists(s"$path/CURRENT"))
       Some(s.readString(s"$path/CURRENT").trim.stripPrefix("v").toLong)
@@ -55,14 +71,14 @@ private[graft] object VersionedIndex {
     * layout — or, with `asOf`, a PINNED historical version that fails
     * loudly when never committed or already vacuumed.
     */
-  def resolveDir(path: String, asOf: Option[Long]): String = asOf match {
-    case None => currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+  def resolveDir(spark: SparkSession, path: String, asOf: Option[Long]): String = asOf match {
+    case None => currentVersion(spark, path).map(v => s"$path/v$v").getOrElse(path)
     case Some(v) =>
-      if (!committedVersions(path).contains(v))
+      if (!committedVersions(spark, path).contains(v))
         throw new IllegalArgumentException(
           s"index $path: version $v was never committed " +
-            s"(committed: ${committedVersions(path).mkString(", ")})")
-      if (!io(path).exists(s"$path/v$v"))
+            s"(committed: ${committedVersions(spark, path).mkString(", ")})")
+      if (!io(spark, path).exists(s"$path/v$v"))
         throw new IllegalStateException(
           s"index $path: version $v was reclaimed by vacuum — " +
             "pinned reads reach only retained versions")
@@ -75,8 +91,8 @@ private[graft] object VersionedIndex {
     * The entry `.` names the index root itself — the legacy pre-versioned
     * layout whose side tables live directly under `path`.
     */
-  def shardRels(path: String, dir: String, defaultSub: String): Seq[String] = {
-    val s = io(path)
+  def shardRels(spark: SparkSession, path: String, dir: String, defaultSub: String): Seq[String] = {
+    val s = io(spark, path)
     val mf = s"$dir/shards"
     if (s.exists(mf))
       s.readString(mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -89,16 +105,16 @@ private[graft] object VersionedIndex {
     Seq(if (abs == path) "." else abs.stripPrefix(path + "/").stripPrefix("/"))
 
   /** [[shardRels]] resolved to absolute paths. */
-  def shardsOf(path: String, dir: String, defaultSub: String): Seq[String] =
-    shardRels(path, dir, defaultSub)
+  def shardsOf(spark: SparkSession, path: String, dir: String, defaultSub: String): Seq[String] =
+    shardRels(spark, path, dir, defaultSub)
       .map(rel => if (rel == ".") path else s"$path/$rel")
 
   /** How many data shards the LIVE version unions per read — the read
     * amplification a query pays, and the number `compactIndex` resets to
     * 1 (probed by the compaction gate; grows by one per streaming fold).
     */
-  def liveShardCount(path: String, defaultSub: String): Int =
-    shardRels(path, resolveDir(path, None), defaultSub).length
+  def liveShardCount(spark: SparkSession, path: String, defaultSub: String): Int =
+    shardRels(spark, path, resolveDir(spark, path, None), defaultSub).length
 
   /** The (path, version) the current thread's in-flight [[foldBatch]] is
     * entitled to commit WITH its batch record. Thread-scoped is sound
@@ -125,8 +141,8 @@ private[graft] object VersionedIndex {
     * active fold's own therefore deletes a pre-existing record in the
     * version directory it is about to publish.
     */
-  def commit(path: String, v: Long): Unit = {
-    val s = io(path)
+  def commit(spark: SparkSession, path: String, v: Long): Unit = {
+    val s = io(spark, path)
     val rec = s"$path/v$v/ingest_batch_id"
     if (activeFold.get != ((path, v)) && s.exists(rec)) s.deleteFile(rec)
     if (!s.createExclusive(s"$path/CURRENT.v$v", s"v$v"))
@@ -144,12 +160,12 @@ private[graft] object VersionedIndex {
     * publication step of the append paths. Runs strictly AFTER the new
     * shard's data is fully on disk.
     */
-  def publishAppend(path: String, parentDir: String, next: Long,
-                    defaultSub: String): Unit = {
-    val parentShards = shardRels(path, parentDir, defaultSub)
-    io(path).writeString(s"$path/v$next/shards",
+  def publishAppend(spark: SparkSession, path: String, parentDir: String,
+                    next: Long, defaultSub: String): Unit = {
+    val parentShards = shardRels(spark, path, parentDir, defaultSub)
+    io(spark, path).writeString(s"$path/v$next/shards",
       (parentShards :+ s"v$next/$defaultSub").mkString("\n"))
-    commit(path, next)
+    commit(spark, path, next)
   }
 
   /** Publish version `next` carrying its PARENT's data shards unchanged
@@ -157,11 +173,11 @@ private[graft] object VersionedIndex {
     * publication step of a metadata-only version (e.g. a tombstone
     * takedown, whose own tables live beside the manifest in `v<next>/`).
     */
-  def publishCarry(path: String, parentDir: String, next: Long,
-                   defaultSub: String): Unit = {
-    io(path).writeString(s"$path/v$next/shards",
-      shardRels(path, parentDir, defaultSub).mkString("\n"))
-    commit(path, next)
+  def publishCarry(spark: SparkSession, path: String, parentDir: String,
+                   next: Long, defaultSub: String): Unit = {
+    io(spark, path).writeString(s"$path/v$next/shards",
+      shardRels(spark, path, parentDir, defaultSub).mkString("\n"))
+    commit(spark, path, next)
   }
 
   /** Exactly-once micro-batch fold — the shared `foreachBatch` body
@@ -190,14 +206,14 @@ private[graft] object VersionedIndex {
     * The high-watermark is the max over both. Returns whether the body
     * ran (false = replay skipped).
     */
-  def foldBatch(path: String, batchId: Long)(body: => Unit): Boolean = {
-    val s = io(path)
+  def foldBatch(spark: SparkSession, path: String, batchId: Long)(body: => Unit): Boolean = {
+    val s = io(spark, path)
     // NEWEST-FIRST scan with an early stop: under the single-writer
     // contract batch ids are monotone in version order, so the newest
     // version carrying a record holds the max — a long-lived stream
     // (markers are kept forever) pays O(versions since the last recorded
     // fold) per micro-batch, not O(all versions) small-file reads
-    val inVersion = committedVersions(path).sorted.reverse.iterator
+    val inVersion = committedVersions(spark, path).sorted.reverse.iterator
       .map { v =>
         val p = s"$path/v$v/ingest_batch_id"
         if (s.exists(p)) s.readString(p).trim.toLongOption else None
@@ -208,7 +224,7 @@ private[graft] object VersionedIndex {
       .flatMap(_.stripPrefix("ingest_batch_hwm.v").toLongOption)
     val hwm = (inVersion ++ atRoot).foldLeft(-1L)(math.max)
     if (batchId <= hwm) return false
-    val next = currentVersion(path).getOrElse(0L) + 1
+    val next = currentVersion(spark, path).getOrElse(0L) + 1
     s.mkdirs(s"$path/v$next")
     s.writeString(s"$path/v$next/ingest_batch_id", batchId.toString)
     // entitle THIS body's commit of (path, next) to keep the record — any
@@ -231,17 +247,17 @@ private[graft] object VersionedIndex {
     * still references; `legacyNames` are the pre-versioned root entries
     * swept once unreferenced. Markers stay as the audit trail.
     */
-  def vacuum(path: String, retainVersions: Int, defaultSub: String,
-             legacyNames: Seq[String]): Unit = {
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int,
+             defaultSub: String, legacyNames: Seq[String]): Unit = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
-    val s = io(path)
-    val committed = committedVersions(path)
+    val s = io(spark, path)
+    val committed = committedVersions(spark, path)
     if (committed.isEmpty) return // nothing versioned to reclaim
     val retained = committed.takeRight(retainVersions)
     val referenced: Set[String] =
       retained.map(v => s"v$v").toSet ++
         retained.filter(v => s.exists(s"$path/v$v")).flatMap { v =>
-          shardRels(path, s"$path/v$v", defaultSub).flatMap { rel =>
+          shardRels(spark, path, s"$path/v$v", defaultSub).flatMap { rel =>
             // a `.` entry references the legacy ROOT data — every legacy
             // name stays protected while any retained version names it
             if (rel == ".") legacyNames else Seq(rel.split('/').head)

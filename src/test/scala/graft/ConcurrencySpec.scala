@@ -36,6 +36,28 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(boom.getMessage === "boom")
   }
 
+  test("default in-flight bound is capped (guide §2.6), not thunks.size") {
+    assert(Concurrency.DefaultMaxConcurrent >= 2)
+    assert(Concurrency.DefaultMaxConcurrent <= 4)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    Concurrency.inParallel((0 until 32).map(_ => () => {
+      val now = inFlight.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, now))
+      Thread.sleep(20L)
+      inFlight.decrementAndGet()
+    }))
+    assert(peak.get() <= Concurrency.DefaultMaxConcurrent)
+  }
+
+  test("worker threads resolve the caller's Spark session (no ambient-" +
+    "lookup dependence on thread lineage)") {
+    val spark = SparkSpec.session // ensure a session exists
+    val sessions = Concurrency.inParallel((0 until 4).map(_ => () =>
+      org.apache.spark.sql.SparkSession.active))
+    sessions.foreach(s => assert(s eq spark))
+  }
+
   test("single-thunk input short-circuits on the caller thread") {
     val caller = Thread.currentThread().getId
     val ran = Concurrency.inParallel(Seq(

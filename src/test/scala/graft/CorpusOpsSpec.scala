@@ -302,11 +302,11 @@ class CorpusOpsSpec extends SparkSpec {
     ext.DedupIndex.appendBatchDeduped(b1, dir, batchId = 0, threshold = 0.7)
     assert(ids() === Set(0L, 2L, 5L))
     // an all-dup batch appends nothing and still advances the watermark
-    val before = ext.DedupIndex.indexDir(dir)
+    val before = ext.DedupIndex.indexDir(spark, dir)
     ext.DedupIndex.appendBatchDeduped(docsDF(Seq((7L, base, "en"))),
       dir, batchId = 2, threshold = 0.7)
     assert(ids() === Set(0L, 2L, 5L))
-    assert(ext.DedupIndex.indexDir(dir) === before) // no version published
+    assert(ext.DedupIndex.indexDir(spark, dir) === before) // no version published
     ext.DedupIndex.appendBatchDeduped(docsDF(Seq((7L, base, "en"))),
       dir, batchId = 2, threshold = 0.7) // replay of the no-op: still no-op
     assert(ids() === Set(0L, 2L, 5L))
@@ -864,7 +864,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ext.DedupIndex.dedupeAgainstIndex(probe, dir, threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet === Set(13L))
     // vacuum retaining 1 keeps every referenced ancestor's data alive
-    ext.DedupIndex.vacuumIndex(dir, retainVersions = 1)
+    ext.DedupIndex.vacuumIndex(spark, dir, retainVersions = 1)
     assert(new java.io.File(s"$dir/v1/data/bands").exists())
     assert(ext.DedupIndex.dedupeAgainstIndex(probe, dir, threshold = 0.7)
       .count() === 1L)
@@ -914,7 +914,7 @@ class CorpusOpsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx-fp").toString
     ext.DedupIndex.buildIndex(docs, dir)
     // simulate a MurmurHash3/Random drift: rewrite params with a wrong probe
-    val paramsDir = s"${ext.DedupIndex.indexDir(dir)}/params"
+    val paramsDir = s"${ext.DedupIndex.indexDir(spark, dir)}/params"
     val p = spark.read.parquet(paramsDir)
       .select(col("n"), col("bands"), col("rows_per_band"),
         (col("probe_hash") + 1L).as("probe_hash"))

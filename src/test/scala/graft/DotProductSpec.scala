@@ -88,7 +88,7 @@ class DotProductSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-t").toString
     ext.Ivf.buildPqIndex(corpus, dir, nCells = 8, m = 4, codes = 8, refineIters = 1)
     // the inverted file holds codes + norm, never the float vectors
-    val cellsDir = new java.io.File(s"${ext.Ivf.indexDir(dir)}/cells")
+    val cellsDir = new java.io.File(s"${ext.Ivf.indexDir(spark, dir)}/cells")
     assert(cellsDir.listFiles().exists(_.getName.startsWith("cell=")))
     val cellsSchema = spark.read.parquet(cellsDir.toString).schema.fieldNames.toSet
     assert(cellsSchema.contains("codes") && cellsSchema.contains("norm"))
@@ -243,7 +243,7 @@ class DotProductSpec extends SparkSpec {
     // the inverted file is physically partitioned by cell — the layout that
     // lets probing prune whole partitions at scan time
     val cellDirs = Option(
-        new java.io.File(s"${ext.Ivf.indexDir(dir)}/cells").listFiles())
+        new java.io.File(s"${ext.Ivf.indexDir(spark, dir)}/cells").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs > 1 && cellDirs <= 16)
@@ -305,10 +305,10 @@ class DotProductSpec extends SparkSpec {
       .collect().toSet == brute)
     // compaction re-learns centroids from the index itself; contents and
     // exhaustive results are unchanged, and narrow probes stay well-formed
-    val centsBefore = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/centroids")
+    val centsBefore = spark.read.parquet(s"${ext.Ivf.indexDir(spark, dir)}/centroids")
       .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
     ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
-    val centsAfter = spark.read.parquet(s"${ext.Ivf.indexDir(dir)}/centroids")
+    val centsAfter = spark.read.parquet(s"${ext.Ivf.indexDir(spark, dir)}/centroids")
       .select("cell", "centroid").as[(Int, Array[Float])].collect().toMap
     assert(centsAfter.keySet == centsBefore.keySet)
     assert(centsAfter.exists { case (c, v) =>
@@ -321,7 +321,7 @@ class DotProductSpec extends SparkSpec {
     assert(ext.Ivf.queryIndex(dir, queries.limit(1), k = 5, nProbe = 2).count() == 5)
     // the refresh COLLAPSED the append's shard chain back into one literal
     // cells/ directory — the compaction half of the append contract
-    assert(!new java.io.File(s"${ext.Ivf.indexDir(dir)}/shards").exists())
+    assert(!new java.io.File(s"${ext.Ivf.indexDir(spark, dir)}/shards").exists())
   }
 
   test("appendBatchToIndex is exactly-once: replayed batch ids are no-ops, " +
@@ -424,16 +424,16 @@ class DotProductSpec extends SparkSpec {
     def results() = ext.Ivf.queryIndex(dir, queries, k = 5, nProbe = 8)
       .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
     val before = results()
-    val dirBefore = ext.Ivf.indexDir(dir)
+    val dirBefore = ext.Ivf.indexDir(spark, dir)
     // crash injected at the worst instant: the new version's tables are
     // fully on disk, the CURRENT pointer has not moved
     ext.Ivf.refreshIndexImpl(dir, spark, refineIters = 2, crashBeforeCommit = true)
-    assert(ext.Ivf.indexDir(dir) == dirBefore) // pointer untouched
+    assert(ext.Ivf.indexDir(spark, dir) == dirBefore) // pointer untouched
     assert(results() == before) // old version served, bit-identical
     // recovery = simply re-running the refresh (the orphaned dir is
     // overwritten by the retry's version write)
     ext.Ivf.refreshIndex(dir, spark, refineIters = 2)
-    assert(ext.Ivf.indexDir(dir) != dirBefore)
+    assert(ext.Ivf.indexDir(spark, dir) != dirBefore)
     assert(results() == before) // exhaustive probing: still exact
     // RETENTION: the superseded version is retired, NOT reclaimed — a
     // reader that resolved it mid-refresh (or pins it) still completes
@@ -443,7 +443,7 @@ class DotProductSpec extends SparkSpec {
       .collect().toSet == before)
     // explicit vacuum past retention reclaims it; the pinned read then
     // fails LOUDLY (marker kept as the audit trail), never serves v2 data
-    ext.Ivf.vacuumIndex(dir, retainVersions = 1)
+    ext.Ivf.vacuumIndex(spark, dir, retainVersions = 1)
     val versionDirs = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
@@ -496,7 +496,7 @@ class DotProductSpec extends SparkSpec {
       Option(stale.getCause).exists(_.getMessage.contains("missing from the rerank corpus")))
     // vacuum retaining only the NEWEST version must keep v1/v2 dirs alive:
     // v3's shard manifest references them
-    ext.Ivf.vacuumIndex(dir, retainVersions = 1)
+    ext.Ivf.vacuumIndex(spark, dir, retainVersions = 1)
     assert(new java.io.File(s"$dir/v1/cells").exists())
     assert(new java.io.File(s"$dir/v2/cells").exists())
     assert(ext.Ivf.cells(spark, dir).count() == 200L)

@@ -36,16 +36,16 @@ class IndexCompactionSpec extends SparkSpec {
         .select("query_vec_id", "vec_id", "rank", "cosine")
         .as[(Long, Long, Long, Double)].collect().toSet
     val before = q()
-    assert(ext.VersionedIndex.liveShardCount(dir, "cells") === 2)
+    assert(ext.VersionedIndex.liveShardCount(spark, dir, "cells") === 2)
     assert(ext.Ivf.compactIndex(dir, spark))
-    assert(ext.VersionedIndex.liveShardCount(dir, "cells") === 1)
+    assert(ext.VersionedIndex.liveShardCount(spark, dir, "cells") === 1)
     assert(q() === before)
     // tombstones folded physically into the merged shard
-    val live = ext.VersionedIndex.resolveDir(dir, None)
+    val live = ext.VersionedIndex.resolveDir(spark, dir, None)
     assert(!new java.io.File(s"$live/tombstones").exists())
     assert(ext.Ivf.cells(spark, dir).where(col("vec_id").isin(0L, 1L))
       .count() === 0L)
-    ext.Ivf.vacuumIndex(dir, retainVersions = 1)
+    ext.Ivf.vacuumIndex(spark, dir, retainVersions = 1)
     assert(!new java.io.File(s"$dir/v1").exists())
     assert(q() === before)
   }
@@ -57,9 +57,9 @@ class IndexCompactionSpec extends SparkSpec {
       val dir = tmp("graft-ivfempty")
       ext.Ivf.buildIndex(corpus, dir, nCells = 2)
       ext.Ivf.removeFromIndex(dir, corpus.select("vec_id"))
-      val v = ext.VersionedIndex.currentVersion(dir).get
+      val v = ext.VersionedIndex.currentVersion(spark, dir).get
       assert(!ext.Ivf.compactIndex(dir, spark))
-      assert(ext.VersionedIndex.currentVersion(dir).get === v)
+      assert(ext.VersionedIndex.currentVersion(spark, dir).get === v)
       assert(ext.Ivf.queryIndex(dir, corpus.limit(1), k = 3, nProbe = 2)
         .count() === 0L)
     }
@@ -69,9 +69,9 @@ class IndexCompactionSpec extends SparkSpec {
       val dir = tmp("graft-sqempty")
       ext.Sq.buildIndex(corpus, dir)
       ext.Sq.removeFromIndex(dir, corpus.select("vec_id"))
-      val v = ext.VersionedIndex.currentVersion(dir).get
+      val v = ext.VersionedIndex.currentVersion(spark, dir).get
       assert(!ext.Sq.compactIndex(dir, spark))
-      assert(ext.VersionedIndex.currentVersion(dir).get === v)
+      assert(ext.VersionedIndex.currentVersion(spark, dir).get === v)
       assert(ext.Sq.queryIndex(dir, corpus.limit(1), k = 3).count() === 0L)
     }
     // dedup
@@ -83,9 +83,9 @@ class IndexCompactionSpec extends SparkSpec {
       val dir = tmp("graft-dedempty")
       ext.DedupIndex.buildIndex(docs, dir)
       ext.DedupIndex.removeFromIndex(dir, docs.select("doc_id"))
-      val v = ext.VersionedIndex.currentVersion(dir).get
+      val v = ext.VersionedIndex.currentVersion(spark, dir).get
       assert(!ext.DedupIndex.compactIndex(dir, spark))
-      assert(ext.VersionedIndex.currentVersion(dir).get === v)
+      assert(ext.VersionedIndex.currentVersion(spark, dir).get === v)
       // with every fingerprint tombstoned, nothing suppresses
       assert(ext.DedupIndex.dedupeAgainstIndex(docs, dir).count() === 2L)
     }
@@ -98,9 +98,9 @@ class IndexCompactionSpec extends SparkSpec {
       val dir = tmp("graft-searchempty")
       ext.Search.buildIndex(docs, dir)
       ext.Search.removeFromIndex(dir, docs.select("doc_id"))
-      val v = ext.VersionedIndex.currentVersion(dir).get
+      val v = ext.VersionedIndex.currentVersion(spark, dir).get
       assert(!ext.Search.compactIndex(dir, spark))
-      assert(ext.VersionedIndex.currentVersion(dir).get === v)
+      assert(ext.VersionedIndex.currentVersion(spark, dir).get === v)
       assert(ext.Search.queryIndex(spark, dir, Seq("q" -> Seq("spark")))
         .count() === 0L)
     }
@@ -120,18 +120,18 @@ class IndexCompactionSpec extends SparkSpec {
       ext.Ivf.appendBatchToIndex(s, dir, b.toLong, nCells = 4)
       if ((b + 1) % 4 == 0) {
         assert(ext.Ivf.compactIndex(dir, spark))
-        ext.Ivf.vacuumIndex(dir, retainVersions = 1)
+        ext.Ivf.vacuumIndex(spark, dir, retainVersions = 1)
       }
       maxShards =
-        math.max(maxShards, ext.VersionedIndex.liveShardCount(dir, "cells"))
+        math.max(maxShards, ext.VersionedIndex.liveShardCount(spark, dir, "cells"))
     }
     assert(maxShards <= 4, s"shard chain unbounded: peaked at $maxShards")
-    assert(ext.VersionedIndex.liveShardCount(dir, "cells") === 1)
+    assert(ext.VersionedIndex.liveShardCount(spark, dir, "cells") === 1)
     // exactly-once across compaction + vacuum: replaying a folded batch
     // commits nothing (hwm survives at the root once versions age out)
-    val vNow = ext.VersionedIndex.currentVersion(dir).get
+    val vNow = ext.VersionedIndex.currentVersion(spark, dir).get
     ext.Ivf.appendBatchToIndex(slices(5), dir, 5L, nCells = 4)
-    assert(ext.VersionedIndex.currentVersion(dir).get === vNow)
+    assert(ext.VersionedIndex.currentVersion(spark, dir).get === vNow)
     val queries = corpus.where(col("vec_id") < 3)
     val brute = ext.Similarity.topK(corpus, queries, k = 5)
       .select("query_vec_id", "vec_id", "rank").as[(Long, Long, Long)]
@@ -152,10 +152,10 @@ class IndexCompactionSpec extends SparkSpec {
       ext.Search.appendBatchToIndex(s, sdir, b.toLong)
       if ((b + 1) % 3 == 0) {
         assert(ext.Search.compactIndex(sdir, spark))
-        ext.Search.vacuumIndex(sdir, retainVersions = 1)
+        ext.Search.vacuumIndex(spark, sdir, retainVersions = 1)
       }
     }
-    assert(ext.VersionedIndex.liveShardCount(sdir, "data") === 1)
+    assert(ext.VersionedIndex.liveShardCount(spark, sdir, "data") === 1)
     val fresh = tmp("graft-searchfresh")
     ext.Search.buildIndex(docs, fresh)
     val q = Seq("qa" -> Seq("spark", "term3"), "qb" -> Seq("term1", "merge"))

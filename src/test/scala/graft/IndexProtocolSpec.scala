@@ -42,7 +42,7 @@ class IndexProtocolSpec extends SparkSpec {
     ext.Search.appendBatchToIndex(shard1, path, batchId = 0L) // v1 = build
     // crashed fold attempt for batch 7: the record is stamped INSIDE v2
     // before the body runs, and the body never commits
-    val io = ext.VersionedIndex.io(path)
+    val io = ext.VersionedIndex.io(spark, path)
     io.mkdirs(s"$path/v2")
     io.writeString(s"$path/v2/ingest_batch_id", "7")
     // a foreign BATCH mutation now allocates v2 and commits — pre-scrub it
@@ -71,17 +71,17 @@ class IndexProtocolSpec extends SparkSpec {
       val path = java.nio.file.Files.createTempDirectory("graft-mtb").toString
       fold(empty, path, 0L)
       // nothing committed: no version, no degenerate model
-      assert(ext.VersionedIndex.currentVersion(path).isEmpty)
+      assert(ext.VersionedIndex.currentVersion(spark, path).isEmpty)
       fold(empty, path, 0L) // replay of the empty batch: still a no-op
       fold(vecs, path, 1L)  // first NON-empty batch builds
-      val v = ext.VersionedIndex.currentVersion(path)
+      val v = ext.VersionedIndex.currentVersion(spark, path)
       assert(v.nonEmpty)
       // exhaustive config reproduces brute force over the corpus
       assert(asRows(query(path)) ==
         asRows(ext.Similarity.topK(vecs, vecs.withColumn("label", lit(0)), k = 2)
           .select("query_vec_id", "vec_id", "cosine", "rank")))
       fold(empty, path, 2L) // empty LATER batch: watermark-only
-      assert(ext.VersionedIndex.currentVersion(path) == v)
+      assert(ext.VersionedIndex.currentVersion(spark, path) == v)
       fold(vecs.where(lit(false)), path, 2L) // replay: no-op
       assert(asRows(query(path)) ==
         asRows(ext.Similarity.topK(vecs, vecs.withColumn("label", lit(0)), k = 2)

@@ -22,7 +22,7 @@ class IndexTakedownSpec extends SparkSpec {
     val corpus = vecCorpus(41)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
     ext.Ivf.buildIndex(corpus, dir, nCells = 8)
-    val vPre = ext.VersionedIndex.currentVersion(dir).get
+    val vPre = ext.VersionedIndex.currentVersion(spark, dir).get
     val queries = corpus.where(col("vec_id") < 3)
     // remove two ids that brute force over the full corpus ranks for q0
     val dead = Seq(10L, 11L).toDF("vec_id")
@@ -41,9 +41,9 @@ class IndexTakedownSpec extends SparkSpec {
     assert(ext.Ivf.cells(spark, dir, asOfVersion = Some(vPre))
       .where(col("vec_id").isin(10L, 11L)).count() === 2L)
     // removing an absent id is a no-op: no new version
-    val vNow = ext.VersionedIndex.currentVersion(dir).get
+    val vNow = ext.VersionedIndex.currentVersion(spark, dir).get
     assert(ext.Ivf.removeFromIndex(dir, Seq(9999L).toDF("vec_id")) === 0L)
-    assert(ext.VersionedIndex.currentVersion(dir).get === vNow)
+    assert(ext.VersionedIndex.currentVersion(spark, dir).get === vNow)
     // an append keeps the takedown in force
     ext.Ivf.appendToIndex(
       Seq((500L, Seq.fill(16)(0.1f), 0)).toDF("vec_id", "embedding", "label"),
@@ -54,7 +54,7 @@ class IndexTakedownSpec extends SparkSpec {
     // refresh drains the tombstones physically: raw shards no longer hold
     // the ids and the new version carries no tombstone table
     ext.Ivf.refreshIndex(dir, spark, refineIters = 1)
-    assert(!new java.io.File(s"${ext.Ivf.indexDir(dir)}/tombstones").exists())
+    assert(!new java.io.File(s"${ext.Ivf.indexDir(spark, dir)}/tombstones").exists())
     assert(ext.Ivf.cells(spark, dir).count() === 299L) // 300 - 2 + 1 appended
     assert(ext.Ivf.cells(spark, dir).where(col("vec_id").isin(10L, 11L))
       .count() === 0L)
@@ -104,8 +104,8 @@ class IndexTakedownSpec extends SparkSpec {
         .toDF("doc_id", "text"), dir)
     assert(ext.DedupIndex.dedupeAgainstIndex(resub, dir).count() === 1L)
     // absent id: no-op, no version
-    val vNow = ext.VersionedIndex.currentVersion(dir).get
+    val vNow = ext.VersionedIndex.currentVersion(spark, dir).get
     assert(ext.DedupIndex.removeFromIndex(dir, Seq(888L).toDF("doc_id")) === 0L)
-    assert(ext.VersionedIndex.currentVersion(dir).get === vNow)
+    assert(ext.VersionedIndex.currentVersion(spark, dir).get === vNow)
   }
 }

@@ -132,7 +132,7 @@ class SearchSpec extends SparkSpec {
     val shard1 = corpus.where(col("doc_id") < 3)
     val shard2 = corpus.where(col("doc_id") >= 3)
     ext.Search.buildIndex(shard1, path)
-    val v1 = ext.Search.indexDir(path)
+    val v1 = ext.Search.indexDir(spark, path)
     ext.Search.appendToIndex(shard2, path)
     val qs = Seq("q" -> Seq("cat", "bird"))
     assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
@@ -162,9 +162,9 @@ class SearchSpec extends SparkSpec {
         asOfVersion = Some(1L))) ==
       asRows(ext.Search.bm25(corpus, qs, topK = 10)))
     // re-removing already-dead ids is a no-op (nothing published)
-    val vBefore = ext.Search.indexDir(path)
+    val vBefore = ext.Search.indexDir(spark, path)
     assert(ext.Search.removeFromIndex(path, Seq(1L).toDF("doc_id")) === 0L)
-    assert(ext.Search.indexDir(path) === vBefore)
+    assert(ext.Search.indexDir(spark, path) === vBefore)
     // an append AFTER the takedown carries both the tombstones and the
     // stats adjustment forward
     val extra = Seq((10L, "bird cat cat")).toDF("doc_id", "text")
@@ -191,7 +191,7 @@ class SearchSpec extends SparkSpec {
     // high-watermark marker must NOT replay the batch — the committed
     // version's in-version batch record witnesses it. Simulate by deleting
     // the root marker and replaying.
-    val io = graft.ext.VersionedIndex.io(path)
+    val io = graft.ext.VersionedIndex.io(spark, path)
     io.childNames(path).filter(_.startsWith("ingest_batch_hwm."))
       .foreach(n => io.deleteFile(s"$path/$n"))
     ext.Search.appendBatchToIndex(shard2, path, batchId = 1L)
@@ -202,7 +202,7 @@ class SearchSpec extends SparkSpec {
     // replay — the replay re-appends into a fresh committed version.
     val path2 = java.nio.file.Files.createTempDirectory("graft-bm25sb2").toString
     ext.Search.appendBatchToIndex(shard1, path2, batchId = 0L)
-    val io2 = graft.ext.VersionedIndex.io(path2)
+    val io2 = graft.ext.VersionedIndex.io(spark, path2)
     io2.mkdirs(s"$path2/v2")
     io2.writeString(s"$path2/v2/ingest_batch_id", "1") // orphan, no marker
     ext.Search.appendBatchToIndex(shard2, path2, batchId = 1L)
@@ -217,7 +217,7 @@ class SearchSpec extends SparkSpec {
     ext.Search.appendToIndex(corpus.where(col("doc_id") >= 3), path)
     // retention 1 keeps only v2 — but v2's shard manifest references v1's
     // data root, so the referenced data survives and the live query works
-    ext.Search.vacuumIndex(path, retainVersions = 1)
+    ext.Search.vacuumIndex(spark, path, retainVersions = 1)
     val qs = Seq("q" -> Seq("cat", "bird"))
     assert(asRows(ext.Search.queryIndex(spark, path, qs, topK = 10)) ==
       asRows(ext.Search.bm25(corpus, qs, topK = 10)))

@@ -270,4 +270,30 @@ class UpsertSpec extends SparkSpec {
         .select("stream_id", "ts", "value"))
     }
   }
+
+  test("null merge keys are rejected BEFORE any write: the declared " +
+    "write scope drops null dates, so a null-ts row would land as an " +
+    "undeclared default-partition file invisible to the commit diff") {
+    val (ds, _) = freshDs
+    ds.ensureStream("a")
+    ds.appendMultiple(dp(Seq(("a", "2024-01-01T00:00:10Z", 1.0)))
+      .select("stream_id", "ts", "value"))
+    def withNullTs = dp(Seq(("a", "2024-01-01T00:05:00Z", 2.0)))
+      .select(col("stream_id"),
+        lit(null).cast("timestamp").as("ts"), col("value"))
+    val eU = intercept[IllegalArgumentException](
+      ds.upsertDatapoints(withNullTs))
+    assert(eU.getMessage.contains("null"))
+    val eA = intercept[IllegalArgumentException](
+      ds.appendMultiple(withNullTs))
+    assert(eA.getMessage.contains("null"))
+    // null stream_id is equally refused
+    val eS = intercept[IllegalArgumentException](
+      ds.upsertDatapoints(dp(Seq(("a", "2024-01-01T00:05:00Z", 2.0)))
+        .select(lit(null).cast("string").as("stream_id"),
+          col("ts"), col("value"))))
+    assert(eS.getMessage.contains("null"))
+    // nothing leaked into the fact table from the refused verbs
+    assert(ds.rawDatapoints.count() === 1)
+  }
 }
